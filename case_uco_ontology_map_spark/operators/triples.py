@@ -1,0 +1,239 @@
+"""Triple emission: records DataFrame → flat triples DataFrame.
+
+The whole reference pipeline's deterministic half (uuid planning →
+property mapping → graph composition → pruning → placement —
+/root/reference/agents/uuid_planner.py + agents/graph_generator.py) is
+record-local, so it compiles to ONE narrow mapInPandas stage: zero
+shuffles, linear scaling with input splits. The ontology map rides along
+as a Spark broadcast; the per-executor OntologyContext is memoized.
+
+Scale notes (100 TB):
+  * no groupBy/join anywhere in this operator — throughput is bounded by
+    scan + Arrow transfer + the Python kernel, all embarrassingly parallel;
+  * the Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch)
+    is the only knob — default 10k rows is right for ~10-field records;
+  * output is written partitioned by pmod(xxhash64(record_uuid), N) so
+    downstream entity joins can bucket on the same key.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..refmap.facets import RESERVED_FIELDS, generate_extension_facet_name, to_camel_case
+from ..refmap.graph import build_record_nodes, enforce_property_placement, nodes_to_triples
+from ..refmap.identity import normalize_key, pyify
+from ..refmap.matching import match_property
+from ..refmap.planner import OntologyContext, plan_record
+
+TRIPLE_SCHEMA = (
+    "subj string, pred string, obj string, obj_is_iri boolean, "
+    "obj_datatype string, record_uuid string, fingerprint string"
+)
+
+_SPARK_TYPE_TAG = {
+    "boolean": "bool",
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+}
+
+
+def extend_ontology_map_for_schema(
+    ontology_map: Dict[str, Any],
+    field_types: Dict[str, str],
+    artifact_type: Optional[str],
+) -> Dict[str, Any]:
+    """Statically derive the auto extension facet from the record SCHEMA.
+
+    Mirrors the reference's custom-facet merge (custom_facet.py:455-473):
+    fields that match no ontology property get a dfc-ext:<camelCase> property
+    on a {ArtifactType}ExtensionFacet, appended to facets/properties, with an
+    explicit propertyFieldMap row so values route per record (J4 precedence).
+    Where the reference inferred xsd datatypes from one sample record's
+    Python types, we read them off the DataFrame schema — same result,
+    schema-stable across 10^12 records.
+
+    field_types: {field_name → spark simpleString type, e.g. "bigint"}.
+    """
+    ctx = OntologyContext(ontology_map)
+    explicit_fields = {
+        f
+        for prop_map in ctx.property_field_map.values()
+        for fields in (prop_map or {}).values()
+        for f in (fields or [])
+    }
+    unmapped = []
+    for field in field_types:
+        if field in RESERVED_FIELDS or field in explicit_fields:
+            continue
+        owner, prop = match_property(normalize_key(field), ctx.property_index)
+        if prop is None:
+            unmapped.append(field)
+    if not unmapped:
+        return ontology_map
+
+    base_name = generate_extension_facet_name(artifact_type)
+    existing = set(ontology_map.get("facets", []) or [])
+    facet_name = base_name
+    suffix = 2
+    while facet_name in existing:
+        facet_name = f"{base_name}{suffix}"
+        suffix += 1
+
+    extended = json.loads(json.dumps(ontology_map))  # deep copy
+    extended.setdefault("facets", []).append(facet_name)
+    props = extended.setdefault("properties", {})
+    prop_names = [f"dfc-ext:{to_camel_case(f)}" for f in unmapped]
+    props[facet_name] = list(prop_names)
+    additional = extended.setdefault("additional_details", {}) or {}
+    extended["additional_details"] = additional
+    field_map = additional.setdefault("propertyFieldMap", {})
+    field_map[facet_name] = {
+        prop: [field] for prop, field in zip(prop_names, unmapped)
+    }
+    return extended
+
+
+def _records_from_pdf(
+    pdf: pd.DataFrame,
+    record_cols: Sequence[str],
+    shared: Optional[Dict[str, Any]],
+) -> List[Dict[str, Any]]:
+    """Arrow batch → flat record dicts: numpy scalars → Python natives,
+    None/NaN treated as absent (the JSON absent-key convention), shared
+    metadata merged first (uuid_planner.py:40-49)."""
+    out: List[Dict[str, Any]] = []
+    cols = [pdf[c] for c in record_cols]
+    for values in zip(*cols) if cols else []:
+        rec: Dict[str, Any] = dict(shared) if shared else {}
+        for name, value in zip(record_cols, values):
+            if value is None:
+                continue
+            if isinstance(value, float) and pd.isna(value):
+                continue
+            rec[name] = pyify(value)
+        out.append(rec)
+    return out
+
+
+def emit_triples(
+    df: DataFrame,
+    ontology_map: Dict[str, Any],
+    record_cols: Optional[Sequence[str]] = None,
+    shared: Optional[Dict[str, Any]] = None,
+    kb_ids: bool = True,
+    auto_extension_facet: bool = True,
+    passthrough_cols: Sequence[str] = (),
+) -> DataFrame:
+    """records DataFrame → triples DataFrame (TRIPLE_SCHEMA + passthrough).
+
+    shared: constant payload metadata (artifact_type/description/source)
+    flattened into every record exactly like the reference's fan-out
+    (uuid_planner.py:30-66). record_cols defaults to all non-passthrough
+    columns. One narrow stage; no shuffle.
+    """
+    spark = df.sparkSession
+    # passthrough columns may overlap record fields (e.g. url is both the
+    # lineage key and a record field)
+    record_cols = list(record_cols if record_cols is not None else df.columns)
+    shared = dict(shared or {})
+
+    if auto_extension_facet:
+        type_by_field = {
+            f.name: _SPARK_TYPE_TAG.get(f.dataType.simpleString(), "str")
+            for f in df.schema.fields
+            if f.name in record_cols
+        }
+        for k, v in shared.items():
+            type_by_field.setdefault(k, type(v).__name__)
+        ontology_map = extend_ontology_map_for_schema(
+            ontology_map, type_by_field, shared.get("artifact_type")
+        )
+
+    bc = spark.sparkContext.broadcast(
+        {"map": ontology_map, "shared": shared, "record_cols": record_cols, "kb": kb_ids}
+    )
+    out_schema = TRIPLE_SCHEMA + "".join(
+        f", {c} {dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[c]}"
+        for c in passthrough_cols
+    )
+    passthrough = list(passthrough_cols)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = bc.value
+        ctx = OntologyContext(cfg["map"])
+        omap = cfg["map"]
+        kb = cfg["kb"]
+        sh = cfg["shared"]
+        rcols = cfg["record_cols"]
+        for pdf in batches:
+            records = _records_from_pdf(pdf, rcols, sh)
+            rows: List[tuple] = []
+            for i, record in enumerate(records):
+                plan = plan_record(record, ctx)
+                nodes = build_record_nodes(plan, kb_ids=kb)
+                nodes = enforce_property_placement(nodes, omap)
+                pt = tuple(pdf[c].iloc[i] for c in passthrough)
+                for t in nodes_to_triples(nodes, plan["record_uuid"]):
+                    rows.append(t + (plan["fingerprint"],) + pt)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "subj",
+                    "pred",
+                    "obj",
+                    "obj_is_iri",
+                    "obj_datatype",
+                    "record_uuid",
+                    "fingerprint",
+                ]
+                + passthrough,
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def plan_manifest(
+    df: DataFrame,
+    record_cols: Optional[Sequence[str]] = None,
+    shared: Optional[Dict[str, Any]] = None,
+    passthrough_cols: Sequence[str] = (),
+) -> DataFrame:
+    """records → (fingerprint, record_uuid [, passthrough]) checkpoint
+    manifest rows — the Spark form of the reference's recordFingerprints/
+    uuidPlan reuse keys (uuid_planner.py:229-241). Used by
+    streaming/resume.py for ST1 resume. Narrow stage, no shuffle."""
+    spark = df.sparkSession
+    record_cols = list(record_cols if record_cols is not None else df.columns)
+    shared = dict(shared or {})
+    passthrough = list(passthrough_cols)
+    bc = spark.sparkContext.broadcast({"shared": shared, "record_cols": record_cols})
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = "fingerprint string, record_uuid string" + "".join(
+        f", {c} {types[c]}" for c in passthrough
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..refmap.identity import fingerprint_record, record_uuid_for
+
+        cfg = bc.value
+        for pdf in batches:
+            records = _records_from_pdf(pdf, cfg["record_cols"], cfg["shared"])
+            fps = [fingerprint_record(r) for r in records]
+            out = pd.DataFrame(
+                {"fingerprint": fps, "record_uuid": [record_uuid_for(f) for f in fps]}
+            )
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

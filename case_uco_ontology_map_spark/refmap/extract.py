@@ -23,8 +23,11 @@ from typing import Union
 # Decode policy is part of the pinned contract: UTF-8 with replacement.
 _DECODE_ERRORS = "replace"
 
+# Non-content elements dropped wholesale (main-content extraction policy):
+# code/styling plus chrome (title/nav/header/footer/aside).
 _SCRIPT_STYLE = re.compile(
-    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+    r"<(script|style|title|nav|header|footer|aside)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
 )
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 # Block-level tags become paragraph breaks so document structure survives.

@@ -1,0 +1,135 @@
+"""End-to-end Spark tests: corpus build, byte-identical extraction, triple
+emission parity between the mapInPandas kernel and the refmap oracle."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from case_uco_ontology_map_spark.operators.triples import emit_triples
+from case_uco_ontology_map_spark.plans.pipeline import (
+    PAGE_SHARED_METADATA,
+    extracted_pages,
+    page_records,
+    page_triples,
+    web_ontology_map,
+)
+from case_uco_ontology_map_spark.refmap import extract_records, extract_text
+from case_uco_ontology_map_spark.refmap.graph import build_graph, nodes_to_triples
+from case_uco_ontology_map_spark.sources.corpus import web_corpus
+
+
+def test_extraction_byte_identity(spark, sf_dir):
+    """BASELINE.md row 2: per-url extracted text must be byte-identical
+    between the pipeline UDF and the pinned pure-Python oracle."""
+    corpus = web_corpus(spark, sf_dir).limit(200).cache()
+    rows = corpus.select("url", "html", "text").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert extract_text(r["html"]) == r["text"], r["url"]
+    # and the in-plan UDF agrees (same function, but prove the Arrow path)
+    mismatches = (
+        extracted_pages(corpus)
+        .filter(F.col("extracted_text") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+    corpus.unpersist()
+
+
+def test_page_triples_match_refmap_oracle(spark, sf_dir):
+    """Spark mapInPandas kernel ≡ pure-Python oracle on the same records:
+    triple sets identical (P/R = 1.0)."""
+    corpus = web_corpus(spark, sf_dir).limit(50)
+    records_df = page_records(extracted_pages(corpus)).cache()
+    triples_df = page_triples(records_df)
+    got = {
+        tuple(r)
+        for r in triples_df.select(
+            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "record_uuid"
+        ).collect()
+    }
+
+    pdf = records_df.drop("extracted_text").toPandas()
+    payload_records = []
+    for rec in pdf.to_dict("records"):
+        r = dict(PAGE_SHARED_METADATA)
+        r.update({k: (int(v) if isinstance(v, (int,)) and not isinstance(v, bool) else v)
+                  for k, v in rec.items() if v is not None})
+        # normalize numpy ints
+        r = {k: (int(v) if type(v).__module__ == "numpy" and "int" in type(v).__name__ else v)
+             for k, v in r.items()}
+        payload_records.append(r)
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        extend_ontology_map_for_schema,
+    )
+
+    field_types = {
+        "url": "str", "warc_time": "str", "lang": "str", "n_chars": "int",
+        "content_sha256": "str", "host": "str", "mime_type": "str",
+    }
+    omap = extend_ontology_map_for_schema(
+        web_ontology_map(), field_types, "Web Page"
+    )
+    expected = set()
+    graph = build_graph(payload_records, omap)
+    # regroup per record: oracle flattens with its own record_uuid below
+    from case_uco_ontology_map_spark.refmap.planner import OntologyContext, plan_record
+    from case_uco_ontology_map_spark.refmap.graph import (
+        build_record_nodes,
+        enforce_property_placement,
+    )
+
+    ctx = OntologyContext(omap)
+    for rec in payload_records:
+        plan = plan_record(rec, ctx)
+        nodes = build_record_nodes(plan, kb_ids=True)
+        nodes = enforce_property_placement(nodes, omap)
+        expected.update(nodes_to_triples(nodes, plan["record_uuid"]))
+
+    assert got == expected
+    records_df.unpersist()
+
+
+def test_triples_shape_and_contracts(spark, sf_dir):
+    corpus = web_corpus(spark, sf_dir).limit(100)
+    triples = page_triples(page_records(extracted_pages(corpus))).cache()
+    n_records = 100
+
+    # every record yields exactly one URL-typed object node
+    url_nodes = triples.filter(
+        (F.col("pred") == "rdf:type") & (F.col("obj") == "uco-observable:URL")
+    )
+    assert url_nodes.count() == n_records
+
+    # URLFacet carries fullValue = the url (propertyFieldMap J4 routing)
+    fv = triples.filter(F.col("pred") == "uco-observable:fullValue")
+    assert fv.count() == n_records
+    bad = fv.filter(F.col("obj") != F.col("url")).count()
+    assert bad == 0
+
+    # no-null contract: no empty objects anywhere
+    assert triples.filter(F.col("obj").isNull() | (F.col("obj") == "")).count() == 0
+
+    # extension facet captured the unmapped lang field
+    lang_triples = triples.filter(F.col("pred") == "dfc-ext:lang")
+    assert lang_triples.count() == n_records
+    triples.unpersist()
+
+
+def test_emit_triples_no_shuffle(spark, sf_dir):
+    """Scale guard: the emission plan must contain no Exchange (shuffle)."""
+    corpus = web_corpus(spark, sf_dir)
+    triples = page_triples(page_records(extracted_pages(corpus)))
+    plan = triples._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_fingerprint_stability_across_runs(spark, sf_dir):
+    """Same input → identical record_uuids (determinism / resume contract)."""
+    corpus = web_corpus(spark, sf_dir).limit(20)
+    t1 = page_triples(page_records(extracted_pages(corpus)))
+    t2 = page_triples(page_records(extracted_pages(corpus)))
+    ids1 = {r[0] for r in t1.select("record_uuid").distinct().collect()}
+    ids2 = {r[0] for r in t2.select("record_uuid").distinct().collect()}
+    assert ids1 == ids2 and len(ids1) == 20
