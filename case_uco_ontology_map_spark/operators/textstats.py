@@ -1,0 +1,135 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Column expressions (JVM, whole-stage codegen) — zero Python in any
+of these paths, every one shuffle-free per row. Each has a DuckDB-oracle
+query in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword gazetteers (public common words). Used by the
+# n-gram/stopword heuristic language scorer.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish subword estimate is chars/4; both
+    exposed by quality_features)."""
+    return F.size(tokens_col(text))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish subword-count estimate: count word pieces (letter runs split
+    every 4 chars, digit runs, punctuation marks) - a deterministic,
+    SQL-expressible stand-in for a subword tokenizer's token count."""
+    return F.regexp_count(
+        text, F.lit("[a-zA-Z]{1,4}|[0-9]{1,3}|[^a-zA-Z0-9\\s]")
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features per document.
+
+    Columns: n_chars_q, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio_en, quality_score ∈ [0,1].
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, en_stop))
+
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tokens > 0, n_stop.cast("double") / n_tokens
+    ).otherwise(0.0)
+
+    # Heuristic quality score: long-enough, low punctuation/digit noise.
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + (F.lit(1.0) - F.least(digit_ratio * 4, F.lit(1.0))) * 0.3
+    )
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio_en"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-gazetteer language ID: per-language hit counts over distinct
+    tokens + argmax prediction. Pure JVM set intersection per row."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    out = df
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        col = F.size(F.array_intersect(toks, arr))
+        out = out.withColumn(f"score_{lang}", col)
+        score_cols.append(f"score_{lang}")
+    # argmax with deterministic tie-break on language code order
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(c).alias("s"), F.lit(lang).alias("lang")
+            )
+            for c, lang in zip(score_cols, STOPWORDS.keys())
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["s"] > 0))
+    out = out.withColumn(
+        "lang_pred", F.coalesce(best["lang"], F.lit("unknown"))
+    )
+    return out
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: exact sha256 + a rolling-window fingerprint
+    (xxhash64 of each 16-token window, min over windows ≙ winnowing pick).
+    JVM-only: transform over a slide of token arrays."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n = F.size(toks)
+    win = F.lit(16)
+    idx = F.sequence(
+        F.lit(0), F.greatest(n - win, F.lit(0))
+    )
+    window_hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, win))),
+    )
+    return df.select(
+        "*",
+        F.sha2(text, 256).alias("exact_sha256"),
+        F.array_min(window_hashes).alias("rolling_min_hash"),
+    )

@@ -112,30 +112,152 @@ def page_triples(
     )
 
 
+def fused_page_triples(
+    corpus: DataFrame,
+    ontology_map: Optional[Dict[str, Any]] = None,
+    lang: Optional[str] = None,
+) -> DataFrame:
+    """Fused fast path: (url, warc_ts, html, lang) → triples in ONE
+    mapInPandas crossing.
+
+    Semantically identical to extracted_pages → page_records → page_triples
+    (tests pin equality) but crosses the JVM↔Python Arrow boundary once
+    instead of three times — at 100 TB the crossing cost dominates the
+    actual Python work (extraction is ~50k docs/s/core; each extra Arrow
+    roundtrip re-ships the batch), so the production plan is:
+    scan(pruned cols) → [filter lang, pushed down] → one kernel. No shuffle.
+    """
+    import hashlib as _hashlib
+    from typing import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from ..operators.triples import extend_ontology_map_for_schema
+    from ..refmap.extract import extract_text as _extract
+    from ..refmap.graph import (
+        build_record_nodes as _nodes,
+        enforce_property_placement as _place,
+        nodes_to_triples as _flatten,
+    )
+    from ..refmap.planner import OntologyContext as _Ctx, plan_record as _plan
+
+    field_types = {
+        "url": "str", "warc_time": "str", "lang": "str", "n_chars": "int",
+        "content_sha256": "str", "host": "str", "mime_type": "str",
+    }
+    omap = extend_ontology_map_for_schema(
+        ontology_map or web_ontology_map(), field_types, PAGE_SHARED_METADATA["artifact_type"]
+    )
+    df = corpus
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    df = df.select("url", "warc_ts", "html", "lang")
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast({"map": omap, "shared": dict(PAGE_SHARED_METADATA)})
+
+    out_schema = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string, fingerprint string, url string"
+    )
+
+    def kernel(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        cfg = bc.value
+        ctx = _Ctx(cfg["map"])
+        om = cfg["map"]
+        sh = cfg["shared"]
+        cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype",
+                "record_uuid", "fingerprint", "url"]
+        for pdf in batches:
+            warc_strs = pdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+            rows = []
+            for url, warc_time, html, lg in zip(
+                pdf["url"], warc_strs, pdf["html"], pdf["lang"]
+            ):
+                text = _extract(html) if html is not None else ""
+                rec = dict(sh)
+                rec.update(
+                    url=url,
+                    warc_time=warc_time,
+                    lang=lg,
+                    n_chars=len(text),
+                    content_sha256=_hashlib.sha256(text.encode("utf-8")).hexdigest(),
+                    host=url.split("//", 1)[-1].split("/", 1)[0],
+                    mime_type="text/html",
+                )
+                plan = _plan(rec, ctx)
+                nodes = _place(_nodes(plan, kb_ids=True), om)
+                for t in _flatten(nodes, plan["record_uuid"]):
+                    rows.append(t + (plan["fingerprint"], url))
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
     lang: Optional[str] = None,
     out_dir: Optional[str] = None,
+    with_mentions: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> Dict[str, DataFrame]:
-    """Full batch: corpus → triples (+ optional materialization).
+    """Full batch: corpus → triples [+ mention triples + canonical entities]
+    (+ optional materialization + checkpoint manifest + lineage).
 
-    Returns {triples, records, corpus} DataFrames (lazy). Materialization
-    partitions triples by pmod(xxhash64(record_uuid), 64) so entity-keyed
-    work downstream co-locates without re-shuffling small files.
+    Returns lazy DataFrames {corpus, pages, records, triples[, mentions,
+    entities, lineage]}. Materialization partitions triples by
+    pmod(xxhash64(record_uuid), 64) so entity-keyed work downstream
+    co-locates without re-shuffling small files; the manifest enables ST1
+    exact resume (streaming/resume.py).
     """
     corpus = web_corpus(spark, sf_dir)
     pages = extracted_pages(corpus, lang=lang)
     records = page_records(pages)
-    triples = page_triples(records)
+    triples = fused_page_triples(corpus, lang=lang)
+    out: Dict[str, DataFrame] = {
+        "corpus": corpus,
+        "pages": pages,
+        "records": records,
+        "triples": triples,
+    }
+
+    if with_mentions:
+        from ..operators.canonicalize import canonicalize_entities
+        from ..operators.mentions import detect_mentions, mention_triples
+
+        manifest_keys = triples.select("url", "record_uuid").distinct()
+        docs_with_ids = pages.select("url", "extracted_text").join(
+            manifest_keys, "url"
+        )
+        found = detect_mentions(
+            docs_with_ids.withColumnRenamed("extracted_text", "text"),
+            record_uuid_col="record_uuid",
+        )
+        m_triples = mention_triples(found)
+        out["mentions"] = found
+        out["triples"] = triples.select(
+            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "record_uuid"
+        ).unionByName(m_triples)
+        entities = found.select(
+            F.xxhash64("surface", "entity_class").alias("entity_id"),
+            F.concat_ws("|", "entity_class", "surface").alias("entity_key"),
+        ).distinct()
+        out["entities"] = canonicalize_entities(entities)
 
     if out_dir:
+        from ..streaming.resume import lineage, write_manifest
+
         (
-            triples.withColumn(
-                "bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64))
-            )
+            out["triples"]
+            .withColumn("bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64)))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(out_dir, "triples"))
         )
-    return {"corpus": corpus, "pages": pages, "records": records, "triples": triples}
+        if "fingerprint" in out["triples"].columns:
+            write_manifest(
+                out["triples"].select("fingerprint", "record_uuid").distinct(),
+                os.path.join(checkpoint_dir or out_dir, "manifest"),
+            )
+            out["lineage"] = lineage(out["triples"])
+    return out

@@ -1,0 +1,197 @@
+"""SHACL-lite validation + provenance checking over the triples table.
+
+The reference validates in two layers (SURVEY.md §2.9):
+  L1: programmatic property-placement check + external SHACL conformance
+      (/root/reference/agents/validator.py:42-96)
+  L2: hallucination check — every emitted literal must trace to a source
+      field value (/root/reference/agents/hallucination_checker.py:73-117;
+      fail-closed)
+
+Spark re-expression: each rule is one DataFrame predicate/aggregate over
+the triples table, driven by the broadcast ontology dictionary. All checks
+return violation DataFrames — empty == clean (validator.py:88 is_clean).
+Shuffle story: placement/datatype checks are narrow; maxCount is one
+groupBy(subj, pred); provenance is a hash-equi left-anti join on
+(record_uuid, value).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SKELETON_PREDS = ("rdf:type", "uco-core:hasFacet")
+
+
+def _local(col):
+    return F.substring_index(col, ":", -1)
+
+
+def check_placement(triples: DataFrame, ontology_map: Dict[str, Any]) -> DataFrame:
+    """J7/L1 placement: a facet-owned property may only sit on a subject
+    whose rdf:type is that facet (validator.py:42-67). Implemented as a
+    broadcast map lookup + join of property triples against type triples."""
+    prop_to_facet = {}
+    for owner, props in (ontology_map.get("properties") or {}).items():
+        if owner.endswith("Facet"):
+            for p in props:
+                prop_to_facet[p] = owner
+    if not prop_to_facet:
+        return triples.limit(0).select(
+            "subj", "pred", F.lit("").alias("violation")
+        )
+    mapping = F.create_map(
+        *[F.lit(x) for kv in prop_to_facet.items() for x in kv]
+    )
+    types = triples.filter(F.col("pred") == "rdf:type").select(
+        F.col("subj").alias("t_subj"), F.col("obj").alias("node_type")
+    )
+    props = (
+        triples.filter(~F.col("pred").isin(*_SKELETON_PREDS))
+        .withColumn("owner_facet", mapping[_local(F.col("pred"))])
+        .filter(F.col("owner_facet").isNotNull())
+    )
+    return (
+        props.join(types, props["subj"] == types["t_subj"])
+        .filter(_local(F.col("node_type")) != F.col("owner_facet"))
+        .select(
+            "subj",
+            "pred",
+            F.concat(
+                F.lit("property "),
+                F.col("pred"),
+                F.lit(" belongs on facet "),
+                F.col("owner_facet"),
+                F.lit(" but sits on "),
+                F.col("node_type"),
+            ).alias("violation"),
+        )
+    )
+
+
+def check_max_count(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:
+    """SHACL sh:maxCount per (class shape, property) — groupBy(subj, pred)
+    count vs the broadcast shape table (case_uco.py:253-276 shapes)."""
+    rows = []
+    for cls, shape in (dictionary.get("shapes") or {}).items():
+        for prop, meta in shape.items():
+            if meta.get("maxCount") is not None:
+                rows.append((prop, int(meta["maxCount"])))
+    if not rows:
+        return triples.limit(0).select("subj", "pred", F.lit(0).alias("n"))
+    # max over shapes sharing a property name (conservative)
+    limits: Dict[str, int] = {}
+    for prop, mc in rows:
+        limits[prop] = max(limits.get(prop, 0), mc)
+    mapping = F.create_map(*[F.lit(x) for kv in limits.items() for x in kv])
+    counted = (
+        triples.filter(~F.col("pred").isin(*_SKELETON_PREDS))
+        .groupBy("subj", "pred")
+        .agg(F.count("*").alias("n"))
+        .withColumn("max_count", mapping[_local(F.col("pred"))])
+    )
+    return counted.filter(
+        F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))
+    ).select("subj", "pred", "n")
+
+
+def check_datatypes(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:
+    """Literal objects must parse as their declared xsd datatype
+    (integer/boolean/decimal/dateTime checked syntactically)."""
+    dt_map: Dict[str, str] = {}
+    for cls, shape in (dictionary.get("shapes") or {}).items():
+        for prop, meta in shape.items():
+            if meta.get("datatype"):
+                dt_map.setdefault(prop, meta["datatype"])
+    if not dt_map:
+        return triples.limit(0).select("subj", "pred", "obj")
+    mapping = F.create_map(*[F.lit(x) for kv in dt_map.items() for x in kv])
+    lits = (
+        triples.filter(~F.col("obj_is_iri"))
+        .withColumn("decl", mapping[_local(F.col("pred"))])
+        .filter(F.col("decl").isNotNull())
+    )
+    ok = (
+        F.when(F.col("decl") == "xsd:integer", F.col("obj").rlike(r"^-?\d+$"))
+        .when(F.col("decl") == "xsd:boolean", F.col("obj").isin("true", "false"))
+        .when(F.col("decl") == "xsd:decimal", F.col("obj").rlike(r"^-?\d+(\.\d+)?$"))
+        .when(
+            F.col("decl") == "xsd:dateTime",
+            F.col("obj").rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"),
+        )
+        .otherwise(F.lit(True))
+    )
+    return lits.filter(~ok).select("subj", "pred", "obj", "decl")
+
+
+def check_dangling_refs(triples: DataFrame) -> DataFrame:
+    """Every IRI object that points into the kb: namespace must resolve to a
+    subject with an rdf:type — left-anti join (P2 scrub correctness)."""
+    refs = triples.filter(
+        F.col("obj_is_iri") & F.col("obj").startswith("kb:")
+    ).select("subj", "pred", F.col("obj").alias("ref"))
+    typed = triples.filter(F.col("pred") == "rdf:type").select(
+        F.col("subj").alias("target")
+    ).distinct()
+    return refs.join(typed, refs["ref"] == typed["target"], "left_anti")
+
+
+def check_no_nulls(triples: DataFrame) -> DataFrame:
+    """P1 no-null contract: no null/empty objects (config.py:345-349)."""
+    return triples.filter(F.col("obj").isNull() | (F.col("obj") == "")).select(
+        "subj", "pred"
+    )
+
+
+def check_provenance(
+    triples: DataFrame, records: DataFrame, record_cols, shared: Optional[Dict] = None
+) -> DataFrame:
+    """L2 hallucination ≙ provenance: every literal object must equal some
+    source field value of its record (hallucination_checker semantics made
+    exact). Anti-join triples ⋈ exploded record values on
+    (record_uuid, value). Derived fields the pipeline itself computes are
+    part of the record, so a clean pipeline yields zero rows."""
+    from .operators.triples import plan_manifest
+
+    shared_vals = [str(v) for v in (shared or {}).values()]
+    vals = plan_manifest(
+        records, record_cols=list(record_cols), shared=shared,
+        passthrough_cols=tuple(record_cols),
+    )
+    exploded = vals.select(
+        "record_uuid",
+        F.explode(
+            F.array(*[F.col(c).cast("string") for c in record_cols])
+        ).alias("value"),
+    )
+    lits = triples.filter(~F.col("obj_is_iri")).select(
+        "subj", "pred", "obj", "record_uuid"
+    )
+    if shared_vals:
+        lits = lits.filter(~F.col("obj").isin(*shared_vals))
+    return lits.join(
+        exploded,
+        (lits["record_uuid"] == exploded["record_uuid"])
+        & (lits["obj"] == exploded["value"]),
+        "left_anti",
+    )
+
+
+def validate_all(
+    triples: DataFrame,
+    ontology_map: Dict[str, Any],
+    dictionary: Optional[Dict[str, Any]] = None,
+) -> Dict[str, int]:
+    """Run every rule; returns {rule → violation count} (is_clean == all 0,
+    validator.py:88)."""
+    out = {
+        "placement": check_placement(triples, ontology_map).count(),
+        "no_nulls": check_no_nulls(triples).count(),
+        "dangling_refs": check_dangling_refs(triples).count(),
+    }
+    if dictionary is not None:
+        out["max_count"] = check_max_count(triples, dictionary).count()
+        out["datatypes"] = check_datatypes(triples, dictionary).count()
+    return out

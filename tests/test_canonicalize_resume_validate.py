@@ -1,0 +1,138 @@
+"""Tests: connected components / canonicalization, resume semantics,
+SHACL-lite validation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from case_uco_ontology_map_spark.operators import canonicalize
+from case_uco_ontology_map_spark.streaming import resume
+from case_uco_ontology_map_spark import validation
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} via chain, {10,11}, singleton 99 not in edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    out = {r["id"]: r["component"] for r in canonicalize.connected_components(edges).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[10] == out[11] == 10
+
+
+def test_connected_components_large_chain(spark):
+    # a 64-node path graph — worst case for propagation; must converge
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    out = canonicalize.connected_components(edges, max_iterations=80)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+
+
+def test_canonicalize_entities(spark):
+    rows = [
+        (1, "acme corporation"),
+        (2, "acme corporation inc"),  # near-dup of 1
+        (3, "acme corp"),            # near-dup-ish
+        (4, "zebra industries"),
+        (5, "completely unrelated"),
+    ]
+    ents = spark.createDataFrame(rows, "entity_id long, entity_key string")
+    out = {
+        r["entity_id"]: r["canonical_id"]
+        for r in canonicalize.canonicalize_entities(
+            ents, jaccard_threshold=0.4
+        ).collect()
+    }
+    assert out[1] == out[2] == 1  # clustered, min id canonical
+    assert out[4] == 4 and out[5] == 5  # singletons keep themselves
+
+
+def test_resume_split_and_invalidate(spark, tmp_path):
+    records = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(10)], "rid long, payload string"
+    )
+    manifest = resume.split_resume(records, None)
+    assert manifest.filter("reused").count() == 0
+    path = str(tmp_path / "manifest")
+    resume.write_manifest(manifest.select("fingerprint", "record_uuid"), path)
+
+    # second run: everything reused
+    cp = resume.read_manifest(spark, path)
+    again = resume.split_resume(records, cp)
+    assert again.filter("reused").count() == 10
+
+    # new + changed rows are fresh; unchanged keep identical record_uuid
+    records2 = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(5)]
+        + [(5, "CHANGED")]
+        + [(i, f"val{i}") for i in range(6, 12)],
+        "rid long, payload string",
+    )
+    third = resume.split_resume(records2, cp)
+    reused = {r["rid"] for r in third.filter("reused").collect()}
+    assert reused == {0, 1, 2, 3, 4, 6, 7, 8, 9}
+    # identity stability: unchanged rows map to the same record_uuid
+    first_ids = {r["rid"]: r["record_uuid"] for r in manifest.collect()}
+    third_ids = {r["rid"]: r["record_uuid"] for r in third.collect()}
+    for rid in reused:
+        assert third_ids[rid] == first_ids[rid]
+    assert third_ids[5] != first_ids[5]
+
+    # ST2 partial invalidation
+    inv = resume.invalidate(cp, [first_ids[3]])
+    fourth = resume.split_resume(records, inv)
+    assert {r["rid"] for r in fourth.filter(~F.col("reused")).collect()} == {3}
+
+
+def test_validation_clean_pipeline(spark, sf_dir):
+    from case_uco_ontology_map_spark.plans.pipeline import (
+        fused_page_triples,
+        web_ontology_map,
+    )
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+
+    corpus = web_corpus(spark, sf_dir).limit(50)
+    triples = fused_page_triples(corpus).cache()
+    results = validation.validate_all(
+        triples, web_ontology_map(), load_dictionary()
+    )
+    assert results == {k: 0 for k in results}, results
+    triples.unpersist()
+
+
+def test_validation_catches_violations(spark):
+    rows = [
+        # dangling facet ref
+        ("kb:url-1", "uco-core:hasFacet", "kb:urlfacet-MISSING", True, None, "r1", "f1"),
+        ("kb:url-1", "rdf:type", "uco-observable:URL", True, None, "r1", "f1"),
+        # facet-owned property on the object node (placement violation)
+        ("kb:url-1", "uco-observable:fullValue", "x", False, None, "r1", "f1"),
+        # empty object (no-null violation)
+        ("kb:url-1", "uco-observable:host", "", False, None, "r1", "f1"),
+        # maxCount: two sizeInBytes on one facet node
+        ("kb:cdf-1", "rdf:type", "uco-observable:ContentDataFacet", True, None, "r1", "f1"),
+        ("kb:cdf-1", "uco-observable:sizeInBytes", "1", False, "xsd:integer", "r1", "f1"),
+        ("kb:cdf-1", "uco-observable:sizeInBytes", "2", False, "xsd:integer", "r1", "f1"),
+        # datatype violation: non-integer sizeInBytes
+        ("kb:cdf-2", "rdf:type", "uco-observable:ContentDataFacet", True, None, "r1", "f1"),
+        ("kb:cdf-2", "uco-observable:sizeInBytes", "abc", False, "xsd:integer", "r1", "f1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string, fingerprint string",
+    )
+    from case_uco_ontology_map_spark.plans.pipeline import web_ontology_map
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    res = validation.validate_all(triples, web_ontology_map(), load_dictionary())
+    assert res["dangling_refs"] >= 1
+    assert res["placement"] >= 1
+    assert res["no_nulls"] == 1
+    assert res["max_count"] >= 1
+    assert res["datatypes"] >= 1

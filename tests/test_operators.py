@@ -1,0 +1,138 @@
+"""Operator tests: textstats, dedup, similarity — semantics on small,
+hand-checkable inputs plus testdata smoke."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from case_uco_ontology_map_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog today", "en"),  # near dup
+        (3, "el perro de la casa es un animal que ladra en el patio", "es"),
+        (4, "completely different content about spark query engines", "en"),
+        (5, "", "en"),  # empty doc edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["group_size"] == 2 and by_id[1]["group_size"] == 2
+    assert by_id[0]["is_canonical"] and not by_id[1]["is_canonical"]
+    assert by_id[1]["canonical_id"] == 0
+    assert by_id[2]["group_size"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.3
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (0, 1) in got  # identical docs always collide
+    jac = {(r["a_id"], r["b_id"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == 1.0
+    if (0, 2) in got:  # near-dup likely caught
+        assert 0.3 <= jac[(0, 2)] < 1.0
+    # unrelated docs never pass verification
+    assert (0, 4) not in got and (3, 4) not in got
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 4)], "a_id long, b_id long"
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert 0 < out[(0, 2)] < 1
+    assert out[(0, 4)] == 0.0
+
+
+def test_simhash_near_pairs(docs):
+    sims = dedup.simhash(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert rows[0] == rows[1]  # identical text → identical simhash
+    pairs = dedup.simhash_near_pairs(sims, max_hamming=16).collect()
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs}
+    assert got[(0, 1)] == 0
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_dups(emb, threshold=0.95, planes=8).collect()
+    got = {(r["a_id"], r["b_id"]) for r in out}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (0, 3) not in got
+
+
+def test_brute_force_topk(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.1, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    out = similarity.brute_force_topk(vecs, queries, k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 1]
+
+
+def test_ivf_topk_matches_brute_force_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            (F.col("vec_id") + 10000).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=3).collect()
+    cents = similarity.centroids_kmeans(emb, k=8, iterations=2)
+    approx = similarity.ivf_topk(emb, queries, cents, k=3, nprobe=4).collect()
+    exact_top1 = {r["query_id"]: r["vec_id"] for r in exact if r["rank"] == 1}
+    approx_top1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    # the query vector itself must be its own top-1 in both paths
+    for qid, vid in exact_top1.items():
+        assert vid == qid - 10000
+    for qid, vid in approx_top1.items():
+        assert vid == qid - 10000
+
+
+def test_quality_features(docs):
+    out = {r["doc_id"]: r for r in textstats.quality_features(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[5]["n_tokens"] == 0 and out[5]["quality_score"] is not None
+    assert out[0]["stopword_ratio_en"] > 0
+    assert out[3]["stopword_ratio_en"] == 0
+
+
+def test_lang_scores(docs):
+    out = {r["doc_id"]: r for r in textstats.lang_scores(docs).collect()}
+    assert out[0]["lang_pred"] == "en"
+    assert out[3]["lang_pred"] == "es"
+    assert out[5]["lang_pred"] == "unknown"
+
+
+def test_doc_fingerprints(docs):
+    out = {r["doc_id"]: r for r in textstats.doc_fingerprints(docs).collect()}
+    assert out[0]["exact_sha256"] == out[1]["exact_sha256"]
+    assert out[0]["rolling_min_hash"] == out[1]["rolling_min_hash"]
+    assert out[0]["exact_sha256"] != out[2]["exact_sha256"]

@@ -133,3 +133,18 @@ def test_fingerprint_stability_across_runs(spark, sf_dir):
     ids1 = {r[0] for r in t1.select("record_uuid").distinct().collect()}
     ids2 = {r[0] for r in t2.select("record_uuid").distinct().collect()}
     assert ids1 == ids2 and len(ids1) == 20
+
+
+def test_fused_equals_staged(spark, sf_dir):
+    """fused_page_triples (one Python crossing) must emit exactly the same
+    triple set as the staged extract→records→emit path."""
+    from case_uco_ontology_map_spark.plans.pipeline import fused_page_triples
+
+    corpus = web_corpus(spark, sf_dir).limit(60).cache()
+    staged = {
+        tuple(r)
+        for r in page_triples(page_records(extracted_pages(corpus))).collect()
+    }
+    fused = {tuple(r) for r in fused_page_triples(corpus).collect()}
+    assert fused == staged
+    corpus.unpersist()
