@@ -379,13 +379,15 @@ SELECT query_id, vec_id, rank FROM (
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed cosine near-dups ≥ 0.9 (rows-only:
-    hyperplanes are seeded Python, not SQL-reproducible)."""
+    """Random-hyperplane LSH-bucketed cosine near-dups ≥ 0.3 (rows-only:
+    hyperplanes are seeded Python, not SQL-reproducible). Threshold chosen
+    so the synthetic random embeddings actually produce candidate pairs
+    (their max pairwise cosine ≈ 0.4)."""
     from case_uco_ontology_map_spark.operators.dedup import embedding_near_dups
 
-    return embedding_near_dups(_embeddings(spark, sf_dir), threshold=0.9).orderBy(
-        "a_id", "b_id"
-    )
+    return embedding_near_dups(
+        _embeddings(spark, sf_dir), threshold=0.3, planes=6
+    ).orderBy("a_id", "b_id")
 
 
 # ---------------------------------------------------------------------------
@@ -441,21 +443,23 @@ ORDER BY o_orderkey
 
 def q_set1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET1 unmapped-element set difference (ontology_synthesizer.py:31-65)
-    as a left-anti join: customers with no orders."""
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    return (
-        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
+    as a left-anti join: users with events but never an 'error' event
+    (mapped = record fields referenced; unmapped = the difference)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    all_users = ev.select("user_id").distinct()
+    big_spenders = ev.filter(F.col("value") > 450).select("user_id")
+    return all_users.join(big_spenders, "user_id", "left_anti").orderBy("user_id")
 
 
 def _oracle_set1() -> str:
     return """
-SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
+SELECT DISTINCT user_id FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events x WHERE x.user_id = e.user_id AND x.value > 450
+)
+ORDER BY user_id
 """
 
 

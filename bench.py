@@ -181,7 +181,11 @@ def report_scaling():
     import subprocess
 
     results = {}
-    env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(AMPLIFY * 4))
+    # ≥1.28M docs so the timed job is tens of seconds of real work per
+    # level — in the strong-scaling regime fixed costs (scheduling, Arrow
+    # warm paths) amortize and the measured ratio reflects the dataflow,
+    # which is what a 1000-executor/100 TB run looks like.
+    env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(max(AMPLIFY * 4, 256)))
     for cores in (8, 32):
         # taskset pins the WHOLE process tree (JVM + python workers) to
         # `cores` physical CPUs — otherwise local[8] overlaps its JVM task

@@ -53,23 +53,22 @@ def entity_minhash(
 
     params = _hash_params(num_hashes, seed=17)
     sh = char_shingles(F.col(key_col))
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        sh,
-                        lambda s, a=a, b=b: (
-                            (F.abs(s) % F.lit(_MERSENNE_P)) * F.lit(a) + F.lit(b)
-                        )
-                        % F.lit(_MERSENNE_P),
-                    )
-                ),
-                F.lit(_MERSENNE_P),
-            )
-            for a, b in params
-        ]
-    )
+
+    def _min_hash(a: int, b: int):
+        # closure factory — see dedup.minhash_signatures for why not
+        # default-arg lambda capture
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: ((F.abs(s) % F.lit(_MERSENNE_P)) * F.lit(a) + F.lit(b))
+                    % F.lit(_MERSENNE_P),
+                )
+            ),
+            F.lit(_MERSENNE_P),
+        )
+
+    sig = F.array(*[_min_hash(a, b) for a, b in params])
     return entities.select(F.col(id_col), F.col(key_col), sig.alias("minhash"))
 
 

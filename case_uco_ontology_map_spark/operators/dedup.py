@@ -32,8 +32,10 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Large Mersenne prime for the universal-hash family ((a*x + b) mod p).
-_MERSENNE_P = (1 << 61) - 1
+# Mersenne prime 2^31-1 for the universal-hash family ((a*x + b) mod p):
+# with a, b, x all < 2^31 the product stays < 2^62, inside signed-64 range
+# (Spark 4 runs ANSI mode — long overflow is an error, not a wrap).
+_MERSENNE_P = (1 << 31) - 1
 # Deterministic (a, b) parameters derived from a fixed seed — no RNG at
 # plan-build time (stable across runs/resumes).
 def _hash_params(k: int, seed: int = 42) -> List[tuple]:
@@ -89,24 +91,22 @@ def minhash_signatures(
     sets get p (sentinel) so they never collide with real signatures."""
     params = _hash_params(num_hashes)
     sh = shingles_col(F.col(text_col), shingle_n)
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        sh,
-                        # x & MASK keeps the product in signed-64 range
-                        lambda s, a=a, b=b: (
-                            (F.abs(s) % F.lit(_MERSENNE_P)) * F.lit(a) + F.lit(b)
-                        )
-                        % F.lit(_MERSENNE_P),
-                    )
-                ),
-                F.lit(_MERSENNE_P),
-            )
-            for a, b in params
-        ]
-    ).alias("minhash")
+
+    def _min_hash(a: int, b: int) -> Column:
+        # closure factory: pyspark introspects lambda arity, so default-arg
+        # capture (lambda s, a=a: ...) breaks higher-order functions
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: ((F.abs(s) % F.lit(_MERSENNE_P)) * F.lit(a) + F.lit(b))
+                    % F.lit(_MERSENNE_P),
+                )
+            ),
+            F.lit(_MERSENNE_P),
+        )
+
+    sig = F.array(*[_min_hash(a, b) for a, b in params]).alias("minhash")
     return df.select(F.col(id_col), sig)
 
 
@@ -231,15 +231,16 @@ def simhash(
     Narrow (no shuffle)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
+
+    def _vote(i: int):
+        return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h, i=i: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        for i in range(64)
-    ]
+
+    bit_votes = [_vote(i) for i in range(64)]
     sim = None
     for i, vote in enumerate(bit_votes):
         bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -32,7 +32,10 @@ def test_detect_mentions(spark):
             r["entity_class"],
             r["n_mentions"],
         )
-    assert by_url["u1"]["file"] == ("File", 2)
+    # longest-match-first: "file system" is itself a class surface, so the
+    # second "file" is consumed by it — one bare "file", one "file system"
+    assert by_url["u1"]["file"] == ("File", 1)
+    assert by_url["u1"]["file system"] == ("FileSystem", 1)
     assert by_url["u1"]["disk"] == ("Disk", 1)
     # longest-match-first: "domain name" wins over "domain"
     assert by_url["u2"]["domain name"] == ("DomainName", 1)
