@@ -562,6 +562,164 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 canonicalization core: connected components over a deterministic
+    functional graph on the events users (edge u → (u*7) mod 150), via
+    alternating min-label propagation — oracled by a DuckDB recursive-CTE
+    transitive closure."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    users = ev.select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7) % 150).alias("dst"),
+    )
+    return (
+        connected_components(edges)
+        .select(F.col("id").alias("user_id"), "component")
+        .orderBy("user_id")
+    )
+
+
+def _oracle_connected_components() -> str:
+    return """
+WITH RECURSIVE
+users AS (SELECT DISTINCT user_id FROM events),
+edges AS (
+  SELECT user_id AS a, (user_id * 7) % 150 AS b FROM users
+),
+sym AS (
+  SELECT a, b FROM edges
+  UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges
+  UNION SELECT b, b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS user_id, MIN(b) AS component
+FROM reach GROUP BY a ORDER BY user_id
+"""
+
+
+def q_w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 relevance top-10 (case_uco.py:994-1019): top-10 events by value
+    per event_type with deterministic tie-break."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("event_type", "rank", "event_id", "value")
+        .orderBy("event_type", "rank")
+    )
+
+
+def _oracle_w2() -> str:
+    return """
+SELECT event_type, rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 10 ORDER BY event_type, rank
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F6 scalar functions as JVM Column expressions
+    (functions/columns.py) applied to part names — oracled by equivalent
+    DuckDB string expressions (the refmap Python forms are separately
+    golden-tested)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.columns import (
+        local_name_col,
+        normalize_key_col,
+        qualify_property_col,
+        slugify_col,
+        tokenize_col,
+    )
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    return part.select(
+        "p_partkey",
+        slugify_col(F.col("p_name")).alias("slug"),
+        normalize_key_col(F.col("p_name")).alias("norm_key"),
+        F.array_join(tokenize_col(F.col("p_type")), " ").alias("tokens"),
+        qualify_property_col(F.col("p_brand")).alias("qualified"),
+        local_name_col(F.lit("https://example.org/ns#Thing")).alias("local"),
+    ).orderBy("p_partkey")
+
+
+def _oracle_scalar_functions() -> str:
+    return """
+SELECT p_partkey,
+       lower(replace(replace(p_name, ' ', '_'), '-', '_')) AS slug,
+       trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'), '_') AS norm_key,
+       array_to_string(
+         list_filter(
+           regexp_split_to_array(
+             lower(replace(replace(replace(
+               regexp_replace(p_type, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+               '_', ' '), '-', ' '), ':', ' ')),
+             ' +'),
+           t -> t <> ''), ' ') AS tokens,
+       CASE WHEN contains(p_brand, ':') THEN p_brand
+            ELSE 'uco-observable:' || p_brand END AS qualified,
+       'Thing' AS local
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity canonicalization (minhash → LSH candidates → Jaccard
+    edges → CC) over document source names — xxhash64-based, rows-only."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        canonicalize_entities,
+    )
+
+    ents = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("entity_id"),
+            F.concat(F.col("source"), F.lit(" doc "), F.col("lang")).alias(
+                "entity_key"
+            ),
+        )
+    )
+    return canonicalize_entities(ents, jaccard_threshold=0.6).orderBy("entity_id")
+
+
+def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention detection over documents (north_star stage) —
+    gazetteer is the broadcast ontology dictionary; rows-only (the scan is
+    Python-kernel longest-match)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.mentions import detect_mentions
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    return detect_mentions(docs).orderBy("url", "surface")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -584,8 +742,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_fingerprint_reuse": q_j1_fingerprint_reuse,
         "set1_anti_join": q_set1_anti_join,
         "w1_argmax": q_w1_argmax,
+        "w2_topk_per_group": q_w2_topk_per_group,
         "a3_property_collapse": q_a3_property_collapse,
         "a1_coverage_stats": q_a1_coverage_stats,
+        "scalar_functions": q_scalar_functions,
+        # canonicalization + mentions (north_star stages)
+        "connected_components": q_connected_components,
+        "entity_canonicalize": q_entity_canonicalize,
+        "mention_detection": q_mention_detection,
     }
 
 
@@ -602,6 +766,9 @@ def oracle_sql() -> dict[str, str]:
         "j1_fingerprint_reuse": _oracle_j1(),
         "set1_anti_join": _oracle_set1(),
         "w1_argmax": _oracle_w1(),
+        "w2_topk_per_group": _oracle_w2(),
         "a3_property_collapse": _oracle_a3(),
         "a1_coverage_stats": _oracle_a1(),
+        "scalar_functions": _oracle_scalar_functions(),
+        "connected_components": _oracle_connected_components(),
     }
