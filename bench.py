@@ -90,18 +90,65 @@ def bench_queries(spark, sf_dir: str):
     def q_triples():
         return fused_page_triples(corpus).count()
 
+    docs = corpus.select(
+        F.xxhash64("url").alias("doc_id"), F.col("text")
+    )
+
+    def q_minhash_dedup():
+        """Realistic dedup staging: exact dedup FIRST collapses the ×AMPLIFY
+        copies (uniform-hash shuffle), then MinHash-LSH runs on canonical
+        docs only — running LSH on a corpus full of exact dups degenerates
+        every band bucket into an O(copies²) pair generator."""
+        from case_uco_ontology_map_spark.operators.dedup import (
+            exact_dedup,
+            minhash_dedup_pairs,
+        )
+
+        canon = (
+            exact_dedup(docs)
+            .filter(F.col("is_canonical"))
+            .select(F.col("doc_id"))
+            .join(docs, "doc_id")
+        )
+        return minhash_dedup_pairs(canon, threshold=0.5, estimate=True).count()
+
+    def q_mentions():
+        from case_uco_ontology_map_spark.operators.mentions import detect_mentions
+
+        return detect_mentions(
+            corpus.select("url", "text")
+        ).count()
+
+    def q_quality():
+        from case_uco_ontology_map_spark.operators.textstats import quality_features
+
+        return (
+            quality_features(corpus.select("text"))
+            .select(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+
     return corpus, n_docs, {
         "extract_text": q_extract,
         "kg_triples": q_triples,
+        "minhash_dedup": q_minhash_dedup,
+        "mention_detect": q_mentions,
+        "quality_score": q_quality,
     }
 
 
 def run_once(cores: int, sf_dir: str, repeats: int = 2):
     """Best-of-N steady-state timing per query (cold JVM/codegen effects and
-    GC pauses otherwise dominate a seconds-scale job)."""
+    GC pauses otherwise dominate a seconds-scale job). SPARK_GRAFT_BENCH_ONLY
+    (comma list) restricts the query set — the scaling mode uses it to time
+    just the headline kg_triples job."""
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     spark = make_spark(cores)
     try:
         corpus, n_docs, qs = bench_queries(spark, sf_dir)
+        if only:
+            names = {n.strip() for n in only.split(",")}
+            qs = {k: v for k, v in qs.items() if k in names}
         timings = {}
         counts = {}
         for name, fn in qs.items():
@@ -185,7 +232,11 @@ def report_scaling():
     # level — in the strong-scaling regime fixed costs (scheduling, Arrow
     # warm paths) amortize and the measured ratio reflects the dataflow,
     # which is what a 1000-executor/100 TB run looks like.
-    env = dict(os.environ, SPARK_GRAFT_AMPLIFY=str(max(AMPLIFY * 4, 256)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_AMPLIFY=str(max(AMPLIFY * 4, 256)),
+        SPARK_GRAFT_BENCH_ONLY="kg_triples",
+    )
     for cores in (8, 32):
         # taskset pins the WHOLE process tree (JVM + python workers) to
         # `cores` physical CPUs — otherwise local[8] overlaps its JVM task

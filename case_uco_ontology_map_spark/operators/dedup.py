@@ -179,13 +179,36 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    estimate: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact Jaccard verification on candidates only. Returns
-    (a_id, b_id, jaccard) pairs with jaccard ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    Jaccard verification on candidates only. Returns (a_id, b_id, jaccard)
+    pairs with jaccard ≥ threshold.
+
+    estimate=False verifies with EXACT shingle-set Jaccard (re-joins the
+    docs). estimate=True verifies with the minhash estimate (fraction of
+    agreeing signature positions) — the 100 TB path: the verification join
+    touches only the k-int signatures already in hand, never the documents,
+    cutting the verify-join payload ~10× at ±1/√k estimator error."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+    if not estimate:
+        return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = agree.cast("double") / F.size(F.col("a.minhash"))
+    return (
+        cands.join(a, cands["a_id"] == F.col(f"a.{id_col}"))
+        .join(b, cands["b_id"] == F.col(f"b.{id_col}"))
+        .withColumn("jaccard", F.round(est, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -80,13 +80,22 @@ def detect_mentions(
     spark = docs.sparkSession
     gaz = gazetteer or build_gazetteer()
     max_words = max(len(s.split()) for s in gaz) if gaz else 1
-    bc = spark.sparkContext.broadcast((gaz, max_words))
+    # prefix index: first token → longest window worth trying. Most tokens
+    # start no multi-word surface, so the scan is one dict probe per token.
+    multi_prefix: Dict[str, int] = {}
+    for s in gaz:
+        words = s.split()
+        if len(words) > 1:
+            multi_prefix[words[0]] = max(multi_prefix.get(words[0], 0), len(words))
+    bc = spark.sparkContext.broadcast((gaz, multi_prefix))
     has_uuid = record_uuid_col is not None
     cols = [url_col, text_col] + ([record_uuid_col] if has_uuid else [])
     src = docs.select(*cols)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        gazd, mw = bc.value
+        gazd, prefixes = bc.value
+        gaz_get = gazd.get
+        pfx_get = prefixes.get
         for pdf in batches:
             out_rows: List[tuple] = []
             uuids = pdf[record_uuid_col] if has_uuid else [None] * len(pdf)
@@ -98,16 +107,24 @@ def detect_mentions(
                 i = 0
                 n = len(toks)
                 while i < n:
+                    tok = toks[i]
                     matched = 0
-                    # longest match first
-                    for w in range(min(mw, n - i), 0, -1):
-                        surface = " ".join(toks[i : i + w])
-                        cls = gazd.get(surface)
+                    pw = pfx_get(tok)
+                    if pw:  # longest multi-word window first
+                        for w in range(min(pw, n - i), 1, -1):
+                            surface = " ".join(toks[i : i + w])
+                            cls = gaz_get(surface)
+                            if cls is not None:
+                                key = (surface, cls)
+                                counts[key] = counts.get(key, 0) + 1
+                                matched = w
+                                break
+                    if not matched:
+                        cls = gaz_get(tok)
                         if cls is not None:
-                            key = (surface, cls)
+                            key = (tok, cls)
                             counts[key] = counts.get(key, 0) + 1
-                            matched = w
-                            break
+                            matched = 1
                     i += matched if matched else 1
                 for (surface, cls), c in sorted(counts.items()):
                     out_rows.append((url, ruuid, surface, cls, c))

@@ -103,6 +103,48 @@ def extend_ontology_map_for_schema(
     return extended
 
 
+_TYPE_TAG_SAMPLE = {"bool": True, "int": 0, "float": 0.0}
+
+
+def extension_facet_ttl(
+    ontology_map: Dict[str, Any],
+    field_types: Dict[str, str],
+    artifact_type: Optional[str],
+) -> str:
+    """S7 TTL sink: Turtle stubs for the schema-derived extension facet
+    (custom_facet.py:206-215 semantics, driven by the DataFrame schema the
+    way extend_ontology_map_for_schema is). Empty string when every field
+    maps. Driver-side — the TTL is ontology metadata, not data."""
+    from ..refmap.facets import auto_generate_custom_facets
+    from ..refmap.matching import match_property
+    from ..refmap.planner import OntologyContext
+
+    ctx = OntologyContext(ontology_map)
+    explicit_fields = {
+        f
+        for prop_map in ctx.property_field_map.values()
+        for fields in (prop_map or {}).values()
+        for f in (fields or [])
+    }
+    details = []
+    for field, tag in field_types.items():
+        if field in RESERVED_FIELDS or field in explicit_fields:
+            continue
+        _, prop = match_property(normalize_key(field), ctx.property_index)
+        if prop is None:
+            details.append(
+                {
+                    "field": field,
+                    "sampleValue": _TYPE_TAG_SAMPLE.get(tag, "sample"),
+                    "valueType": tag,
+                }
+            )
+    _, ttl = auto_generate_custom_facets(
+        details, None, artifact_type, ontology_map.get("facets", []) or []
+    )
+    return ttl
+
+
 def _records_from_pdf(
     pdf: pd.DataFrame,
     record_cols: Sequence[str],

@@ -1,0 +1,109 @@
+"""Dump formatted physical plans of the engine's key operators to PLANS.md —
+the plan-quality evidence (pushdown, pruning, broadcast choice, shuffle
+count, WholeStageCodegen spans) reviewed after each round."""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def summarize(plan: str) -> str:
+    exchanges = len(re.findall(r"\bExchange\b", plan))
+    # formatted explain stars operators inside a WholeStageCodegen span
+    codegen = len(re.findall(r"^\s*\*\s", plan, re.MULTILINE)) + len(
+        re.findall(r"WholeStageCodegen", plan)
+    )
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    smj = len(re.findall(r"SortMergeJoin", plan))
+    return (
+        f"shuffles(Exchange)={exchanges}, codegen_spans={codegen}, "
+        f"broadcast_joins={bhj}, sortmerge_joins={smj}, "
+        f"pushed_filters={[p for p in pushed if p] or 'none'}"
+    )
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from case_uco_ontology_map_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from case_uco_ontology_map_spark.operators.mentions import detect_mentions
+    from case_uco_ontology_map_spark.operators.similarity import brute_force_topk
+    from case_uco_ontology_map_spark.operators.textstats import quality_features
+    from case_uco_ontology_map_spark.plans.pipeline import (
+        extracted_pages,
+        fused_page_triples,
+    )
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    corpus = web_corpus(spark, SF)
+    queries = (
+        emb.limit(2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+
+    sections = {
+        "fused_page_triples (the 100 TB hot path)": fused_page_triples(corpus),
+        "extracted_pages with lang filter (pushdown check)": extracted_pages(
+            corpus, lang="en"
+        ),
+        "quality_features (JVM-only, codegen)": quality_features(docs),
+        "exact_dedup (single hash shuffle)": exact_dedup(docs),
+        "minhash_dedup_pairs (LSH self-join)": minhash_dedup_pairs(
+            docs.limit(500), threshold=0.5
+        ),
+        "detect_mentions (broadcast gazetteer)": detect_mentions(
+            docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+        ),
+        "brute_force_topk (broadcast queries + window)": brute_force_topk(
+            emb, queries, k=3
+        ),
+    }
+    lines = [
+        "# PLANS — physical-plan review",
+        "",
+        "Regenerate with `python scripts/explain_plans.py`. Summary line per",
+        "operator; the full formatted plans follow. Review criteria: filters",
+        "reach the scan, codegen spans are wide, broadcast joins are chosen",
+        "for small sides, and no unexpected Exchange appears on narrow paths.",
+        "",
+    ]
+    for name, df in sections.items():
+        p = plan_of(df)
+        lines.append(f"## {name}\n\n`{summarize(p)}`\n")
+        lines.append("```\n" + p.strip()[:4000] + "\n```\n")
+    with open("PLANS.md", "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote PLANS.md")
+    for name, df in sections.items():
+        print(f"{name}: {summarize(plan_of(df))}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

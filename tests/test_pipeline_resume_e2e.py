@@ -1,0 +1,103 @@
+"""Pipeline-level resume + TTL sink tests (BASELINE.md resume-correctness
+row: identical final triple set after interruption; unchanged records keep
+identical IRIs)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from case_uco_ontology_map_spark.plans.pipeline import (
+    PAGE_SHARED_METADATA,
+    extracted_pages,
+    fused_page_triples,
+    page_records,
+    web_ontology_map,
+)
+from case_uco_ontology_map_spark.sources.corpus import web_corpus
+from case_uco_ontology_map_spark.streaming import resume
+
+
+def test_pipeline_resume_end_to_end(spark, sf_dir, tmp_path):
+    """Run on half the corpus → checkpoint; run on the full corpus with the
+    manifest → only new records compute; union(prior output, fresh output)
+    == full recompute exactly."""
+    corpus = web_corpus(spark, sf_dir).cache()
+    first_half = corpus.filter(F.xxhash64("url") % 2 == 0)
+
+    t1 = fused_page_triples(first_half).cache()
+    manifest_path = str(tmp_path / "manifest")
+    resume.write_manifest(
+        t1.select("fingerprint", "record_uuid").distinct(), manifest_path
+    )
+
+    # resume over the FULL corpus
+    cp = resume.read_manifest(spark, manifest_path)
+    records = page_records(extracted_pages(corpus)).drop("extracted_text")
+    split = resume.split_resume(
+        records, cp, shared=dict(PAGE_SHARED_METADATA)
+    ).cache()
+    n_total = corpus.count()
+    n_first = first_half.count()
+    assert split.filter("reused").count() == n_first
+    assert split.filter("NOT reused").count() == n_total - n_first
+
+    # recompute only the new records; union with prior output
+    new_urls = [r["url"] for r in split.filter("NOT reused").select("url").collect()]
+    fresh = fused_page_triples(corpus.filter(F.col("url").isin(new_urls)))
+    resumed = t1.unionByName(fresh)
+
+    full = fused_page_triples(corpus)
+    key_cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "record_uuid"]
+    resumed_set = {tuple(r) for r in resumed.select(*key_cols).collect()}
+    full_set = {tuple(r) for r in full.select(*key_cols).collect()}
+    assert resumed_set == full_set  # ST1: byte-identical final triple set
+
+    t1.unpersist(); split.unpersist(); corpus.unpersist()
+
+
+def test_run_pipeline_materialization(spark, sf_dir, tmp_path):
+    from case_uco_ontology_map_spark.plans.pipeline import run_pipeline
+
+    out = run_pipeline(spark, sf_dir, out_dir=str(tmp_path / "out"))
+    triples = spark.read.parquet(str(tmp_path / "out" / "triples"))
+    assert triples.count() > 0
+    assert "bucket" in triples.columns
+    manifest = spark.read.parquet(str(tmp_path / "out" / "manifest"))
+    assert manifest.count() == 500
+    assert "lineage" in out
+    lin = out["lineage"].collect()
+    assert sum(r["records"] for r in lin) == 500
+    assert all(r["triples"] > 0 for r in lin)
+
+
+def test_run_pipeline_with_mentions(spark, sf_dir):
+    from case_uco_ontology_map_spark.plans.pipeline import run_pipeline
+
+    out = run_pipeline(spark, sf_dir, with_mentions=True)
+    triples = out["triples"]
+    kinds = {
+        r["obj"]
+        for r in triples.filter(F.col("pred") == "uco-core:kindOfRelationship")
+        .select("obj")
+        .distinct()
+        .collect()
+    }
+    assert "references" in kinds
+    ents = out["entities"]
+    assert ents.count() > 0
+    assert set(ents.columns) == {"entity_id", "entity_key", "canonical_id"}
+
+
+def test_extension_facet_ttl():
+    from case_uco_ontology_map_spark.operators.triples import extension_facet_ttl
+
+    ttl = extension_facet_ttl(
+        web_ontology_map(),
+        {"lang": "str", "warc_time": "str", "url": "str", "n_chars": "int"},
+        "Web Page",
+    )
+    assert "dfc-ext:WebPageExtensionFacet" in ttl
+    assert "rdfs:subClassOf uco-core:Facet" in ttl
+    assert "dfc-ext:lang" in ttl and "dfc-ext:warcTime" in ttl
+    # mapped/explicit fields excluded
+    assert "dfc-ext:url\n" not in ttl and "dfc-ext:nChars" not in ttl
