@@ -1,0 +1,104 @@
+"""Explicit skew handling: salted repartition / salted aggregation / salted
+join (north_rule: "salted repartitioning to defuse hot-domain skew").
+
+Web corpora are Zipfian in host: one domain can be 10%+ of all pages, so
+any groupBy(host) or join on host melts one reducer. The standard answers,
+as reusable transforms:
+
+  salt_column        add salt = pmod(xxhash64(unique_col), S) — deterministic,
+                     no RNG, resume-stable.
+  salted_aggregate   two-phase agg: groupBy(key, salt) partial → groupBy(key)
+                     final. Turns one hot reducer into S reducers + a tiny
+                     second shuffle of S·|keys| rows.
+  salted_broadcast_join  replicate the SMALL side S times (explode over
+                     salt values) and join on (key, salt) — co-locates a
+                     skewed big side without one giant partition.
+
+AQE's skewJoin splitter is the backstop (enabled in every session this repo
+creates); these transforms are the explicit, plan-visible version for the
+operators where we KNOW the key is Zipfian (host, entity surface).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(df: DataFrame, unique_col: str, salts: int = 16) -> DataFrame:
+    """Deterministic salt ∈ [0, salts): hash of a per-row unique column —
+    never a random number (resume/replay stability)."""
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(salts)).cast("int")
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    agg_exprs: dict,
+    unique_col: str,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation for algebraic aggregates
+    (count/sum/min/max). agg_exprs: {out_col: ("count"|"sum"|"min"|"max",
+    in_col)}. Phase 1 groups by (key, salt) — hot keys spread over S
+    reducers; phase 2 re-combines per key (S rows per key)."""
+    partial_aggs = []
+    final_aggs = []
+    for out, (fn, col) in agg_exprs.items():
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_aggs.append(F.count(col if col != "*" else F.lit(1)).alias(p))
+            final_aggs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    salted = salt_column(df, unique_col, salts)
+    partial = salted.groupBy(*key_cols, "salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    unique_col: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skew-keyed big side against a small dimension: salt the big
+    side rows, explode the small side across all salts, equi-join on
+    (key, salt). The small side grows ×S (still broadcastable); the big
+    side's hot key spreads across S partitions."""
+    big_salted = salt_column(big, unique_col, salts)
+    small_exploded = small.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return big_salted.join(
+        F.broadcast(small_exploded), on=[key, "salt"], how=how
+    ).drop("salt")
+
+
+def host_distribution(df: DataFrame, host_col: str = "host", top: int = 20) -> DataFrame:
+    """Diagnostic: per-host page counts + share — the skew report a 100 TB
+    operator checks before choosing S. Itself salted (the point)."""
+    total = df.count()
+    counts = salted_aggregate(
+        df, [host_col], {"pages": ("count", "*")}, unique_col=host_col and df.columns[0]
+    )
+    return (
+        counts.withColumn("share", F.round(F.col("pages") / F.lit(total), 6))
+        .orderBy(F.desc("pages"))
+        .limit(top)
+    )

@@ -295,9 +295,25 @@ def write_dictionary(
 
 
 @lru_cache(maxsize=1)
-def load_dictionary(path: str = DEFAULT_DICTIONARY_PATH) -> Dict[str, Any]:
-    with open(path, encoding="utf-8") as fh:
-        return json.load(fh)
+def load_dictionary(path: Optional[str] = None) -> Dict[str, Any]:
+    """Load the compiled dictionary. Default path goes through
+    importlib.resources so it also works when the package ships as a
+    spark-submit --py-files zip (plain open() cannot read into a zip)."""
+    if path is not None:
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+    try:
+        from importlib.resources import files
+
+        text = (
+            files("case_uco_ontology_map_spark.resources")
+            .joinpath("ontology_dictionary.json")
+            .read_text(encoding="utf-8")
+        )
+        return json.loads(text)
+    except Exception:
+        with open(DEFAULT_DICTIONARY_PATH, encoding="utf-8") as fh:
+            return json.load(fh)
 
 
 def ontology_map_for_classes(

@@ -1,0 +1,61 @@
+"""spark-submit entrypoint for the KG pipeline (north_rule contract:
+"run via spark-submit --py-files on N and 4N executors").
+
+Usage (local proxy; on a cluster swap --master):
+
+    python scripts/package_pyfiles.py                 # build dist/engine.zip
+    spark-submit --master local[32] \
+        --py-files dist/engine.zip \
+        --conf spark.sql.shuffle.partitions=64 \
+        scripts/submit_pipeline.py \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/kg_out
+
+On a real cluster: --master yarn/k8s, --num-executors N, same zip. The
+script only uses the packaged module + SparkSession — no driver-local
+imports outside the zip."""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--lang", default=None)
+    parser.add_argument("--with-mentions", action="store_true")
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    from case_uco_ontology_map_spark.plans.pipeline import run_pipeline
+
+    t0 = time.perf_counter()
+    out = run_pipeline(
+        spark,
+        args.sf_dir,
+        lang=args.lang,
+        out_dir=args.out,
+        with_mentions=args.with_mentions,
+    )
+    n_triples = out["triples"].count()
+    elapsed = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "triples": n_triples,
+                "sec": round(elapsed, 3),
+                "sf_dir": args.sf_dir,
+                "out": args.out,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
