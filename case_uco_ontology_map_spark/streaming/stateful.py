@@ -23,36 +23,54 @@ OUTPUT_SCHEMA = "fingerprint string, record_uuid string, bucket int"
 STATE_SCHEMA = "seen array<string>"
 
 
-def _dedup_fn(
-    key: Tuple[int],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
-    for pdf in pdfs:
-        for fp, ru in zip(pdf["fingerprint"], pdf["record_uuid"]):
-            if fp not in seen:
-                seen.add(fp)
-                out.append((fp, ru, key[0]))
-    state.update((list(seen),))
-    state.setTimeoutDuration(3600 * 1000)  # evict idle buckets after 1 h
-    yield pd.DataFrame(out, columns=["fingerprint", "record_uuid", "bucket"])
+def _make_dedup_fn(ttl_ms: int):
+    def _dedup_fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["fingerprint", "record_uuid", "bucket"])
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            for fp, ru in zip(pdf["fingerprint"], pdf["record_uuid"]):
+                if fp not in seen:
+                    seen.add(fp)
+                    out.append((fp, ru, key[0]))
+        state.update((list(seen),))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=["fingerprint", "record_uuid", "bucket"])
+
+    return _dedup_fn
 
 
 def stream_dedup_manifest(
-    manifest_stream: DataFrame, buckets: int = 64
+    manifest_stream: DataFrame, buckets: int = 64, ttl_ms: int = 0
 ) -> DataFrame:
     """(fingerprint, record_uuid) stream → first-occurrence-only stream.
     Exactly-once emission of each fingerprint across micro-batches via
-    keyed operator state."""
+    keyed operator state.
+
+    ttl_ms > 0 evicts idle buckets with a processing-time timeout — the
+    production memory-bound knob. NOTE: with a processing-time timeout the
+    engine keeps scheduling batches to fire timeouts, so
+    ``processAllAvailable()`` never settles — synchronous tests/drivers must
+    use ttl_ms=0 (NoTimeout) and bound state by restarting from the manifest
+    instead."""
     keyed = manifest_stream.withColumn(
         "bucket", F.pmod(F.xxhash64("fingerprint"), F.lit(buckets)).cast("int")
     )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
     return keyed.groupBy("bucket").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_fn(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
