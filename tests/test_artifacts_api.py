@@ -1,0 +1,67 @@
+"""Library-API tests: analyze_payload over reference-shaped payloads."""
+
+import json
+
+import pytest
+
+
+def test_analyze_mft_payload(spark, mft_payload):
+    from case_uco_ontology_map_spark.plans.artifacts import analyze_payload
+
+    result = analyze_payload(spark, mft_payload, class_names=["File"])
+    assert result["classes"] == ["File"]
+    graph = result["graph"]
+    assert "@context" in graph and "@graph" in graph
+    ids = {n["@id"] for n in graph["@graph"]}
+    # golden IRI from FIXTURES.md §3b
+    assert "kb:file-db5e7156-888f-535a-b5b3-344cea1d2035" in ids
+    types = {n["@type"] for n in graph["@graph"]}
+    assert "uco-observable:File" in types
+    assert "uco-observable:FileFacet" in types
+    # unmapped fields got an extension facet + TTL stubs
+    assert any("ExtensionFacet" in t for t in types)
+    assert "rdfs:subClassOf uco-core:Facet" in result["ttl"]
+
+
+def test_analyze_csv_payload(spark):
+    from case_uco_ontology_map_spark.plans.artifacts import analyze_payload
+
+    csv_text = "FileName,Size\nreport.docx,1024\nnotes.txt,2048"
+    result = analyze_payload(
+        spark, csv_text, class_names=["File"]
+    )
+    triples = result["triples"]
+    names = {
+        r["obj"]
+        for r in triples.filter("pred = 'uco-observable:fileName'").collect()
+    }
+    assert names == {"report.docx", "notes.txt"}
+    # CSV values are strings; size maps via alias size→sizeInBytes
+    sizes = {
+        r["obj"]
+        for r in triples.filter("pred = 'uco-observable:sizeInBytes'").collect()
+    }
+    assert sizes == {"1024", "2048"}
+
+
+def test_analyze_infers_class(spark):
+    from case_uco_ontology_map_spark.plans.artifacts import analyze_payload
+
+    payload = {
+        "artifact_type": "File Listing",
+        "description": "x",
+        "source": "y",
+        "records": [{"FileName": "a.txt"}],
+    }
+    result = analyze_payload(spark, payload)
+    assert result["classes"] == ["File"]
+
+
+def test_analyze_deterministic(spark, mft_payload):
+    from case_uco_ontology_map_spark.plans.artifacts import analyze_payload
+
+    a = analyze_payload(spark, mft_payload, class_names=["File"])
+    b = analyze_payload(spark, mft_payload, class_names=["File"])
+    assert json.dumps(a["graph"], sort_keys=True) == json.dumps(
+        b["graph"], sort_keys=True
+    )
