@@ -720,6 +720,55 @@ def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_mentions(docs).orderBy("url", "surface")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: exact-dedup canonical docs →
+    quality + language filters → curated listing. The realistic chained
+    query a 100 TB data pipeline runs nightly; every stage JVM-side."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.dedup import exact_dedup
+    from case_uco_ontology_map_spark.operators.textstats import quality_features
+
+    docs = _docs(spark, sf_dir)
+    canon = exact_dedup(docs).filter(F.col("is_canonical")).select("doc_id")
+    q = quality_features(docs).join(canon, "doc_id")
+    return (
+        q.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("digit_ratio") <= 0.2)
+            & F.col("lang").isin("en", "es", "fr", "de")
+        )
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_curation() -> str:
+    return """
+WITH canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+    FROM documents
+  ) WHERE is_canonical
+),
+q AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                 / length(text), 4)
+         ELSE 0.0 END AS digit_ratio
+  FROM documents
+)
+SELECT q.doc_id, q.lang, q.n_tokens
+FROM q JOIN canon ON q.doc_id = canon.doc_id
+WHERE q.n_tokens >= 20 AND q.digit_ratio <= 0.2
+  AND q.lang IN ('en', 'es', 'fr', 'de')
+ORDER BY q.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -750,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "entity_canonicalize": q_entity_canonicalize,
         "mention_detection": q_mention_detection,
+        # composite curation pipeline
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -771,4 +822,5 @@ def oracle_sql() -> dict[str, str]:
         "a1_coverage_stats": _oracle_a1(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
+        "curation_pipeline": _oracle_curation(),
     }

@@ -137,11 +137,13 @@ def bench_queries(spark, sf_dir: str):
     }
 
 
-def run_once(cores: int, sf_dir: str, repeats: int = 2):
+def run_once(cores: int, sf_dir: str, repeats: int = None):
     """Best-of-N steady-state timing per query (cold JVM/codegen effects and
     GC pauses otherwise dominate a seconds-scale job). SPARK_GRAFT_BENCH_ONLY
     (comma list) restricts the query set — the scaling mode uses it to time
     just the headline kg_triples job."""
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     spark = make_spark(cores)
     try:
@@ -236,12 +238,17 @@ def report_scaling():
         os.environ,
         SPARK_GRAFT_AMPLIFY=str(max(AMPLIFY * 4, 256)),
         SPARK_GRAFT_BENCH_ONLY="kg_triples",
+        # 4 timed repeats per trial: JVM JIT keeps improving over the first
+        # ~3 executions of this job; best-of-4 is the steady state a
+        # long-running 100 TB job actually sees.
+        SPARK_GRAFT_BENCH_REPEATS="4",
     )
-    for cores in (8, 32):
+
+    def one_trial(cores: int) -> dict:
         # taskset pins the WHOLE process tree (JVM + python workers) to
         # `cores` physical CPUs — otherwise local[8] overlaps its JVM task
         # threads with its Python workers across ~16 physical cores and the
-        # "8-core" run silently uses twice its budget, understating the
+        # "8-core" run silently uses twice its budget, overstating the
         # 8→32 scaling efficiency. With pinning, each run models a cluster
         # whose TOTAL core count is N / 4N.
         out = subprocess.run(
@@ -253,12 +260,23 @@ def report_scaling():
             check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        return json.loads(line)
+
+    # Two alternating trials per level, best per level: the sandbox host
+    # shows 1.5-1.7× run-to-run noise (shared VM); alternation decorrelates
+    # a noisy window from one level, best-of reports machine capability.
+    trials: dict = {8: [], 32: []}
+    for _ in range(2):
+        for cores in (8, 32):
+            trials[cores].append(one_trial(cores))
+    for cores, rs in trials.items():
+        best = min(rs, key=lambda r: r["sec"])
         results[cores] = {
-            "docs": r["docs"],
-            "sec": r["sec"],
-            "docs_per_sec": r["docs_per_sec"],
-            "triples_per_sec": r["triples_per_sec"],
+            "docs": best["docs"],
+            "sec": best["sec"],
+            "docs_per_sec": best["docs_per_sec"],
+            "triples_per_sec": best["triples_per_sec"],
+            "trials_sec": [r["sec"] for r in rs],
         }
     eff = round(
         (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0, 3
