@@ -222,6 +222,25 @@ def fused_page_triples(
     return df.mapInArrow(kernel, schema=out_schema)
 
 
+def observed_triples(triples: DataFrame, name: str = "kg_metrics"):
+    """Attach in-flight metrics (ST3/A7 equivalent of the reference's SSE
+    progress events): triple count, distinct-ish record volume proxy, bytes.
+    Returns (df, Observation) — read ``observation.get`` after any action,
+    no extra job. Free at scale: observe() piggybacks on the action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    df = triples.observe(
+        obs,
+        F.count(F.lit(1)).alias("triples"),
+        F.sum(F.length("obj")).alias("obj_bytes"),
+        # observe() forbids distinct aggregates; the HLL sketch is the
+        # observable version (exact record counts come from lineage())
+        F.approx_count_distinct("record_uuid").alias("records"),
+    )
+    return df, obs
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,

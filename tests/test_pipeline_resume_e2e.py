@@ -101,3 +101,19 @@ def test_extension_facet_ttl():
     assert "dfc-ext:lang" in ttl and "dfc-ext:warcTime" in ttl
     # mapped/explicit fields excluded
     assert "dfc-ext:url\n" not in ttl and "dfc-ext:nChars" not in ttl
+
+
+def test_observed_metrics(spark, sf_dir):
+    """observe() metrics ride the action — no extra job (ST3/A7)."""
+    from case_uco_ontology_map_spark.plans.pipeline import (
+        fused_page_triples,
+        observed_triples,
+    )
+
+    corpus = web_corpus(spark, sf_dir).limit(40)
+    df, obs = observed_triples(fused_page_triples(corpus))
+    n = df.count()
+    metrics = obs.get
+    assert metrics["triples"] == n
+    assert abs(metrics["records"] - 40) <= 2  # HLL approx
+    assert metrics["obj_bytes"] > 0
