@@ -271,7 +271,12 @@ def run_pipeline(
 
     if with_mentions:
         from ..operators.canonicalize import canonicalize_entities
-        from ..operators.mentions import detect_mentions, mention_triples
+        from ..operators.mentions import (
+            class_centroids,
+            detect_mentions,
+            link_mentions,
+            mention_triples,
+        )
 
         manifest_keys = triples.select("url", "record_uuid").distinct()
         docs_with_ids = pages.select("url", "extracted_text").join(
@@ -281,6 +286,18 @@ def run_pipeline(
             docs_with_ids.withColumnRenamed("extracted_text", "text"),
             record_uuid_col="record_uuid",
         )
+        # embedding link-scoring (north_star: gazetteer + embedding): score
+        # each surface against per-class centroids from the embeddings table
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            emb = spark.read.parquet(emb_path)
+            classes = sorted(
+                r["entity_class"]
+                for r in found.select("entity_class").distinct().collect()
+            )
+            if classes:
+                centroids = class_centroids(emb, classes)
+                found = link_mentions(found, centroids)
         m_triples = mention_triples(found)
         out["mentions"] = found
         out["triples"] = triples.select(

@@ -117,3 +117,14 @@ def test_observed_metrics(spark, sf_dir):
     assert metrics["triples"] == n
     assert abs(metrics["records"] - 40) <= 2  # HLL approx
     assert metrics["obj_bytes"] > 0
+
+
+def test_run_pipeline_mentions_linked(spark, sf_dir):
+    from case_uco_ontology_map_spark.plans.pipeline import run_pipeline
+
+    out = run_pipeline(spark, sf_dir, with_mentions=True)
+    mentions = out["mentions"]
+    assert "linked_class" in mentions.columns
+    row = mentions.limit(1).collect()
+    if row:
+        assert row[0]["link_score"] is not None
