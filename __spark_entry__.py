@@ -565,8 +565,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 canonicalization core: connected components over a deterministic
     functional graph on the events users (edge u → (u*7) mod 150), via
-    alternating min-label propagation — oracled by a DuckDB recursive-CTE
-    transitive closure."""
+    alternating large-star/small-star contraction — oracled by a DuckDB
+    recursive-CTE transitive closure."""
     from pyspark.sql import functions as F
 
     from case_uco_ontology_map_spark.operators.canonicalize import (
@@ -592,6 +592,55 @@ WITH RECURSIVE
 users AS (SELECT DISTINCT user_id FROM events),
 edges AS (
   SELECT user_id AS a, (user_id * 7) % 150 AS b FROM users
+),
+sym AS (
+  SELECT a, b FROM edges
+  UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges
+  UNION SELECT b, b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS user_id, MIN(b) AS component
+FROM reach GROUP BY a ORDER BY user_id
+"""
+
+
+def q_cc_long_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 stress: connected components over LONG CHAINS (edge u → u+1,
+    broken every 37 nodes) — diameter ≈ 36 per segment, far beyond what
+    bounded label propagation converges on in 20 rounds; alternating
+    large-star/small-star converges in O(log diameter). Oracled by a
+    DuckDB recursive-CTE transitive closure."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    users = ev.select("user_id").distinct()
+    edges = users.filter((F.col("user_id") + 1) % 37 != 0).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") + 1).alias("dst"),
+    )
+    return (
+        connected_components(edges)
+        .select(F.col("id").alias("user_id"), "component")
+        .orderBy("user_id")
+    )
+
+
+def _oracle_cc_long_chain() -> str:
+    return """
+WITH RECURSIVE
+users AS (SELECT DISTINCT user_id FROM events),
+edges AS (
+  SELECT user_id AS a, user_id + 1 AS b FROM users
+  WHERE (user_id + 1) % 37 <> 0
 ),
 sym AS (
   SELECT a, b FROM edges
@@ -797,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
         "connected_components": q_connected_components,
+        "cc_long_chain": q_cc_long_chain,
         "entity_canonicalize": q_entity_canonicalize,
         "mention_detection": q_mention_detection,
         # composite curation pipeline
@@ -822,5 +872,6 @@ def oracle_sql() -> dict[str, str]:
         "a1_coverage_stats": _oracle_a1(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
+        "cc_long_chain": _oracle_cc_long_chain(),
         "curation_pipeline": _oracle_curation(),
     }

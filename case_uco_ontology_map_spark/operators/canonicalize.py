@@ -15,9 +15,9 @@ Skew handling (explicit, per north_rule):
     buckets (e.g. empty-string keys) are CAPPED at max_bucket with a
     logged drop count, preventing one bucket from emitting O(n²) edges.
   * The CC join key is a node id whose degree can be large (hot domains).
-    Before each iteration the edge list is repartitioned on the join key
-    and AQE skew-join splits oversized partitions; the star operations
-    themselves bound per-round fan-out by the current component diameter.
+    AQE skew-join splits oversized partitions at runtime; large-star itself
+    is the skew *reducer* — after one round every high-degree node's
+    neighbors point at the component min, collapsing hub fan-out.
   * checkpointing every round truncates the lineage (iterative joins
     otherwise stack exponentially deep plans).
 """
@@ -86,6 +86,57 @@ def candidate_edges(
     ).selectExpr("a_id AS src", "b_id AS dst")
 
 
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al. SOCC'14 §3): for every node u, connect all
+    strictly-larger neighbors to m = min(Γ(u) ∪ {u}). One groupBy-min + one
+    join per call. Input/output: distinct (a, b) pairs, a != b."""
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(
+            F.col("b").alias("a"),
+            F.least(F.col("a"), F.col("mb")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Small-star: orient each edge (hi → lo); for every node u, connect u
+    and all its smaller neighbors to m = min of those neighbors."""
+    directed = (
+        pairs.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        directed.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("a"), F.col("m").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(pairs: DataFrame):
+    """Cheap order-independent fingerprint of an edge set: (row count,
+    decimal sum of per-row xxhash64). Decimal accumulator keeps the sum
+    exact under ANSI mode (bigint sum would overflow-error)."""
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    return (row["n"], row["s"])
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
@@ -93,54 +144,66 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) edges → (id, component) with component = min reachable id.
 
-    Alternating large-star / small-star over a DataFrame of directed pairs;
-    each round is two shuffles (groupBy min + join). Converges when the
-    pair set is stable (count of changed rows == 0). localCheckpoint each
-    round keeps the plan tree flat — without it, round k replans k joins.
+    True alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14): each round
+    halves the longest root-path, so convergence is O(log d) rounds in the
+    component diameter d — a 10^6-long chain converges in ~20 rounds where
+    plain min-label propagation would need 10^6. Each round is two
+    groupBy-min + two joins (4 shuffles); localCheckpoint after each round
+    truncates lineage so round k does not replan k rounds of joins.
+
+    Convergence is detected by edge-set fingerprint stability; if the loop
+    exhausts ``max_iterations`` without converging a RuntimeError is raised
+    rather than silently returning split components (the reference's
+    exact-fingerprint dedup, uuid_planner.py:229-241, never under-merges;
+    neither may we).
     """
-    spark = edges.sparkSession
-    # symmetrize; node → current label (start: itself)
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .union(sym.select(F.col("dst").alias("id")))
+    # canonical undirected pair set, self-loops dropped (they only add
+    # nodes, handled below); node universe preserved from the raw input
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
+    )
+    pairs = (
+        edges.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
     )
     if checkpoint:
-        labels = labels.localCheckpoint(eager=True)
-        sym = sym.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=True)
 
+    fp = _edge_fingerprint(pairs)
+    converged = False
     for _ in range(max_iterations):
-        # propagate: each node takes min(own component, neighbors' components)
-        neighbor_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .select(sym["src"].alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
-        )
+        pairs = _small_star(_large_star(pairs))
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+            pairs = pairs.localCheckpoint(eager=True)
+        new_fp = _edge_fingerprint(pairs)
+        if new_fp == fp:
+            converged = True
             break
-    return labels
+        fp = new_fp
+    if not converged and fp[0] > 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "alternating star rounds — raise max_iterations (components "
+            "should converge in O(log diameter) rounds; non-convergence "
+            "here indicates a pathological graph or a bug)"
+        )
+
+    # converged edge set is a star forest: every non-root points at its
+    # component min; groupBy-min is belt-and-braces, roots + isolated
+    # nodes label themselves
+    stars = pairs.groupBy("a").agg(F.min("b").alias("component")).select(
+        F.col("a").alias("id"), "component"
+    )
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def canonicalize_entities(

@@ -22,14 +22,48 @@ def test_connected_components_basic(spark):
 
 
 def test_connected_components_large_chain(spark):
-    # a 64-node path graph — worst case for propagation; must converge
-    n = 64
+    # a 256-node path graph — diameter 256, impossible for bounded label
+    # propagation; alternating star must converge in O(log d) rounds
+    # (default max_iterations=20 ≫ log2(256)=8)
+    n = 256
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "src long, dst long"
     )
-    out = canonicalize.connected_components(edges, max_iterations=80)
+    out = canonicalize.connected_components(edges)
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
+
+
+def test_connected_components_log_rounds(spark):
+    # a 200-chain must converge well within 10 alternating rounds —
+    # this is the O(log diameter) guarantee the docstring claims
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    out = canonicalize.connected_components(edges, max_iterations=10)
+    rows = out.collect()
+    assert len(rows) == 201
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    # 1 round cannot finish a 100-chain; must raise, never silently
+    # return split components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        canonicalize.connected_components(edges, max_iterations=1)
+
+
+def test_connected_components_self_loops_and_dups(spark):
+    # self-loops register the node but add no connectivity; duplicate and
+    # reversed edges collapse
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (1, 2), (7, 7)], "src long, dst long"
+    )
+    out = {r["id"]: r["component"] for r in canonicalize.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 5: 5, 7: 7}
 
 
 def test_canonicalize_entities(spark):
