@@ -24,8 +24,13 @@ from ..refmap.identity import NS_RECORD, fingerprint_record, pyify
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """html binary → extracted text; byte-identical to the pytest oracle
-    because the body IS refmap.extract.extract_text."""
-    return html.map(lambda b: extract_text(b) if b is not None else None)
+    because the body IS refmap.extract.extract_text.
+
+    Null-html policy (pinned): null html → EMPTY STRING, matching the fused
+    kernel (plans/pipeline._page_record) so staged and fused paths produce
+    identical fingerprints on pages with no body
+    (test_fused_equals_staged covers a null-html row)."""
+    return html.map(lambda b: extract_text(b) if b is not None else "")
 
 
 @F.pandas_udf(T.BinaryType())

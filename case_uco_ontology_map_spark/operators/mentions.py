@@ -67,6 +67,63 @@ def build_gazetteer(
     return gaz
 
 
+def build_prefix_index(gazetteer: Dict[str, str]) -> Dict[str, int]:
+    """first token → longest multi-word window worth trying. Most tokens
+    start no multi-word surface, so the scan is one dict probe per token."""
+    multi_prefix: Dict[str, int] = {}
+    for s in gazetteer:
+        words = s.split()
+        if len(words) > 1:
+            multi_prefix[words[0]] = max(multi_prefix.get(words[0], 0), len(words))
+    return multi_prefix
+
+
+def gazetteer_classes(gazetteer: Optional[Dict[str, str]] = None) -> List[str]:
+    """The class universe of a gazetteer — STATICALLY known (the gazetteer
+    is compiled from the broadcast dictionary), so no data-dependent
+    distinct/collect job is ever needed to enumerate mention classes."""
+    return sorted(set((gazetteer or build_gazetteer()).values()))
+
+
+def scan_mentions(
+    text: str,
+    gaz: Dict[str, str],
+    prefixes: Dict[str, int],
+) -> Dict[Tuple[str, str], int]:
+    """Longest-match-first gazetteer scan of one document → {(surface,
+    class): count}. Pure function shared by detect_mentions and the fused
+    pipeline kernel so the two paths cannot drift."""
+    counts: Dict[Tuple[str, str], int] = {}
+    if not text:
+        return counts
+    gaz_get = gaz.get
+    pfx_get = prefixes.get
+    toks = text.lower().split()
+    i = 0
+    n = len(toks)
+    while i < n:
+        tok = toks[i]
+        matched = 0
+        pw = pfx_get(tok)
+        if pw:  # longest multi-word window first
+            for w in range(min(pw, n - i), 1, -1):
+                surface = " ".join(toks[i : i + w])
+                cls = gaz_get(surface)
+                if cls is not None:
+                    key = (surface, cls)
+                    counts[key] = counts.get(key, 0) + 1
+                    matched = w
+                    break
+        if not matched:
+            cls = gaz_get(tok)
+            if cls is not None:
+                key = (tok, cls)
+                counts[key] = counts.get(key, 0) + 1
+                matched = 1
+        i += matched if matched else 1
+    return counts
+
+
 def detect_mentions(
     docs: DataFrame,
     gazetteer: Optional[Dict[str, str]] = None,
@@ -79,54 +136,20 @@ def detect_mentions(
     stream. One narrow mapInPandas stage."""
     spark = docs.sparkSession
     gaz = gazetteer or build_gazetteer()
-    max_words = max(len(s.split()) for s in gaz) if gaz else 1
-    # prefix index: first token → longest window worth trying. Most tokens
-    # start no multi-word surface, so the scan is one dict probe per token.
-    multi_prefix: Dict[str, int] = {}
-    for s in gaz:
-        words = s.split()
-        if len(words) > 1:
-            multi_prefix[words[0]] = max(multi_prefix.get(words[0], 0), len(words))
-    bc = spark.sparkContext.broadcast((gaz, multi_prefix))
+    bc = spark.sparkContext.broadcast((gaz, build_prefix_index(gaz)))
     has_uuid = record_uuid_col is not None
     cols = [url_col, text_col] + ([record_uuid_col] if has_uuid else [])
     src = docs.select(*cols)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gazd, prefixes = bc.value
-        gaz_get = gazd.get
-        pfx_get = prefixes.get
         for pdf in batches:
             out_rows: List[tuple] = []
             uuids = pdf[record_uuid_col] if has_uuid else [None] * len(pdf)
             for url, text, ruuid in zip(pdf[url_col], pdf[text_col], uuids):
-                if not text:
-                    continue
-                toks = text.lower().split()
-                counts: Dict[Tuple[str, str], int] = {}
-                i = 0
-                n = len(toks)
-                while i < n:
-                    tok = toks[i]
-                    matched = 0
-                    pw = pfx_get(tok)
-                    if pw:  # longest multi-word window first
-                        for w in range(min(pw, n - i), 1, -1):
-                            surface = " ".join(toks[i : i + w])
-                            cls = gaz_get(surface)
-                            if cls is not None:
-                                key = (surface, cls)
-                                counts[key] = counts.get(key, 0) + 1
-                                matched = w
-                                break
-                    if not matched:
-                        cls = gaz_get(tok)
-                        if cls is not None:
-                            key = (tok, cls)
-                            counts[key] = counts.get(key, 0) + 1
-                            matched = 1
-                    i += matched if matched else 1
-                for (surface, cls), c in sorted(counts.items()):
+                for (surface, cls), c in sorted(
+                    scan_mentions(text, gazd, prefixes).items()
+                ):
                     out_rows.append((url, ruuid, surface, cls, c))
             yield pd.DataFrame(
                 out_rows,
@@ -156,15 +179,35 @@ def hash_stable(s: str) -> int:
     return h
 
 
-def class_centroids(
+def class_surface_form(cls: str) -> str:
+    """Canonical lowercase spaced surface form of a class local name —
+    identical to the gazetteer's camelCase split ('DomainName' →
+    'domain name') so class centroids live in the same trigram space as
+    mention surfaces."""
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", cls).lower()
+
+
+def class_name_centroids(
+    classes: List[str], dim: int = 64
+) -> Dict[str, List[float]]:
+    """Per-class centroid = trigram embedding of the class NAME's surface
+    form. Deterministic, driver-side, no data scan — the default linking
+    signal when the embedding table carries no class-labeled vectors: an
+    unambiguous surface ('domain name') scores cosine 1.0 against its own
+    class and the argmax is meaningful."""
+    return {
+        cls: _trigram_embed(class_surface_form(cls), dim).tolist()
+        for cls in classes
+    }
+
+
+def label_centroids(
     embeddings: DataFrame,
-    classes: List[str],
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> Dict[str, List[float]]:
-    """Per-class embedding centroid from a labeled embedding table: class i
-    (sorted order) ↔ label i mod #labels. ONE groupBy(label) avg — the only
-    shuffle in the linking path; result is driver-side k×d, broadcast."""
+    """label → centroid from a labeled embedding table. ONE
+    groupBy(label) avg; result is driver-side k×d, broadcast by callers."""
     rows = (
         embeddings.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
         .groupBy(label_col, "dim")
@@ -173,12 +216,35 @@ def class_centroids(
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
         .collect()
     )
-    by_label = {r[label_col]: [float(p["m"]) for p in r["dm"]] for r in rows}
-    labels = sorted(by_label)
-    out = {}
-    for i, cls in enumerate(sorted(classes)):
-        out[cls] = by_label[labels[i % len(labels)]]
-    return out
+    return {str(r[label_col]): [float(p["m"]) for p in r["dm"]] for r in rows}
+
+
+def class_centroids(
+    embeddings: Optional[DataFrame],
+    classes: List[str],
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> Dict[str, List[float]]:
+    """Per-class embedding centroid: classes are matched to embedding-table
+    labels by LABEL EQUALITY (label == class local name); classes with no
+    matching label fall back to the deterministic class-NAME trigram
+    centroid (class_name_centroids). Never an arbitrary index-mod binding —
+    a centroid either comes from vectors actually labeled with that class
+    or from the class name itself."""
+    by_label = (
+        label_centroids(embeddings, vec_col, label_col)
+        if embeddings is not None
+        else {}
+    )
+    matched = {cls for cls in classes if cls in by_label}
+    if matched:
+        # fallback vectors must live in the table's dimension
+        dim = len(by_label[next(iter(matched))])
+    fallback = class_name_centroids(classes, dim=dim)
+    return {
+        cls: by_label.get(cls, fallback[cls]) for cls in sorted(classes)
+    }
 
 
 def link_mentions(
@@ -226,6 +292,32 @@ def link_mentions(
     return mentions.mapInPandas(kernel, schema=out_schema)
 
 
+def mention_triple_rows(
+    record_uuid: str, surface: str, cls: str, n_mentions: int
+) -> List[tuple]:
+    """One mention → its 7 triples (subj, pred, obj, obj_is_iri,
+    obj_datatype, record_uuid): a typed entity node plus an
+    ObservableRelationship('references') from the page's primary URL node.
+    Pure function shared by mention_triples and the fused pipeline kernel
+    so both paths mint byte-identical triples."""
+    slug = slugify(cls)
+    ent_uuid = slot_uuid_for(record_uuid, f"mention:{slug}")
+    ent_id = f"kb:{slug}-{ent_uuid}"
+    rel_uuid = slot_uuid_for(record_uuid, f"relationship_references:{slug}")
+    rel_id = f"kb:relationship_references-{rel_uuid}"
+    page_uuid = slot_uuid_for(record_uuid, "url")
+    page_id = f"kb:url-{page_uuid}"
+    return [
+        (ent_id, "rdf:type", iri_for(cls), True, None, record_uuid),
+        (ent_id, "uco-core:name", surface, False, None, record_uuid),
+        (rel_id, "rdf:type", iri_for("ObservableRelationship"), True, None, record_uuid),
+        (rel_id, "uco-observable:source", page_id, True, None, record_uuid),
+        (rel_id, "uco-observable:target", ent_id, True, None, record_uuid),
+        (rel_id, "uco-core:kindOfRelationship", "references", False, None, record_uuid),
+        (rel_id, "drafting:mentionCount", str(int(n_mentions)), False, "xsd:integer", record_uuid),
+    ]
+
+
 def mention_triples(mentions: DataFrame) -> DataFrame:
     """Linked mentions → triples: a typed entity node per (record, class)
     and an ObservableRelationship from the page record's primary node.
@@ -236,30 +328,15 @@ def mention_triples(mentions: DataFrame) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: List[tuple] = []
         for pdf in batches:
-            rows = []
+            rows: List[tuple] = []
             for r in pdf.itertuples(index=False):
                 if r.record_uuid is None:
                     continue
-                cls = r.entity_class
-                slug = slugify(cls)
-                ent_uuid = slot_uuid_for(r.record_uuid, f"mention:{slug}")
-                ent_id = f"kb:{slug}-{ent_uuid}"
-                rel_uuid = slot_uuid_for(r.record_uuid, f"relationship_references:{slug}")
-                rel_id = f"kb:relationship_references-{rel_uuid}"
-                page_uuid = slot_uuid_for(r.record_uuid, "url")
-                page_id = f"kb:url-{page_uuid}"
                 rows.extend(
-                    [
-                        (ent_id, "rdf:type", iri_for(cls), True, None, r.record_uuid),
-                        (ent_id, "uco-core:name", r.surface, False, None, r.record_uuid),
-                        (rel_id, "rdf:type", iri_for("ObservableRelationship"), True, None, r.record_uuid),
-                        (rel_id, "uco-observable:source", page_id, True, None, r.record_uuid),
-                        (rel_id, "uco-observable:target", ent_id, True, None, r.record_uuid),
-                        (rel_id, "uco-core:kindOfRelationship", "references", False, None, r.record_uuid),
-                        (rel_id, "drafting:mentionCount", str(int(r.n_mentions)), False, "xsd:integer", r.record_uuid),
-                    ]
+                    mention_triple_rows(
+                        r.record_uuid, r.surface, r.entity_class, r.n_mentions
+                    )
                 )
             yield pd.DataFrame(
                 rows,

@@ -112,10 +112,64 @@ def page_triples(
     )
 
 
+def _page_record(url, warc_time, html, lg, shared):
+    """Build the per-page artifact record (+ extracted text) — the single
+    shared implementation for every fused kernel, so triple and mention
+    paths cannot drift on extraction/normalization policy.
+
+    Null-html policy (pinned, tested): null html extracts to the EMPTY
+    STRING — same as the staged path's extract_text_udf — so n_chars=0 and
+    content_sha256 = sha256(\"\") and the fingerprint is identical on both
+    paths."""
+    import hashlib as _hashlib
+
+    from ..refmap.extract import extract_text as _extract
+
+    text = _extract(html) if html is not None else ""
+    rec = dict(shared)
+    rec.update(
+        url=url,
+        warc_time=warc_time,
+        lang=lg,
+        n_chars=len(text),
+        content_sha256=_hashlib.sha256(text.encode("utf-8")).hexdigest(),
+        host=url.split("//", 1)[-1].split("/", 1)[0],
+        mime_type="text/html",
+    )
+    return rec, text
+
+
+def _fused_input(corpus: DataFrame, lang: Optional[str]) -> DataFrame:
+    df = corpus
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return df.select("url", "warc_ts", "html", "lang")
+
+
+def _batch_page_fields(rb):
+    """Decode one input RecordBatch into python lists (url, warc_time,
+    html, lang) with the pinned timestamp rendering."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    urls = rb.column("url").to_pylist()
+    # cast to second resolution first — pyarrow strftime renders %S
+    # with fractional digits on timestamp[us] columns
+    warcs = _pc.strftime(
+        rb.column("warc_ts").cast(_pa.timestamp("s", tz="UTC")),
+        format="%Y-%m-%dT%H:%M:%SZ",
+    ).to_pylist()
+    htmls = rb.column("html").to_pylist()
+    langs = rb.column("lang").to_pylist()
+    return zip(urls, warcs, htmls, langs)
+
+
 def fused_page_triples(
     corpus: DataFrame,
     ontology_map: Optional[Dict[str, Any]] = None,
     lang: Optional[str] = None,
+    mentions: bool = False,
+    gazetteer: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """Fused fast path: (url, warc_ts, html, lang) → triples in ONE
     mapInPandas crossing.
@@ -126,15 +180,26 @@ def fused_page_triples(
     actual Python work (extraction is ~50k docs/s/core; each extra Arrow
     roundtrip re-ships the batch), so the production plan is:
     scan(pruned cols) → [filter lang, pushed down] → one kernel. No shuffle.
-    """
-    import hashlib as _hashlib
+
+    With ``mentions=True`` the SAME kernel also runs the broadcast-gazetteer
+    scan on the already-extracted text and emits the mention entity +
+    relationship triples (operators/mentions.mention_triple_rows) inline —
+    mention triples carry the page's fingerprint and url, so the resume
+    manifest and bucket partitioning see one uniform 8-column stream and the
+    whole with_mentions graph stays ONE corpus scan with zero shuffles
+    (previously: 3 extraction passes + a distinct + a join + a driver
+    collect)."""
     from typing import Iterator as _Iterator
 
     import pyarrow as _pa
-    import pyarrow.compute as _pc
 
+    from ..operators.mentions import (
+        build_gazetteer,
+        build_prefix_index,
+        mention_triple_rows,
+        scan_mentions,
+    )
     from ..operators.triples import extend_ontology_map_for_schema
-    from ..refmap.extract import extract_text as _extract
     from ..refmap.graph import (
         build_record_nodes as _nodes,
         enforce_property_placement as _place,
@@ -149,12 +214,17 @@ def fused_page_triples(
     omap = extend_ontology_map_for_schema(
         ontology_map or web_ontology_map(), field_types, PAGE_SHARED_METADATA["artifact_type"]
     )
-    df = corpus
-    if lang is not None:
-        df = df.filter(F.col("lang") == lang)
-    df = df.select("url", "warc_ts", "html", "lang")
+    df = _fused_input(corpus, lang)
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast({"map": omap, "shared": dict(PAGE_SHARED_METADATA)})
+    gaz = (gazetteer or build_gazetteer()) if mentions else None
+    bc = spark.sparkContext.broadcast(
+        {
+            "map": omap,
+            "shared": dict(PAGE_SHARED_METADATA),
+            "gaz": gaz,
+            "prefixes": build_prefix_index(gaz) if gaz else None,
+        }
+    )
 
     out_schema = (
         "subj string, pred string, obj string, obj_is_iri boolean, "
@@ -174,33 +244,22 @@ def fused_page_triples(
         ctx = _Ctx(cfg["map"])
         om = cfg["map"]
         sh = cfg["shared"]
+        gazd, prefixes = cfg["gaz"], cfg["prefixes"]
         for rb in batches:
-            urls = rb.column("url").to_pylist()
-            # cast to second resolution first — pyarrow strftime renders %S
-            # with fractional digits on timestamp[us] columns
-            warcs = _pc.strftime(
-                rb.column("warc_ts").cast(_pa.timestamp("s", tz="UTC")),
-                format="%Y-%m-%dT%H:%M:%SZ",
-            ).to_pylist()
-            htmls = rb.column("html").to_pylist()
-            langs = rb.column("lang").to_pylist()
             cols = [[], [], [], [], [], [], [], []]
-            for url, warc_time, html, lg in zip(urls, warcs, htmls, langs):
-                text = _extract(html) if html is not None else ""
-                rec = dict(sh)
-                rec.update(
-                    url=url,
-                    warc_time=warc_time,
-                    lang=lg,
-                    n_chars=len(text),
-                    content_sha256=_hashlib.sha256(text.encode("utf-8")).hexdigest(),
-                    host=url.split("//", 1)[-1].split("/", 1)[0],
-                    mime_type="text/html",
-                )
+            for url, warc_time, html, lg in _batch_page_fields(rb):
+                rec, text = _page_record(url, warc_time, html, lg, sh)
                 plan = _plan(rec, ctx)
                 nodes = _place(_nodes(plan, kb_ids=True), om)
                 fp = plan["fingerprint"]
-                for t in _flatten(nodes, plan["record_uuid"]):
+                ruuid = plan["record_uuid"]
+                rows = _flatten(nodes, ruuid)
+                if gazd is not None:
+                    for (surface, cls), c in sorted(
+                        scan_mentions(text, gazd, prefixes).items()
+                    ):
+                        rows.extend(mention_triple_rows(ruuid, surface, cls, c))
+                for t in rows:
                     cols[0].append(t[0]); cols[1].append(t[1])
                     cols[2].append(t[2]); cols[3].append(t[3])
                     cols[4].append(t[4]); cols[5].append(t[5])
@@ -220,6 +279,82 @@ def fused_page_triples(
             )
 
     return df.mapInArrow(kernel, schema=out_schema)
+
+
+def fused_page_mentions(
+    corpus: DataFrame,
+    ontology_map: Optional[Dict[str, Any]] = None,
+    lang: Optional[str] = None,
+    gazetteer: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """(url, warc_ts, html, lang) → (url, record_uuid, surface,
+    entity_class, n_mentions) in ONE mapInArrow crossing: extraction +
+    deterministic record_uuid planning + broadcast-gazetteer scan fused.
+    Replaces the round-1 pages ⨝ manifest-keys join (which re-ran
+    extraction and shuffled on url just to attach record_uuid — the
+    record_uuid is a pure function of the record, so it is computed in
+    place). Narrow; zero shuffles."""
+    from typing import Iterator as _Iterator
+
+    import pyarrow as _pa
+
+    from ..operators.mentions import (
+        MENTION_SCHEMA,
+        build_gazetteer,
+        build_prefix_index,
+        scan_mentions,
+    )
+    from ..operators.triples import extend_ontology_map_for_schema
+    from ..refmap.planner import OntologyContext as _Ctx, plan_record as _plan
+
+    field_types = {
+        "url": "str", "warc_time": "str", "lang": "str", "n_chars": "int",
+        "content_sha256": "str", "host": "str", "mime_type": "str",
+    }
+    omap = extend_ontology_map_for_schema(
+        ontology_map or web_ontology_map(), field_types, PAGE_SHARED_METADATA["artifact_type"]
+    )
+    df = _fused_input(corpus, lang)
+    spark = df.sparkSession
+    gaz = gazetteer or build_gazetteer()
+    bc = spark.sparkContext.broadcast(
+        {
+            "map": omap,
+            "shared": dict(PAGE_SHARED_METADATA),
+            "gaz": gaz,
+            "prefixes": build_prefix_index(gaz),
+        }
+    )
+    out_names = ["url", "record_uuid", "surface", "entity_class", "n_mentions"]
+
+    def kernel(batches: "_Iterator[_pa.RecordBatch]") -> "_Iterator[_pa.RecordBatch]":
+        cfg = bc.value
+        ctx = _Ctx(cfg["map"])
+        sh = cfg["shared"]
+        gazd, prefixes = cfg["gaz"], cfg["prefixes"]
+        for rb in batches:
+            cols = [[], [], [], [], []]
+            for url, warc_time, html, lg in _batch_page_fields(rb):
+                rec, text = _page_record(url, warc_time, html, lg, sh)
+                ruuid = _plan(rec, ctx)["record_uuid"]
+                for (surface, cls), c in sorted(
+                    scan_mentions(text, gazd, prefixes).items()
+                ):
+                    cols[0].append(url); cols[1].append(ruuid)
+                    cols[2].append(surface); cols[3].append(cls)
+                    cols[4].append(c)
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(cols[0], _pa.string()),
+                    _pa.array(cols[1], _pa.string()),
+                    _pa.array(cols[2], _pa.string()),
+                    _pa.array(cols[3], _pa.string()),
+                    _pa.array(cols[4], _pa.int32()),
+                ],
+                names=out_names,
+            )
+
+    return df.mapInArrow(kernel, schema=MENTION_SCHEMA)
 
 
 def observed_triples(triples: DataFrame, name: str = "kg_metrics"):
@@ -272,37 +407,32 @@ def run_pipeline(
     if with_mentions:
         from ..operators.canonicalize import canonicalize_entities
         from ..operators.mentions import (
+            build_gazetteer,
             class_centroids,
-            detect_mentions,
+            gazetteer_classes,
             link_mentions,
-            mention_triples,
         )
 
-        manifest_keys = triples.select("url", "record_uuid").distinct()
-        docs_with_ids = pages.select("url", "extracted_text").join(
-            manifest_keys, "url"
+        gaz = build_gazetteer()
+        # page + mention triples from ONE fused kernel — one corpus scan,
+        # zero shuffles, fingerprint preserved on every row (manifest/resume
+        # work unchanged in this configuration)
+        out["triples"] = fused_page_triples(
+            corpus, lang=lang, mentions=True, gazetteer=gaz
         )
-        found = detect_mentions(
-            docs_with_ids.withColumnRenamed("extracted_text", "text"),
-            record_uuid_col="record_uuid",
-        )
-        # embedding link-scoring (north_star: gazetteer + embedding): score
-        # each surface against per-class centroids from the embeddings table
+        # embedding link-scoring (north_star: gazetteer + embedding). The
+        # class universe is STATIC (gazetteer values) — no data-dependent
+        # collect; centroids come from class-labeled embedding vectors where
+        # the table has them, else the deterministic class-name trigram
+        # embedding (operators/mentions.class_centroids).
+        classes = gazetteer_classes(gaz)
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
-        if os.path.exists(emb_path):
-            emb = spark.read.parquet(emb_path)
-            classes = sorted(
-                r["entity_class"]
-                for r in found.select("entity_class").distinct().collect()
-            )
-            if classes:
-                centroids = class_centroids(emb, classes)
-                found = link_mentions(found, centroids)
-        m_triples = mention_triples(found)
+        emb = spark.read.parquet(emb_path) if os.path.exists(emb_path) else None
+        centroids = class_centroids(emb, classes)
+        found = link_mentions(
+            fused_page_mentions(corpus, lang=lang, gazetteer=gaz), centroids
+        )
         out["mentions"] = found
-        out["triples"] = triples.select(
-            "subj", "pred", "obj", "obj_is_iri", "obj_datatype", "record_uuid"
-        ).unionByName(m_triples)
         entities = found.select(
             F.xxhash64("surface", "entity_class").alias("entity_id"),
             F.concat_ws("|", "entity_class", "surface").alias("entity_key"),
@@ -319,10 +449,9 @@ def run_pipeline(
             .partitionBy("bucket")
             .parquet(os.path.join(out_dir, "triples"))
         )
-        if "fingerprint" in out["triples"].columns:
-            write_manifest(
-                out["triples"].select("fingerprint", "record_uuid").distinct(),
-                os.path.join(checkpoint_dir or out_dir, "manifest"),
-            )
-            out["lineage"] = lineage(out["triples"])
+        write_manifest(
+            out["triples"].select("fingerprint", "record_uuid").distinct(),
+            os.path.join(checkpoint_dir or out_dir, "manifest"),
+        )
+        out["lineage"] = lineage(out["triples"])
     return out

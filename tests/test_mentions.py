@@ -69,6 +69,42 @@ def test_link_mentions(spark, sf_dir):
         assert r["link_margin"] >= 0
 
 
+def test_link_mentions_classname_centroids(spark):
+    """With class-NAME trigram centroids the argmax is meaningful: an
+    unambiguous surface links to its own gazetteer class with cosine ~1."""
+    docs = spark.createDataFrame(
+        [("u1", "the domain name and the hostname and the disk")],
+        "url string, text string",
+    )
+    found = M.detect_mentions(docs)
+    cents = M.class_centroids(
+        None, classes=["DomainName", "Hostname", "Disk", "File", "Account"]
+    )
+    linked = M.link_mentions(found, cents).collect()
+    assert len(linked) == 3
+    for r in linked:
+        assert r["linked_class"] == r["entity_class"], r
+        assert r["link_score"] > 0.99
+
+
+def test_class_centroids_label_equality(spark):
+    """Centroids match classes by LABEL EQUALITY; unmatched classes fall
+    back to the class-name trigram centroid (never index-mod binding)."""
+    emb = spark.createDataFrame(
+        [("File", [1.0, 0.0, 0.0, 0.0]), ("File", [1.0, 0.0, 0.0, 0.0]),
+         ("Disk", [0.0, 1.0, 0.0, 0.0])],
+        "label string, embedding array<float>",
+    )
+    cents = M.class_centroids(emb, classes=["File", "Disk", "Account"])
+    assert cents["File"] == [1.0, 0.0, 0.0, 0.0]
+    assert cents["Disk"] == [0.0, 1.0, 0.0, 0.0]
+    # fallback lives in the table's dimension and is the class-name embed
+    assert len(cents["Account"]) == 4
+    import numpy as np
+    expected = M._trigram_embed(M.class_surface_form("Account"), 4)
+    assert np.allclose(cents["Account"], expected)
+
+
 def test_mention_triples(spark):
     docs = spark.createDataFrame(
         [("u1", "ruuid-1", "the file was a file")],
