@@ -94,6 +94,22 @@ def build_record_nodes(
     slug_by_uuid: Dict[str, str] = {}
     included: List[Tuple[str, str]] = []  # (slug, slot_uuid)
 
+    # rel_slug → {kind, source, target} specs (J9); a relationship slot
+    # whose source AND target classes resolve to planned slots is wired
+    # with refs and therefore has payload — matching the reference's
+    # intended node shape (config.py:559-567) where the deterministic
+    # replay replaces the LLM's ref wiring
+    rel_specs: Dict[str, Dict[str, Any]] = plan.get("relationships") or {}
+    slug_set = {slug for _, slug, _, _ in slots}
+
+    def _rel_resolves(spec: Dict[str, Any]) -> bool:
+        src, tgt = spec.get("source"), spec.get("target")
+        return bool(
+            src and tgt
+            and slugify(str(src)) in slug_set
+            and slugify(str(tgt)) in slug_set
+        )
+
     # --- skeleton (graph_generator.py:284-305) ---
     for _, slug, slot_uuid, type_iri in slots:
         lower = slug.lower()
@@ -101,7 +117,10 @@ def build_record_nodes(
         if slug != primary_slug:
             if "relationship" in lower or type_iri.lower().endswith("relationship"):
                 payload = properties.get(slot_uuid) or raw.get(slot_uuid)
-                include = bool(payload)
+                spec = rel_specs.get(slug)
+                include = bool(payload) or (
+                    spec is not None and _rel_resolves(spec)
+                )
         if not include:
             continue
         node = {"@id": _node_id(slug, slot_uuid, kb_ids), "@type": type_iri}
@@ -146,6 +165,29 @@ def build_record_nodes(
                     continue
                 node[prop] = value
 
+    # --- relationship source/target wiring (J9) ---
+    # uco-observable:source/target {"@id"} refs + uco-core:kindOfRelationship
+    # per the reference's ObservableRelationship shape (config.py:559-567).
+    # Refs resolve to the planned node ids by class-name slug; both must
+    # resolve or the spec adds nothing (payload-gating then applies as
+    # before).
+    if rel_specs:
+        id_by_slug = {
+            slug: _node_id(slug, slot_uuid, kb_ids) for slug, slot_uuid in included
+        }
+        for slug, slot_uuid in included:
+            spec = rel_specs.get(slug)
+            if spec is None or not _rel_resolves(spec):
+                continue
+            node = nodes_by_uuid[slot_uuid]
+            src_id = id_by_slug.get(slugify(str(spec["source"])))
+            tgt_id = id_by_slug.get(slugify(str(spec["target"])))
+            if src_id is None or tgt_id is None:
+                continue
+            node["uco-observable:source"] = {"@id": src_id}
+            node["uco-observable:target"] = {"@id": tgt_id}
+            node["uco-core:kindOfRelationship"] = spec["kind"]
+
     # --- empty-facet prune + ref scrub (graph_generator.py:199-216) ---
     filtered: List[Dict[str, Any]] = []
     empty_ids = set()
@@ -162,6 +204,19 @@ def build_record_nodes(
             refs = node.get(HAS_FACET)
             if refs:
                 node[HAS_FACET] = [r for r in refs if r.get("@id") not in empty_ids]
+        # a relationship whose endpoint was pruned is structurally
+        # incomplete — drop it rather than emit a dangling ref
+        filtered = [
+            n
+            for n in filtered
+            if not (
+                str(n.get("@type", "")).lower().endswith("relationship")
+                and (
+                    (n.get("uco-observable:source") or {}).get("@id") in empty_ids
+                    or (n.get("uco-observable:target") or {}).get("@id") in empty_ids
+                )
+            )
+        ]
 
     return filtered
 

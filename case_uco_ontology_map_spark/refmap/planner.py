@@ -165,13 +165,20 @@ def plan_record(
         slots.append((ordinal, facet_slug, facet_uuid, iri_for(facet_name)))
         slug_to_uuid[facet_slug] = facet_uuid
 
+    rel_specs: Dict[str, Dict[str, Any]] = {}
     for rel_idx, rel in enumerate(ctx.relationships):
-        kind = (rel.get("type") if isinstance(rel, dict) else None) or "relatedTo"
+        rel = rel if isinstance(rel, dict) else {}
+        kind = rel.get("type") or "relatedTo"
         rel_slug = slugify(f"relationship_{kind}_{rel_idx}")
         ordinal += 1
         rel_uuid = slot_uuid_for(record_uuid, rel_slug)
         slots.append((ordinal, rel_slug, rel_uuid, iri_for("ObservableRelationship")))
         slug_to_uuid[rel_slug] = rel_uuid
+        rel_specs[rel_slug] = {
+            "kind": kind,
+            "source": rel.get("source"),
+            "target": rel.get("target"),
+        }
 
     properties: Dict[str, Dict[str, Any]] = {u: {} for u in slug_to_uuid.values()}
     raw: Dict[str, Dict[str, Any]] = {u: {} for u in slug_to_uuid.values()}
@@ -211,6 +218,11 @@ def plan_record(
         "slots": slots,
         "properties": properties,
         "raw": raw,
+        # rel_slug → {kind, source, target} (J9): the graph composer wires
+        # uco-observable:source/target refs from these specs
+        # (reference: uuid_planner.py:259-265 mints the slots; the intended
+        # node shape is config.py:559-567's ObservableRelationship example)
+        "relationships": rel_specs,
     }
 
 

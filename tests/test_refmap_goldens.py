@@ -226,6 +226,58 @@ def test_relationship_gating():
     assert "uco-observable:ObservableRelationship" not in types
 
 
+def test_relationship_source_target_wiring():
+    """J9: a relationships=[{type,source,target}] entry whose endpoints
+    resolve to planned slots yields an ObservableRelationship node with
+    uco-observable:source/target {"@id"} refs + uco-core:kindOfRelationship
+    (reference node shape: config.py:559-567)."""
+    payload = {"records": [{"fileName": "x.txt"}]}
+    ontology_map = {
+        "classes": ["File"],
+        "facets": ["FileFacet"],
+        "properties": {"FileFacet": ["fileName"]},
+        "relationships": [
+            {"type": "Contained_Within", "source": "File", "target": "FileFacet"}
+        ],
+        "additional_details": {},
+    }
+    records = extract_records(payload)
+    graph = build_graph(records, ontology_map)
+    by_type = {n["@type"]: n for n in graph["@graph"]}
+    rel = by_type["uco-observable:ObservableRelationship"]
+    file_node = by_type["uco-observable:File"]
+    facet_node = by_type["uco-observable:FileFacet"]
+    assert rel["uco-observable:source"] == {"@id": file_node["@id"]}
+    assert rel["uco-observable:target"] == {"@id": facet_node["@id"]}
+    assert rel["uco-core:kindOfRelationship"] == "Contained_Within"
+    # deterministic slot identity: same uuid5 chain as every other slot
+    assert rel["@id"].startswith("kb:relationship_contained_within_0-")
+
+    # determinism across runs
+    graph2 = build_graph(extract_records(payload), ontology_map)
+    assert graph == graph2
+
+
+def test_relationship_dropped_when_endpoint_pruned():
+    """A relationship whose target facet is pruned (empty) must not emit a
+    dangling ref — the relationship node is dropped with it."""
+    payload = {"records": [{"unrelated": "v"}]}
+    ontology_map = {
+        "classes": ["File"],
+        "facets": ["FileFacet"],
+        # nothing maps to FileFacet → it prunes as empty
+        "properties": {"FileFacet": ["fileName"]},
+        "relationships": [
+            {"type": "Contained_Within", "source": "File", "target": "FileFacet"}
+        ],
+        "additional_details": {},
+    }
+    graph = build_graph(extract_records(payload), ontology_map)
+    types = [n["@type"] for n in graph["@graph"]]
+    assert "uco-observable:FileFacet" not in types
+    assert "uco-observable:ObservableRelationship" not in types
+
+
 def test_triples_flatten(mft_payload, mft_ontology_map):
     records = extract_records(mft_payload)
     graph = build_graph(records, mft_ontology_map)
