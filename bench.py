@@ -57,7 +57,10 @@ def amplified_corpus(spark, sf_dir: str, copies: int):
         base.crossJoin(F.broadcast(dup))
         .withColumn("url", F.concat(F.col("url"), F.lit("?c="), F.col("copy")))
         .drop("copy")
-        .repartition(CPUS * 4)
+        # 8 tasks/core: fine granularity keeps the last wave short when a
+        # shared-VM neighbor steals a core mid-job (straggler smoothing) —
+        # the same reason a 1000-executor job wants 3-10x tasks/slot
+        .repartition(CPUS * 8)
     )
 
 
@@ -262,11 +265,11 @@ def report_scaling():
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    # Two alternating trials per level, best per level: the sandbox host
+    # Three alternating trials per level, best per level: the sandbox host
     # shows 1.5-1.7× run-to-run noise (shared VM); alternation decorrelates
     # a noisy window from one level, best-of reports machine capability.
     trials: dict = {8: [], 32: []}
-    for _ in range(2):
+    for _ in range(3):
         for cores in (8, 32):
             trials[cores].append(one_trial(cores))
     for cores, rs in trials.items():

@@ -21,7 +21,7 @@ operators where we KNOW the key is Zipfian (host, entity surface).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -90,12 +90,32 @@ def salted_broadcast_join(
     ).drop("salt")
 
 
-def host_distribution(df: DataFrame, host_col: str = "host", top: int = 20) -> DataFrame:
+def host_distribution(
+    df: DataFrame,
+    host_col: str = "host",
+    unique_col: Optional[str] = None,
+    top: int = 20,
+) -> DataFrame:
     """Diagnostic: per-host page counts + share — the skew report a 100 TB
-    operator checks before choosing S. Itself salted (the point)."""
+    operator checks before choosing S. Itself salted (the point).
+
+    ``unique_col`` is the per-row-unique column the salt derives from; it
+    must NOT be the hot key itself (salt = f(key) sends every hot-key row
+    to the same salted reducer — zero skew relief). Defaults to the first
+    column that isn't ``host_col``; raises if asked to salt by the key."""
+    if unique_col is None:
+        candidates = [c for c in df.columns if c != host_col]
+        if not candidates:
+            raise ValueError("no non-key column available to derive the salt")
+        unique_col = candidates[0]
+    if unique_col == host_col:
+        raise ValueError(
+            f"salting by the aggregation key {host_col!r} itself defeats "
+            "skew relief — pass a per-row-unique column"
+        )
     total = df.count()
     counts = salted_aggregate(
-        df, [host_col], {"pages": ("count", "*")}, unique_col=host_col and df.columns[0]
+        df, [host_col], {"pages": ("count", "*")}, unique_col=unique_col
     )
     return (
         counts.withColumn("share", F.round(F.col("pages") / F.lit(total), 6))

@@ -193,6 +193,17 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
             type_m = re.search(r"(?:^|[;\s])a\s+((?:[^;]|\n)*?)(?:;|$)", stmt)
             types = type_m.group(1) if type_m else ""
 
+            comment_m = re.search(
+                r'rdfs:comment\s+(?:"""(.*?)"""|"((?:[^"\\]|\\.)*)")',
+                stmt,
+                re.DOTALL,
+            )
+            comment = (
+                (comment_m.group(1) or comment_m.group(2)).strip()
+                if comment_m
+                else None
+            )
+
             if "owl:Class" in types:
                 entry = classes.setdefault(
                     local, {"uri": expand(subject), "name": local}
@@ -200,6 +211,8 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                 label_m = re.search(r'rdfs:label\s+"([^"]*)"', stmt)
                 if label_m:
                     entry["label"] = label_m.group(1)
+                if comment:
+                    entry["description"] = comment
                 supers = [
                     _local_name(o)
                     for o in _find_objects(stmt, "rdfs:subClassOf")
@@ -221,6 +234,8 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                     "name": local,
                     "type": ptype,
                 }
+                if comment:
+                    properties[local]["description"] = comment
 
             # SHACL shape: property blocks against the target class
             target_m = re.search(r"sh:targetClass\s+(\S+)", stmt)
@@ -266,6 +281,27 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
 
     for cls in list(classes):
         classes[cls]["superclasses"] = walk(cls)
+
+    # semantic property ownership (case_uco.py:451-466): a property whose
+    # rdfs:comment mentions the class name belongs to the class's research
+    # report unless the class (or an ancestor, or their facets) already
+    # owns it via a SHACL shape or it's a common-inherited property
+    common = set(COMMON_INHERITED_PROPERTIES)
+    for cls, meta in classes.items():
+        owners = [cls, f"{cls}Facet"]
+        for anc in meta.get("superclasses", []):
+            owners.extend((anc, f"{anc}Facet"))
+        owned = set(common)
+        for o in owners:
+            owned.update(shapes.get(o, {}))
+        cl = cls.lower()
+        sem = sorted(
+            p
+            for p, pmeta in properties.items()
+            if p not in owned and cl in (pmeta.get("description") or "").lower()
+        )
+        if sem:
+            meta["semantic_properties"] = sem
 
     facets = sorted(
         cls
@@ -317,15 +353,24 @@ def load_dictionary(path: Optional[str] = None) -> Dict[str, Any]:
 
 
 def ontology_map_for_classes(
-    dictionary: Dict[str, Any], class_names: List[str]
+    dictionary: Dict[str, Any],
+    class_names: List[str],
+    include_semantic: bool = False,
 ) -> Dict[str, Any]:
     """Build a reference-shaped ontology map ({classes, facets, properties})
     for a set of target classes from the compiled dictionary — the
-    deterministic replacement for the LLM research/synthesis stages."""
+    deterministic replacement for the LLM research/synthesis stages.
+
+    ``include_semantic=True`` additionally assigns the class's SEMANTIC
+    properties (comment-mentions-class ownership, case_uco.py:451-466) to
+    the class owner, reproducing reference research reports that rely on
+    them. Off by default: it widens the alias map and therefore field
+    matching, which is a behavior change existing maps must opt into."""
     classes: List[str] = []
     facets: List[str] = []
     properties: Dict[str, List[str]] = {}
     shapes = dictionary.get("shapes", {})
+    dict_classes = dictionary.get("classes", {})
     facet_set = set(dictionary.get("facets", []))
     for name in class_names:
         if name.endswith("Facet") or name in facet_set:
@@ -341,6 +386,11 @@ def ontology_map_for_classes(
             shape = shapes.get(owner)
             if shape:
                 properties[owner] = sorted(shape.keys())
+        if include_semantic:
+            sem = (dict_classes.get(name) or {}).get("semantic_properties")
+            if sem:
+                merged = set(properties.get(name, [])) | set(sem)
+                properties[name] = sorted(merged)
     return {
         "artifacts": [],
         "classes": classes,

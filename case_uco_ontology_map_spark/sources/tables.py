@@ -53,27 +53,62 @@ class SnapshotTable:
         readable — time travel)."""
         return self._commit(df, mode="overwrite", properties=properties)
 
+    def _next_snapshot_id(self) -> int:
+        """One past the max EXISTING snapshot json (not HEAD): a crash
+        between data write and HEAD rename must not wedge the next commit
+        into an already-used id."""
+        ids = [0]
+        if os.path.isdir(self.snap_dir):
+            for f in os.listdir(self.snap_dir):
+                if f.endswith(".json"):
+                    try:
+                        ids.append(int(f[:-5]))
+                    except ValueError:
+                        pass
+        head = self.current_snapshot_id()
+        if head is not None:
+            ids.append(int(head))
+        return max(ids) + 1
+
     def _commit(self, df: DataFrame, mode: str, properties) -> str:
+        """Crash-safe commit: data is staged under a UNIQUE dir name
+        (uuid-suffixed, never reused), the snapshot json claims its id via
+        exclusive create (two concurrent committers can't both win an id),
+        and HEAD flips last by atomic rename. A crash at any earlier point
+        leaves only an orphaned data dir / unclaimed json — both inert:
+        readers resolve HEAD and follow data_dirs, and the next commit
+        picks a fresh id and a fresh data dir."""
+        import uuid as _uuid
+
         os.makedirs(self.snap_dir, exist_ok=True)
         parent = self.current_snapshot_id()
-        snap_id = f"{int(parent or 0) + 1:012d}"
-        out = os.path.join(self.data_dir, snap_id)
+        data_name = f"{_uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.data_dir, data_name)
         df.write.mode("error").parquet(out)
 
-        dirs: List[str] = [snap_id]
+        dirs: List[str] = [data_name]
         if mode == "append" and parent is not None:
-            dirs = self._snapshot(parent)["data_dirs"] + [snap_id]
-        meta = {
-            "snapshot_id": snap_id,
-            "parent": parent,
-            "mode": mode,
-            "data_dirs": dirs,
-            "committed_at": time.time(),
-            "properties": properties or {},
-        }
-        with open(os.path.join(self.snap_dir, f"{snap_id}.json"), "w") as fh:
-            json.dump(meta, fh)
-        tmp = self.head_path + ".tmp"
+            dirs = self._snapshot(parent)["data_dirs"] + [data_name]
+        while True:
+            snap_id = f"{self._next_snapshot_id():012d}"
+            meta = {
+                "snapshot_id": snap_id,
+                "parent": parent,
+                "mode": mode,
+                "data_dirs": dirs,
+                "committed_at": time.time(),
+                "properties": properties or {},
+            }
+            try:
+                # O_EXCL claim: loser of a concurrent race retries next id
+                with open(
+                    os.path.join(self.snap_dir, f"{snap_id}.json"), "x"
+                ) as fh:
+                    json.dump(meta, fh)
+                break
+            except FileExistsError:
+                continue
+        tmp = self.head_path + f".tmp.{data_name}"
         with open(tmp, "w") as fh:
             fh.write(snap_id)
         os.replace(tmp, self.head_path)  # atomic commit point

@@ -59,26 +59,18 @@ def start_triple_sink(
     checkpoint_dir: str,
     query_name: str = "kg-triples",
 ):
-    """foreachBatch sink: append triples parquet + upsert the resume
-    manifest per micro-batch — exactly-once via the streaming checkpoint
-    (epoch id dedupes replayed batches)."""
+    """foreachBatch sink: write triples parquet + the resume manifest per
+    micro-batch, EXACTLY-ONCE.
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn(
-                "bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64))
-            )
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "triples"))
-        )
-        (
-            batch_df.select("fingerprint", "record_uuid")
-            .dropDuplicates(["fingerprint"])
-            .write.mode("append")
-            .parquet(os.path.join(out_dir, "manifest"))
-        )
+    The streaming checkpoint makes foreachBatch at-least-once: a batch
+    whose sink ran but whose offset commit was lost is REPLAYED with the
+    same epoch_id after restart. Idempotence therefore lives in the sink:
+    each epoch writes to its own ``epoch=<id>`` subdirectory with
+    mode("overwrite") — a replayed epoch overwrites its own partial output
+    instead of appending duplicates. Readers glob the parent directory;
+    basePath keeps partition discovery uniform."""
 
+    sink = epoch_sink(out_dir)
     return (
         triples_stream.writeStream.outputMode("append")
         .foreachBatch(sink)
@@ -86,6 +78,29 @@ def start_triple_sink(
         .queryName(query_name)
         .start()
     )
+
+
+def epoch_sink(out_dir: str):
+    """The idempotent per-epoch writer used by start_triple_sink — exposed
+    so tests can replay an epoch directly and assert no duplication."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64))
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, "triples", f"epoch={epoch_id}"))
+        )
+        (
+            batch_df.select("fingerprint", "record_uuid")
+            .dropDuplicates(["fingerprint"])
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "manifest", f"epoch={epoch_id}"))
+        )
+
+    return sink
 
 
 def crawl_window_stats(

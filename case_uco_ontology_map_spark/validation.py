@@ -71,30 +71,118 @@ def check_placement(triples: DataFrame, ontology_map: Dict[str, Any]) -> DataFra
     )
 
 
-def check_max_count(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:
-    """SHACL sh:maxCount per (class shape, property) — groupBy(subj, pred)
-    count vs the broadcast shape table (case_uco.py:253-276 shapes)."""
+def _subject_types(triples: DataFrame) -> DataFrame:
+    """subj → local class name of its rdf:type (one row per typed subject)."""
+    return (
+        triples.filter(F.col("pred") == "rdf:type")
+        .select(F.col("subj").alias("t_subj"), _local(F.col("obj")).alias("cls"))
+        .distinct()
+    )
+
+
+def _shape_rows(dictionary: Dict[str, Any], field: str):
+    """(class, prop, value) rows for a given shape constraint field."""
     rows = []
     for cls, shape in (dictionary.get("shapes") or {}).items():
         for prop, meta in shape.items():
-            if meta.get("maxCount") is not None:
-                rows.append((prop, int(meta["maxCount"])))
+            if meta.get(field) is not None:
+                rows.append((cls, prop, meta[field]))
+    return rows
+
+
+def check_max_count(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:
+    """SHACL sh:maxCount scoped by the SUBJECT'S CLASS — groupBy(subj, pred)
+    count joined against (class, prop) → limit via the subject's rdf:type
+    (case_uco.py:253-276 shapes). Scoping matters: a property constrained
+    maxCount 1 on FacetA but 3 on FacetB must still fire on FacetA subjects
+    (a global max-across-shapes silently passes them). The shape table is
+    a few hundred rows — broadcast join."""
+    rows = [(c, p, int(v)) for c, p, v in _shape_rows(dictionary, "maxCount")]
     if not rows:
-        return triples.limit(0).select("subj", "pred", F.lit(0).alias("n"))
-    # max over shapes sharing a property name (conservative)
-    limits: Dict[str, int] = {}
-    for prop, mc in rows:
-        limits[prop] = max(limits.get(prop, 0), mc)
-    mapping = F.create_map(*[F.lit(x) for kv in limits.items() for x in kv])
+        return triples.limit(0).select(
+            "subj", "pred", F.lit(0).alias("n"), F.lit(0).alias("max_count")
+        )
+    spark = triples.sparkSession
+    limits = spark.createDataFrame(rows, "cls string, prop string, max_count int")
     counted = (
         triples.filter(~F.col("pred").isin(*_SKELETON_PREDS))
         .groupBy("subj", "pred")
         .agg(F.count("*").alias("n"))
-        .withColumn("max_count", mapping[_local(F.col("pred"))])
+        .withColumn("prop", _local(F.col("pred")))
     )
-    return counted.filter(
-        F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))
-    ).select("subj", "pred", "n")
+    return (
+        counted.join(_subject_types(triples), counted["subj"] == F.col("t_subj"))
+        .join(F.broadcast(limits), ["cls", "prop"])
+        .filter(F.col("n") > F.col("max_count"))
+        .select("subj", "pred", "n", "max_count")
+    )
+
+
+def check_min_count(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:
+    """SHACL sh:minCount scoped by the subject's class: every subject typed
+    C must carry ≥ minCount values of each required property of C's shape.
+    typed-subjects ⨝ broadcast(required props by class), left-joined
+    against observed counts; missing or under-count → violation."""
+    rows = [
+        (c, p, int(v)) for c, p, v in _shape_rows(dictionary, "minCount") if int(v) > 0
+    ]
+    if not rows:
+        return triples.limit(0).select(
+            "subj",
+            F.lit("").alias("prop"),
+            F.lit(0).alias("n"),
+            F.lit(0).alias("min_count"),
+        )
+    spark = triples.sparkSession
+    required = spark.createDataFrame(rows, "cls string, prop string, min_count int")
+    typed = _subject_types(triples)
+    expected = typed.join(F.broadcast(required), "cls")
+    counted = (
+        triples.filter(~F.col("pred").isin(*_SKELETON_PREDS))
+        .groupBy("subj", _local(F.col("pred")).alias("prop"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        expected.join(
+            counted,
+            (expected["t_subj"] == counted["subj"]) & (expected["prop"] == counted["prop"]),
+            "left",
+        )
+        .filter(F.coalesce(F.col("n"), F.lit(0)) < F.col("min_count"))
+        .select(
+            F.col("t_subj").alias("subj"),
+            expected["prop"].alias("prop"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "min_count",
+        )
+    )
+
+
+def check_node_kind(
+    triples: DataFrame, dictionary: Dict[str, Any], strict: bool = False
+) -> DataFrame:
+    """SHACL sh:nodeKind scoped by the subject's class: Literal-kinded
+    properties must not carry IRI objects (a structural error). With
+    ``strict=True`` IRI-kinded properties carrying literals are also
+    flagged — off by default because the reference's own deterministic
+    mapper assigns source values directly (e.g. URLFacet host, Content-
+    DataFacet hash are sh:nodeKind IRI in CASE 1.4.0 but emitted as
+    literal strings), and reference parity is the primary contract."""
+    rows = [(c, p, str(v)) for c, p, v in _shape_rows(dictionary, "nodeKind")]
+    if not rows:
+        return triples.limit(0).select("subj", "pred", "obj")
+    spark = triples.sparkSession
+    kinds = spark.createDataFrame(rows, "cls string, prop string, kind string")
+    props = triples.filter(~F.col("pred").isin(*_SKELETON_PREDS)).withColumn(
+        "prop", _local(F.col("pred"))
+    )
+    joined = props.join(
+        _subject_types(triples), props["subj"] == F.col("t_subj")
+    ).join(F.broadcast(kinds), ["cls", "prop"])
+    bad = (F.col("kind") == "Literal") & F.col("obj_is_iri")
+    if strict:
+        bad = bad | ((F.col("kind") == "IRI") & ~F.col("obj_is_iri"))
+    return joined.filter(bad).select("subj", "pred", "obj", "kind")
 
 
 def check_datatypes(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:
@@ -193,5 +281,7 @@ def validate_all(
     }
     if dictionary is not None:
         out["max_count"] = check_max_count(triples, dictionary).count()
+        out["min_count"] = check_min_count(triples, dictionary).count()
+        out["node_kind"] = check_node_kind(triples, dictionary).count()
         out["datatypes"] = check_datatypes(triples, dictionary).count()
     return out

@@ -170,3 +170,63 @@ def test_validation_catches_violations(spark):
     assert res["no_nulls"] == 1
     assert res["max_count"] >= 1
     assert res["datatypes"] >= 1
+
+
+def test_max_count_is_class_scoped(spark):
+    """CASE 1.4.0: 'version' has maxCount 0 on OperatingSystemFacet but 1
+    on ApplicationFacet. A global max-across-shapes limit (old behavior)
+    silently passed one version triple on an OS facet subject; the
+    class-scoped check must fire it — and still pass the ApplicationFacet
+    subject carrying one."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    rows = [
+        ("kb:os-1", "rdf:type", "uco-observable:OperatingSystemFacet", True, None, "r1"),
+        ("kb:os-1", "uco-core:version", "10.0", False, None, "r1"),
+        ("kb:app-1", "rdf:type", "uco-observable:ApplicationFacet", True, None, "r1"),
+        ("kb:app-1", "uco-core:version", "1.2", False, None, "r1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    v = validation.check_max_count(triples, load_dictionary()).collect()
+    assert [r["subj"] for r in v] == ["kb:os-1"]
+    assert v[0]["max_count"] == 0
+
+
+def test_min_count_and_node_kind(spark):
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    d = load_dictionary()
+    rows = [
+        # ActionArgumentFacet requires argumentName (minCount 1) — absent
+        ("kb:arg-1", "rdf:type", "uco-types:ActionArgumentFacet", True, None, "r1"),
+        ("kb:arg-1", "uco-types:value", "v", False, None, "r1"),
+        # accountIssuer is nodeKind IRI on AccountFacet — literal here
+        ("kb:acct-1", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
+        ("kb:acct-1", "uco-observable:accountIssuer", "not-an-iri", False, None, "r1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    mc = validation.check_min_count(triples, d).collect()
+    assert any(r["subj"] == "kb:arg-1" and r["prop"] == "argumentName" for r in mc)
+    # literal where IRI required fires only in strict mode (reference
+    # parity emits such literals — see check_node_kind docstring)
+    assert validation.check_node_kind(triples, d).count() == 0
+    nk = validation.check_node_kind(triples, d, strict=True).collect()
+    assert any(r["subj"] == "kb:acct-1" for r in nk)
+    # IRI where Literal required fires in default mode
+    bad_lit = spark.createDataFrame(
+        [
+            ("kb:u-1", "rdf:type", "uco-observable:URLFacet", True, None, "r1"),
+            ("kb:u-1", "uco-observable:fullValue", "kb:other", True, None, "r1"),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    assert validation.check_node_kind(bad_lit, d).count() == 1

@@ -78,6 +78,16 @@ def test_streaming_triples_e2e(spark, sf_dir, tmp_path):
     manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
     assert manifest.select("fingerprint").distinct().count() == 40
 
+    # exactly-once under replay: re-running an already-committed epoch
+    # (what the engine does after a partial failure) must not duplicate —
+    # each epoch overwrites its own subdirectory, so two replays leave
+    # exactly one copy of the batch in epoch 0
+    sink = si.epoch_sink(out_dir)
+    sink(batch, 0)
+    sink(batch, 0)
+    again = spark.read.parquet(os.path.join(out_dir, "triples"))
+    assert again.filter("epoch = 0").count() == batch.count()
+
 
 def test_crawl_window_stats(spark, sf_dir, tmp_path):
     from case_uco_ontology_map_spark.sources.corpus import web_corpus

@@ -42,3 +42,66 @@ def test_ontology_map_for_classes():
     assert m["classes"] == ["File"]
     assert m["facets"] == ["FileFacet", "MftRecordFacet"]
     assert "filePath" in m["properties"]["FileFacet"]
+
+
+def test_semantic_property_ownership():
+    """case_uco.py:451-466: a property whose rdfs:comment mentions the
+    class name is a 'semantic' property of that class unless a shape on
+    the class/ancestors(+Facets) or the common-inherited set owns it."""
+    d = load_dictionary()
+    # pin one stable example: 'file' appears in many property comments
+    sem = d["classes"]["File"].get("semantic_properties", [])
+    assert "accessedFile" in sem
+    # never overlaps shape-owned or common-inherited props
+    owned = set(d["shapes"].get("File", {})) | set(
+        d["shapes"].get("FileFacet", {})
+    ) | set(d["common_inherited"])
+    for anc in d["classes"]["File"]["superclasses"]:
+        owned |= set(d["shapes"].get(anc, {}))
+        owned |= set(d["shapes"].get(f"{anc}Facet", {}))
+    assert not set(sem) & owned
+    # descriptions captured for classes and properties
+    assert "description" in d["classes"]["File"]
+    assert any("description" in p for p in d["properties"].values())
+
+
+def test_ontology_map_semantic_opt_in():
+    d = load_dictionary()
+    base = ontology_map_for_classes(d, ["Account"])
+    with_sem = ontology_map_for_classes(d, ["Account"], include_semantic=True)
+    sem = set(d["classes"]["Account"].get("semantic_properties", []))
+    assert sem and sem <= set(with_sem["properties"]["Account"])
+    # default stays unchanged (existing maps keep their field matching)
+    assert sem - set(base["properties"].get("Account", []))
+
+
+def test_research_query_surface():
+    """W2/W3 research API parity (case_uco.py:476-1019)."""
+    from case_uco_ontology_map_spark.refmap import research as R
+
+    all_classes = R.list_all_classes()
+    assert len(all_classes) >= 400
+    assert all_classes == sorted(all_classes, key=lambda x: x["name"])
+
+    hits = R.search_classes("domain")
+    names = [h["name"] for h in hits]
+    assert "DomainName" in names
+    assert all(h["match_type"] in ("name", "description") for h in hits)
+
+    rep = R.class_property_report("File")
+    assert "fileName" in rep["facet"] or "filePath" in rep["facet"]
+    assert set(rep["facet"]).isdisjoint(rep["inherited"])
+    assert set(rep["semantic"]).isdisjoint(rep["facet"])
+
+    s = R.get_class_summary("File")
+    assert s["has_facet_pattern"] and s["property_counts"]["total"] > 0
+    assert "ObservableObject" in s["superclasses"]
+    assert "error" in R.get_class_summary("NoSuchClass")
+
+    p = R.get_property_details("fileName")
+    assert p["name"] == "fileName" and p["type"] == "DatatypeProperty"
+    assert "error" in R.get_property_details("noSuchProp")
+
+    rf = R.relevant_facets("File")
+    assert 0 < len(rf) <= 10
+    assert "FileFacet" in rf

@@ -51,6 +51,20 @@ def test_salt_is_deterministic(spark):
     assert len(set(a.values())) > 1  # actually spreads
 
 
+def test_host_distribution_salt_key_guard(spark):
+    df = spark.createDataFrame(
+        [("h0.com", i) for i in range(40)] + [("h1.com", i) for i in range(10)],
+        "host string, rid long",
+    )
+    out = {r["host"]: r["pages"] for r in skew.host_distribution(df, "host").collect()}
+    assert out == {"h0.com": 40, "h1.com": 10}
+    # salting by the hot key itself must be rejected
+    with pytest.raises(ValueError, match="defeats"):
+        skew.host_distribution(df, "host", unique_col="host")
+    with pytest.raises(ValueError, match="no non-key"):
+        skew.host_distribution(df.select("host"), "host")
+
+
 def test_stream_dedup_stateful(spark, tmp_path):
     """applyInPandasWithState dedup: duplicates across micro-batches are
     dropped; each fingerprint emitted exactly once."""

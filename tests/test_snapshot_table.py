@@ -31,6 +31,33 @@ def test_snapshot_commit_append_timetravel(spark, tmp_path):
     assert snaps[1]["parent"] == s1 and snaps[1]["mode"] == "append"
 
 
+def test_commit_survives_orphaned_partial_commit(spark, tmp_path):
+    """A crash after the data-dir write but before HEAD flip must not wedge
+    the table: the orphaned dir is inert and the next commit succeeds with
+    a fresh id (previously the retry collided on mode('error'))."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(5)
+    s1 = t.append(df)
+
+    # simulate the crash: stage a data dir + claim a snapshot json but
+    # never flip HEAD (exactly the state _commit leaves mid-way)
+    orphan = os.path.join(t.data_dir, "deadbeef0000")
+    df.write.parquet(orphan)
+    import json as _json
+    with open(os.path.join(t.snap_dir, f"{int(s1)+1:012d}.json"), "w") as fh:
+        _json.dump({"snapshot_id": f"{int(s1)+1:012d}", "parent": s1,
+                    "mode": "append", "data_dirs": ["deadbeef0000"],
+                    "committed_at": 0, "properties": {}}, fh)
+    assert t.current_snapshot_id() == s1  # HEAD untouched by the "crash"
+
+    # next commit claims a NEW id past the orphaned json and succeeds
+    s2 = t.append(spark.range(5, 8))
+    assert int(s2) == int(s1) + 2
+    assert t.read(spark).count() == 8
+    # time travel to s1 still works
+    assert t.read(spark, s1).count() == 5
+
+
 def test_snapshot_table_resume_integration(spark, sf_dir, tmp_path):
     """Triples materialized as snapshots; incremental run appends only new
     records' triples; HEAD read equals a full recompute."""
