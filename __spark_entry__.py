@@ -309,23 +309,147 @@ ORDER BY a_id, b_id
 """
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline (signatures → banded self-join →
-    Jaccard verify ≥ 0.5). xxhash64-based — not DuckDB-expressible;
-    rows-only driver check (exact Jaccard itself is oracled above)."""
-    from case_uco_ontology_map_spark.operators.dedup import minhash_dedup_pairs
+def _minhash_param_rows(num_hashes: int, seed: int = 42) -> str:
+    """Inline the deterministic universal-hash (a, b) params as SQL VALUES
+    rows — the oracle replays the exact arithmetic the Spark side runs."""
+    from case_uco_ontology_map_spark.operators.dedup import _hash_params
 
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5).orderBy(
-        "a_id", "b_id"
+    return ",\n  ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
     )
 
 
+# md5_60 in DuckDB: the top 60 bits of md5 parsed as bigint — bit-identical
+# to content_hash64(col, "md5_60") on the Spark side.
+_MD5_60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline (signatures → banded bucket-group →
+    exact Jaccard verify ≥ 0.5), run in md5_60 hash mode so the whole
+    chain — shingle hash, universal-hash signatures, band keys, bucket cap,
+    verification — is replayed verbatim by the DuckDB oracle. Production
+    default stays xxhash64 (same operators, hash_mode flag)."""
+    from case_uco_ontology_map_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=0.5, hash_mode="md5_60"
+    ).orderBy("a_id", "b_id")
+
+
+def _oracle_minhash_lsh_pairs() -> str:
+    h = _MD5_60
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> array_to_string(toks[i:i+2], ' ')
+           ),
+           s -> {h.format(x='s')}
+         )) AS sh
+  FROM toks
+),
+params(i, a, b) AS (VALUES
+  {_minhash_param_rows(64)}
+),
+sigs AS (
+  SELECT doc_id, i,
+         coalesce(
+           list_min(list_transform(sh, s -> ((s % 2147483647) * a + b) % 2147483647)),
+           2147483647) AS sig
+  FROM sh CROSS JOIN params
+),
+sigarr AS (
+  SELECT doc_id, list(sig ORDER BY i) AS sig FROM sigs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         {h.format(x="b::VARCHAR || ',' || array_to_string(list_transform(sig[b*4+1:b*4+4], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sigarr CROSS JOIN range(0, 16) t(b)
+),
+bsize AS (
+  SELECT band_idx, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id
+  JOIN bsize s ON l.band_idx = s.band_idx AND l.band_hash = s.band_hash
+  WHERE s.n <= 1000
+)
+SELECT c.a_id, c.b_id,
+       round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+             THEN len(list_filter(x.sh, s -> list_contains(y.sh, s)))::DOUBLE
+                  / len(list_distinct(list_concat(x.sh, y.sh)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM cands c JOIN sh x ON c.a_id = x.doc_id JOIN sh y ON c.b_id = y.doc_id
+WHERE round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+      THEN len(list_filter(x.sh, s -> list_contains(y.sh, s)))::DOUBLE
+           / len(list_distinct(list_concat(x.sh, y.sh)))
+      ELSE 0.0 END, 6) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (hamming ≤ 3 via pigeonhole band join) —
-    xxhash64-based, rows-only."""
+    """SimHash near-dup candidates (hamming ≤ 3 via pigeonhole band join),
+    md5_60 hash mode (60-bit simhash, 4×15-bit bands) so the DuckDB oracle
+    replays bit votes, band split, and hamming verify exactly."""
+    from pyspark.sql import functions as F
+
     from case_uco_ontology_map_spark.operators.dedup import simhash, simhash_near_pairs
 
-    return simhash_near_pairs(simhash(_docs(spark, sf_dir))).orderBy("a_id", "b_id")
+    sims = simhash(_docs(spark, sf_dir), hash_mode="md5_60")
+    return (
+        simhash_near_pairs(sims, bits=60)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    h = _MD5_60
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')
+           ),
+           t -> {h.format(x='t')}
+         ) AS hs
+  FROM documents
+),
+sims AS (
+  -- bit b set iff the +1/-1 vote over token hashes is positive:
+  -- (#ones - #zeros) > 0  <=>  2*#ones > n
+  SELECT doc_id,
+         sum(CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM hs CROSS JOIN range(0, 60) t(b)
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash >> (b * 15)) & 32767 AS band_val
+  FROM sims CROSS JOIN range(0, 4) t(b)
+)
+SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+       bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+FROM banded l
+JOIN banded r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+            AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+ORDER BY a_id, b_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -378,16 +502,77 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def _near_dup_hyperplanes(planes: int = 6, dim: int = 64, seed: int = 7):
+    """The contract hyperplanes: seeded once, passed EXPLICITLY to both the
+    Spark operator and (as inline literals) the DuckDB oracle — the planes
+    are data, not code, so the bucket assignment is engine-portable."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed cosine near-dups ≥ 0.3 (rows-only:
-    hyperplanes are seeded Python, not SQL-reproducible). Threshold chosen
-    so the synthetic random embeddings actually produce candidate pairs
-    (their max pairwise cosine ≈ 0.4)."""
+    """Random-hyperplane LSH-bucketed cosine near-dups ≥ 0.3. Threshold
+    chosen so the synthetic random embeddings actually produce candidate
+    pairs (their max pairwise cosine ≈ 0.4). Hyperplanes are explicit so
+    the oracle inlines the identical literals."""
     from case_uco_ontology_map_spark.operators.dedup import embedding_near_dups
 
     return embedding_near_dups(
-        _embeddings(spark, sf_dir), threshold=0.3, planes=6
+        _embeddings(spark, sf_dir),
+        threshold=0.3,
+        hyperplanes=_near_dup_hyperplanes(),
     ).orderBy("a_id", "b_id")
+
+
+def _oracle_embedding_near_dups() -> str:
+    hp_rows = ",\n  ".join(
+        f"({j}, [{', '.join(repr(x) for x in hp)}]::DOUBLE[])"
+        for j, hp in enumerate(_near_dup_hyperplanes())
+    )
+    return f"""
+WITH hp(j, v) AS (VALUES
+  {hp_rows}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+dots AS (
+  -- sequential left fold == Spark aggregate(0.0, +) bit-exactly
+  SELECT e.vec_id, hp.j,
+         list_reduce(
+           list_transform(range(1, len(e.v) + 1), i -> e.v[i] * hp.v[i]),
+           (x, y) -> x + y) AS dot
+  FROM e CROSS JOIN hp
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT l.vec_id AS a_id, r.vec_id AS b_id
+  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+cosv AS (
+  SELECT p.a_id, p.b_id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6)
+           AS cosine
+  FROM (
+    SELECT p.a_id, p.b_id,
+           list_reduce(list_transform(range(1, len(ea.v) + 1),
+                                      i -> ea.v[i] * eb.v[i]),
+                       (x, y) -> x + y) AS dot,
+           sqrt(list_reduce(list_transform(ea.v, x -> x * x), (x, y) -> x + y)) AS na,
+           sqrt(list_reduce(list_transform(eb.v, x -> x * x), (x, y) -> x + y)) AS nb
+    FROM pairs p
+    JOIN e ea ON p.a_id = ea.vec_id
+    JOIN e eb ON p.b_id = eb.vec_id
+  ) p
+)
+SELECT a_id, b_id, cosine FROM cosv WHERE cosine >= 0.3 ORDER BY a_id, b_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -734,8 +919,11 @@ FROM part ORDER BY p_partkey
 
 
 def q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full entity canonicalization (minhash → LSH candidates → Jaccard
-    edges → CC) over document source names — xxhash64-based, rows-only."""
+    """Full entity canonicalization (char-3-gram minhash → banded LSH
+    candidates → exact-Jaccard edges ≥ 0.6 → alternating-star connected
+    components) over document source names — md5_60 hash mode, so the
+    DuckDB oracle replays the entire chain down to a recursive-CTE
+    transitive closure."""
     from pyspark.sql import functions as F
 
     from case_uco_ontology_map_spark.operators.canonicalize import (
@@ -751,7 +939,84 @@ def q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return canonicalize_entities(ents, jaccard_threshold=0.6).orderBy("entity_id")
+    return canonicalize_entities(
+        ents, jaccard_threshold=0.6, hash_mode="md5_60"
+    ).orderBy("entity_id")
+
+
+def _oracle_entity_canonicalize() -> str:
+    h = _MD5_60
+    return f"""
+WITH RECURSIVE
+ents AS (
+  SELECT doc_id AS entity_id, source || ' doc ' || lang AS entity_key
+  FROM documents
+),
+sh AS (
+  SELECT entity_id,
+         list_distinct(list_transform(
+           list_transform(
+             range(1, greatest(length(lower(entity_key)) - 2, 0) + 1),
+             i -> substr(lower(entity_key), i, 3)
+           ),
+           s -> {h.format(x='s')}
+         )) AS sh
+  FROM ents
+),
+params(i, a, b) AS (VALUES
+  {_minhash_param_rows(32, seed=17)}
+),
+sigs AS (
+  SELECT entity_id, i,
+         coalesce(
+           list_min(list_transform(sh, s -> ((s % 2147483647) * a + b) % 2147483647)),
+           2147483647) AS sig
+  FROM sh CROSS JOIN params
+),
+sigarr AS (
+  SELECT entity_id, list(sig ORDER BY i) AS sig FROM sigs GROUP BY entity_id
+),
+bands AS (
+  SELECT entity_id, b AS band_idx,
+         {h.format(x="b::VARCHAR || ',' || array_to_string(list_transform(sig[b*4+1:b*4+4], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sigarr CROSS JOIN range(0, 8) t(b)
+),
+bsize AS (
+  SELECT band_idx, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT l.entity_id AS src, r.entity_id AS dst
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+              AND l.entity_id < r.entity_id
+  JOIN bsize s ON l.band_idx = s.band_idx AND l.band_hash = s.band_hash
+  WHERE s.n <= 500
+),
+edges AS (
+  SELECT c.src AS a, c.dst AS b
+  FROM cands c JOIN sh x ON c.src = x.entity_id JOIN sh y ON c.dst = y.entity_id
+  WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+        THEN len(list_filter(x.sh, s -> list_contains(y.sh, s)))::DOUBLE
+             / len(list_distinct(list_concat(x.sh, y.sh)))
+        ELSE 0.0 END >= 0.6
+),
+sym AS (
+  SELECT a, b FROM edges
+  UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges
+  UNION SELECT b, b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+),
+comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT e.entity_id, e.entity_key,
+       coalesce(c.component, e.entity_id) AS canonical_id
+FROM ents e LEFT JOIN comp c ON e.entity_id = c.id
+ORDER BY entity_id
+"""
 
 
 def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,6 +1032,55 @@ def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     return detect_mentions(docs).orderBy("url", "surface")
+
+
+def _single_word_gazetteer() -> dict:
+    """The dictionary gazetteer restricted to single-word surfaces. With no
+    multi-word entries the longest-match scan degenerates to per-token
+    lookup, which is exactly a token⋈gazetteer equi-join — DuckDB-expressible."""
+    from case_uco_ontology_map_spark.operators.mentions import build_gazetteer
+
+    return {s: c for s, c in build_gazetteer().items() if " " not in s}
+
+
+def q_mention_detection_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention detection with the single-word slice of the
+    ontology gazetteer — same pandas-UDF scan kernel as q_mention_detection,
+    oracled by a token-unnest ⋈ inline-gazetteer join (verdict r1 item 5)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.mentions import detect_mentions
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    return (
+        detect_mentions(docs, gazetteer=_single_word_gazetteer())
+        .select("url", "surface", "entity_class", "n_mentions")
+        .orderBy("url", "surface")
+    )
+
+
+def _oracle_mention_detection_single() -> str:
+    gaz_rows = ",\n  ".join(
+        f"('{s}', '{c}')" for s, c in sorted(_single_word_gazetteer().items())
+    )
+    return f"""
+WITH gaz(surface, entity_class) AS (VALUES
+  {gaz_rows}
+),
+toks AS (
+  SELECT 'doc:' || doc_id::VARCHAR AS url,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
+           AS tok
+  FROM documents
+)
+SELECT t.url, g.surface, g.entity_class, count(*)::INT AS n_mentions
+FROM toks t JOIN gaz g ON t.tok = g.surface
+GROUP BY t.url, g.surface, g.entity_class
+ORDER BY url, surface
+"""
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_long_chain": q_cc_long_chain,
         "entity_canonicalize": q_entity_canonicalize,
         "mention_detection": q_mention_detection,
+        "mention_detection_single": q_mention_detection_single,
         # composite curation pipeline
         "curation_pipeline": q_curation_pipeline,
     }
@@ -863,7 +1178,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _oracle_lang_id(),
         "exact_dedup": _oracle_exact_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
+        "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),
+        "embedding_near_dups": _oracle_embedding_near_dups(),
         "j1_fingerprint_reuse": _oracle_j1(),
         "set1_anti_join": _oracle_set1(),
         "w1_argmax": _oracle_w1(),
@@ -873,5 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
         "cc_long_chain": _oracle_cc_long_chain(),
+        "entity_canonicalize": _oracle_entity_canonicalize(),
+        "mention_detection_single": _oracle_mention_detection_single(),
         "curation_pipeline": _oracle_curation(),
     }

@@ -30,15 +30,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def char_shingles(col, n: int = 3):
+def char_shingles(col, n: int = 3, hash_mode: str = "xxhash64"):
     """Char n-gram shingle hashes of a string key → array<bigint>."""
+    from .dedup import content_hash64
+
     padded = F.lower(col)
     count = F.greatest(F.length(padded) - F.lit(n - 1), F.lit(0))
     idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.substring(padded, i, n)))
+        F.transform(
+            idx, lambda i: content_hash64(F.substring(padded, i, n), hash_mode)
+        )
     )
 
 
@@ -47,12 +51,13 @@ def entity_minhash(
     key_col: str = "entity_key",
     id_col: str = "entity_id",
     num_hashes: int = 32,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Minhash signatures over char-3-gram shingles of the entity key."""
     from .dedup import _MERSENNE_P, _hash_params
 
     params = _hash_params(num_hashes, seed=17)
-    sh = char_shingles(F.col(key_col))
+    sh = char_shingles(F.col(key_col), hash_mode=hash_mode)
 
     def _min_hash(a: int, b: int):
         # closure factory — see dedup.minhash_signatures for why not
@@ -77,12 +82,14 @@ def candidate_edges(
     id_col: str = "entity_id",
     bands: int = 8,
     max_bucket: int = 500,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Banded self-join → undirected candidate edges (a < b)."""
     from .dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(
-        signatures, id_col=id_col, bands=bands, max_bucket=max_bucket
+        signatures, id_col=id_col, bands=bands, max_bucket=max_bucket,
+        hash_mode=hash_mode,
     ).selectExpr("a_id AS src", "b_id AS dst")
 
 
@@ -213,16 +220,17 @@ def canonicalize_entities(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full canonicalization: LSH candidates → exact-Jaccard edge filter →
     connected components → (entity_id, entity_key, canonical_id).
     Singletons keep themselves as canonical."""
-    sigs = entity_minhash(entities, key_col, id_col, num_hashes)
-    cands = candidate_edges(sigs, id_col, bands)
+    sigs = entity_minhash(entities, key_col, id_col, num_hashes, hash_mode)
+    cands = candidate_edges(sigs, id_col, bands, hash_mode=hash_mode)
 
     # verify candidates with exact char-shingle Jaccard before clustering
     keys = entities.select(
-        F.col(id_col), char_shingles(F.col(key_col)).alias("sh")
+        F.col(id_col), char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh")
     )
     a, b = keys.alias("a"), keys.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))

@@ -50,8 +50,26 @@ def _hash_params(k: int, seed: int = 42) -> List[tuple]:
     return params
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Token n-gram shingle hashes: array<bigint> of xxhash64 per shingle.
+def content_hash64(c: Column, hash_mode: str = "xxhash64") -> Column:
+    """String → 64-bit hash under a named, engine-portable mode.
+
+    ``xxhash64``  the production mode: one JVM codegen'd call, the right
+                  choice at 100 TB.
+    ``md5_60``    top 60 bits of md5 parsed as a bigint — ~3× more expr
+                  nodes, but bit-identical in ANSI SQL engines
+                  (DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``),
+                  which is what the correctness-contract oracles run.
+                  Always non-negative (< 2^60).
+    """
+    if hash_mode == "xxhash64":
+        return F.xxhash64(c)
+    if hash_mode == "md5_60":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def shingles_col(text: Column, n: int = 3, hash_mode: str = "xxhash64") -> Column:
+    """Token n-gram shingle hashes: array<bigint>, one hash per shingle.
     JVM transform over a token slide; distinct to form the shingle set."""
     toks = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
@@ -59,7 +77,12 @@ def shingles_col(text: Column, n: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+        F.transform(
+            idx,
+            lambda i: content_hash64(
+                F.concat_ws(" ", F.slice(toks, i, n)), hash_mode
+            ),
+        )
     )
 
 
@@ -85,12 +108,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """k minhashes per doc: sig_i = min over shingles of ((a_i*s + b_i) mod p).
     All JVM (transform + array_min) — no Python, no shuffle. Empty shingle
     sets get p (sentinel) so they never collide with real signatures."""
     params = _hash_params(num_hashes)
-    sh = shingles_col(F.col(text_col), shingle_n)
+    sh = shingles_col(F.col(text_col), shingle_n, hash_mode)
 
     def _min_hash(a: int, b: int) -> Column:
         # closure factory: pyspark introspects lambda arity, so default-arg
@@ -155,6 +179,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     max_bucket: Optional[int] = 1000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature array and bucket-group on (band_idx, band_hash).
 
@@ -166,22 +191,28 @@ def lsh_candidate_pairs(
     distinct (a_id, b_id) with a_id < b_id.
     """
     rows = F.size(F.col("minhash")) / bands
+
+    def _band_hash(b: Column) -> Column:
+        sl = F.slice(F.col("minhash"), (b * rows + 1).cast("int"), rows.cast("int"))
+        if hash_mode == "xxhash64":
+            # xxhash64 hashes the sliced array structurally — no string
+            # concat needed, ~10× smaller expression tree
+            return F.xxhash64(sl, b)
+        # md5_60: hash "<band>,<v1>,<v2>,..." — the oracle reproduces the
+        # same string with band_idx::VARCHAR || ',' || array_to_string(...)
+        return content_hash64(
+            F.concat_ws(
+                ",",
+                b.cast("string"),
+                F.array_join(F.transform(sl, lambda x: x.cast("string")), ","),
+            ),
+            hash_mode,
+        )
+
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                # xxhash64 hashes the sliced array structurally — no
-                # string concat needed, ~10× smaller expression tree
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("minhash"),
-                        (b * rows + 1).cast("int"),
-                        rows.cast("int"),
-                    ),
-                    b,
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_hash)
         ).alias("band_idx", "band_hash"),
     )
     return _bucket_pairs(
@@ -198,6 +229,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     shingle_n: int = 3,
     estimate: bool = False,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     Jaccard verification on candidates only. Returns (a_id, b_id, jaccard)
@@ -211,12 +243,14 @@ def minhash_dedup_pairs(
     (An in-bucket estimate — signatures riding the collect_list rows — was
     measured 3× SLOWER than this join: the deeply nested HOF over
     array<struct<id,array<bigint>>> drops out of whole-stage codegen.)"""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_mode)
     if not estimate:
-        cands = lsh_candidate_pairs(sigs, id_col, bands)
-        return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+        cands = lsh_candidate_pairs(sigs, id_col, bands, hash_mode=hash_mode)
+        return ngram_jaccard_pairs(
+            df, cands, text_col, id_col, shingle_n, threshold, hash_mode
+        )
     sigs = sigs.cache()
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, hash_mode=hash_mode)
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = F.size(
         F.filter(
@@ -241,11 +275,12 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Exact n-gram Jaccard on given candidate pairs (array_intersect /
     array_union on shingle-hash sets). Joins are hash-equi on doc ids."""
     sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col), shingles_col(F.col(text_col), shingle_n, hash_mode).alias("sh")
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -270,13 +305,22 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+    bits: Optional[int] = None,
 ) -> DataFrame:
-    """64-bit SimHash via per-bit vote aggregation over token hashes —
-    pure JVM: for each bit b, sum(sign(token_hash bit b)) > 0.
-    Narrow (no shuffle)."""
+    """SimHash via per-bit vote aggregation over token hashes — pure JVM:
+    for each bit b, sum(sign(token_hash bit b)) > 0. Narrow (no shuffle).
+    64 bits in xxhash64 mode; md5_60 hashes carry 60 usable bits, so that
+    mode defaults to a 60-bit simhash (pass ``bits`` to override)."""
+    if bits is None:
+        bits = 64 if hash_mode == "xxhash64" else 60
     toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
-    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        F.array_distinct(toks), lambda t: content_hash64(t, hash_mode)
+    )
 
     def _vote(i: int):
         return F.aggregate(
@@ -286,7 +330,7 @@ def simhash(
             + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
-    bit_votes = [_vote(i) for i in range(64)]
+    bit_votes = [_vote(i) for i in range(bits)]
     sim = None
     for i, vote in enumerate(bit_votes):
         bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -296,14 +340,14 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
-    """Near-dup candidates by simhash: split the 64-bit hash into
+    """Near-dup candidates by simhash: split the ``bits``-wide hash into
     (max_hamming+1) bands — by pigeonhole, any pair within the hamming
     radius shares at least one exact band. Equi-join per band, verify
     hamming via bit_count(xor)."""
     bands = max_hamming + 1
-    width = 64 // bands
+    width = bits // bands
     banded = sims.select(
         F.col(id_col),
         F.col("simhash"),
@@ -366,16 +410,22 @@ def embedding_near_dups(
     threshold: float = 0.95,
     planes: int = 12,
     seed: int = 7,
+    hyperplanes: Optional[List[List[float]]] = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH bucket join, then
     exact cosine (zip_with/aggregate — JVM) on candidates. At 10^12 scale
-    the bucket key keeps the self-join from being all-pairs."""
-    dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_df[0]["d"]
-    import random
+    the bucket key keeps the self-join from being all-pairs.
 
-    rnd = random.Random(seed)
-    hyperplanes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+    ``hyperplanes`` overrides the seeded-RNG planes — the contract query
+    passes an explicit list so the DuckDB oracle can inline the identical
+    literals (the planes are data, not code)."""
+    if hyperplanes is None:
+        dim_df = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = dim_df[0]["d"]
+        import random
+
+        rnd = random.Random(seed)
+        hyperplanes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
 
     def sign_bits(vec: Column) -> Column:
         bits = None

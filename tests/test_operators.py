@@ -136,3 +136,37 @@ def test_doc_fingerprints(docs):
     assert out[0]["exact_sha256"] == out[1]["exact_sha256"]
     assert out[0]["rolling_min_hash"] == out[1]["rolling_min_hash"]
     assert out[0]["exact_sha256"] != out[2]["exact_sha256"]
+
+
+def test_md5_60_hash_mode_cross_engine_parity(spark):
+    """content_hash64(_, 'md5_60') must equal DuckDB's
+    ('0x'||substr(md5(x),1,15))::BIGINT — the identity the contract oracles
+    rely on. Pinned against python hashlib as the neutral third engine."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    vals = ["hello", "", "Domain Name", "δοκιμή", "a b  c"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", dedup.content_hash64(F.col("s"), "md5_60").alias("h")
+    )
+    got = {r["s"]: r["h"] for r in df.collect()}
+    for v in vals:
+        expect = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[v] == expect, v
+
+
+def test_minhash_md5_mode_same_pair_semantics(spark, docs):
+    """md5_60 and xxhash64 modes agree on EXACT-duplicate pairs (hash mode
+    changes bucket values, never the dup-pair contract)."""
+    xx = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.99).collect()
+    }
+    md = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.99, hash_mode="md5_60"
+        ).collect()
+    }
+    assert xx == md

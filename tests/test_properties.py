@@ -6,6 +6,12 @@ import string
 import uuid
 
 from hypothesis import given, settings
+
+# Deadline disabled: examples are deterministic pure-Python; wall-clock spikes
+# under a loaded host (Spark JVM in the same suite) otherwise flake as
+# DeadlineExceeded.
+settings.register_profile("no_deadline", deadline=None)
+settings.load_profile("no_deadline")
 from hypothesis import strategies as st
 
 from case_uco_ontology_map_spark.refmap.extract import extract_text, render_html
