@@ -101,19 +101,28 @@ def bench_queries(spark, sf_dir: str):
         """Realistic dedup staging: exact dedup FIRST collapses the ×AMPLIFY
         copies (uniform-hash shuffle), then MinHash-LSH runs on canonical
         docs only — running LSH on a corpus full of exact dups degenerates
-        every band bucket into an O(copies²) pair generator."""
+        every band bucket into an O(copies²) pair generator.
+
+        Document TEXT never crosses a shuffle: the exact-dedup window moves
+        only (doc_id, content_hash), and the canonical-id set (small by
+        construction after collapse) is BROADCAST back onto the narrow doc
+        scan — signatures are then computed post-filter with no exchange.
+        When the canonical side is too big to broadcast (low dup rate at
+        100 TB), flip the order: minhash_signatures on the raw corpus
+        (narrow), then equi-join ids against the ~0.5 KB/doc signatures —
+        either way the text stays put."""
         from case_uco_ontology_map_spark.operators.dedup import (
             exact_dedup,
-            minhash_dedup_pairs,
+            minhash_estimate_pairs,
+            minhash_signatures,
         )
 
-        canon = (
-            exact_dedup(docs)
-            .filter(F.col("is_canonical"))
-            .select(F.col("doc_id"))
-            .join(docs, "doc_id")
+        canon_ids = (
+            exact_dedup(docs).filter(F.col("is_canonical")).select("doc_id")
         )
-        return minhash_dedup_pairs(canon, threshold=0.5, estimate=True).count()
+        canon_docs = docs.join(F.broadcast(canon_ids), "doc_id")
+        sigs = minhash_signatures(canon_docs)
+        return minhash_estimate_pairs(sigs, threshold=0.5).count()
 
     def q_mentions():
         from case_uco_ontology_map_spark.operators.mentions import detect_mentions

@@ -249,7 +249,31 @@ def minhash_dedup_pairs(
         return ngram_jaccard_pairs(
             df, cands, text_col, id_col, shingle_n, threshold, hash_mode
         )
-    sigs = sigs.cache()
+    return minhash_estimate_pairs(sigs, id_col, bands, threshold, hash_mode)
+
+
+def minhash_estimate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
+    cache: bool = True,
+) -> DataFrame:
+    """Signature-only near-dup pairs: banded LSH candidates verified by the
+    minhash Jaccard ESTIMATE (fraction of agreeing signature positions).
+
+    Takes precomputed signatures so callers can stage the 100 TB way:
+    compute signatures narrowly over the raw corpus, then every later
+    shuffle/join moves only the k-int signature (~0.5 KB/doc), never the
+    document text. The estimate never re-joins the documents.
+
+    ``cache=True`` persists the signatures (used by the band join AND both
+    verify sides); the cache lives until the session drops it — a
+    long-lived session that calls this repeatedly should pass an already-
+    persisted ``sigs`` and ``cache=False``, then unpersist itself."""
+    if cache:
+        sigs = sigs.cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, hash_mode=hash_mode)
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = F.size(
@@ -321,22 +345,41 @@ def simhash(
     hashes = F.transform(
         F.array_distinct(toks), lambda t: content_hash64(t, hash_mode)
     )
-
-    def _vote(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(i) for i in range(bits)]
-    sim = None
-    for i, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    # ONE aggregate over a `bits`-wide vote vector (±1 per bit per token)
+    # instead of `bits` independent aggregate() passes over the token array
+    # — the per-token work is a single zip_with, same semantics
+    # (vote_b = Σ sign(hash bit b))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, s: a + s,
+        ),
+    )
+    # simhash = Σ_b [vote_b > 0] << b — disjoint bits, so sum == or; the
+    # assembly is `bits` tiny element_at terms over the ONE materialized
+    # vote array (separate select so CollapseProject can't re-inline the
+    # aggregate per term)
+    with_votes = df.select(F.col(id_col), votes.alias("_votes"))
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft (not 1 << i literal): bit 63 must wrap to the sign bit
+        term = F.shiftleft(F.lit(1).cast("long"), i)
+        sim = sim + F.when(
+            F.element_at(F.col("_votes"), i + 1) > 0, term
+        ).otherwise(F.lit(0).cast("long"))
+    return with_votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -442,16 +442,22 @@ def run_pipeline(
     if out_dir:
         from ..streaming.resume import lineage, write_manifest
 
+        triples_path = os.path.join(out_dir, "triples")
         (
             out["triples"]
             .withColumn("bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64)))
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "triples"))
+            .parquet(triples_path)
         )
+        # manifest + lineage scan the WRITTEN parquet, not the logical plan
+        # — otherwise the extraction kernel runs three times (write,
+        # manifest distinct, lineage agg). One kernel pass total; the two
+        # derived jobs read back pruned columns from columnar storage.
+        written = spark.read.parquet(triples_path)
         write_manifest(
-            out["triples"].select("fingerprint", "record_uuid").distinct(),
+            written.select("fingerprint", "record_uuid").distinct(),
             os.path.join(checkpoint_dir or out_dir, "manifest"),
         )
-        out["lineage"] = lineage(out["triples"])
+        out["lineage"] = lineage(written)
     return out
