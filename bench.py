@@ -36,7 +36,17 @@ def make_spark(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "5000"),
+        )
+        # Throughput-batch GC: this job allocates UnsafeRows/Arrow buffers at
+        # a rate proportional to core count; tunable so the scaling protocol
+        # measures dataflow, not collector choice.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
         .getOrCreate()
     )
 
@@ -91,7 +101,11 @@ def bench_queries(spark, sf_dir: str):
         )
 
     def q_triples():
-        return fused_page_triples(corpus).count()
+        # per_record_meta="first": the production encoding — fingerprint/url
+        # are record constants, emitted once per record instead of repeated
+        # on all ~15 triple rows (~40% of Arrow transfer bytes). Semantics
+        # pinned equal to the denormalized mode in test_pipeline_spark.
+        return fused_page_triples(corpus, per_record_meta="first").count()
 
     docs = corpus.select(
         F.xxhash64("url").alias("doc_id"), F.col("text")

@@ -170,9 +170,24 @@ def fused_page_triples(
     lang: Optional[str] = None,
     mentions: bool = False,
     gazetteer: Optional[Dict[str, str]] = None,
+    per_record_meta: str = "all",
 ) -> DataFrame:
     """Fused fast path: (url, warc_ts, html, lang) → triples in ONE
     mapInPandas crossing.
+
+    ``per_record_meta`` controls the fingerprint/url columns, which are
+    constants of the RECORD, not the triple:
+      - "all" (default): repeated on every triple row — the denormalized
+        shape the contract queries and the staged-equality test pin.
+      - "first": emitted on the record's first triple row only, null on the
+        rest — the normalized production encoding. fingerprint (64 hex
+        chars) + url are ~40% of the Arrow transfer bytes per row; at
+        100 TB that repetition is pure memory-bandwidth burn on a value the
+        manifest needs once per record. Nulls RLE away in parquet; every
+        consumer is null-safe (manifest filters isNotNull, lineage
+        min/max ignore nulls, bucketing keys on record_uuid which stays
+        per-row). test_pipeline_spark pins first-mode ≡ all-mode after
+        normalization.
 
     Semantically identical to extracted_pages → page_records → page_triples
     (tests pin equality) but crosses the JVM↔Python Arrow boundary once
@@ -189,6 +204,9 @@ def fused_page_triples(
     whole with_mentions graph stays ONE corpus scan with zero shuffles
     (previously: 3 extraction passes + a distinct + a join + a driver
     collect)."""
+    if per_record_meta not in ("all", "first"):
+        raise ValueError(f"per_record_meta must be 'all'|'first', got {per_record_meta!r}")
+    meta_all = per_record_meta == "all"
     from typing import Iterator as _Iterator
 
     import pyarrow as _pa
@@ -263,7 +281,12 @@ def fused_page_triples(
                     cols[0].append(t[0]); cols[1].append(t[1])
                     cols[2].append(t[2]); cols[3].append(t[3])
                     cols[4].append(t[4]); cols[5].append(t[5])
-                    cols[6].append(fp); cols[7].append(url)
+                n = len(rows)
+                if meta_all:
+                    cols[6].extend([fp] * n); cols[7].extend([url] * n)
+                elif n:
+                    cols[6].append(fp); cols[6].extend([None] * (n - 1))
+                    cols[7].append(url); cols[7].extend([None] * (n - 1))
             yield _pa.RecordBatch.from_arrays(
                 [
                     _pa.array(cols[0], _pa.string()),
@@ -383,6 +406,7 @@ def run_pipeline(
     out_dir: Optional[str] = None,
     with_mentions: bool = False,
     checkpoint_dir: Optional[str] = None,
+    per_record_meta: str = "all",
 ) -> Dict[str, DataFrame]:
     """Full batch: corpus → triples [+ mention triples + canonical entities]
     (+ optional materialization + checkpoint manifest + lineage).
@@ -396,7 +420,7 @@ def run_pipeline(
     corpus = web_corpus(spark, sf_dir)
     pages = extracted_pages(corpus, lang=lang)
     records = page_records(pages)
-    triples = fused_page_triples(corpus, lang=lang)
+    triples = fused_page_triples(corpus, lang=lang, per_record_meta=per_record_meta)
     out: Dict[str, DataFrame] = {
         "corpus": corpus,
         "pages": pages,
@@ -418,7 +442,8 @@ def run_pipeline(
         # zero shuffles, fingerprint preserved on every row (manifest/resume
         # work unchanged in this configuration)
         out["triples"] = fused_page_triples(
-            corpus, lang=lang, mentions=True, gazetteer=gaz
+            corpus, lang=lang, mentions=True, gazetteer=gaz,
+            per_record_meta=per_record_meta,
         )
         # embedding link-scoring (north_star: gazetteer + embedding). The
         # class universe is STATIC (gazetteer values) — no data-dependent
@@ -456,7 +481,11 @@ def run_pipeline(
         # derived jobs read back pruned columns from columnar storage.
         written = spark.read.parquet(triples_path)
         write_manifest(
-            written.select("fingerprint", "record_uuid").distinct(),
+            # isNotNull: no-op in "all" mode, selects the one meta-carrying
+            # row per record in "first" mode (same manifest either way)
+            written.filter(F.col("fingerprint").isNotNull())
+            .select("fingerprint", "record_uuid")
+            .distinct(),
             os.path.join(checkpoint_dir or out_dir, "manifest"),
         )
         out["lineage"] = lineage(written)

@@ -165,6 +165,28 @@ def test_fused_equals_staged(spark, sf_dir):
     corpus.unpersist()
 
 
+def test_fused_first_meta_equals_all(spark, sf_dir):
+    """per_record_meta="first" (production encoding: fingerprint/url once
+    per record, null elsewhere) must carry the SAME triple semantics as the
+    denormalized default — identical (subj..record_uuid) set, exactly one
+    non-null (fingerprint, url) pair per record, and the same
+    (fingerprint → record_uuid) manifest."""
+    from case_uco_ontology_map_spark.plans.pipeline import fused_page_triples
+
+    corpus = web_corpus(spark, sf_dir).limit(40).cache()
+    full = fused_page_triples(corpus).collect()
+    slim = fused_page_triples(corpus, per_record_meta="first").collect()
+    assert {tuple(r)[:6] for r in full} == {tuple(r)[:6] for r in slim}
+    manifest_full = {(r["fingerprint"], r["record_uuid"]) for r in full}
+    meta_rows = [r for r in slim if r["fingerprint"] is not None]
+    assert {(r["fingerprint"], r["record_uuid"]) for r in meta_rows} == manifest_full
+    assert len(meta_rows) == len(manifest_full)  # exactly one per record
+    assert all(
+        (r["url"] is None) == (r["fingerprint"] is None) for r in slim
+    )
+    corpus.unpersist()
+
+
 def test_fused_mentions_one_scan_no_shuffle(spark, sf_dir):
     """Scale guard (round-2): the with_mentions triples plan must stay ONE
     corpus scan with zero Exchanges — mention triples are emitted by the
