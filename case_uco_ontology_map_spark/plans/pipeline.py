@@ -218,12 +218,7 @@ def fused_page_triples(
         scan_mentions,
     )
     from ..operators.triples import extend_ontology_map_for_schema
-    from ..refmap.graph import (
-        build_record_nodes as _nodes,
-        enforce_property_placement as _place,
-        nodes_to_triples as _flatten,
-    )
-    from ..refmap.planner import OntologyContext as _Ctx, plan_record as _plan
+    from ..refmap.emitter import TripleEmitter
 
     field_types = {
         "url": "str", "warc_time": "str", "lang": "str", "n_chars": "int",
@@ -259,19 +254,19 @@ def fused_page_triples(
     # exact output equality with the staged pandas path).
     def kernel(batches: "_Iterator[_pa.RecordBatch]") -> "_Iterator[_pa.RecordBatch]":
         cfg = bc.value
-        ctx = _Ctx(cfg["map"])
-        om = cfg["map"]
         sh = cfg["shared"]
         gazd, prefixes = cfg["gaz"], cfg["prefixes"]
+        # Shape-compiled emitter (refmap/emitter.py): structural planning
+        # runs once per record SHAPE, not once per record — per-record work
+        # is extraction + fingerprint + uuid5 chain + string assembly. The
+        # emitter self-verifies its first record per shape against the
+        # generic path and falls back permanently on any mismatch.
+        emitter = TripleEmitter(cfg["map"])
         for rb in batches:
             cols = [[], [], [], [], [], [], [], []]
             for url, warc_time, html, lg in _batch_page_fields(rb):
                 rec, text = _page_record(url, warc_time, html, lg, sh)
-                plan = _plan(rec, ctx)
-                nodes = _place(_nodes(plan, kb_ids=True), om)
-                fp = plan["fingerprint"]
-                ruuid = plan["record_uuid"]
-                rows = _flatten(nodes, ruuid)
+                fp, ruuid, rows = emitter.rows_for(rec)
                 if gazd is not None:
                     for (surface, cls), c in sorted(
                         scan_mentions(text, gazd, prefixes).items()
