@@ -125,6 +125,68 @@ SELECT url, pred, obj FROM (
 """
 
 
+def q_fused_literal_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED kernel (shape-compiled TripleEmitter path, refmap/emitter)
+    under the DuckDB gate: literal triples from fused_page_triples must
+    hash-match the same SQL reconstruction the staged path matches —
+    proving the specializer emits byte-identical values end to end."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.plans.pipeline import fused_page_triples
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+
+    triples = fused_page_triples(web_corpus(spark, sf_dir))
+    return (
+        triples.filter(~F.col("obj_is_iri"))
+        .select("url", "pred", "obj")
+        .orderBy("url", "pred", "obj")
+    )
+
+
+def q_fenced_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 Column twin at scale: deterministic two-block transcript per doc,
+    LAST fenced ```json block wins, parsed field compared engine-to-engine
+    (refmap/transcript.py::fenced_json_col)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.refmap.transcript import fenced_json_col
+
+    docs = _docs(spark, sf_dir)
+    content = F.concat(
+        F.lit('noise ```json\n{"a": '),
+        F.col("doc_id").cast("string"),
+        F.lit('}\n``` mid ```json\n{"n": '),
+        F.length("text").cast("string"),
+        F.lit('}\n``` tail'),
+    )
+    return (
+        docs.select(
+            "doc_id", fenced_json_col(content, "n long").alias("j")
+        )
+        .select("doc_id", F.col("j.n").alias("n"))
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_fenced_json_extract() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         'noise ```json' || chr(10) || '{"a": ' || CAST(doc_id AS VARCHAR)
+         || '}' || chr(10) || '``` mid ```json' || chr(10) || '{"n": '
+         || CAST(length(text) AS VARCHAR) || '}' || chr(10) || '``` tail'
+         AS content
+  FROM documents
+)
+SELECT doc_id,
+       CAST(json_extract(
+         (regexp_extract_all(content,
+            '```(?:json)?\s*(\{[\s\S]*?\})\s*```', 1))[-1],
+         '$.n') AS BIGINT) AS n
+FROM t ORDER BY doc_id
+"""
+
+
 def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triple emission incl. uuid5 IRIs (not SQL-expressible: uuid5 is
     SHA-1-based and DuckDB has no sha1) — rows-only driver check; exact
@@ -1137,7 +1199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline (north_star path)
         "page_fingerprints": q_page_fingerprints,
         "page_literal_triples": q_page_literal_triples,
+        "fused_literal_triples": q_fused_literal_triples,
         "triples_full": q_triples_full,
+        "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
         "token_counts": q_token_counts,
@@ -1173,6 +1237,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "page_fingerprints": _oracle_page_fingerprints(),
         "page_literal_triples": _oracle_page_literal_triples(),
+        "fused_literal_triples": _oracle_page_literal_triples(),
+        "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),
         "lang_id": _oracle_lang_id(),
