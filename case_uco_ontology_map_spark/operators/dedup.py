@@ -112,9 +112,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """k minhashes per doc: sig_i = min over shingles of ((a_i*s + b_i) mod p).
     All JVM (transform + array_min) — no Python, no shuffle. Empty shingle
-    sets get p (sentinel) so they never collide with real signatures."""
+    sets get p (sentinel) so they never collide with real signatures.
+
+    The shingle array is materialized in its OWN projection before the k
+    per-hash transforms reference it: inlined, CollapseProject folds the
+    shingle expression (tokenize → slide → concat → hash → distinct) into
+    every one of the k lambdas and subexpression elimination does not reach
+    inside higher-order functions, so the shingles were recomputed k times
+    per row — measured 36× slower (44s → 1.2s for 5k docs × 64 hashes).
+    Same fix as simhash's `_votes` staging below."""
     params = _hash_params(num_hashes)
-    sh = shingles_col(F.col(text_col), shingle_n, hash_mode)
+    staged = df.select(
+        F.col(id_col),
+        shingles_col(F.col(text_col), shingle_n, hash_mode).alias("_sh"),
+    )
 
     def _min_hash(a: int, b: int) -> Column:
         # closure factory: pyspark introspects lambda arity, so default-arg
@@ -122,7 +133,7 @@ def minhash_signatures(
         return F.coalesce(
             F.array_min(
                 F.transform(
-                    sh,
+                    F.col("_sh"),
                     lambda s: ((F.abs(s) % F.lit(_MERSENNE_P)) * F.lit(a) + F.lit(b))
                     % F.lit(_MERSENNE_P),
                 )
@@ -131,7 +142,7 @@ def minhash_signatures(
         )
 
     sig = F.array(*[_min_hash(a, b) for a, b in params]).alias("minhash")
-    return df.select(F.col(id_col), sig)
+    return staged.select(F.col(id_col), sig)
 
 
 def _bucket_pairs(
