@@ -57,7 +57,14 @@ def entity_minhash(
     from .dedup import _MERSENNE_P, _hash_params
 
     params = _hash_params(num_hashes, seed=17)
-    sh = char_shingles(F.col(key_col), hash_mode=hash_mode)
+    # shingles staged in their own projection — inlined, they'd be folded
+    # into (and re-evaluated by) every one of the k lambdas below
+    # (dedup.minhash_signatures' 36× lesson)
+    staged = entities.select(
+        F.col(id_col),
+        F.col(key_col),
+        char_shingles(F.col(key_col), hash_mode=hash_mode).alias("_sh"),
+    )
 
     def _min_hash(a: int, b: int):
         # closure factory — see dedup.minhash_signatures for why not
@@ -65,7 +72,7 @@ def entity_minhash(
         return F.coalesce(
             F.array_min(
                 F.transform(
-                    sh,
+                    F.col("_sh"),
                     lambda s: ((F.abs(s) % F.lit(_MERSENNE_P)) * F.lit(a) + F.lit(b))
                     % F.lit(_MERSENNE_P),
                 )
@@ -74,7 +81,7 @@ def entity_minhash(
         )
 
     sig = F.array(*[_min_hash(a, b) for a, b in params])
-    return entities.select(F.col(id_col), F.col(key_col), sig.alias("minhash"))
+    return staged.select(F.col(id_col), F.col(key_col), sig.alias("minhash"))
 
 
 def candidate_edges(

@@ -68,10 +68,22 @@ def content_hash64(c: Column, hash_mode: str = "xxhash64") -> Column:
     raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
-def shingles_col(text: Column, n: int = 3, hash_mode: str = "xxhash64") -> Column:
-    """Token n-gram shingle hashes: array<bigint>, one hash per shingle.
-    JVM transform over a token slide; distinct to form the shingle set."""
-    toks = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+def tokens_lower_col(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty dropped) — the shared shingle
+    tokenizer."""
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+
+
+def shingles_from_tokens(
+    toks: Column, n: int = 3, hash_mode: str = "xxhash64"
+) -> Column:
+    """Token-array → n-gram shingle-hash set (array<bigint>).
+
+    Pass a MATERIALIZED token column (an alias projected in its own
+    select), not an inline tokenize expression: the per-shingle lambda
+    references ``toks``, and an inline expression is re-evaluated once per
+    shingle (~token-count× redundant tokenization — measured 2.5× on
+    signatures; see minhash_signatures' staging note)."""
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
@@ -84,6 +96,13 @@ def shingles_col(text: Column, n: int = 3, hash_mode: str = "xxhash64") -> Colum
             ),
         )
     )
+
+
+def shingles_col(text: Column, n: int = 3, hash_mode: str = "xxhash64") -> Column:
+    """Text → token n-gram shingle hashes in one Column expression.
+    Convenience form; hot paths should stage tokens first (see
+    shingles_from_tokens)."""
+    return shingles_from_tokens(tokens_lower_col(text), n, hash_mode)
 
 
 def exact_dedup(
@@ -123,8 +142,10 @@ def minhash_signatures(
     Same fix as simhash's `_votes` staging below."""
     params = _hash_params(num_hashes)
     staged = df.select(
+        F.col(id_col), tokens_lower_col(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        shingles_col(F.col(text_col), shingle_n, hash_mode).alias("_sh"),
+        shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode).alias("_sh"),
     )
 
     def _min_hash(a: int, b: int) -> Column:
@@ -315,7 +336,10 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard on given candidate pairs (array_intersect /
     array_union on shingle-hash sets). Joins are hash-equi on doc ids."""
     sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n, hash_mode).alias("sh")
+        F.col(id_col), tokens_lower_col(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode).alias("sh"),
     )
     a = sh.alias("a")
     b = sh.alias("b")

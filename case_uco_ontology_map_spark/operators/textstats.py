@@ -118,7 +118,11 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     (xxhash64 of each 16-token window, min over windows ≙ winnowing pick).
     JVM-only: transform over a slide of token arrays."""
     text = F.col(text_col)
-    toks = tokens_col(text)
+    # stage tokens in their own projection: the per-window lambda below
+    # references the token array, and an inline tokenize expression would
+    # re-evaluate once per window (see dedup.shingles_from_tokens)
+    staged = df.select("*", tokens_col(text).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     win = F.lit(16)
     idx = F.sequence(
@@ -128,8 +132,8 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         idx,
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, win))),
     )
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         F.sha2(text, 256).alias("exact_sha256"),
         F.array_min(window_hashes).alias("rolling_min_hash"),
     )
