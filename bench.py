@@ -42,6 +42,15 @@ def make_spark(cores: int):
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "5000"),
         )
+        # 64 MB broadcast ceiling (default 10 MB): signature/shingle-key
+        # sides of the dedup/canonicalize verify joins are tens of MB at
+        # bench scale — broadcasting them removes two sort-merge exchanges
+        # per verify. A 100 TB cluster with 8-32 GB executors makes the
+        # same call.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST", "64m"),
+        )
         # Small split bins so the staged-corpus parquet read fans out to
         # >=4 tasks/core (the staged files are a few MB each; the 128 MB
         # default would pack them into ~16 read tasks and starve local[32]).
@@ -172,12 +181,44 @@ def bench_queries(spark, sf_dir: str):
             .collect()[0][0]
         )
 
+    def q_canonicalize():
+        """North-rule canonicalization stage: per-document entity keys with
+        ×AMPLIFY near-identical variants (shared pseudorandom hex base +
+        '-vN' suffix) that MUST cluster back to exactly one canonical id
+        per document, while distinct documents stay separate (pseudorandom
+        bases ⇒ cross-doc Jaccard ≈ 0 — diverse keys, the realistic shape;
+        uniform structured keys like full same-host urls are the hot-domain
+        degenerate case, handled separately via max_bucket caps + salting).
+        Pipeline: char-shingle minhash → banded LSH → estimate verify
+        (signature-only, the 100 TB mode) → alternating-star connected
+        components. Returns the canonical-group count (5000 = perfect)."""
+        from case_uco_ontology_map_spark.operators.canonicalize import (
+            canonicalize_entities,
+        )
+
+        base = F.hex(F.xxhash64(F.regexp_replace("url", r"\?c=\d+$", "")))
+        key = F.concat(
+            F.lit("ent-"), base, F.lit("-v"),
+            F.regexp_extract("url", r"c=(\d+)", 1),
+        )
+        ents = corpus.select(
+            F.xxhash64("url").alias("entity_id"), key.alias("entity_key")
+        )
+        return (
+            canonicalize_entities(
+                ents, jaccard_threshold=0.7, verify="estimate"
+            )
+            .agg(F.countDistinct("canonical_id"))
+            .collect()[0][0]
+        )
+
     return stage_dir, n_docs, {
         "extract_text": q_extract,
         "kg_triples": q_triples,
         "minhash_dedup": q_minhash_dedup,
         "mention_detect": q_mentions,
         "quality_score": q_quality,
+        "canonicalize": q_canonicalize,
     }
 
 

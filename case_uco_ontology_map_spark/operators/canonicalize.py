@@ -102,14 +102,15 @@ def candidate_edges(
 
 def _large_star(pairs: DataFrame) -> DataFrame:
     """Large-star (Kiveris et al. SOCC'14 §3): for every node u, connect all
-    strictly-larger neighbors to m = min(Γ(u) ∪ {u}). One groupBy-min + one
-    join per call. Input/output: distinct (a, b) pairs, a != b."""
+    strictly-larger neighbors to m = min(Γ(u) ∪ {u}). One window-min
+    exchange per call. Input/output: distinct (a, b) pairs, a != b."""
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+    # window min on the node key: ONE exchange instead of groupBy + re-join
+    mb = F.min("b").over(Window.partitionBy("a"))
     return (
-        sym.join(mins, "a")
+        sym.withColumn("mb", mb)
         .where(F.col("b") > F.col("a"))
         .select(
             F.col("b").alias("a"),
@@ -130,11 +131,12 @@ def _small_star(pairs: DataFrame) -> DataFrame:
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    # window min over the oriented edges (one exchange); the per-group
+    # (u, m) arm is emitted per row and collapsed by the final distinct
+    withm = directed.withColumn("m", F.min("b").over(Window.partitionBy("a")))
     return (
-        directed.join(mins, "a")
-        .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .union(mins.select(F.col("a"), F.col("m").alias("b")))
+        withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(withm.select(F.col("a"), F.col("m").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -228,27 +230,70 @@ def canonicalize_entities(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     hash_mode: str = "xxhash64",
+    estimate_prefilter: float = None,
+    verify: str = "exact",
 ) -> DataFrame:
     """Full canonicalization: LSH candidates → exact-Jaccard edge filter →
     connected components → (entity_id, entity_key, canonical_id).
-    Singletons keep themselves as canonical."""
+    Singletons keep themselves as canonical.
+
+    ``estimate_prefilter`` (e.g. ``jaccard_threshold - 0.2``): drop
+    candidate pairs whose MINHASH-ESTIMATE Jaccard falls below this bound
+    BEFORE the exact shingle verify — the signatures are already in hand
+    (k ints/entity, broadcast-size for 10^5 entities, partition-joinable
+    beyond), so on hot-domain key distributions where LSH buckets flood
+    (millions of candidates from near-uniform keys) the expensive exact
+    verify join shrinks ~20× for the cost of one cheap join. Estimator
+    std is √(j(1-j)/k); set the margin ≥3σ below the threshold so true
+    pairs pass. Default off: the exact path is the oracle-checked
+    semantics.
+
+    ``verify="estimate"`` replaces the exact char-shingle verify with the
+    minhash-estimate Jaccard (fraction of agreeing signature positions) —
+    the 100 TB mode, mirroring dedup.minhash_estimate_pairs: the verify
+    join touches only the k-int signatures already in hand, never re-joins
+    the entity keys, at ±1/√k estimator error. Default "exact"."""
     sigs = entity_minhash(entities, key_col, id_col, num_hashes, hash_mode)
     cands = candidate_edges(sigs, id_col, bands, hash_mode=hash_mode)
 
-    # verify candidates with exact char-shingle Jaccard before clustering
-    keys = entities.select(
-        F.col(id_col), char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh")
-    )
-    a, b = keys.alias("a"), keys.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size(F.array_union("a.sh", "b.sh"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    edges = (
-        cands.join(a, cands["src"] == F.col(f"a.{id_col}"))
-        .join(b, cands["dst"] == F.col(f"b.{id_col}"))
-        .filter(jac >= jaccard_threshold)
-        .select("src", "dst")
-    )
+    def _estimate_filtered(pairs: DataFrame, bound: float) -> DataFrame:
+        sa, sb = sigs.alias("sa"), sigs.alias("sb")
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sa.minhash"), F.col("sb.minhash"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        )
+        est = agree.cast("double") / F.size(F.col("sa.minhash"))
+        return (
+            pairs.join(sa, pairs["src"] == F.col(f"sa.{id_col}"))
+            .join(sb, pairs["dst"] == F.col(f"sb.{id_col}"))
+            .filter(est >= bound)
+            .select("src", "dst")
+        )
+
+    if verify == "estimate":
+        edges = _estimate_filtered(cands, jaccard_threshold)
+    else:
+        if estimate_prefilter is not None:
+            cands = _estimate_filtered(cands, estimate_prefilter)
+        # verify candidates with exact char-shingle Jaccard before clustering
+        keys = entities.select(
+            F.col(id_col),
+            char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh"),
+        )
+        a, b = keys.alias("a"), keys.alias("b")
+        inter = F.size(F.array_intersect("a.sh", "b.sh"))
+        union = F.size(F.array_union("a.sh", "b.sh"))
+        jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        edges = (
+            cands.join(a, cands["src"] == F.col(f"a.{id_col}"))
+            .join(b, cands["dst"] == F.col(f"b.{id_col}"))
+            .filter(jac >= jaccard_threshold)
+            .select("src", "dst")
+        )
 
     comps = connected_components(edges)
     return (
