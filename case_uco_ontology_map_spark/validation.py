@@ -185,6 +185,51 @@ def check_node_kind(
     return joined.filter(bad).select("subj", "pred", "obj", "kind")
 
 
+def check_object_class(
+    triples: DataFrame, dictionary: Dict[str, Any]
+) -> DataFrame:
+    """SHACL sh:class scoped by the subject's class: an object property
+    whose shape declares ``class: C`` must point at a node whose rdf:type
+    is C or a subclass of C (admissibility = the dictionary's superclass
+    closure, a broadcast table of (object_class, admissible_required)
+    pairs). Untyped/external refs are not flagged here — check_dangling_refs
+    owns absence; this rule owns TYPE MISMATCH of resolvable refs."""
+    rows = [(c, p, str(v)) for c, p, v in _shape_rows(dictionary, "class")]
+    if not rows:
+        return triples.limit(0).select(
+            "subj", "pred", "obj", F.lit("").alias("required_class"),
+            F.lit("").alias("object_class"),
+        )
+    spark = triples.sparkSession
+    required = spark.createDataFrame(
+        rows, "cls string, prop string, required_class string"
+    )
+    admissible_rows = []
+    for name, meta in (dictionary.get("classes") or {}).items():
+        admissible_rows.append((name, name))
+        for sup in meta.get("superclasses") or []:
+            admissible_rows.append((name, sup))
+    admissible = spark.createDataFrame(
+        admissible_rows, "object_class string, required_class string"
+    ).distinct()
+
+    types = _subject_types(triples)
+    refs = (
+        triples.filter(F.col("obj_is_iri") & (F.col("pred") != "rdf:type"))
+        .withColumn("prop", _local(F.col("pred")))
+        .join(types, F.col("subj") == F.col("t_subj"))
+        .join(F.broadcast(required), ["cls", "prop"])
+        .drop("t_subj")
+    )
+    obj_types = types.select(
+        F.col("t_subj").alias("obj_node"), F.col("cls").alias("object_class")
+    )
+    resolved = refs.join(obj_types, refs["obj"] == F.col("obj_node"))
+    return resolved.join(
+        F.broadcast(admissible), ["object_class", "required_class"], "left_anti"
+    ).select("subj", "pred", "obj", "required_class", "object_class")
+
+
 def check_datatypes(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:
     """Literal objects must parse as their declared xsd datatype
     (integer/boolean/decimal/dateTime checked syntactically)."""
@@ -283,5 +328,6 @@ def validate_all(
         out["max_count"] = check_max_count(triples, dictionary).count()
         out["min_count"] = check_min_count(triples, dictionary).count()
         out["node_kind"] = check_node_kind(triples, dictionary).count()
+        out["object_class"] = check_object_class(triples, dictionary).count()
         out["datatypes"] = check_datatypes(triples, dictionary).count()
     return out

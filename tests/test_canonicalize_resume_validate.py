@@ -230,3 +230,34 @@ def test_min_count_and_node_kind(spark):
         "obj_datatype string, record_uuid string",
     )
     assert validation.check_node_kind(bad_lit, d).count() == 1
+
+
+def test_object_class_conformance(spark):
+    """sh:class (check_object_class): accountIssuer on AccountFacet
+    requires an object typed under UcoObject — a URL-typed target conforms
+    (URL <: UcoObject in the dictionary closure), a ContentDataFacet-typed
+    target does not (facets sit under UcoThing, not UcoObject)."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    d = load_dictionary()
+    rows = [
+        ("kb:acct-1", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
+        ("kb:acct-1", "uco-observable:accountIssuer", "kb:url-ok", True, None, "r1"),
+        ("kb:url-ok", "rdf:type", "uco-observable:URL", True, None, "r1"),
+        ("kb:acct-2", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
+        ("kb:acct-2", "uco-observable:accountIssuer", "kb:cdf-bad", True, None, "r1"),
+        ("kb:cdf-bad", "rdf:type", "uco-observable:ContentDataFacet", True, None, "r1"),
+        # untyped ref: dangling_refs' business, not this rule's
+        ("kb:acct-3", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
+        ("kb:acct-3", "uco-observable:accountIssuer", "kb:ghost", True, None, "r1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    v = validation.check_object_class(triples, d).collect()
+    assert len(v) == 1
+    assert v[0]["subj"] == "kb:acct-2"
+    assert v[0]["required_class"] == "UcoObject"
+    assert v[0]["object_class"] == "ContentDataFacet"
