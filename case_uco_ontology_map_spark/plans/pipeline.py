@@ -484,4 +484,18 @@ def run_pipeline(
             os.path.join(checkpoint_dir or out_dir, "manifest"),
         )
         out["lineage"] = lineage(written)
+        if "entities" in out:
+            # north_rule: partitioned TRIPLE AND ENTITY tables. Entities
+            # bucket on the canonical id so all members of one canonical
+            # group land in one partition — downstream group-level reads
+            # (merge review, per-entity exports) prune to a single bucket.
+            (
+                out["entities"]
+                .withColumn(
+                    "bucket", F.pmod(F.xxhash64("canonical_id"), F.lit(16))
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(out_dir, "entities"))
+            )
     return out

@@ -128,3 +128,22 @@ def test_run_pipeline_mentions_linked(spark, sf_dir):
     row = mentions.limit(1).collect()
     if row:
         assert row[0]["link_score"] is not None
+
+
+def test_entity_table_materialized_partitioned(spark, sf_dir, tmp_path):
+    """north_rule: materialization writes BOTH partitioned tables — triples
+    (bucketed on record_uuid) and entities (bucketed on canonical_id) —
+    and the entity table round-trips with its canonical groups intact."""
+    import os
+
+    from case_uco_ontology_map_spark.plans.pipeline import run_pipeline
+
+    out_dir = str(tmp_path / "kg")
+    out = run_pipeline(spark, sf_dir, with_mentions=True, out_dir=out_dir)
+    ents_dir = os.path.join(out_dir, "entities")
+    buckets = [d for d in os.listdir(ents_dir) if d.startswith("bucket=")]
+    assert buckets, "entity table must be written partitioned by bucket"
+    written = spark.read.parquet(ents_dir)
+    assert set(written.columns) >= {"entity_id", "entity_key", "canonical_id"}
+    live = out["entities"].count()
+    assert written.count() == live
