@@ -1124,6 +1124,74 @@ def q_mention_detection_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mention_detection_multiword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-gazetteer mention detection (multi-word longest-match) under a
+    DuckDB oracle: the sequential consume-longest scan is replayed in SQL
+    as a recursive CTE over (doc, position) states — at each position the
+    window sizes 4→3→2→1 are tried against per-length surface sets, which
+    is exactly the scan's longest-first rule (the prefix index is only a
+    pruning device, never a semantic one). Closes the last rows-only gap
+    in the mention path (record_uuid variant stays rows-only: uuid5 needs
+    sha1, absent in DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.mentions import detect_mentions
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    return (
+        detect_mentions(docs)
+        .select("url", "surface", "entity_class", "n_mentions")
+        .orderBy("url", "surface")
+    )
+
+
+def _oracle_mention_detection_multiword() -> str:
+    from case_uco_ontology_map_spark.operators.mentions import build_gazetteer
+
+    gaz_rows = ",\n  ".join(
+        f"('{s}', '{c}', {len(s.split())})"
+        for s, c in sorted(build_gazetteer().items())
+    )
+    return f"""
+WITH RECURSIVE gaz(surface, cls, words) AS (VALUES
+  {gaz_rows}
+),
+toks AS (
+  SELECT 'doc:' || doc_id::VARCHAR AS url,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+scan(url, t, n, pos, surface, cls) AS (
+  SELECT url, t, len(t), 1, NULL::VARCHAR, NULL::VARCHAR FROM toks
+  UNION ALL
+  SELECT s.url, s.t, s.n,
+         s.pos + COALESCE(
+           CASE WHEN g4.surface IS NOT NULL THEN 4
+                WHEN g3.surface IS NOT NULL THEN 3
+                WHEN g2.surface IS NOT NULL THEN 2
+                WHEN g1.surface IS NOT NULL THEN 1 END, 1),
+         COALESCE(g4.surface, g3.surface, g2.surface, g1.surface),
+         COALESCE(g4.cls, g3.cls, g2.cls, g1.cls)
+  FROM scan s
+  LEFT JOIN gaz g4 ON g4.words = 4 AND s.pos + 3 <= s.n
+       AND g4.surface = array_to_string(s.t[s.pos:s.pos+3], ' ')
+  LEFT JOIN gaz g3 ON g3.words = 3 AND s.pos + 2 <= s.n
+       AND g3.surface = array_to_string(s.t[s.pos:s.pos+2], ' ')
+  LEFT JOIN gaz g2 ON g2.words = 2 AND s.pos + 1 <= s.n
+       AND g2.surface = array_to_string(s.t[s.pos:s.pos+1], ' ')
+  LEFT JOIN gaz g1 ON g1.words = 1 AND g1.surface = s.t[s.pos]
+  WHERE s.pos <= s.n
+)
+SELECT url, surface, cls AS entity_class, COUNT(*) AS n_mentions
+FROM scan WHERE surface IS NOT NULL
+GROUP BY url, surface, cls
+ORDER BY url, surface
+"""
+
+
 def _oracle_mention_detection_single() -> str:
     gaz_rows = ",\n  ".join(
         f"('{s}', '{c}')" for s, c in sorted(_single_word_gazetteer().items())
@@ -1228,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_canonicalize": q_entity_canonicalize,
         "mention_detection": q_mention_detection,
         "mention_detection_single": q_mention_detection_single,
+        "mention_detection_multiword": q_mention_detection_multiword,
         # composite curation pipeline
         "curation_pipeline": q_curation_pipeline,
     }
@@ -1259,5 +1328,6 @@ def oracle_sql() -> dict[str, str]:
         "cc_long_chain": _oracle_cc_long_chain(),
         "entity_canonicalize": _oracle_entity_canonicalize(),
         "mention_detection_single": _oracle_mention_detection_single(),
+        "mention_detection_multiword": _oracle_mention_detection_multiword(),
         "curation_pipeline": _oracle_curation(),
     }
