@@ -110,6 +110,54 @@ def kb_id(slug: str, slot_uuid: str) -> str:
     return f"kb:{slug}-{slot_uuid}"
 
 
+def make_uuid(
+    entity_type: str, prefix: str = "kb:", uuid_factory=None
+) -> str:
+    """F15 — non-deterministic id mint ``kb:<entity>-<uuid4>``
+    (tools.py:34-36). The reference uses this only on the agentic path
+    where no deterministic plan exists; the pipeline never does — the
+    uuid5 chain is the production scheme. ``uuid_factory`` (→ uuid4 by
+    default) is injectable so tests can pin outputs."""
+    factory = uuid_factory or uuid.uuid4
+    return f"{prefix}{entity_type}-{factory()}"
+
+
+def make_paired_ids(
+    base_slug: str, prefix: str = "kb:", uuid_factory=None
+) -> Tuple[str, str]:
+    """F15 — paired object/facet ids sharing ONE uuid4 with different
+    slugs: (kb:<slug>-<u>, kb:<slug>facet-<u>) (tools.py:39-42)."""
+    factory = uuid_factory or uuid.uuid4
+    u = str(factory())
+    return f"{prefix}{base_slug}-{u}", f"{prefix}{base_slug}facet-{u}"
+
+
+def plan_record_uuids(
+    record_count: int,
+    class_slugs: List[str],
+    facet_slugs: List[str],
+    prefix: str = "kb:",
+    uuid_factory=None,
+) -> List[Dict[str, str]]:
+    """F15 — per-record id allocation: a class whose ``<cls>Facet`` appears
+    in ``facet_slugs`` gets PAIRED ids (shared uuid4), others a lone mint
+    (tools.py:44-65)."""
+    plan: List[Dict[str, str]] = []
+    facet_set = set(facet_slugs)
+    for _ in range(record_count):
+        rec: Dict[str, str] = {}
+        for cls in class_slugs:
+            facet_name = f"{cls}Facet"
+            if facet_name in facet_set:
+                obj_id, facet_id = make_paired_ids(cls, prefix, uuid_factory)
+                rec[cls] = obj_id
+                rec[facet_name] = facet_id
+            else:
+                rec[cls] = make_uuid(cls, prefix, uuid_factory)
+        plan.append(rec)
+    return plan
+
+
 def pyify(value: Any) -> Any:
     """Convert Arrow/numpy scalars back to plain Python so json.dumps produces
     the same bytes the reference produced from parsed JSON. Used at the

@@ -290,3 +290,38 @@ def test_triples_flatten(mft_payload, mft_ontology_map):
     assert len(iri_objs) == 10
     lit = {(t[1], t[2]) for t in triples if not t[3]}
     assert ("uco-observable:mftFileID", "42") in lit
+
+
+def test_f15_uuid4_minting_shapes():
+    """F15 (tools.py:34-65): kb:<slug>-<uuid4> mints; paired object/facet
+    share ONE uuid; plan allocation pairs a class with its <cls>Facet."""
+    import itertools
+    import uuid as _uuid
+
+    from case_uco_ontology_map_spark.refmap.identity import (
+        make_paired_ids,
+        make_uuid,
+        plan_record_uuids,
+    )
+
+    # default path mints RFC-4122 v4
+    minted = make_uuid("file")
+    assert minted.startswith("kb:file-")
+    assert _uuid.UUID(minted.split("file-", 1)[1]).version == 4
+
+    # injectable factory pins outputs
+    seq = itertools.count()
+    fake = lambda: _uuid.UUID(int=next(seq), version=4)
+    obj_id, facet_id = make_paired_ids("file", uuid_factory=fake)
+    u = obj_id.split("file-", 1)[1]
+    assert facet_id == f"kb:filefacet-{u}"  # shared uuid, different slug
+
+    plan = plan_record_uuids(
+        2, ["file", "url"], ["fileFacet"], uuid_factory=fake
+    )
+    assert len(plan) == 2
+    for rec in plan:
+        assert set(rec) == {"file", "fileFacet", "url"}
+        shared = rec["file"].split("file-", 1)[1]
+        assert rec["fileFacet"] == f"kb:filefacet-{shared}"
+        assert rec["url"].split("url-", 1)[1] != shared  # lone mint
