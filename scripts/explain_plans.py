@@ -21,10 +21,9 @@ def plan_of(df) -> str:
 
 def summarize(plan: str) -> str:
     exchanges = len(re.findall(r"\bExchange\b", plan))
-    # formatted explain stars operators inside a WholeStageCodegen span
-    codegen = len(re.findall(r"^\s*\*\s", plan, re.MULTILINE)) + len(
-        re.findall(r"WholeStageCodegen", plan)
-    )
+    # Spark 4 formatted explain tags operators inside a whole-stage span
+    # with "[codegen id : N]" — distinct ids = distinct codegen spans
+    codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     bhj = len(re.findall(r"BroadcastHashJoin", plan))
     smj = len(re.findall(r"SortMergeJoin", plan))
