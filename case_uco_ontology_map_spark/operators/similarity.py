@@ -169,6 +169,10 @@ def ivf_topk(
         ),
     )
     cands = assigned.join(F.broadcast(q_cells), "cell")
+    return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)
+
+
+def _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col):
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
@@ -180,3 +184,66 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    centroids: List[List[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the IVF index: vectors written PARTITIONED BY cell.
+    This is the 100 TB serving layout — a probe for nprobe cells becomes
+    parquet partition PRUNING (the scan never opens non-probed cells'
+    files), not a filter over the full corpus."""
+    assign_cells(vectors, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    return path
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k against a cell-partitioned index written by
+    ``write_ivf_index``. The probed cell set is computed from the QUERY
+    batch (driver-small by definition in a top-k serving path) and pushed
+    into the scan as a LITERAL ``cell IN (...)`` predicate, so parquet
+    partition pruning skips every unprobed cell's files — verified by the
+    plan's PartitionFilters in tests. Results are identical to
+    ``ivf_topk`` at the same (centroids, nprobe)."""
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    cents = np.array(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(r[query_vec_col], dtype=np.float64)
+        vn = np.linalg.norm(v) or 1.0
+        scores = np.round(cents @ v / (cnorm * vn), 9)
+        # match ivf_topk's tie-break: sort by (score, cell) descending
+        order = sorted(
+            range(len(centroids)), key=lambda i: (scores[i], i), reverse=True
+        )
+        for cell in order[:nprobe]:
+            probe_rows.append((r[query_id_col], int(cell)))
+    probed_cells = sorted({c for _, c in probe_rows})
+    index = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(probed_cells)  # literal IN → partition pruning
+    )
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, cell int"
+    ).join(F.broadcast(queries), query_id_col)
+    cands = index.join(F.broadcast(probes), "cell")
+    return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)

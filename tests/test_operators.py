@@ -170,3 +170,31 @@ def test_minhash_md5_mode_same_pair_semantics(spark, docs):
         ).collect()
     }
     assert xx == md
+
+
+def test_ivf_index_partition_pruned_matches_inline(spark, sf_dir, tmp_path):
+    """write_ivf_index + ivf_topk_from_index: identical results to the
+    inline ivf_topk at the same (centroids, nprobe), and the probe scan's
+    plan carries a PartitionFilters cell predicate (parquet partition
+    pruning — the 100 TB serving path never opens unprobed cells)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            (F.col("vec_id") + 10000).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    cents = similarity.centroids_kmeans(emb, k=8, iterations=2)
+    idx_path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, cents, idx_path)
+    inline = similarity.ivf_topk(emb, queries, cents, k=3, nprobe=4)
+    from_idx = similarity.ivf_topk_from_index(
+        spark, idx_path, queries, cents, k=3, nprobe=4
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, from_idx.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3]))
+    plan = from_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
