@@ -114,3 +114,38 @@ def test_extractor_total_on_arbitrary_bytes(raw):
     is utf-8/replace) and always returns a str."""
     out = extract_text(raw)
     assert isinstance(out, str)
+
+
+@given(records)
+def test_emitter_equals_generic_on_any_record(rec):
+    """The shape-compiled TripleEmitter must emit EXACTLY the generic
+    path's rows for arbitrary record shapes — including shapes it refuses
+    to compile (bools/lists/floats → generic fallback) and null/empty
+    patterns. One emitter instance across examples exercises template
+    reuse and the per-shape verify rail."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        extend_ontology_map_for_schema,
+    )
+    from case_uco_ontology_map_spark.plans.pipeline import (
+        PAGE_SHARED_METADATA,
+        web_ontology_map,
+    )
+    from case_uco_ontology_map_spark.refmap.emitter import TripleEmitter
+    from case_uco_ontology_map_spark.refmap.graph import record_to_triples
+    from case_uco_ontology_map_spark.refmap.planner import OntologyContext
+
+    global _EM_CTX
+    try:
+        em, ctx, omap = _EM_CTX
+    except NameError:
+        field_types = {"url": "str", "n_chars": "int"}
+        omap = extend_ontology_map_for_schema(
+            web_ontology_map(), field_types, PAGE_SHARED_METADATA["artifact_type"]
+        )
+        ctx = OntologyContext(omap)
+        em = TripleEmitter(omap, ctx)
+        _EM_CTX = (em, ctx, omap)
+
+    fp, ruuid, rows = em.rows_for(rec)
+    assert rows == record_to_triples(rec, ctx, omap)
+    assert not any(t and t.dead for t in em._templates.values())
