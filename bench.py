@@ -212,6 +212,29 @@ def bench_queries(spark, sf_dir: str):
             .collect()[0][0]
         )
 
+    def q_materialize():
+        """north-rule 4th stage: graph MATERIALIZE — write the triple
+        stream as bucket-partitioned parquet (the resume/lineage layout
+        run_pipeline uses) and count what landed. Measures kernel + sink
+        throughput end to end."""
+        out = os.path.join(stage_dir, "triples_out")
+        (
+            fused_page_triples(corpus, per_record_meta="first")
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64))
+            )
+            # repartition on the partition column BEFORE partitionBy:
+            # without it every upstream task writes a file into every
+            # bucket directory (tasks × buckets tiny files — measured
+            # 8k files / 2.5× slower); with it, one right-sized file per
+            # bucket. At 100 TB: repartition(buckets × files_per_bucket).
+            .repartition(64, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        return spark.read.parquet(out).count()
+
     return stage_dir, n_docs, {
         "extract_text": q_extract,
         "kg_triples": q_triples,
@@ -219,6 +242,7 @@ def bench_queries(spark, sf_dir: str):
         "mention_detect": q_mentions,
         "quality_score": q_quality,
         "canonicalize": q_canonicalize,
+        "materialize": q_materialize,
     }
 
 
@@ -279,10 +303,16 @@ def main():
         return
     n_docs, timings, counts = run_once(CPUS, SF_DIR)
     total = round(sum(timings.values()), 3)
-    # apples-to-apples vs round-1 records: the canonicalize stage was added
-    # in round 2, so the r1-comparable subtotal excludes it
+    # apples-to-apples vs round-1 records: the canonicalize + materialize
+    # stages were added in round 2, so the r1-comparable subtotal excludes
+    # them
     total_r1_stages = round(
-        sum(v for k, v in timings.items() if k != "canonicalize"), 3
+        sum(
+            v
+            for k, v in timings.items()
+            if k not in ("canonicalize", "materialize")
+        ),
+        3,
     )
     triple_rate = (
         round(counts["kg_triples"] / timings["kg_triples"], 1)

@@ -466,6 +466,11 @@ def run_pipeline(
         (
             out["triples"]
             .withColumn("bucket", F.pmod(F.xxhash64("record_uuid"), F.lit(64)))
+            # repartition on the partition column before partitionBy —
+            # otherwise every kernel task writes into every bucket
+            # directory (tasks × 64 small files); one shuffle buys one
+            # right-sized file per bucket
+            .repartition(64, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(triples_path)
@@ -494,6 +499,7 @@ def run_pipeline(
                 .withColumn(
                     "bucket", F.pmod(F.xxhash64("canonical_id"), F.lit(16))
                 )
+                .repartition(16, "bucket")  # one file per bucket (see above)
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(os.path.join(out_dir, "entities"))
