@@ -1151,10 +1151,26 @@ def q_mention_detection_multiword(spark: SparkSession, sf_dir: str) -> DataFrame
 def _oracle_mention_detection_multiword() -> str:
     from case_uco_ontology_map_spark.operators.mentions import build_gazetteer
 
+    gaz = build_gazetteer()
     gaz_rows = ",\n  ".join(
-        f"('{s}', '{c}', {len(s.split())})"
-        for s, c in sorted(build_gazetteer().items())
+        f"('{s}', '{c}', {len(s.split())})" for s, c in sorted(gaz.items())
     )
+    # window joins generated from the gazetteer's ACTUAL max phrase length
+    # — a dictionary rebuild that introduces longer surfaces regenerates a
+    # matching oracle instead of silently diverging from the scan
+    max_w = max(len(s.split()) for s in gaz)
+    widths = list(range(max_w, 1, -1))
+    joins = "\n".join(
+        f"  LEFT JOIN gaz g{w} ON g{w}.words = {w} AND s.pos + {w - 1} <= s.n\n"
+        f"       AND g{w}.surface = array_to_string(s.t[s.pos:s.pos+{w - 1}], ' ')"
+        for w in widths
+    ) + "\n  LEFT JOIN gaz g1 ON g1.words = 1 AND g1.surface = s.t[s.pos]"
+    all_ws = widths + [1]
+    adv = " ".join(
+        f"WHEN g{w}.surface IS NOT NULL THEN {w}" for w in all_ws
+    )
+    surf = ", ".join(f"g{w}.surface" for w in all_ws)
+    cls = ", ".join(f"g{w}.cls" for w in all_ws)
     return f"""
 WITH RECURSIVE gaz(surface, cls, words) AS (VALUES
   {gaz_rows}
@@ -1168,21 +1184,11 @@ scan(url, t, n, pos, surface, cls) AS (
   SELECT url, t, len(t), 1, NULL::VARCHAR, NULL::VARCHAR FROM toks
   UNION ALL
   SELECT s.url, s.t, s.n,
-         s.pos + COALESCE(
-           CASE WHEN g4.surface IS NOT NULL THEN 4
-                WHEN g3.surface IS NOT NULL THEN 3
-                WHEN g2.surface IS NOT NULL THEN 2
-                WHEN g1.surface IS NOT NULL THEN 1 END, 1),
-         COALESCE(g4.surface, g3.surface, g2.surface, g1.surface),
-         COALESCE(g4.cls, g3.cls, g2.cls, g1.cls)
+         s.pos + COALESCE(CASE {adv} END, 1),
+         COALESCE({surf}),
+         COALESCE({cls})
   FROM scan s
-  LEFT JOIN gaz g4 ON g4.words = 4 AND s.pos + 3 <= s.n
-       AND g4.surface = array_to_string(s.t[s.pos:s.pos+3], ' ')
-  LEFT JOIN gaz g3 ON g3.words = 3 AND s.pos + 2 <= s.n
-       AND g3.surface = array_to_string(s.t[s.pos:s.pos+2], ' ')
-  LEFT JOIN gaz g2 ON g2.words = 2 AND s.pos + 1 <= s.n
-       AND g2.surface = array_to_string(s.t[s.pos:s.pos+1], ' ')
-  LEFT JOIN gaz g1 ON g1.words = 1 AND g1.surface = s.t[s.pos]
+{joins}
   WHERE s.pos <= s.n
 )
 SELECT url, surface, cls AS entity_class, COUNT(*) AS n_mentions

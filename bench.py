@@ -217,7 +217,10 @@ def bench_queries(spark, sf_dir: str):
         stream as bucket-partitioned parquet (the resume/lineage layout
         run_pipeline uses) and count what landed. Measures kernel + sink
         throughput end to end."""
-        out = os.path.join(stage_dir, "triples_out")
+        # sibling tempdir, NOT inside stage_dir: a non-partition directory
+        # under the staged-corpus root would poison any later
+        # read.parquet(stage_dir) listing with schema/partition conflicts
+        out = stage_dir.rstrip("/") + "-triples-out"
         (
             fused_page_triples(corpus, per_record_meta="first")
             .withColumn(
@@ -278,6 +281,9 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
         spark.stop()
         if stage_dir:
             shutil.rmtree(stage_dir, ignore_errors=True)
+            shutil.rmtree(
+                stage_dir.rstrip("/") + "-triples-out", ignore_errors=True
+            )
 
 
 def main():

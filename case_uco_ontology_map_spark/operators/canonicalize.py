@@ -254,6 +254,13 @@ def canonicalize_entities(
     join touches only the k-int signatures already in hand, never re-joins
     the entity keys, at ±1/√k estimator error. Default "exact"."""
     sigs = entity_minhash(entities, key_col, id_col, num_hashes, hash_mode)
+    if verify == "estimate" or estimate_prefilter is not None:
+        # the estimate paths reference sigs from THREE joins (band
+        # candidates + both aliased sides of the agree-count) — without a
+        # cache the tokenize→shingle→k-hash chain re-executes per
+        # reference (the same recompute the k-lambda staging above kills);
+        # mirrors dedup.minhash_estimate_pairs' cache
+        sigs = sigs.cache()
     cands = candidate_edges(sigs, id_col, bands, hash_mode=hash_mode)
 
     def _estimate_filtered(pairs: DataFrame, bound: float) -> DataFrame:

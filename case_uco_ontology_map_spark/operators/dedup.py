@@ -166,42 +166,57 @@ def minhash_signatures(
     return staged.select(F.col(id_col), sig)
 
 
-def _bucket_pairs(
-    bucketed: DataFrame, id_col: str, max_bucket: Optional[int]
+def _bucket_member_pairs(
+    bucketed: DataFrame, keys: List[str], max_bucket: Optional[int]
 ) -> DataFrame:
-    """(bucket keys..., id) → distinct (a_id, b_id), a_id < b_id, by
-    grouping ids per bucket and exploding the in-bucket combinations.
+    """(keys..., m) → exploded in-bucket member pairs (a, b), a = least.
 
-    ONE shuffle (groupBy bucket) instead of the self-join's two shuffle
-    sides + distinct — and the ``max_bucket`` cap is a plain size filter on
-    the grouped array, so a degenerate hot bucket is dropped before a
-    single pair materializes (the O(n²) blowup never leaves the bucket
-    row). Measured 4× faster than the equi-self-join formulation at bench
-    scale; per-bucket memory is bounded by max_bucket ids (8 KB at the
-    default 1000)."""
-    keys = [c for c in bucketed.columns if c != id_col]
-    grouped = bucketed.groupBy(*keys).agg(F.collect_list(id_col).alias("ids"))
-    grouped = grouped.filter(F.size("ids") > 1)
+    The shared pair-generation core: ONE shuffle (groupBy bucket) instead
+    of a self-join's two shuffle sides, and the ``max_bucket`` cap is a
+    plain size filter on the grouped array — a degenerate hot bucket is
+    dropped before a single pair materializes (the O(n²) blowup never
+    leaves the bucket row). Measured 4× faster than the equi-self-join
+    formulation at bench scale.
+
+    ``m`` may be a scalar id OR a struct whose FIRST field is the id
+    (struct comparison is field-order lexicographic, so least/greatest
+    order by id either way). Callers project/filter/distinct the result."""
+    grouped = bucketed.groupBy(*keys).agg(F.collect_list("m").alias("ms"))
+    grouped = grouped.filter(F.size("ms") > 1)
     if max_bucket is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
-    n = F.size("ids")
+        grouped = grouped.filter(F.size("ms") <= max_bucket)
+    n = F.size("ms")
     # all index pairs i<j (1-based element_at); least/greatest normalizes
     # since collect_list order is nondeterministic
     combos = F.flatten(
         F.transform(
             F.sequence(F.lit(1), n - 1),
             lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, n - i),
+                F.slice(F.col("ms"), i + 1, n - i),
                 lambda b: F.struct(
-                    F.least(F.element_at(F.col("ids"), i.cast("int")), b).alias("a"),
-                    F.greatest(F.element_at(F.col("ids"), i.cast("int")), b).alias("b"),
+                    F.least(F.element_at(F.col("ms"), i.cast("int")), b).alias("a"),
+                    F.greatest(F.element_at(F.col("ms"), i.cast("int")), b).alias("b"),
                 ),
             ),
         )
     )
+    return grouped.select(F.explode(combos).alias("p")).select("p.a", "p.b")
+
+
+def _bucket_pairs(
+    bucketed: DataFrame, id_col: str, max_bucket: Optional[int]
+) -> DataFrame:
+    """(bucket keys..., id) → distinct (a_id, b_id), a_id < b_id."""
+    keys = [c for c in bucketed.columns if c != id_col]
+    pairs = _bucket_member_pairs(
+        bucketed.select(*keys, F.col(id_col).alias("m")), keys, max_bucket
+    )
     return (
-        grouped.select(F.explode(combos).alias("p"))
-        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        pairs.select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+        # duplicate input ids would otherwise surface as (x, x) self-pairs
+        # after least/greatest normalization (the strict a<b self-join
+        # this rewrite replaced never emitted them)
+        .where(F.col("a_id") != F.col("b_id"))
         .distinct()
     )
 
@@ -440,42 +455,27 @@ def simhash_near_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    # bucket-group (one shuffle) instead of self-join — see _bucket_pairs;
-    # members carry (id, simhash) so hamming is computed in-bucket
-    grouped = (
-        banded.groupBy("band_idx", "band_val")
-        .agg(F.collect_list(F.struct(F.col(id_col), F.col("simhash"))).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    n = F.size("ms")
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ms"), i + 1, n - i),
-                lambda b: F.struct(
-                    F.least(
-                        F.element_at(F.col("ms"), i.cast("int"))[id_col], b[id_col]
-                    ).alias("a"),
-                    F.greatest(
-                        F.element_at(F.col("ms"), i.cast("int"))[id_col], b[id_col]
-                    ).alias("b"),
-                    F.bit_count(
-                        F.element_at(F.col("ms"), i.cast("int"))["simhash"].bitwiseXOR(
-                            b["simhash"]
-                        )
-                    ).alias("hamming"),
-                ),
-            ),
-        )
+    # bucket-group via the shared pair core — members are (id, simhash)
+    # structs (id first, so least/greatest order by id) and hamming is
+    # computed on the paired structs
+    pairs = _bucket_member_pairs(
+        banded.select(
+            "band_idx",
+            "band_val",
+            F.struct(F.col(id_col), F.col("simhash")).alias("m"),
+        ),
+        ["band_idx", "band_val"],
+        max_bucket=None,
     )
     return (
-        grouped.select(F.explode(combos).alias("p"))
-        .select(
-            F.col("p.a").alias("a_id"),
-            F.col("p.b").alias("b_id"),
-            F.col("p.hamming").alias("hamming"),
+        pairs.select(
+            F.col("a")[id_col].alias("a_id"),
+            F.col("b")[id_col].alias("b_id"),
+            F.bit_count(
+                F.col("a")["simhash"].bitwiseXOR(F.col("b")["simhash"])
+            ).alias("hamming"),
         )
+        .where(F.col("a_id") != F.col("b_id"))  # see _bucket_pairs note
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -242,8 +242,20 @@ def ivf_topk_from_index(
     index = spark.read.parquet(index_path).filter(
         F.col("cell").isin(probed_cells)  # literal IN → partition pruning
     )
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, cell int"
-    ).join(F.broadcast(queries), query_id_col)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    probe_schema = StructType(
+        [
+            # inherit the query-id type from the caller's frame — ids are
+            # not necessarily longs
+            StructField(
+                query_id_col, queries.schema[query_id_col].dataType, False
+            ),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+    probes = spark.createDataFrame(probe_rows, probe_schema).join(
+        F.broadcast(queries), query_id_col
+    )
     cands = index.join(F.broadcast(probes), "cell")
     return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)

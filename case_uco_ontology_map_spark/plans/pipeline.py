@@ -311,7 +311,11 @@ def fused_page_mentions(
     Replaces the round-1 pages ⨝ manifest-keys join (which re-ran
     extraction and shuffled on url just to attach record_uuid — the
     record_uuid is a pure function of the record, so it is computed in
-    place). Narrow; zero shuffles."""
+    place). Narrow; zero shuffles.
+
+    ``ontology_map`` is accepted for signature symmetry with
+    fused_page_triples but unused: record_uuid depends only on the record
+    fingerprint, never on the map."""
     from typing import Iterator as _Iterator
 
     import pyarrow as _pa
@@ -322,22 +326,16 @@ def fused_page_mentions(
         build_prefix_index,
         scan_mentions,
     )
-    from ..operators.triples import extend_ontology_map_for_schema
-    from ..refmap.planner import OntologyContext as _Ctx, plan_record as _plan
-
-    field_types = {
-        "url": "str", "warc_time": "str", "lang": "str", "n_chars": "int",
-        "content_sha256": "str", "host": "str", "mime_type": "str",
-    }
-    omap = extend_ontology_map_for_schema(
-        ontology_map or web_ontology_map(), field_types, PAGE_SHARED_METADATA["artifact_type"]
+    from ..refmap.identity import (
+        fingerprint_record as _fp,
+        record_uuid_for as _ruuid_for,
     )
+
     df = _fused_input(corpus, lang)
     spark = df.sparkSession
     gaz = gazetteer or build_gazetteer()
     bc = spark.sparkContext.broadcast(
         {
-            "map": omap,
             "shared": dict(PAGE_SHARED_METADATA),
             "gaz": gaz,
             "prefixes": build_prefix_index(gaz),
@@ -347,14 +345,16 @@ def fused_page_mentions(
 
     def kernel(batches: "_Iterator[_pa.RecordBatch]") -> "_Iterator[_pa.RecordBatch]":
         cfg = bc.value
-        ctx = _Ctx(cfg["map"])
         sh = cfg["shared"]
         gazd, prefixes = cfg["gaz"], cfg["prefixes"]
         for rb in batches:
             cols = [[], [], [], [], []]
             for url, warc_time, html, lg in _batch_page_fields(rb):
                 rec, text = _page_record(url, warc_time, html, lg, sh)
-                ruuid = _plan(rec, ctx)["record_uuid"]
+                # record_uuid is a pure function of the fingerprint — the
+                # full plan (slots, matching, relationship specs) is never
+                # consumed here, so don't compute it
+                ruuid = _ruuid_for(_fp(rec))
                 for (surface, cls), c in sorted(
                     scan_mentions(text, gazd, prefixes).items()
                 ):
@@ -435,7 +435,18 @@ def run_pipeline(
         gaz = build_gazetteer()
         # page + mention triples from ONE fused kernel — one corpus scan,
         # zero shuffles, fingerprint preserved on every row (manifest/resume
-        # work unchanged in this configuration)
+        # work unchanged in this configuration).
+        #
+        # Known tradeoff: evaluating BOTH out["triples"] and
+        # out["mentions"] costs two corpus scans (each narrow and
+        # shuffle-free; the mention kernel skips planning entirely). The
+        # 5-col mention stream cannot be derived losslessly from the
+        # triple stream — mentionCount triples attach to the per-class
+        # relationship node, so per-SURFACE counts are not recoverable
+        # when two surfaces share a class. A single-pass design would emit
+        # marker rows in the triple schema and filter them out of every
+        # consumer; rejected for now as the complexity tax on every
+        # downstream reader outweighs one narrow scan.
         out["triples"] = fused_page_triples(
             corpus, lang=lang, mentions=True, gazetteer=gaz,
             per_record_meta=per_record_meta,

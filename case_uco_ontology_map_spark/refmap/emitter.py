@@ -107,11 +107,16 @@ class TripleEmitter:
         )
         return plan["record_uuid"], nodes_to_triples(nodes, plan["record_uuid"])
 
-    # -- shape key: sorted (field, kind) where kind encodes type/null ----
+    # -- shape key: (field, kind) in INSERTION order -----------------------
+    # Insertion order is semantic, not cosmetic: plan_record's per-field
+    # loop iterates record.items(), and when two raw fields alias to the
+    # SAME qualified property the last one wins — so records with equal
+    # key SETS but different orderings can emit different objects and must
+    # not share a template.
     @staticmethod
     def _shape(rec: Dict[str, Any]) -> Optional[tuple]:
         parts = []
-        for k in sorted(rec):
+        for k in rec:
             v = rec[k]
             if v is None or v == "":
                 parts.append((k, "x", v == ""))  # dropped by no-null
@@ -126,12 +131,13 @@ class TripleEmitter:
         return tuple(parts)
 
     def _compile(self, rec: Dict[str, Any], shape: tuple) -> Optional[_Template]:
-        # sentinel record: unique value per dynamic field, same null pattern
+        # sentinel record: unique value per dynamic field, same null
+        # pattern, SAME INSERTION ORDER (see _shape — order is semantic)
         sent: Dict[str, Any] = {}
         by_str: Dict[str, str] = {}
         by_int: Dict[str, str] = {}
         next_int = 987654321000001
-        for i, k in enumerate(sorted(rec)):
+        for i, k in enumerate(rec):
             v = rec[k]
             if v is None or v == "":
                 sent[k] = v

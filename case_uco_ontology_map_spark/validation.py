@@ -170,7 +170,9 @@ def check_node_kind(
     literal strings), and reference parity is the primary contract."""
     rows = [(c, p, str(v)) for c, p, v in _shape_rows(dictionary, "nodeKind")]
     if not rows:
-        return triples.limit(0).select("subj", "pred", "obj")
+        return triples.limit(0).select(
+            "subj", "pred", "obj", F.lit("").alias("kind")
+        )
     spark = triples.sparkSession
     kinds = spark.createDataFrame(rows, "cls string, prop string, kind string")
     props = triples.filter(~F.col("pred").isin(*_SKELETON_PREDS)).withColumn(
