@@ -65,3 +65,46 @@ def test_analyze_deterministic(spark, mft_payload):
     assert json.dumps(a["graph"], sort_keys=True) == json.dumps(
         b["graph"], sort_keys=True
     )
+
+
+def test_session_cli_runner(spark, tmp_path, capsys):
+    """scripts/analyze_session.run_session: payload file → JSON event
+    stream (the reference's SSE equivalent) + graph.jsonld + triples +
+    session.json audit record, deterministic given the payload."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "analyze_session",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "analyze_session.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    payload = {
+        "case_name": "test case",
+        "records": [
+            {"url": "https://a.example.org", "n_chars": 10},
+            {"url": "https://b.example.org", "n_chars": 20},
+        ],
+    }
+    p = tmp_path / "payload.json"
+    p.write_text(json.dumps(payload))
+    out_dir = str(tmp_path / "session")
+    session = mod.run_session(spark, str(p), out_dir, class_names=["URL"])
+
+    events = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    names = [e["event"] for e in events]
+    assert names == ["session_start", "ingest", "ontology", "graph", "validation", "complete"]
+    assert session["records"] == 2
+    assert session["triples"] > 0
+    v = [e for e in events if e["event"] == "validation"][0]
+    assert v["is_clean"], v
+    assert sorted(os.listdir(out_dir)) == session["outputs"]
+    assert "graph.jsonld" in session["outputs"]
+    with open(os.path.join(out_dir, "graph.jsonld")) as fh:
+        g = json.load(fh)
+    assert g["@graph"]
+    # deterministic session id from the payload bytes
+    assert session["session_id"].startswith("session-")
