@@ -187,6 +187,98 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_triples_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE 15-row-per-record triple emission under a DuckDB
+    oracle via engine-portable surrogate ids: every ``kb:<slug>-<uuid5>``
+    id (subjects AND IRI objects) is rewritten to
+    ``kb:<slug>-md5(fingerprint || ':' || slug)``, which DuckDB can mint
+    from the same canonical-JSON fingerprint the ``page_fingerprints``
+    oracle already reproduces. This hash-verifies the full graph
+    STRUCTURE — node typing, hasFacet wiring, property placement, literal
+    values, datatypes — with only the uuid5 hash function substituted
+    (uuid5 values themselves are pinned by the golden replay tests)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.plans.pipeline import page_triples
+
+    t = page_triples(_corpus_records(spark, sf_dir))
+    slug = F.regexp_extract("subj", r"^kb:([a-z0-9_]+)-", 1)
+    sid = F.concat(
+        F.lit("kb:"), slug, F.lit("-"),
+        F.md5(F.concat(F.col("fingerprint"), F.lit(":"), slug)),
+    )
+    oslug = F.regexp_extract("obj", r"^kb:([a-z0-9_]+)-", 1)
+    obj2 = F.when(
+        F.col("obj_is_iri") & F.col("obj").startswith("kb:"),
+        F.concat(
+            F.lit("kb:"), oslug, F.lit("-"),
+            F.md5(F.concat(F.col("fingerprint"), F.lit(":"), oslug)),
+        ),
+    ).otherwise(F.col("obj"))
+    return t.select(
+        "url",
+        sid.alias("subj"),
+        "pred",
+        obj2.alias("obj"),
+        "obj_is_iri",
+        "obj_datatype",
+        F.md5("fingerprint").alias("record_ref"),
+    ).orderBy("url", "subj", "pred", "obj")
+
+
+def _oracle_triples_structural() -> str:
+    canonical = (
+        '\'{"artifact_type":"Web Page","content_sha256":"\' || ' + _HASH_SQL +
+        " || '\",\"description\":\"" + _DESC + "\",\"host\":\"' || " + _HOST_SQL +
+        " || '\",\"lang\":\"' || lang || "
+        "'\",\"mime_type\":\"text/html\",\"n_chars\":' || CAST(" + _NCHARS_SQL +
+        " AS VARCHAR) || ',\"source\":\"" + _SRC + "\",\"url\":\"' || " + _URL_SQL +
+        " || '\",\"warc_time\":\"' || " + _WARC_SQL + " || '\"}'"
+    )
+    base = (
+        f"SELECT {_URL_SQL} AS url, {_HASH_SQL} AS hash, {_HOST_SQL} AS host, "
+        f"CAST({_NCHARS_SQL} AS VARCHAR) AS n_chars, {_WARC_SQL} AS warc_time, "
+        f"lang, sha256({canonical}) AS fp FROM documents"
+    )
+    # id(slug) := kb:<slug>-md5(fp:slug); one CTE row per record with the
+    # four surrogate node ids precomputed
+    ids = (
+        "SELECT *, "
+        "'kb:url-' || md5(fp || ':url') AS id_url, "
+        "'kb:urlfacet-' || md5(fp || ':urlfacet') AS id_uf, "
+        "'kb:contentdatafacet-' || md5(fp || ':contentdatafacet') AS id_cdf, "
+        "'kb:webpageextensionfacet-' || md5(fp || ':webpageextensionfacet') "
+        "AS id_ext, md5(fp) AS record_ref FROM rec"
+    )
+    rows = [
+        ("id_url", "'rdf:type'", "'uco-observable:URL'", "true", "NULL"),
+        ("id_url", "'uco-core:hasFacet'", "id_uf", "true", "NULL"),
+        ("id_url", "'uco-core:hasFacet'", "id_cdf", "true", "NULL"),
+        ("id_url", "'uco-core:hasFacet'", "id_ext", "true", "NULL"),
+        ("id_uf", "'rdf:type'", "'uco-observable:URLFacet'", "true", "NULL"),
+        ("id_uf", "'uco-observable:fullValue'", "url", "false", "NULL"),
+        ("id_uf", "'uco-observable:host'", "host", "false", "NULL"),
+        ("id_cdf", "'rdf:type'", "'uco-observable:ContentDataFacet'", "true", "NULL"),
+        ("id_cdf", "'uco-observable:dataPayloadReferenceURL'", "url", "false", "NULL"),
+        ("id_cdf", "'uco-observable:hash'", "hash", "false", "NULL"),
+        ("id_cdf", "'uco-observable:mimeType'", "'text/html'", "false", "NULL"),
+        ("id_cdf", "'uco-observable:sizeInBytes'", "n_chars", "false", "'xsd:integer'"),
+        ("id_ext", "'rdf:type'", "'uco-observable:WebPageExtensionFacet'", "true", "NULL"),
+        ("id_ext", "'dfc-ext:lang'", "lang", "false", "NULL"),
+        ("id_ext", "'dfc-ext:warcTime'", "warc_time", "false", "NULL"),
+    ]
+    selects = "\n  UNION ALL ".join(
+        f"SELECT url, {s} AS subj, {p} AS pred, {o} AS obj, "
+        f"{iri} AS obj_is_iri, {dt}::VARCHAR AS obj_datatype, record_ref "
+        "FROM ids"
+        for s, p, o, iri, dt in rows
+    )
+    return (
+        f"WITH rec AS ({base}),\nids AS ({ids})\n"
+        f"SELECT * FROM (\n  {selects}\n) ORDER BY url, subj, pred, obj"
+    )
+
+
 def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triple emission incl. uuid5 IRIs (not SQL-expressible: uuid5 is
     SHA-1-based and DuckDB has no sha1) — rows-only driver check; exact
@@ -1275,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_literal_triples": q_page_literal_triples,
         "fused_literal_triples": q_fused_literal_triples,
         "triples_full": q_triples_full,
+        "triples_structural": q_triples_structural,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -1313,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "page_fingerprints": _oracle_page_fingerprints(),
         "page_literal_triples": _oracle_page_literal_triples(),
         "fused_literal_triples": _oracle_page_literal_triples(),
+        "triples_structural": _oracle_triples_structural(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),
