@@ -121,16 +121,24 @@ def _large_star(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(pairs: DataFrame) -> DataFrame:
+def _small_star(pairs: DataFrame, oriented: bool = False) -> DataFrame:
     """Small-star: orient each edge (hi → lo); for every node u, connect u
-    and all its smaller neighbors to m = min of those neighbors."""
-    directed = (
-        pairs.select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    and all its smaller neighbors to m = min of those neighbors.
+
+    ``oriented=True`` skips the defensive orient+distinct pass — the
+    alternating loop always feeds _large_star output, which is already
+    strictly a > b and distinct, so re-deduplicating costs a full shuffle
+    per round for nothing."""
+    if oriented:
+        directed = pairs
+    else:
+        directed = (
+            pairs.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
     # window min over the oriented edges (one exchange); the per-group
     # (u, m) arm is emitted per row and collapsed by the final distinct
     withm = directed.withColumn("m", F.min("b").over(Window.partitionBy("a")))
@@ -195,7 +203,9 @@ def connected_components(
     fp = _edge_fingerprint(pairs)
     converged = False
     for _ in range(max_iterations):
-        pairs = _small_star(_large_star(pairs))
+        # large-star output is strictly oriented (a > b) and distinct —
+        # small-star can skip its defensive re-orientation shuffle
+        pairs = _small_star(_large_star(pairs), oriented=True)
         if checkpoint:
             pairs = pairs.localCheckpoint(eager=True)
         new_fp = _edge_fingerprint(pairs)
