@@ -147,3 +147,50 @@ def test_entity_table_materialized_partitioned(spark, sf_dir, tmp_path):
     assert set(written.columns) >= {"entity_id", "entity_key", "canonical_id"}
     live = out["entities"].count()
     assert written.count() == live
+
+
+def test_first_meta_materialization_same_manifest(spark, sf_dir, tmp_path):
+    """per_record_meta="first" through run_pipeline's materialization: the
+    isNotNull manifest filter must yield the SAME (fingerprint →
+    record_uuid) manifest the denormalized mode writes, and the stored
+    triple set must match modulo the meta columns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.plans.pipeline import run_pipeline
+    from case_uco_ontology_map_spark.streaming.resume import read_manifest
+
+    out_all = str(tmp_path / "all")
+    out_first = str(tmp_path / "first")
+    run_pipeline(spark, sf_dir, out_dir=out_all, per_record_meta="all")
+    run_pipeline(spark, sf_dir, out_dir=out_first, per_record_meta="first")
+
+    m_all = {
+        (r["fingerprint"], r["record_uuid"])
+        for r in read_manifest(spark, os.path.join(out_all, "manifest")).collect()
+    }
+    m_first = {
+        (r["fingerprint"], r["record_uuid"])
+        for r in read_manifest(spark, os.path.join(out_first, "manifest")).collect()
+    }
+    assert m_all == m_first and m_all
+
+    core = lambda p: {
+        tuple(r)
+        for r in spark.read.parquet(p)
+        .select("subj", "pred", "obj", "obj_is_iri", "obj_datatype", "record_uuid")
+        .collect()
+    }
+    assert core(os.path.join(out_all, "triples")) == core(
+        os.path.join(out_first, "triples")
+    )
+    # "first" mode: exactly one non-null meta row per record on disk
+    t = spark.read.parquet(os.path.join(out_first, "triples"))
+    per_rec = (
+        t.groupBy("record_uuid")
+        .agg(F.sum(F.col("fingerprint").isNotNull().cast("int")).alias("n"))
+        .select(F.min("n"), F.max("n"))
+        .first()
+    )
+    assert per_rec == (1, 1)
