@@ -556,14 +556,18 @@ ORDER BY a_id, b_id
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming ≤ 3 via pigeonhole band join),
     md5_60 hash mode (60-bit simhash, 4×15-bit bands) so the DuckDB oracle
-    replays bit votes, band split, and hamming verify exactly."""
+    replays bit votes, band split, and hamming verify exactly. max_bucket
+    is set BELOW the hottest band bucket at this sf (155 members) so the
+    hot-bucket cap itself is under the oracle — the oracle inlines the
+    identical bucket-size filter (no silent caps: the cap semantics are
+    hash-verified, and the operator reports drop counts via observation)."""
     from pyspark.sql import functions as F
 
     from case_uco_ontology_map_spark.operators.dedup import simhash, simhash_near_pairs
 
     sims = simhash(_docs(spark, sf_dir), hash_mode="md5_60")
     return (
-        simhash_near_pairs(sims, bits=60)
+        simhash_near_pairs(sims, bits=60, max_bucket=100)
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("a_id", "b_id")
     )
@@ -595,13 +599,18 @@ banded AS (
   SELECT doc_id, simhash, b AS band_idx,
          (simhash >> (b * 15)) & 32767 AS band_val
   FROM sims CROSS JOIN range(0, 4) t(b)
+),
+bsize AS (
+  SELECT band_idx, band_val, count(*) AS n FROM banded GROUP BY 1, 2
 )
 SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
        bit_count(xor(l.simhash, r.simhash))::INT AS hamming
 FROM banded l
 JOIN banded r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
             AND l.doc_id < r.doc_id
-WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+JOIN bsize s ON l.band_idx = s.band_idx AND l.band_val = s.band_val
+WHERE s.n <= 100
+  AND bit_count(xor(l.simhash, r.simhash)) <= 3
 ORDER BY a_id, b_id
 """
 
@@ -670,13 +679,16 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed cosine near-dups ≥ 0.3. Threshold
     chosen so the synthetic random embeddings actually produce candidate
     pairs (their max pairwise cosine ≈ 0.4). Hyperplanes are explicit so
-    the oracle inlines the identical literals."""
+    the oracle inlines the identical literals; max_bucket sits below the
+    hottest bucket at this sf (17 members) so the hot-bucket cap is itself
+    oracle-verified (the oracle inlines the same bucket-size filter)."""
     from case_uco_ontology_map_spark.operators.dedup import embedding_near_dups
 
     return embedding_near_dups(
         _embeddings(spark, sf_dir),
         threshold=0.3,
         hyperplanes=_near_dup_hyperplanes(),
+        max_bucket=16,
     ).orderBy("a_id", "b_id")
 
 
@@ -705,9 +717,14 @@ buckets AS (
          sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
   FROM dots GROUP BY vec_id
 ),
+bsize AS (
+  SELECT bucket, count(*) AS n FROM buckets GROUP BY 1
+),
 pairs AS (
   SELECT l.vec_id AS a_id, r.vec_id AS b_id
   FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  JOIN bsize s ON l.bucket = s.bucket
+  WHERE s.n <= 16
 ),
 cosv AS (
   SELECT p.a_id, p.b_id,
@@ -1188,6 +1205,13 @@ def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_mentions(docs).orderBy("url", "surface")
 
 
+def _sq(s: str) -> str:
+    """SQL-escape a string destined for a single-quoted VALUES literal — a
+    dictionary rebuild that introduces an apostrophe (e.g. a possessive
+    entity label) must not produce syntactically invalid oracle SQL."""
+    return s.replace("'", "''")
+
+
 def _single_word_gazetteer() -> dict:
     """The dictionary gazetteer restricted to single-word surfaces. With no
     multi-word entries the longest-match scan degenerates to per-token
@@ -1245,7 +1269,8 @@ def _oracle_mention_detection_multiword() -> str:
 
     gaz = build_gazetteer()
     gaz_rows = ",\n  ".join(
-        f"('{s}', '{c}', {len(s.split())})" for s, c in sorted(gaz.items())
+        f"('{_sq(s)}', '{_sq(c)}', {len(s.split())})"
+        for s, c in sorted(gaz.items())
     )
     # window joins generated from the gazetteer's ACTUAL max phrase length
     # — a dictionary rebuild that introduces longer surfaces regenerates a
@@ -1292,7 +1317,8 @@ ORDER BY url, surface
 
 def _oracle_mention_detection_single() -> str:
     gaz_rows = ",\n  ".join(
-        f"('{s}', '{c}')" for s, c in sorted(_single_word_gazetteer().items())
+        f"('{_sq(s)}', '{_sq(c)}')"
+        for s, c in sorted(_single_word_gazetteer().items())
     )
     return f"""
 WITH gaz(surface, entity_class) AS (VALUES

@@ -12,21 +12,27 @@ Pipeline:
 
 Skew handling (explicit, per north_rule):
   * LSH buckets are hash values → uniformly distributed; degenerate hot
-    buckets (e.g. empty-string keys) are CAPPED at max_bucket with a
-    logged drop count, preventing one bucket from emitting O(n²) edges.
-  * The CC join key is a node id whose degree can be large (hot domains).
-    AQE skew-join splits oversized partitions at runtime; large-star itself
-    is the skew *reducer* — after one round every high-degree node's
-    neighbors point at the component min, collapsing hub fan-out.
+    buckets (e.g. empty-string keys) are CAPPED at max_bucket, preventing
+    one bucket from emitting O(n²) edges — and the drops are OBSERVED, not
+    silent: pass ``observation=dedup.drop_observation()`` (threaded through
+    candidate_edges/canonicalize_entities) and the same job that builds the
+    candidate pairs reports (dropped_buckets, dropped_members).
+  * The CC min-computation is a groupBy-min (map-side partial combine, so a
+    hot node's degree never concentrates in one task) re-joined to the
+    symmetric edge list — AQE skew-join splits an oversized join partition
+    at runtime, and large-star itself is the skew *reducer*: after one
+    round every high-degree node's neighbors point at the component min,
+    collapsing hub fan-out.
   * checkpointing every round truncates the lineage (iterative joins
     otherwise stack exponentially deep plans).
 """
 
 from __future__ import annotations
 
+import decimal as _decimal
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -90,27 +96,37 @@ def candidate_edges(
     bands: int = 8,
     max_bucket: int = 500,
     hash_mode: str = "xxhash64",
+    observation=None,
 ) -> DataFrame:
-    """Banded self-join → undirected candidate edges (a < b)."""
+    """Banded self-join → undirected candidate edges (a < b). Pass
+    ``observation`` (dedup.drop_observation()) to surface the hot-bucket
+    drop counts on the candidate-building job."""
     from .dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(
         signatures, id_col=id_col, bands=bands, max_bucket=max_bucket,
-        hash_mode=hash_mode,
+        hash_mode=hash_mode, observation=observation,
     ).selectExpr("a_id AS src", "b_id AS dst")
 
 
 def _large_star(pairs: DataFrame) -> DataFrame:
     """Large-star (Kiveris et al. SOCC'14 §3): for every node u, connect all
-    strictly-larger neighbors to m = min(Γ(u) ∪ {u}). One window-min
-    exchange per call. Input/output: distinct (a, b) pairs, a != b."""
+    strictly-larger neighbors to m = min(Γ(u) ∪ {u}).
+
+    The per-node min is a groupBy aggregate re-joined onto the symmetric
+    edge list — deliberately NOT a window min: a window partition cannot be
+    split, so a hub node's entire adjacency (a hot domain can reach 10^8
+    edges) would sort in ONE task. The groupBy min partial-aggregates
+    map-side (a hub contributes one row per input partition to the
+    shuffle), and the mins⋈edges join is AQE territory — broadcast when the
+    node-min table is small, skew-split when a join partition oversizes.
+    Input/output: distinct (a, b) pairs, a != b."""
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    # window min on the node key: ONE exchange instead of groupBy + re-join
-    mb = F.min("b").over(Window.partitionBy("a"))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
     return (
-        sym.withColumn("mb", mb)
+        sym.join(mins, "a")
         .where(F.col("b") > F.col("a"))
         .select(
             F.col("b").alias("a"),
@@ -124,6 +140,11 @@ def _large_star(pairs: DataFrame) -> DataFrame:
 def _small_star(pairs: DataFrame, oriented: bool = False) -> DataFrame:
     """Small-star: orient each edge (hi → lo); for every node u, connect u
     and all its smaller neighbors to m = min of those neighbors.
+
+    Same groupBy-min + join formulation as _large_star (hub-safe partial
+    aggregation; AQE handles the join side) — the (u, m) arm comes straight
+    from the aggregate (one row per node), only the (neighbor, m) arm needs
+    the join back.
 
     ``oriented=True`` skips the defensive orient+distinct pass — the
     alternating loop always feeds _large_star output, which is already
@@ -139,26 +160,59 @@ def _small_star(pairs: DataFrame, oriented: bool = False) -> DataFrame:
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
-    # window min over the oriented edges (one exchange); the per-group
-    # (u, m) arm is emitted per row and collapsed by the final distinct
-    withm = directed.withColumn("m", F.min("b").over(Window.partitionBy("a")))
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
     return (
-        withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .union(withm.select(F.col("a"), F.col("m").alias("b")))
+        directed.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("a"), F.col("m").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
 
 
-def _edge_fingerprint(pairs: DataFrame):
-    """Cheap order-independent fingerprint of an edge set: (row count,
-    decimal sum of per-row xxhash64). Decimal accumulator keeps the sum
-    exact under ANSI mode (bigint sum would overflow-error)."""
-    row = pairs.agg(
+def _fingerprint_metrics():
+    """Order-independent edge-set fingerprint as AGGREGATE EXPRESSIONS:
+    (row count, decimal sum of per-row xxhash64). Decimal accumulator keeps
+    the sum exact under ANSI mode (bigint sum would overflow-error). Used
+    two ways: as observe() metrics riding the per-round checkpoint
+    materialization (zero extra jobs), or as a plain agg when checkpointing
+    is off."""
+    return [
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
-    ).first()
+        F.coalesce(
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s"),
+    ]
+
+
+def _edge_fingerprint(pairs: DataFrame):
+    """Explicit-action form of the fingerprint (checkpoint=False path)."""
+    row = pairs.agg(*_fingerprint_metrics()).first()
     return (row["n"], row["s"])
+
+
+def _checkpoint_with_fingerprint(pairs: DataFrame, round_no: int):
+    """Eagerly localCheckpoint ``pairs`` and return (checkpointed, fp) with
+    the fingerprint computed as observed metrics ON the checkpoint's own
+    materialization job — convergence detection costs zero extra actions
+    per round (was: a full count+sum pass over the edge set per round, ~2
+    actions/round; at 100 TB that is an extra full edge scan per round)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"cc_fp_{round_no}")
+    observed = pairs.observe(obs, *_fingerprint_metrics())
+    checkpointed = observed.localCheckpoint(eager=True)
+    try:
+        m = obs.get
+        n, s = m["n"], m["s"]
+    except Exception:
+        # AQE empty-relation propagation can prune the CollectMetrics node
+        # when the round's edge set is empty — aggregate the CHECKPOINTED
+        # frame instead (materialized data, a trivially cheap local job)
+        return checkpointed, _edge_fingerprint(checkpointed)
+    # defensive: normalize a NULL sum (empty edge set) to the agg-path value
+    return checkpointed, (n, s if s is not None else _decimal.Decimal(0))
 
 
 def connected_components(
@@ -173,10 +227,15 @@ def connected_components(
     halves the longest root-path, so convergence is O(log d) rounds in the
     component diameter d — a 10^6-long chain converges in ~20 rounds where
     plain min-label propagation would need 10^6. Each round is two
-    groupBy-min + two joins (4 shuffles); localCheckpoint after each round
-    truncates lineage so round k does not replan k rounds of joins.
+    groupBy-min aggregates, two AQE-managed joins back, and two output
+    distincts (the mins⋈edges joins broadcast when the node-min side is
+    small, skew-split when a partition oversizes — see _large_star);
+    localCheckpoint after each round truncates lineage so round k does not
+    replan k rounds of joins.
 
-    Convergence is detected by edge-set fingerprint stability; if the loop
+    Convergence is detected by edge-set fingerprint stability, computed as
+    observe() metrics riding the per-round checkpoint materialization —
+    ONE action per round, no separate fingerprint pass. If the loop
     exhausts ``max_iterations`` without converging a RuntimeError is raised
     rather than silently returning split components (the reference's
     exact-fingerprint dedup, uuid_planner.py:229-241, never under-merges;
@@ -198,17 +257,18 @@ def connected_components(
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
-        pairs = pairs.localCheckpoint(eager=True)
-
-    fp = _edge_fingerprint(pairs)
+        pairs, fp = _checkpoint_with_fingerprint(pairs, 0)
+    else:
+        fp = _edge_fingerprint(pairs)
     converged = False
-    for _ in range(max_iterations):
+    for round_no in range(1, max_iterations + 1):
         # large-star output is strictly oriented (a > b) and distinct —
         # small-star can skip its defensive re-orientation shuffle
         pairs = _small_star(_large_star(pairs), oriented=True)
         if checkpoint:
-            pairs = pairs.localCheckpoint(eager=True)
-        new_fp = _edge_fingerprint(pairs)
+            pairs, new_fp = _checkpoint_with_fingerprint(pairs, round_no)
+        else:
+            new_fp = _edge_fingerprint(pairs)
         if new_fp == fp:
             converged = True
             break
@@ -240,38 +300,74 @@ def canonicalize_entities(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     hash_mode: str = "xxhash64",
-    estimate_prefilter: float = None,
+    estimate_prefilter=None,
     verify: str = "exact",
+    max_bucket: int = 500,
+    observation=None,
+    auto_prefilter_ratio: float = 20.0,
 ) -> DataFrame:
     """Full canonicalization: LSH candidates → exact-Jaccard edge filter →
     connected components → (entity_id, entity_key, canonical_id).
     Singletons keep themselves as canonical.
 
-    ``estimate_prefilter`` (e.g. ``jaccard_threshold - 0.2``): drop
-    candidate pairs whose MINHASH-ESTIMATE Jaccard falls below this bound
-    BEFORE the exact shingle verify — the signatures are already in hand
-    (k ints/entity, broadcast-size for 10^5 entities, partition-joinable
-    beyond), so on hot-domain key distributions where LSH buckets flood
-    (millions of candidates from near-uniform keys) the expensive exact
-    verify join shrinks ~20× for the cost of one cheap join. Estimator
-    std is √(j(1-j)/k); set the margin ≥3σ below the threshold so true
-    pairs pass. Default off: the exact path is the oracle-checked
+    ``estimate_prefilter`` (a float bound, e.g. ``jaccard_threshold - 0.3``,
+    or the string ``"auto"``): drop candidate pairs whose MINHASH-ESTIMATE
+    Jaccard falls below the bound BEFORE the exact shingle verify — the
+    signatures are already in hand (k ints/entity, broadcast-size for 10^5
+    entities, partition-joinable beyond), so on hot-domain key
+    distributions where LSH buckets flood (millions of candidates from
+    near-uniform keys) the expensive exact verify join shrinks ~20× for the
+    cost of one cheap join. Estimator std is √(j(1-j)/k); the bound must
+    sit ≥3σ below the threshold so true pairs pass.
+
+    ``"auto"`` measures the flood before paying for it: candidates and
+    entities are counted (one cheap count over the already-built candidate
+    frame), and the prefilter — at bound = threshold − 3·√(0.25/k), the
+    worst-case 3σ margin — engages only when candidates/entities exceeds
+    ``auto_prefilter_ratio``. On well-distributed keys the ratio stays
+    small, the prefilter never activates, and results are bit-identical to
+    the plain exact path (which is why the contract oracle is unchanged);
+    on a hot-domain flood the exact verify join shrinks by the prefilter's
+    selectivity. Default off (None): the exact path is the oracle-checked
     semantics.
 
     ``verify="estimate"`` replaces the exact char-shingle verify with the
     minhash-estimate Jaccard (fraction of agreeing signature positions) —
     the 100 TB mode, mirroring dedup.minhash_estimate_pairs: the verify
     join touches only the k-int signatures already in hand, never re-joins
-    the entity keys, at ±1/√k estimator error. Default "exact"."""
+    the entity keys, at ±1/√k estimator error. Default "exact".
+
+    ``max_bucket``/``observation``: LSH hot-bucket cap and its
+    dropped-bucket/member metrics (see dedup.drop_observation) — drops are
+    reported on the candidate-building job, never silent."""
     sigs = entity_minhash(entities, key_col, id_col, num_hashes, hash_mode)
+    cached_sigs = None
     if verify == "estimate" or estimate_prefilter is not None:
         # the estimate paths reference sigs from THREE joins (band
         # candidates + both aliased sides of the agree-count) — without a
         # cache the tokenize→shingle→k-hash chain re-executes per
         # reference (the same recompute the k-lambda staging above kills);
-        # mirrors dedup.minhash_estimate_pairs' cache
-        sigs = sigs.cache()
-    cands = candidate_edges(sigs, id_col, bands, hash_mode=hash_mode)
+        # mirrors dedup.minhash_estimate_pairs' cache. Unpersisted after
+        # the CC edge set is checkpointed (blocking=False — safe because
+        # connected_components materializes every round eagerly).
+        cached_sigs = sigs = sigs.cache()
+    cands = candidate_edges(
+        sigs, id_col, bands, max_bucket=max_bucket, hash_mode=hash_mode,
+        observation=observation,
+    )
+    if estimate_prefilter == "auto":
+        # measure the candidate flood: localCheckpoint so the LSH band
+        # explode runs once (the count below materializes it, the verify
+        # join reuses it) — on a flood shape recomputing the band join
+        # would double the most expensive stage
+        cands = cands.localCheckpoint(eager=True)
+        n_cands = cands.count()
+        n_entities = entities.select(id_col).count()
+        if n_entities > 0 and n_cands / n_entities > auto_prefilter_ratio:
+            sigma = (0.25 / num_hashes) ** 0.5
+            estimate_prefilter = jaccard_threshold - 3.0 * sigma
+        else:
+            estimate_prefilter = None
 
     def _estimate_filtered(pairs: DataFrame, bound: float) -> DataFrame:
         sa, sb = sigs.alias("sa"), sigs.alias("sb")
@@ -313,6 +409,11 @@ def canonicalize_entities(
         )
 
     comps = connected_components(edges)
+    if cached_sigs is not None:
+        # connected_components eagerly checkpointed the edge set, so every
+        # plan that referenced the signatures has already run — drop the
+        # cache instead of leaking it for the session's lifetime
+        cached_sigs.unpersist(blocking=False)
     return (
         entities.join(comps, entities[id_col] == comps["id"], "left")
         .select(

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1 for the universal-hash family ((a*x + b) mod p):
@@ -166,8 +166,40 @@ def minhash_signatures(
     return staged.select(F.col(id_col), sig)
 
 
+def drop_observation(name: str = "bucket_drops") -> Observation:
+    """Observation for the bucket-cap drop metrics every bucketed pair
+    generator exposes (``dropped_buckets``, ``dropped_members``). Pass to
+    any ``observation=`` parameter below; read ``drop_metrics(obs)`` after
+    the returned DataFrame's first action — observe() piggybacks on the
+    action, so the accounting is free. A 100 TB run that caps its hottest
+    buckets MUST surface the loss (no silent caps): lineage/audit consumers
+    record these two numbers next to the pair counts."""
+    return Observation(name)
+
+
+def drop_metrics(observation: Observation) -> Optional[dict]:
+    """Read the (dropped_buckets, dropped_members) metrics from a
+    drop_observation after the pair frame's action.
+
+    Returns None — explicitly "metrics unavailable", never a fake zero —
+    when AQE's empty-relation propagation pruned the CollectMetrics node:
+    if EVERY bucket was dropped the downstream pair stages are empty, AQE
+    replaces the whole subtree with an empty LocalTableScan, and the
+    observed row is never produced (obs.get raises on the empty row).
+    An empty pair result + None metrics therefore reads as "possibly
+    everything was capped — count the buckets explicitly if it matters",
+    which is the honest answer, not silence."""
+    try:
+        return dict(observation.get)
+    except Exception:
+        return None
+
+
 def _bucket_member_pairs(
-    bucketed: DataFrame, keys: List[str], max_bucket: Optional[int]
+    bucketed: DataFrame,
+    keys: List[str],
+    max_bucket: Optional[int],
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """(keys..., m) → exploded in-bucket member pairs (a, b), a = least.
 
@@ -178,12 +210,30 @@ def _bucket_member_pairs(
     leaves the bucket row). Measured 4× faster than the equi-self-join
     formulation at bench scale.
 
+    Capped drops are NOT silent: pass ``observation`` (see
+    ``drop_observation``) and the grouped frame reports
+    (dropped_buckets, dropped_members) — the number of over-cap buckets
+    and the total members inside them — as observed metrics on the same
+    job that computes the pairs.
+
     ``m`` may be a scalar id OR a struct whose FIRST field is the id
     (struct comparison is field-order lexicographic, so least/greatest
     order by id either way). Callers project/filter/distinct the result."""
     grouped = bucketed.groupBy(*keys).agg(F.collect_list("m").alias("ms"))
     grouped = grouped.filter(F.size("ms") > 1)
     if max_bucket is not None:
+        if observation is not None:
+            over = F.size("ms") > max_bucket
+            grouped = grouped.observe(
+                observation,
+                F.coalesce(
+                    F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(over, F.size("ms")).otherwise(F.lit(0))),
+                    F.lit(0),
+                ).alias("dropped_members"),
+            )
         grouped = grouped.filter(F.size("ms") <= max_bucket)
     n = F.size("ms")
     # all index pairs i<j (1-based element_at); least/greatest normalizes
@@ -204,12 +254,16 @@ def _bucket_member_pairs(
 
 
 def _bucket_pairs(
-    bucketed: DataFrame, id_col: str, max_bucket: Optional[int]
+    bucketed: DataFrame,
+    id_col: str,
+    max_bucket: Optional[int],
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """(bucket keys..., id) → distinct (a_id, b_id), a_id < b_id."""
     keys = [c for c in bucketed.columns if c != id_col]
     pairs = _bucket_member_pairs(
-        bucketed.select(*keys, F.col(id_col).alias("m")), keys, max_bucket
+        bucketed.select(*keys, F.col(id_col).alias("m")), keys, max_bucket,
+        observation,
     )
     return (
         pairs.select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
@@ -227,6 +281,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     max_bucket: Optional[int] = 1000,
     hash_mode: str = "xxhash64",
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Band the signature array and bucket-group on (band_idx, band_hash).
 
@@ -234,8 +289,10 @@ def lsh_candidate_pairs(
     pair explode; a bucket that exceeds ``max_bucket`` members (a degenerate
     hot key, e.g. near-empty docs) is dropped as a whole-array size filter
     rather than letting one bucket emit O(n²) pairs — the standard cap
-    answer to LSH skew, applied before pair materialization. Returns
-    distinct (a_id, b_id) with a_id < b_id.
+    answer to LSH skew, applied before pair materialization. Pass
+    ``observation`` (drop_observation()) to get the dropped-bucket/member
+    counts on the same job — capped recall loss is reported, never silent.
+    Returns distinct (a_id, b_id) with a_id < b_id.
     """
     rows = F.size(F.col("minhash")) / bands
 
@@ -263,7 +320,8 @@ def lsh_candidate_pairs(
         ).alias("band_idx", "band_hash"),
     )
     return _bucket_pairs(
-        banded.select("band_idx", "band_hash", id_col), id_col, max_bucket
+        banded.select("band_idx", "band_hash", id_col), id_col, max_bucket,
+        observation,
     )
 
 
@@ -433,12 +491,25 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket: Optional[int] = 1000,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Near-dup candidates by simhash: split the ``bits``-wide hash into
     (max_hamming+1) bands — by pigeonhole, any pair within the hamming
     radius shares at least one exact band. Equi-join per band, verify
-    hamming via bit_count(xor)."""
+    hamming via bit_count(xor).
+
+    ``max_bucket`` caps degenerate band values: every empty/near-empty
+    document votes to simhash 0 and boilerplate-heavy corpora collapse onto
+    a handful of simhash values — at web scale a degenerate band value is a
+    certainty, and without the cap all its members land in ONE grouped row
+    (memory) and explode O(n²) pairs (time). Same cap semantics as
+    lsh_candidate_pairs; pass ``observation`` for the dropped-bucket/member
+    counts (no silent caps)."""
     bands = max_hamming + 1
     width = bits // bands
     banded = sims.select(
@@ -465,7 +536,8 @@ def simhash_near_pairs(
             F.struct(F.col(id_col), F.col("simhash")).alias("m"),
         ),
         ["band_idx", "band_val"],
-        max_bucket=None,
+        max_bucket=max_bucket,
+        observation=observation,
     )
     return (
         pairs.select(
@@ -489,10 +561,20 @@ def embedding_near_dups(
     planes: int = 12,
     seed: int = 7,
     hyperplanes: Optional[List[List[float]]] = None,
+    max_bucket: Optional[int] = 1000,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH bucket join, then
     exact cosine (zip_with/aggregate — JVM) on candidates. At 10^12 scale
     the bucket key keeps the self-join from being all-pairs.
+
+    ``max_bucket`` caps hot buckets: the bucket space is only 2^planes
+    values, and real embedding corpora concentrate (zero vectors, cluster
+    cores, boilerplate text embedded identically) — one hot bucket turns
+    the self-join into an O(n²) corner. The cap is a broadcast join against
+    the tiny (≤2^planes rows) bucket-size frame, so the big side never
+    shuffles for it; ``observation`` reports (dropped_buckets,
+    dropped_members) on the same job (no silent caps).
 
     ``hyperplanes`` overrides the seeded-RNG planes — the contract query
     passes an explicit list so the DuckDB oracle can inline the identical
@@ -525,6 +607,22 @@ def embedding_near_dups(
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col), sign_bits(F.col(vec_col)).alias("bucket")
     )
+    if max_bucket is not None:
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        if observation is not None:
+            over = F.col("_bn") > max_bucket
+            sizes = sizes.observe(
+                observation,
+                F.coalesce(
+                    F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(over, F.col("_bn")).otherwise(F.lit(0))),
+                    F.lit(0),
+                ).alias("dropped_members"),
+            )
+        ok = sizes.filter(F.col("_bn") <= max_bucket).select("bucket")
+        bucketed = bucketed.join(F.broadcast(ok), "bucket")
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cos = _cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
     return (

@@ -41,6 +41,72 @@ from ..refmap.ontology import load_dictionary
 
 MENTION_SCHEMA = "url string, record_uuid string, surface string, entity_class string, n_mentions int"
 
+# Per-surface mention audit rows in the TRIPLE schema (single-scan
+# with_mentions): the mention-count triples attach to the per-CLASS
+# relationship node, so per-SURFACE counts are not recoverable from the
+# ontology triples alone when two surfaces share a class. One marker row
+# per (record, surface, class) — pred below, obj a compact JSON payload —
+# makes the 5-column mention stream derivable from the triple sink, so the
+# whole with_mentions graph needs ONE extraction pass. Markers carry
+# fingerprint=NULL (excluded from resume manifests by construction) and
+# are filtered from render/validation consumers by this pred.
+MENTION_MARKER_PRED = "drafting:mentionSurface"
+MENTION_MARKER_DATATYPE = "drafting:json"
+
+
+def mention_marker_row(
+    record_uuid: str, surface: str, cls: str, n_mentions: int
+) -> tuple:
+    """The audit marker row for one (record, surface, class) mention —
+    (subj, pred, obj, obj_is_iri, obj_datatype, record_uuid) in the triple
+    schema, subj = the relationship node the mention's count triple lives
+    on. obj is deterministic JSON (sorted keys, no whitespace) so the row
+    is byte-stable across runs."""
+    import json as _json
+
+    slug = slugify(cls)
+    rel_uuid = slot_uuid_for(record_uuid, f"relationship_references:{slug}")
+    payload = _json.dumps(
+        {"c": cls, "n": int(n_mentions), "s": surface},
+        sort_keys=True,
+        separators=(",", ":"),
+    )
+    return (
+        f"kb:relationship_references-{rel_uuid}",
+        MENTION_MARKER_PRED,
+        payload,
+        False,
+        MENTION_MARKER_DATATYPE,
+        record_uuid,
+    )
+
+
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    """Derive the MENTION_SCHEMA stream from a triple frame (or the written
+    triple sink) carrying marker rows — the inverse of mention_marker_row.
+    Pure JVM (filter + from_json); reading from the parquet sink this is a
+    pred-filtered pruned column scan, no extraction kernel at all."""
+    payload = F.from_json(
+        F.col("obj"), "c string, n int, s string"
+    ).alias("p")
+    return (
+        triples.filter(F.col("pred") == MENTION_MARKER_PRED)
+        .select("url", "record_uuid", payload)
+        .select(
+            "url",
+            "record_uuid",
+            F.col("p.s").alias("surface"),
+            F.col("p.c").alias("entity_class"),
+            F.col("p.n").alias("n_mentions"),
+        )
+    )
+
+
+def strip_mention_markers(triples: DataFrame) -> DataFrame:
+    """Drop the audit marker rows — what render/validation/export consumers
+    should see (marker rows are lineage/audit data, not ontology triples)."""
+    return triples.filter(F.col("pred") != MENTION_MARKER_PRED)
+
 
 def build_gazetteer(
     dictionary: Optional[Dict[str, Any]] = None,

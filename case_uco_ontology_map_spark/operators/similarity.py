@@ -134,6 +134,24 @@ def ivf_topk(
     at scale, write vectors partitioned by cell so the probe is partition
     pruning, not a shuffle."""
     assigned = assign_cells(vectors, centroids, vec_col)
+    q_cells = _probe_cells(queries, centroids, nprobe, query_vec_col)
+    cands = assigned.join(F.broadcast(q_cells), "cell")
+    return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: List[List[float]],
+    nprobe: int,
+    query_vec_col: str,
+) -> DataFrame:
+    """queries → one row per (query, probed cell): the nprobe
+    highest-cosine centroids, ties to the larger cell id. The SINGLE probe
+    implementation — ivf_topk joins it directly and ivf_topk_from_index
+    collects it, so both paths pick identical cells by construction (a
+    numpy replica would diverge at rounding/tie boundaries: np.round is
+    half-even and BLAS reorders the summation, while F.round is HALF_UP
+    over a left-fold aggregate)."""
     cent_arr = F.array(
         *[
             F.struct(
@@ -143,7 +161,7 @@ def ivf_topk(
             for i, c in enumerate(centroids)
         ]
     )
-    q_cells = queries.withColumn(
+    return queries.withColumn(
         "cell",
         F.explode(
             F.transform(
@@ -168,8 +186,6 @@ def ivf_topk(
             )
         ),
     )
-    cands = assigned.join(F.broadcast(q_cells), "cell")
-    return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col):
@@ -220,24 +236,16 @@ def ivf_topk_from_index(
     into the scan as a LITERAL ``cell IN (...)`` predicate, so parquet
     partition pruning skips every unprobed cell's files — verified by the
     plan's PartitionFilters in tests. Results are identical to
-    ``ivf_topk`` at the same (centroids, nprobe)."""
-    import numpy as np
-
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
-    cents = np.array(centroids, dtype=np.float64)
-    cnorm = np.linalg.norm(cents, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    probe_rows = []
-    for r in q_rows:
-        v = np.array(r[query_vec_col], dtype=np.float64)
-        vn = np.linalg.norm(v) or 1.0
-        scores = np.round(cents @ v / (cnorm * vn), 9)
-        # match ivf_topk's tie-break: sort by (score, cell) descending
-        order = sorted(
-            range(len(centroids)), key=lambda i: (scores[i], i), reverse=True
-        )
-        for cell in order[:nprobe]:
-            probe_rows.append((r[query_id_col], int(cell)))
+    ``ivf_topk`` at the same (centroids, nprobe): the probe cells come
+    from collecting the SAME Spark expression ivf_topk joins
+    (_probe_cells), so no numpy-vs-Spark rounding or tie divergence can
+    creep in."""
+    probe_rows = [
+        (r[query_id_col], int(r["cell"]))
+        for r in _probe_cells(queries, centroids, nprobe, query_vec_col)
+        .select(query_id_col, "cell")
+        .collect()
+    ]
     probed_cells = sorted({c for _, c in probe_rows})
     index = spark.read.parquet(index_path).filter(
         F.col("cell").isin(probed_cells)  # literal IN → partition pruning

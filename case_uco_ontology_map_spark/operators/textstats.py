@@ -97,7 +97,11 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         col = F.size(F.array_intersect(toks, arr))
         out = out.withColumn(f"score_{lang}", col)
         score_cols.append(f"score_{lang}")
-    # argmax with deterministic tie-break on language code order
+    # argmax via array_max over (score, lang) structs — struct comparison
+    # is field-order lexicographic, so equal scores break to the
+    # lexicographically LARGEST language code. Deterministic (and pinned by
+    # the lang_id oracle); note this is max-code order, not STOPWORDS-key
+    # order.
     pairs = F.array(
         *[
             F.struct(

@@ -171,6 +171,7 @@ def fused_page_triples(
     mentions: bool = False,
     gazetteer: Optional[Dict[str, str]] = None,
     per_record_meta: str = "all",
+    surface_markers: bool = False,
 ) -> DataFrame:
     """Fused fast path: (url, warc_ts, html, lang) → triples in ONE
     mapInPandas crossing.
@@ -203,9 +204,18 @@ def fused_page_triples(
     manifest and bucket partitioning see one uniform 8-column stream and the
     whole with_mentions graph stays ONE corpus scan with zero shuffles
     (previously: 3 extraction passes + a distinct + a join + a driver
-    collect)."""
+    collect).
+
+    ``surface_markers=True`` (requires mentions) additionally emits one
+    audit marker row per (record, surface, class) in the triple schema
+    (operators/mentions.mention_marker_row) — fingerprint NULL (never in
+    the manifest), url carried — so the 5-column mention stream is
+    derivable from this ONE kernel's output (mentions_from_triples) and
+    with_mentions needs no second extraction pass."""
     if per_record_meta not in ("all", "first"):
         raise ValueError(f"per_record_meta must be 'all'|'first', got {per_record_meta!r}")
+    if surface_markers and not mentions:
+        raise ValueError("surface_markers requires mentions=True")
     meta_all = per_record_meta == "all"
     from typing import Iterator as _Iterator
 
@@ -214,6 +224,7 @@ def fused_page_triples(
     from ..operators.mentions import (
         build_gazetteer,
         build_prefix_index,
+        mention_marker_row,
         mention_triple_rows,
         scan_mentions,
     )
@@ -267,11 +278,16 @@ def fused_page_triples(
             for url, warc_time, html, lg in _batch_page_fields(rb):
                 rec, text = _page_record(url, warc_time, html, lg, sh)
                 fp, ruuid, rows = emitter.rows_for(rec)
+                markers = []
                 if gazd is not None:
                     for (surface, cls), c in sorted(
                         scan_mentions(text, gazd, prefixes).items()
                     ):
                         rows.extend(mention_triple_rows(ruuid, surface, cls, c))
+                        if surface_markers:
+                            markers.append(
+                                mention_marker_row(ruuid, surface, cls, c)
+                            )
                 for t in rows:
                     cols[0].append(t[0]); cols[1].append(t[1])
                     cols[2].append(t[2]); cols[3].append(t[3])
@@ -282,6 +298,13 @@ def fused_page_triples(
                 elif n:
                     cols[6].append(fp); cols[6].extend([None] * (n - 1))
                     cols[7].append(url); cols[7].extend([None] * (n - 1))
+                for t in markers:
+                    # audit rows: fingerprint NULL (manifest-invisible in
+                    # BOTH meta modes), url carried for the mention stream
+                    cols[0].append(t[0]); cols[1].append(t[1])
+                    cols[2].append(t[2]); cols[3].append(t[3])
+                    cols[4].append(t[4]); cols[5].append(t[5])
+                    cols[6].append(None); cols[7].append(url)
             yield _pa.RecordBatch.from_arrays(
                 [
                     _pa.array(cols[0], _pa.string()),
@@ -430,26 +453,23 @@ def run_pipeline(
             class_centroids,
             gazetteer_classes,
             link_mentions,
+            mentions_from_triples,
         )
 
         gaz = build_gazetteer()
-        # page + mention triples from ONE fused kernel — one corpus scan,
-        # zero shuffles, fingerprint preserved on every row (manifest/resume
-        # work unchanged in this configuration).
-        #
-        # Known tradeoff: evaluating BOTH out["triples"] and
-        # out["mentions"] costs two corpus scans (each narrow and
-        # shuffle-free; the mention kernel skips planning entirely). The
-        # 5-col mention stream cannot be derived losslessly from the
-        # triple stream — mentionCount triples attach to the per-class
-        # relationship node, so per-SURFACE counts are not recoverable
-        # when two surfaces share a class. A single-pass design would emit
-        # marker rows in the triple schema and filter them out of every
-        # consumer; rejected for now as the complexity tax on every
-        # downstream reader outweighs one narrow scan.
+        # page + mention triples + per-surface audit markers from ONE fused
+        # kernel — one corpus scan, zero shuffles. The markers
+        # (operators/mentions.mention_marker_row) make the 5-col mention
+        # stream derivable from the triple stream, so the with_mentions
+        # graph runs ONE extraction pass total: out["mentions"] is a
+        # filter + from_json over out["triples"] (and, once materialized,
+        # a pred-filtered pruned scan of the written sink — see below),
+        # never a second kernel. Markers carry fingerprint NULL so resume
+        # manifests exclude them by construction; render/validation
+        # consumers drop them via strip_mention_markers.
         out["triples"] = fused_page_triples(
             corpus, lang=lang, mentions=True, gazetteer=gaz,
-            per_record_meta=per_record_meta,
+            per_record_meta=per_record_meta, surface_markers=True,
         )
         # embedding link-scoring (north_star: gazetteer + embedding). The
         # class universe is STATIC (gazetteer values) — no data-dependent
@@ -460,9 +480,7 @@ def run_pipeline(
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         emb = spark.read.parquet(emb_path) if os.path.exists(emb_path) else None
         centroids = class_centroids(emb, classes)
-        found = link_mentions(
-            fused_page_mentions(corpus, lang=lang, gazetteer=gaz), centroids
-        )
+        found = link_mentions(mentions_from_triples(out["triples"]), centroids)
         out["mentions"] = found
         entities = found.select(
             F.xxhash64("surface", "entity_class").alias("entity_id"),
@@ -486,11 +504,32 @@ def run_pipeline(
             .partitionBy("bucket")
             .parquet(triples_path)
         )
-        # manifest + lineage scan the WRITTEN parquet, not the logical plan
-        # — otherwise the extraction kernel runs three times (write,
-        # manifest distinct, lineage agg). One kernel pass total; the two
-        # derived jobs read back pruned columns from columnar storage.
+        # manifest + lineage + mentions scan the WRITTEN parquet, not the
+        # logical plan — otherwise the extraction kernel runs once per
+        # consumer (write, manifest distinct, lineage agg, mention derive).
+        # One kernel pass total; every derived job reads back pruned
+        # columns from columnar storage.
         written = spark.read.parquet(triples_path)
+        if with_mentions:
+            from ..operators.canonicalize import (
+                canonicalize_entities as _canon,
+            )
+            from ..operators.mentions import (
+                link_mentions as _link,
+                mentions_from_triples as _mft,
+            )
+
+            out["mentions"] = _link(_mft(written), centroids)
+            out["entities"] = _canon(
+                _mft(written)
+                .select(
+                    F.xxhash64("surface", "entity_class").alias("entity_id"),
+                    F.concat_ws("|", "entity_class", "surface").alias(
+                        "entity_key"
+                    ),
+                )
+                .distinct()
+            )
         write_manifest(
             # isNotNull: no-op in "all" mode, selects the one meta-carrying
             # row per record in "first" mode (same manifest either way)

@@ -227,9 +227,27 @@ def check_object_class(
         F.col("t_subj").alias("obj_node"), F.col("cls").alias("object_class")
     )
     resolved = refs.join(obj_types, refs["obj"] == F.col("obj_node"))
-    return resolved.join(
-        F.broadcast(admissible), ["object_class", "required_class"], "left_anti"
-    ).select("subj", "pred", "obj", "required_class", "object_class")
+    # sh:class conformance is per VALUE NODE, not per (node, type) row: a
+    # multi-typed object conforms when ANY of its types is admissible, so
+    # aggregate the type rows per (ref, constraint) and flag only when no
+    # type joined to an admissible pair. object_class reports the node's
+    # full (sorted) type set for the violation record.
+    marked = resolved.join(
+        F.broadcast(admissible.withColumn("_adm", F.lit(1))),
+        ["object_class", "required_class"],
+        "left",
+    )
+    return (
+        marked.groupBy("subj", "pred", "obj", "required_class")
+        .agg(
+            F.max("_adm").alias("_any_adm"),
+            F.array_join(
+                F.array_sort(F.collect_set("object_class")), ","
+            ).alias("object_class"),
+        )
+        .filter(F.col("_any_adm").isNull())
+        .select("subj", "pred", "obj", "required_class", "object_class")
+    )
 
 
 def check_datatypes(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame:

@@ -66,8 +66,28 @@ def main():
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
 
+    from case_uco_ontology_map_spark.operators.mentions import (
+        mentions_from_triples,
+    )
+
+    fused_with_markers = fused_page_triples(
+        corpus, mentions=True, surface_markers=True
+    )
+    derived_mentions = mentions_from_triples(fused_with_markers)
+    # single-scan with_mentions invariant: the derived mention stream is a
+    # filter+from_json over the ONE fused kernel — exactly one Python
+    # (mapInArrow/ArrowEval) node in its whole plan, never a second
+    # extraction pass
+    mention_plan = plan_of(derived_mentions)
+    py_nodes = len(re.findall(r"ArrowEvalPython|PythonMapInArrow|MapInPandas", mention_plan))
+    assert py_nodes == 1, (
+        f"with_mentions mention stream must contain exactly ONE extraction "
+        f"kernel, found {py_nodes} Python nodes"
+    )
+
     sections = {
         "fused_page_triples (the 100 TB hot path)": fused_page_triples(corpus),
+        "mentions_from_triples over the fused kernel (single-scan with_mentions)": derived_mentions,
         "extracted_pages with lang filter (pushdown check)": extracted_pages(
             corpus, lang="en"
         ),

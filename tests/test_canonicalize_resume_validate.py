@@ -250,6 +250,12 @@ def test_object_class_conformance(spark):
         # untyped ref: dangling_refs' business, not this rule's
         ("kb:acct-3", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
         ("kb:acct-3", "uco-observable:accountIssuer", "kb:ghost", True, None, "r1"),
+        # multi-typed object with ONE admissible type: sh:class conforms
+        # (per value node, not per type row) — no violation
+        ("kb:acct-4", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
+        ("kb:acct-4", "uco-observable:accountIssuer", "kb:multi", True, None, "r1"),
+        ("kb:multi", "rdf:type", "uco-observable:URL", True, None, "r1"),
+        ("kb:multi", "rdf:type", "uco-observable:ContentDataFacet", True, None, "r1"),
     ]
     triples = spark.createDataFrame(
         rows,

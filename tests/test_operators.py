@@ -68,6 +68,90 @@ def test_simhash_near_pairs(docs):
     assert got[(0, 1)] == 0
 
 
+def test_simhash_degenerate_band_capped_with_drop_count(spark):
+    """The web-scale failure mode the cap exists for: every empty doc votes
+    to simhash 0, so one band value concentrates the whole corpus. The cap
+    must bound the pair output AND report the loss (no silent caps)."""
+    n_empty = 1000
+    rows = [(i, "") for i in range(n_empty)] + [
+        (n_empty, "alpha beta gamma delta epsilon zeta"),
+        (n_empty + 1, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = dedup.simhash(docs)
+    obs = dedup.drop_observation()
+    pairs = dedup.simhash_near_pairs(
+        sims, max_bucket=100, observation=obs
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    # the real near-dup pair survives; the empty-doc O(n²) blowup does not
+    assert (n_empty, n_empty + 1) in got
+    assert all(a >= n_empty for a, _ in got)
+    assert len(pairs) < 100  # bounded: no 1000²/2 explosion
+    m = obs.get
+    # empty docs share simhash 0 → one hot bucket per band (4 bands)
+    assert m["dropped_buckets"] == 4
+    assert m["dropped_members"] == 4 * n_empty
+
+
+def test_embedding_hot_bucket_capped_with_drop_count(spark):
+    """1k identical vectors collapse onto one hyperplane bucket; the cap
+    bounds the self-join and the drop metrics report the loss."""
+    n_hot = 1000
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n_hot)] + [
+        (n_hot, [0.0, 1.0, 0.0, 0.0]),
+        (n_hot + 1, [0.0, 0.99, 0.01, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    obs = dedup.drop_observation()
+    out = dedup.embedding_near_dups(
+        emb, threshold=0.95, planes=8, max_bucket=100, observation=obs
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in out}
+    assert (n_hot, n_hot + 1) in got
+    assert all(a >= n_hot for a, _ in got)
+    m = obs.get
+    assert m["dropped_buckets"] >= 1
+    assert m["dropped_members"] >= n_hot
+
+
+def test_lsh_candidate_pairs_drop_observation(spark):
+    """The minhash band path reports drops through the same observation —
+    a hot 50-member clone cluster is capped (and counted) while a small
+    genuine near-dup pair survives."""
+    rows = [(i, "same words everywhere forever and ever amen") for i in range(50)]
+    rows += [
+        (100, "one singular unique document about spark engines"),
+        (101, "one singular unique document about spark engines today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    obs = dedup.drop_observation()
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=4, max_bucket=10, observation=obs
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # the clone cluster is capped
+    m = dedup.drop_metrics(obs)
+    assert m["dropped_buckets"] == 4  # the clone bucket, once per band
+    assert m["dropped_members"] == 200
+
+
+def test_drop_metrics_none_when_all_buckets_capped(spark):
+    """All-dropped corner: AQE empty-propagation prunes the metrics node;
+    drop_metrics answers None ('unavailable'), never a fake zero."""
+    rows = [(i, "same words everywhere forever and ever amen") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    obs = dedup.drop_observation()
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, bands=4, max_bucket=10, observation=obs
+    ).collect()
+    assert pairs == []
+    assert dedup.drop_metrics(obs) is None
+
+
 def test_embedding_near_dups(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

@@ -239,3 +239,90 @@ def test_fused_mentions_match_operators(spark, sf_dir):
     }
     assert fm == det
     corpus.unpersist()
+
+
+def test_surface_markers_lossless_single_scan(spark, sf_dir):
+    """Single-scan with_mentions (round-3): the per-surface audit markers
+    emitted by the fused kernel must reconstruct the 5-col mention stream
+    EXACTLY (mentions_from_triples ≡ fused_page_mentions), markers must be
+    manifest-invisible (fingerprint NULL) and strippable, and the derived
+    stream's plan must contain exactly ONE Python kernel node."""
+    import re
+
+    from case_uco_ontology_map_spark.operators.mentions import (
+        MENTION_MARKER_PRED,
+        mentions_from_triples,
+        strip_mention_markers,
+    )
+    from case_uco_ontology_map_spark.plans.pipeline import (
+        fused_page_mentions,
+        fused_page_triples,
+    )
+
+    corpus = web_corpus(spark, sf_dir).limit(60).cache()
+    with_markers = fused_page_triples(
+        corpus, mentions=True, surface_markers=True
+    )
+    derived = {
+        tuple(r) for r in mentions_from_triples(with_markers).collect()
+    }
+    direct = {tuple(r) for r in fused_page_mentions(corpus).collect()}
+    assert derived == direct and derived
+
+    rows = with_markers.collect()
+    markers = [r for r in rows if r["pred"] == MENTION_MARKER_PRED]
+    assert markers, "marker rows must be emitted"
+    assert all(r["fingerprint"] is None for r in markers)
+    assert all(r["url"] is not None for r in markers)
+    # stripping the markers recovers the plain mentions=True stream
+    stripped = {
+        tuple(r) for r in strip_mention_markers(with_markers).collect()
+    }
+    plain = {
+        tuple(r) for r in fused_page_triples(corpus, mentions=True).collect()
+    }
+    assert stripped == plain
+
+    # "first" meta mode: markers still carry url, never break the one-fp-
+    # per-record invariant
+    first = fused_page_triples(
+        corpus, mentions=True, surface_markers=True, per_record_meta="first"
+    )
+    fp_rows = first.filter(F.col("fingerprint").isNotNull())
+    assert fp_rows.count() == 60
+    derived_first = {
+        tuple(r) for r in mentions_from_triples(first).collect()
+    }
+    assert derived_first == direct
+
+    plan = mentions_from_triples(with_markers)._jdf.queryExecution().executedPlan().toString()
+    py_nodes = len(
+        re.findall(r"ArrowEvalPython|PythonMapInArrow|MapInPandas", plan)
+    )
+    assert py_nodes == 1, plan
+    corpus.unpersist()
+
+
+def test_run_pipeline_mentions_from_sink_no_kernel(spark, sf_dir, tmp_path):
+    """Materialized with_mentions: out["mentions"] reads the WRITTEN triple
+    sink (pred-filtered pruned scan + link scoring) — no extraction kernel
+    in its plan — and equals the kernel-derived stream."""
+    from case_uco_ontology_map_spark.plans.pipeline import (
+        fused_page_mentions,
+        run_pipeline,
+    )
+
+    out = run_pipeline(
+        spark, sf_dir, out_dir=str(tmp_path / "kg"), with_mentions=True
+    )
+    plan = out["mentions"]._jdf.queryExecution().executedPlan().toString()
+    # link_mentions is one mapInPandas; extraction would add a second node
+    assert "extract" not in plan.lower()
+    got = {
+        (r["url"], r["record_uuid"], r["surface"], r["entity_class"], r["n_mentions"])
+        for r in out["mentions"].collect()
+    }
+    direct = {
+        tuple(r) for r in fused_page_mentions(web_corpus(spark, sf_dir)).collect()
+    }
+    assert got == direct and got
