@@ -212,6 +212,71 @@ def bench_queries(spark, sf_dir: str):
             .collect()[0][0]
         )
 
+    def q_canonicalize_hot():
+        """Hot-domain DEGENERATE canonicalization shape (north_rule skew
+        demand): every entity key shares one long structured prefix
+        ('same-host urls') so cross-doc char-shingle Jaccard sits ~0.4 —
+        far above the diverse shape's ~0 — and the LSH bands FLOOD
+        (measured ~60 candidates/entity at 8k keys). Defuse, in order:
+          * drop_common_df=0.05 (common_shingles): shingles present in
+            >5% of keys — exactly the shared prefix — are dropped BEFORE
+            minhash signing, so candidates come from each key's
+            distinctive shingles and buckets stay small at ANY corpus
+            size. This is THE scale lever: a fixed absolute bucket cap
+            alone preserved recall at 8k keys but LOST 136 groups at 80k
+            (bucket occupancy grows with the corpus until every bucket —
+            including those holding true pairs — is over any cap; the
+            loud group-count check below caught it). The DF filter is
+            scale-invariant: measured exact recall at 8k, 32k, and 80k.
+          * max_bucket=100 caps whatever residual hot buckets remain,
+            with drops observed (drop_observation), never silent;
+          * verify='exact': flood shapes make estimate-only verification
+            UNSAFE — with k=32 signatures a 0.4-Jaccard pair sits ~3.5σ
+            from the 0.7 threshold, and at ~3e5 candidates the tail
+            produces tens of false edges that connected components then
+            amplifies transitively (measured: 297 groups instead of 500).
+            Exact Jaccard on the capped candidates never lies. The diverse
+            shape keeps estimate mode — its similarity distribution is
+            bimodal at {~0, ~0.95}, nowhere near the threshold.
+        Raises if the group count is wrong — a skew bench that silently
+        under/over-merges would be worse than no bench."""
+        from case_uco_ontology_map_spark.operators.canonicalize import (
+            canonicalize_entities,
+        )
+        from case_uco_ontology_map_spark.operators.dedup import (
+            drop_metrics,
+            drop_observation,
+        )
+
+        base_url = F.regexp_replace("url", r"\?c=\d+$", "")
+        key = F.concat(
+            F.lit("https://hot-domain.example.com/section/article/"),
+            F.hex(F.xxhash64(base_url)), F.lit("/"),
+            F.hex(F.xxhash64(F.concat(base_url, F.lit("x")))), F.lit("-v"),
+            F.regexp_extract("url", r"c=(\d+)", 1),
+        )
+        ents = corpus.select(
+            F.xxhash64("url").alias("entity_id"), key.alias("entity_key")
+        )
+        obs = drop_observation("hot_drops")
+        groups = (
+            canonicalize_entities(
+                ents, jaccard_threshold=0.7, verify="exact",
+                max_bucket=100, observation=obs, drop_common_df=0.05,
+            )
+            .agg(F.countDistinct("canonical_id"))
+            .collect()[0][0]
+        )
+        expected = n_docs // AMPLIFY
+        if groups != expected:
+            raise RuntimeError(
+                f"hot-domain canonicalize produced {groups} groups, "
+                f"expected {expected} — cap/verify recall regression"
+            )
+        drops = drop_metrics(obs)
+        q_canonicalize_hot.last_drops = drops
+        return groups
+
     def q_materialize():
         """north-rule 4th stage: graph MATERIALIZE — write the triple
         stream as bucket-partitioned parquet (the resume/lineage layout
@@ -245,6 +310,7 @@ def bench_queries(spark, sf_dir: str):
         "mention_detect": q_mentions,
         "quality_score": q_quality,
         "canonicalize": q_canonicalize,
+        "canonicalize_hot": q_canonicalize_hot,
         "materialize": q_materialize,
     }
 
@@ -316,7 +382,7 @@ def main():
         sum(
             v
             for k, v in timings.items()
-            if k not in ("canonicalize", "materialize")
+            if k not in ("canonicalize", "canonicalize_hot", "materialize")
         ),
         3,
     )

@@ -58,18 +58,29 @@ def entity_minhash(
     id_col: str = "entity_id",
     num_hashes: int = 32,
     hash_mode: str = "xxhash64",
+    exclude=None,
 ) -> DataFrame:
-    """Minhash signatures over char-3-gram shingles of the entity key."""
+    """Minhash signatures over char-3-gram shingles of the entity key.
+
+    ``exclude``: shingle hashes dropped before signing (see
+    common_shingles — the hot-domain shared-prefix defuse). Signatures of
+    a key whose every shingle is excluded degrade to the empty-set
+    sentinel (never collides)."""
     from .dedup import _MERSENNE_P, _hash_params
 
     params = _hash_params(num_hashes, seed=17)
     # shingles staged in their own projection — inlined, they'd be folded
     # into (and re-evaluated by) every one of the k lambdas below
     # (dedup.minhash_signatures' 36× lesson)
+    sh = char_shingles(F.col(key_col), hash_mode=hash_mode)
+    if exclude:
+        sh = F.array_except(
+            sh, F.array(*[F.lit(int(x)).cast("long") for x in exclude])
+        )
     staged = entities.select(
         F.col(id_col),
         F.col(key_col),
-        char_shingles(F.col(key_col), hash_mode=hash_mode).alias("_sh"),
+        sh.alias("_sh"),
     )
 
     def _min_hash(a: int, b: int):
@@ -88,6 +99,53 @@ def entity_minhash(
 
     sig = F.array(*[_min_hash(a, b) for a, b in params])
     return staged.select(F.col(id_col), F.col(key_col), sig.alias("minhash"))
+
+
+def common_shingles(
+    entities: DataFrame,
+    key_col: str = "entity_key",
+    df_fraction: float = 0.05,
+    hash_mode: str = "xxhash64",
+    sample_fraction: Optional[float] = None,
+):
+    """Corpus-common char-shingle hashes: shingles whose document frequency
+    exceeds ``df_fraction`` of entities. THE scale-invariant hot-domain
+    defuse: structurally-similar keys (same-host urls) share a long prefix
+    whose shingles dominate every minhash, flooding LSH buckets with
+    cross-doc collisions — and a fixed absolute bucket cap cannot save
+    recall, because bucket occupancy grows linearly with corpus size until
+    every bucket (including those holding true pairs) is over any cap.
+    Dropping high-DF shingles BEFORE signing removes the shared prefix
+    from the signatures entirely: candidates are driven by each key's
+    DISTINCTIVE shingles, so buckets stay small at ANY corpus size, while
+    verification still runs on the FULL shingle sets (edge semantics
+    unchanged — the filter only shapes candidate recall, which the
+    distinctive shingles preserve).
+
+    One extra aggregation: explode shingles → groupBy(hash) → count —
+    partial-aggregated map-side, shuffling only (hash, count). At 10^12
+    keys pass ``sample_fraction`` (e.g. 0.01): DF *fractions* of genuinely
+    common shingles concentrate, so a uniform sample estimates them with
+    tight error while cutting the aggregation 100×. Returns a Python list
+    (broadcast-size by construction: only shingles in ≥df_fraction of all
+    keys can qualify, so at most 1/df_fraction × shingles-per-key entries)."""
+    base = entities
+    n = base.count()
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=13)
+        n = max(base.count(), 1)
+    exploded = base.select(
+        F.explode(char_shingles(F.col(key_col), hash_mode=hash_mode)).alias("s")
+    )
+    cutoff = max(int(n * df_fraction), 1)
+    rows = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cutoff)
+        .select("s")
+        .collect()
+    )
+    return [r["s"] for r in rows]
 
 
 def candidate_edges(
@@ -109,7 +167,7 @@ def candidate_edges(
     ).selectExpr("a_id AS src", "b_id AS dst")
 
 
-def _large_star(pairs: DataFrame) -> DataFrame:
+def _large_star(pairs: DataFrame, dedup: bool = True) -> DataFrame:
     """Large-star (Kiveris et al. SOCC'14 §3): for every node u, connect all
     strictly-larger neighbors to m = min(Γ(u) ∪ {u}).
 
@@ -120,12 +178,18 @@ def _large_star(pairs: DataFrame) -> DataFrame:
     map-side (a hub contributes one row per input partition to the
     shuffle), and the mins⋈edges join is AQE territory — broadcast when the
     node-min table is small, skew-split when a join partition oversizes.
-    Input/output: distinct (a, b) pairs, a != b."""
+
+    ``dedup=False`` skips the output distinct (one exchange per round):
+    the alternating loop feeds this straight into _small_star, whose
+    groupBy-min is duplicate-insensitive and whose own output distinct
+    collapses any duplicate-driven join fan-out — pre-distinct volume is
+    bounded by |E| (one row per oriented input edge) either way. Output is
+    always strictly oriented (a > b); distinct only when dedup=True."""
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
-    return (
+    out = (
         sym.join(mins, "a")
         .where(F.col("b") > F.col("a"))
         .select(
@@ -133,8 +197,8 @@ def _large_star(pairs: DataFrame) -> DataFrame:
             F.least(F.col("a"), F.col("mb")).alias("b"),
         )
         .where(F.col("a") != F.col("b"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(pairs: DataFrame, oriented: bool = False) -> DataFrame:
@@ -148,8 +212,10 @@ def _small_star(pairs: DataFrame, oriented: bool = False) -> DataFrame:
 
     ``oriented=True`` skips the defensive orient+distinct pass — the
     alternating loop always feeds _large_star output, which is already
-    strictly a > b and distinct, so re-deduplicating costs a full shuffle
-    per round for nothing."""
+    strictly a > b (possibly with duplicates when large-star ran with
+    dedup=False: harmless — the groupBy-min ignores them and the output
+    distinct collapses the join fan-out), so re-orienting costs a full
+    shuffle per round for nothing."""
     if oriented:
         directed = pairs
     else:
@@ -264,7 +330,10 @@ def connected_components(
     for round_no in range(1, max_iterations + 1):
         # large-star output is strictly oriented (a > b) and distinct —
         # small-star can skip its defensive re-orientation shuffle
-        pairs = _small_star(_large_star(pairs), oriented=True)
+        # large-star skips its distinct (dedup=False): small-star's
+        # aggregate is duplicate-insensitive and its output distinct
+        # dedupes — saves one full exchange per round
+        pairs = _small_star(_large_star(pairs, dedup=False), oriented=True)
         if checkpoint:
             pairs, new_fp = _checkpoint_with_fingerprint(pairs, round_no)
         else:
@@ -305,6 +374,7 @@ def canonicalize_entities(
     max_bucket: int = 500,
     observation=None,
     auto_prefilter_ratio: float = 20.0,
+    drop_common_df: Optional[float] = None,
 ) -> DataFrame:
     """Full canonicalization: LSH candidates → exact-Jaccard edge filter →
     connected components → (entity_id, entity_key, canonical_id).
@@ -339,8 +409,25 @@ def canonicalize_entities(
 
     ``max_bucket``/``observation``: LSH hot-bucket cap and its
     dropped-bucket/member metrics (see dedup.drop_observation) — drops are
-    reported on the candidate-building job, never silent."""
-    sigs = entity_minhash(entities, key_col, id_col, num_hashes, hash_mode)
+    reported on the candidate-building job, never silent.
+
+    ``drop_common_df`` (e.g. 0.05): drop shingles present in more than
+    this fraction of entities BEFORE minhash signing (common_shingles) —
+    the scale-invariant hot-domain defuse. Candidates then come from each
+    key's distinctive shingles (no shared-prefix bucket floods at any
+    corpus size). The exact VERIFY still computes Jaccard on the FULL
+    shingle sets (edge threshold semantics unchanged); estimate-mode
+    verify measures agreement of the FILTERED signatures — on a hot shape
+    that is the safer estimator (shared-prefix agreement no longer inflates
+    cross-doc similarity toward the threshold)."""
+    exclude = None
+    if drop_common_df is not None:
+        exclude = common_shingles(
+            entities, key_col, df_fraction=drop_common_df, hash_mode=hash_mode
+        )
+    sigs = entity_minhash(
+        entities, key_col, id_col, num_hashes, hash_mode, exclude=exclude
+    )
     cached_sigs = None
     if verify == "estimate" or estimate_prefilter is not None:
         # the estimate paths reference sigs from THREE joins (band

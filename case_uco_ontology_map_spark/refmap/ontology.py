@@ -164,6 +164,12 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
     properties: Dict[str, Dict[str, Any]] = {}
     shapes: Dict[str, Dict[str, Dict[str, Any]]] = {}
     subclass_of: Dict[str, List[str]] = {}
+    # named *-in-shape PropertyShapes (sh:in vocabulary constraints, e.g.
+    # observable:AccountFacet-accountType-in-shape) and the classes whose
+    # NodeShape references them — attached to `shapes` after all files
+    # parse, since the in-shape definition follows its referencing class
+    in_shapes: Dict[str, Dict[str, Any]] = {}
+    class_in_refs: Dict[str, List[str]] = {}
 
     for fname in sorted(os.listdir(ttl_dir)):
         if not fname.endswith(".ttl"):
@@ -237,11 +243,28 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                 if comment:
                     properties[local]["description"] = comment
 
+            # named sh:in vocabulary PropertyShape (severity-tagged open
+            # vocabularies — case_utils flags these as Info/Warning)
+            if subject.endswith("-in-shape") and "sh:in" in stmt:
+                in_m = re.search(r"sh:in\s*\(([^)]*)\)", stmt, re.DOTALL)
+                path_m = re.search(r"sh:path\s+(\S+)", stmt)
+                sev_m = re.search(r"sh:severity\s+sh:(\w+)", stmt)
+                if in_m and path_m:
+                    in_shapes[local] = {
+                        "prop": _local_name(path_m.group(1).rstrip(";")),
+                        "values": re.findall(r'"((?:[^"\\]|\\.)*)"', in_m.group(1)),
+                        "severity": sev_m.group(1) if sev_m else "Violation",
+                    }
+
             # SHACL shape: property blocks against the target class
             target_m = re.search(r"sh:targetClass\s+(\S+)", stmt)
             if target_m and "sh:property" in stmt:
                 target_local = _local_name(target_m.group(1).rstrip(";"))
                 shape = shapes.setdefault(target_local, {})
+                for ref in re.findall(r"(\S+-in-shape)\b", stmt):
+                    class_in_refs.setdefault(target_local, []).append(
+                        _local_name(ref)
+                    )
                 for block in _top_level_blocks(stmt):
                     path_m = re.search(r"sh:path\s+(\S+)", block)
                     if not path_m:
@@ -260,6 +283,23 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                         "nodeKind": nk_m.group(1) if nk_m else None,
                         "isObjectProp": bool(cls_m) or (nk_m and nk_m.group(1) == "IRI"),
                     }
+
+    # attach sh:in vocabularies to their referencing class shapes
+    for cls, refs in class_in_refs.items():
+        shape = shapes.setdefault(cls, {})
+        for ref in refs:
+            meta = in_shapes.get(ref)
+            if not meta:
+                continue
+            slot = shape.setdefault(
+                meta["prop"],
+                {
+                    "datatype": None, "class": None, "minCount": None,
+                    "maxCount": None, "nodeKind": None, "isObjectProp": False,
+                },
+            )
+            slot["vocab"] = meta["values"]
+            slot["vocabSeverity"] = meta["severity"]
 
     # superclass transitive closure (case_uco.py:167-194) — iterative walk
     closure: Dict[str, List[str]] = {}

@@ -332,13 +332,65 @@ def check_provenance(
     )
 
 
+def check_vocabulary(
+    triples: DataFrame, dictionary: Dict[str, Any]
+) -> DataFrame:
+    """sh:in vocabulary membership — the UCO ``*-in-shape`` PropertyShapes
+    (e.g. observable:AccountFacet-accountType-in-shape restricts
+    accountType to {ldap, nis, ...}). A literal on a vocab-constrained
+    (class, property) slot whose value is not in the list is flagged with
+    the shape's declared severity (UCO marks these Info — open
+    vocabularies — so validate_all reports them separately from hard
+    violations, matching case_utils' conformance report which lists
+    sh:Info results without failing conformance)."""
+    rows = []
+    for cls, shape in (dictionary.get("shapes") or {}).items():
+        for prop, meta in shape.items():
+            for v in meta.get("vocab") or []:
+                rows.append((cls, prop, v, meta.get("vocabSeverity") or "Violation"))
+    if not rows:
+        return triples.limit(0).select(
+            "subj", "pred", "obj", F.lit("").alias("cls"),
+            F.lit("").alias("severity"),
+        )
+    spark = triples.sparkSession
+    vocab = spark.createDataFrame(
+        rows, "cls string, prop string, allowed string, severity string"
+    )
+    vocab_props = vocab.select("cls", "prop", "severity").distinct()
+    # separate frame (not a re-selection of `vocab`) for the anti join —
+    # lits descends from vocab via vocab_props, and a self-join against an
+    # ancestor frame makes column refs ambiguous
+    allowed = spark.createDataFrame(
+        [(c, p, a) for c, p, a, _ in rows],
+        "a_cls string, a_prop string, allowed string",
+    )
+    types = _subject_types(triples)
+    lits = (
+        triples.filter(~F.col("obj_is_iri"))
+        .withColumn("prop", _local(F.col("pred")))
+        .join(types, F.col("subj") == F.col("t_subj"))
+        .join(F.broadcast(vocab_props), ["cls", "prop"])
+    )
+    return lits.join(
+        F.broadcast(allowed),
+        (F.col("cls") == F.col("a_cls"))
+        & (F.col("prop") == F.col("a_prop"))
+        & (F.col("obj") == F.col("allowed")),
+        "left_anti",
+    ).select("subj", "pred", "obj", "cls", "severity")
+
+
 def validate_all(
     triples: DataFrame,
     ontology_map: Dict[str, Any],
     dictionary: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, int]:
     """Run every rule; returns {rule → violation count} (is_clean == all 0,
-    validator.py:88)."""
+    validator.py:88). ``vocabulary`` counts only severity=Violation rows as
+    hard failures; Info/Warning rows (UCO open vocabularies) are reported
+    under ``vocabulary_info`` — the same split case_utils' SHACL report
+    makes, where sh:Info results do not break conformance."""
     out = {
         "placement": check_placement(triples, ontology_map).count(),
         "no_nulls": check_no_nulls(triples).count(),
@@ -350,4 +402,12 @@ def validate_all(
         out["node_kind"] = check_node_kind(triples, dictionary).count()
         out["object_class"] = check_object_class(triples, dictionary).count()
         out["datatypes"] = check_datatypes(triples, dictionary).count()
+        vocab = check_vocabulary(triples, dictionary).cache()
+        out["vocabulary"] = vocab.filter(
+            F.col("severity") == "Violation"
+        ).count()
+        out["vocabulary_info"] = vocab.filter(
+            F.col("severity") != "Violation"
+        ).count()
+        vocab.unpersist(blocking=False)
     return out

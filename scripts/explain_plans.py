@@ -78,7 +78,9 @@ def main():
     # filter+from_json over the ONE fused kernel — exactly one Python
     # (mapInArrow/ArrowEval) node in its whole plan, never a second
     # extraction pass
-    mention_plan = plan_of(derived_mentions)
+    mention_plan = (
+        derived_mentions._jdf.queryExecution().executedPlan().toString()
+    )
     py_nodes = len(re.findall(r"ArrowEvalPython|PythonMapInArrow|MapInPandas", mention_plan))
     assert py_nodes == 1, (
         f"with_mentions mention stream must contain exactly ONE extraction "

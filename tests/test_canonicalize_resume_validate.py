@@ -85,6 +85,109 @@ def test_canonicalize_entities(spark):
     assert out[4] == 4 and out[5] == 5  # singletons keep themselves
 
 
+def test_canonicalize_auto_prefilter_inert_on_diverse_keys(spark):
+    """estimate_prefilter='auto' on well-distributed keys: the candidate/
+    entity ratio stays under the threshold, the prefilter never engages,
+    and the output is BIT-IDENTICAL to the plain exact path (which is why
+    the entity_canonicalize oracle needs no change)."""
+    rows = [
+        (1, "acme corporation"),
+        (2, "acme corporation inc"),
+        (3, "acme corp"),
+        (4, "zebra industries"),
+        (5, "completely unrelated"),
+    ]
+    ents = spark.createDataFrame(rows, "entity_id long, entity_key string")
+    plain = sorted(
+        tuple(r)
+        for r in canonicalize.canonicalize_entities(
+            ents, jaccard_threshold=0.4
+        ).collect()
+    )
+    auto = sorted(
+        tuple(r)
+        for r in canonicalize.canonicalize_entities(
+            ents, jaccard_threshold=0.4, estimate_prefilter="auto"
+        ).collect()
+    )
+    assert auto == plain
+
+
+def test_canonicalize_auto_prefilter_engages_on_flood(spark):
+    """Hot-domain flood: shared structured prefix makes candidates/entities
+    explode past auto_prefilter_ratio; 'auto' engages the 3σ-margin
+    estimate prefilter and the grouping stays EXACT (every variant clique
+    recovered, no cross-doc merges) — the prefilter only drops pairs the
+    exact verify would reject anyway."""
+    n_docs, copies = 40, 8
+    rows = [
+        (
+            d * 100 + c,
+            # two long distinctive hex blocks: cross-doc TRUE Jaccard
+            # ~0.4 (below the 0.7 threshold), within-doc variants ~0.95
+            "https://hot-domain.example.com/section/article/"
+            f"{d * 2654435761 % (1 << 61):016x}/"
+            f"{(d + 7777) * 2654435761 % (1 << 61):016x}-v{c}",
+        )
+        for d in range(n_docs)
+        for c in range(copies)
+    ]
+    ents = spark.createDataFrame(rows, "entity_id long, entity_key string")
+    out = canonicalize.canonicalize_entities(
+        ents, jaccard_threshold=0.7, estimate_prefilter="auto",
+        auto_prefilter_ratio=5.0,
+    )
+    rowsc = out.collect()
+    groups = {}
+    for r in rowsc:
+        groups.setdefault(r["canonical_id"], set()).add(r["entity_id"])
+    assert len(groups) == n_docs
+    for cid, members in groups.items():
+        assert len(members) == copies
+        assert {m // 100 for m in members} == {cid // 100}
+
+
+def test_canonicalize_drop_common_df_defuses_shared_prefix(spark):
+    """drop_common_df: the shared structured prefix is detected as
+    corpus-common shingles and excluded from the signatures, so the LSH
+    candidate set is driven by distinctive content — exact grouping on the
+    hot-domain shape with a tight bucket cap that would otherwise shed
+    recall as the corpus grows."""
+    n_docs, copies = 60, 8
+    rows = [
+        (
+            d * 100 + c,
+            "https://hot-domain.example.com/section/article/"
+            f"{d * 2654435761 % (1 << 61):016x}/"
+            f"{(d + 7777) * 2654435761 % (1 << 61):016x}-v{c}",
+        )
+        for d in range(n_docs)
+        for c in range(copies)
+    ]
+    ents = spark.createDataFrame(rows, "entity_id long, entity_key string")
+    common = canonicalize.common_shingles(ents, df_fraction=0.05)
+    # the 47-char shared prefix yields ~45 corpus-common shingles
+    assert len(common) >= 40
+    out = canonicalize.canonicalize_entities(
+        ents, jaccard_threshold=0.7, max_bucket=50, drop_common_df=0.05
+    )
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r["canonical_id"], set()).add(r["entity_id"])
+    assert len(groups) == n_docs
+    assert all(len(m) == copies for m in groups.values())
+
+    # sampled DF estimation (the 10^12-key mode): genuinely common
+    # shingles (df >> cutoff) are always found; sampling noise may
+    # additionally drop a few near-cutoff shingles, which only ever
+    # REDUCES candidate flood (it cannot hurt verify-time semantics)
+    sampled = canonicalize.common_shingles(
+        ents, df_fraction=0.05, sample_fraction=0.5
+    )
+    assert set(common) <= set(sampled)
+    assert len(sampled) <= 2 * len(common)
+
+
 def test_resume_split_and_invalidate(spark, tmp_path):
     records = spark.createDataFrame(
         [(i, f"val{i}") for i in range(10)], "rid long, payload string"
@@ -230,6 +333,35 @@ def test_min_count_and_node_kind(spark):
         "obj_datatype string, record_uuid string",
     )
     assert validation.check_node_kind(bad_lit, d).count() == 1
+
+
+def test_vocabulary_membership(spark):
+    """sh:in vocabulary (check_vocabulary): AccountFacet.accountType is
+    restricted to the AccountTypeVocab list at severity Info — 'ldap'
+    conforms, 'carrier_pigeon' is flagged; unconstrained properties and
+    other classes never match the rule."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    d = load_dictionary()
+    rows = [
+        ("kb:a1", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
+        ("kb:a1", "uco-observable:accountType", "ldap", False, None, "r1"),
+        ("kb:a2", "rdf:type", "uco-observable:AccountFacet", True, None, "r1"),
+        ("kb:a2", "uco-observable:accountType", "carrier_pigeon", False, None, "r1"),
+        # same literal on an unconstrained slot: not this rule's business
+        ("kb:a2", "uco-core:name", "carrier_pigeon", False, None, "r1"),
+        ("kb:u1", "rdf:type", "uco-observable:URL", True, None, "r1"),
+        ("kb:u1", "uco-observable:fullValue", "ldapx", False, None, "r1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    v = validation.check_vocabulary(triples, d).collect()
+    assert len(v) == 1
+    assert v[0]["subj"] == "kb:a2" and v[0]["obj"] == "carrier_pigeon"
+    assert v[0]["severity"] == "Info"
 
 
 def test_object_class_conformance(spark):

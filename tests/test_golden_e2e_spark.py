@@ -168,3 +168,98 @@ def test_jsonld_render_roundtrip(spark, mft_payload, mft_ontology_map):
                 assert {r["@id"] for r in got[k]} == {r["@id"] for r in v}
             else:
                 assert got[k] == v, (nid, k, got.get(k), v)
+
+
+def test_triples_full_golden_rows(spark):
+    """Round-3 pin for the rows-only contract query `triples_full` (uuid5
+    ids are sha1-based, so DuckDB cannot hash-oracle them; the STRUCTURE is
+    oracled via `triples_structural`). These literal rows — including the
+    uuid5 node ids, record_uuid, and fingerprint — were generated once and
+    frozen: any regression in the fingerprint → record_uuid → slot-uuid
+    identity chain fails loudly here instead of surfacing only as a count
+    drift."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_golden", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    full = entry.q_triples_full(spark, "/root/testdata/sf0.001")
+    url0 = "https://src0.example.org/doc/0"
+    got = sorted(
+        tuple(r) for r in full.filter(F.col("url") == url0).collect()
+    )
+    ru = "3918c555-4759-5e47-8865-b59192677abc"
+    fp = "7ec11b423c24890cafce25461ea9eb8272287f05eb7c67dcd0590395aa70aac1"
+    cdf = "kb:contentdatafacet-21c5919c-26db-57e4-a278-88cd8b76abd6"
+    urlnode = "kb:url-f0ac65fb-a086-53f3-a680-8075f67db974"
+    urlf = "kb:urlfacet-670090a2-2168-593f-865d-c0a048cb4045"
+    ext = "kb:webpageextensionfacet-28ea7a64-084f-58eb-865b-2297aa47e75f"
+    expected = sorted(
+        [
+            (cdf, "rdf:type", "uco-observable:ContentDataFacet", True, None, ru, fp, url0),
+            (cdf, "uco-observable:dataPayloadReferenceURL", url0, False, None, ru, fp, url0),
+            (cdf, "uco-observable:hash",
+             "7a1b2a61d9e9b74f5f0accb73a613de4b6e5f3f2e9fb2563540fb5f13e1b6961",
+             False, None, ru, fp, url0),
+            (cdf, "uco-observable:mimeType", "text/html", False, None, ru, fp, url0),
+            (cdf, "uco-observable:sizeInBytes", "128", False, "xsd:integer", ru, fp, url0),
+            (urlnode, "rdf:type", "uco-observable:URL", True, None, ru, fp, url0),
+            (urlnode, "uco-core:hasFacet", cdf, True, None, ru, fp, url0),
+            (urlnode, "uco-core:hasFacet", urlf, True, None, ru, fp, url0),
+            (urlnode, "uco-core:hasFacet", ext, True, None, ru, fp, url0),
+            (urlf, "rdf:type", "uco-observable:URLFacet", True, None, ru, fp, url0),
+            (urlf, "uco-observable:fullValue", url0, False, None, ru, fp, url0),
+            (urlf, "uco-observable:host", "src0.example.org", False, None, ru, fp, url0),
+            (ext, "dfc-ext:lang", "es", False, None, ru, fp, url0),
+            (ext, "dfc-ext:warcTime", "2025-01-01T00:00:00Z", False, None, ru, fp, url0),
+            (ext, "rdf:type", "uco-observable:WebPageExtensionFacet", True, None, ru, fp, url0),
+        ]
+    )
+    assert got == expected
+
+    # second record: identity chain spot-pin (different lang/ts/content)
+    url100 = "https://src0.example.org/doc/100"
+    ids = (
+        full.filter(F.col("url") == url100)
+        .select("record_uuid", "fingerprint")
+        .distinct()
+        .collect()
+    )
+    assert len(ids) == 1
+    assert ids[0]["record_uuid"] == "f730ee5c-0eb2-5737-8237-0aebbee3043b"
+    assert ids[0]["fingerprint"] == (
+        "e5734b3d7a67d9d2f3c72262375d4be5291d03966da81c8193fc30476daf61cb"
+    )
+
+
+def test_mention_detection_golden_rows(spark):
+    """Round-3 pin for the rows-only `mention_detection` query: exact
+    (url, surface, class, count) rows for fixed docs — the sequential
+    longest-match consumption semantics frozen as literals (the multiword
+    variant is DuckDB-oracled; this pins the production query's own
+    output)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_golden2", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    md = entry.q_mention_detection(spark, "/root/testdata/sf0.001")
+    got = sorted(
+        tuple(r)
+        for r in md.filter(
+            F.col("url").isin("doc:0", "doc:1", "doc:2", "doc:3")
+        ).collect()
+    )
+    assert got == [
+        ("doc:0", None, "hash", "Hash", 1),
+        ("doc:2", None, "hash", "Hash", 2),
+        ("doc:3", None, "hash", "Hash", 2),
+    ]

@@ -105,3 +105,46 @@ def test_research_query_surface():
     rf = R.relevant_facets("File")
     assert 0 < len(rf) <= 10
     assert "FileFacet" in rf
+
+
+def test_research_hierarchy_and_reports():
+    """Round-3 research surface: class hierarchy, facet/relationship
+    census, class comparison, markdown report (case_uco.py:167-194,
+    655-684, 754-845, 802-830, 941-982)."""
+    from case_uco_ontology_map_spark.refmap import research as R
+
+    # pinned chain: most-general-first, self last
+    h = R.class_hierarchy("URL")
+    assert h[-1] == "URL"
+    assert h.index("UcoThing") < h.index("UcoObject") < h.index("ObservableObject")
+    assert h[0] in ("Thing", "UcoThing")  # roots have no superclasses
+    assert R.class_hierarchy("NoSuchClass") == []
+
+    fa = R.analyze_facets()
+    assert fa["total_facets"] == len(fa["facet_list"]) >= 100
+    assert "FileFacet" in fa["facet_list"]
+    assert fa["facet_list"] == sorted(fa["facet_list"])
+
+    ar = R.analyze_relationships()
+    assert "ObservableRelationship" in (
+        ar["general_relationships"] + ar["observable_relationships"]
+    )
+    assert ar["total_relationship_types"] == len(
+        ar["observable_relationships"]
+    ) + len(ar["general_relationships"])
+
+    cmp = R.compare_classes("File", "URL", "NoSuchClass")
+    assert set(cmp["classes"]) == {"File", "URL"}
+    assert len(cmp["summary_table"]) == 2
+    assert {r["class"] for r in cmp["summary_table"]} == {"File", "URL"}
+
+    # pinned report: header, superclass section, CASE-format table,
+    # facet-pattern footer
+    md = R.export_class_markdown("File")
+    assert md.startswith("# File")
+    assert "**URI:** `https://ontology.unifiedcyberontology.org" in md
+    assert "## Superclasses" in md and "## Property Shapes" in md
+    assert "| PROPERTY | PROPERTY TYPE | DESCRIPTION |" in md
+    assert "| **FileFacet** |" in md and "| fileName |" in md
+    assert "hasFacet' property to link to FileFacet" in md
+    assert "Error:" in R.export_class_markdown("NoSuchClass")
