@@ -1190,6 +1190,137 @@ ORDER BY entity_id
 """
 
 
+def q_entity_canonicalize_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-domain canonicalization under the hash gate: every key shares a
+    long structured same-host prefix (the north-rule skew shape), groups
+    of 4 variants per base. Exercises the round-3 scale-invariant defuse —
+    drop_common_df excludes corpus-common shingles (the prefix) before
+    minhash signing — plus the bucket cap and exact verify, in md5_60 mode
+    so the DuckDB oracle replays the ENTIRE chain: shingle DF → common-set
+    exclusion → signatures → bands → cap → exact-Jaccard edges →
+    recursive-CTE closure."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        canonicalize_entities,
+    )
+
+    base = (F.col("doc_id") / 4).cast("long").cast("string")
+    key = F.concat(
+        F.lit("https://hot-domain.example.com/section/article/"),
+        F.substring(F.md5(base), 1, 16),
+        F.lit("/"),
+        F.substring(F.md5(F.concat(base, F.lit("x"))), 1, 16),
+        F.lit("-v"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    ents = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("entity_id"), key.alias("entity_key")
+    )
+    return canonicalize_entities(
+        ents,
+        jaccard_threshold=0.7,
+        hash_mode="md5_60",
+        max_bucket=100,
+        drop_common_df=0.05,
+    ).orderBy("entity_id")
+
+
+def _oracle_entity_canonicalize_hot() -> str:
+    h = _MD5_60
+    return f"""
+WITH RECURSIVE
+ents AS (
+  SELECT doc_id AS entity_id,
+         'https://hot-domain.example.com/section/article/'
+           || substr(md5(((doc_id // 4))::VARCHAR), 1, 16) || '/'
+           || substr(md5(((doc_id // 4))::VARCHAR || 'x'), 1, 16)
+           || '-v' || (doc_id % 4)::VARCHAR AS entity_key
+  FROM documents
+),
+sh AS (
+  SELECT entity_id,
+         list_distinct(list_transform(
+           list_transform(
+             range(1, greatest(length(lower(entity_key)) - 2, 0) + 1),
+             i -> substr(lower(entity_key), i, 3)
+           ),
+           s -> {h.format(x='s')}
+         )) AS sh
+  FROM ents
+),
+cnt AS (SELECT count(*) AS n FROM ents),
+-- shingle document frequency; common = present in > floor(0.05 n) entities
+common AS (
+  SELECT s FROM (SELECT unnest(sh) AS s, entity_id FROM sh) u, cnt
+  GROUP BY s, cnt.n
+  HAVING count(*) > greatest(CAST(floor(cnt.n * 0.05) AS INT), 1)
+),
+common_list AS (
+  SELECT coalesce(list(s), CAST([] AS BIGINT[])) AS cl FROM common
+),
+fsh AS (
+  SELECT entity_id,
+         list_filter(sh, x -> NOT list_contains(cl, x)) AS fsh
+  FROM sh CROSS JOIN common_list
+),
+params(i, a, b) AS (VALUES
+  {_minhash_param_rows(32, seed=17)}
+),
+sigs AS (
+  SELECT entity_id, i,
+         coalesce(
+           list_min(list_transform(fsh, s -> ((s % 2147483647) * a + b) % 2147483647)),
+           2147483647) AS sig
+  FROM fsh CROSS JOIN params
+),
+sigarr AS (
+  SELECT entity_id, list(sig ORDER BY i) AS sig FROM sigs GROUP BY entity_id
+),
+bands AS (
+  SELECT entity_id, b AS band_idx,
+         {h.format(x="b::VARCHAR || ',' || array_to_string(list_transform(sig[b*4+1:b*4+4], v -> v::VARCHAR), ',')")} AS band_hash
+  FROM sigarr CROSS JOIN range(0, 8) t(b)
+),
+bsize AS (
+  SELECT band_idx, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT l.entity_id AS src, r.entity_id AS dst
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+              AND l.entity_id < r.entity_id
+  JOIN bsize s ON l.band_idx = s.band_idx AND l.band_hash = s.band_hash
+  WHERE s.n <= 100
+),
+-- exact verify on the FULL shingle sets (the DF filter shapes candidates only)
+edges AS (
+  SELECT c.src AS a, c.dst AS b
+  FROM cands c JOIN sh x ON c.src = x.entity_id JOIN sh y ON c.dst = y.entity_id
+  WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+        THEN len(list_filter(x.sh, s -> list_contains(y.sh, s)))::DOUBLE
+             / len(list_distinct(list_concat(x.sh, y.sh)))
+        ELSE 0.0 END >= 0.7
+),
+sym AS (
+  SELECT a, b FROM edges
+  UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges
+  UNION SELECT b, b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+),
+comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT e.entity_id, e.entity_key,
+       coalesce(c.component, e.entity_id) AS canonical_id
+FROM ents e LEFT JOIN comp c ON e.entity_id = c.id
+ORDER BY entity_id
+"""
+
+
 def q_mention_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gazetteer mention detection over documents (north_star stage) —
     gazetteer is the broadcast ontology dictionary; rows-only (the scan is
@@ -1419,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "cc_long_chain": q_cc_long_chain,
         "entity_canonicalize": q_entity_canonicalize,
+        "entity_canonicalize_hot": q_entity_canonicalize_hot,
         "mention_detection": q_mention_detection,
         "mention_detection_single": q_mention_detection_single,
         "mention_detection_multiword": q_mention_detection_multiword,
@@ -1453,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _oracle_connected_components(),
         "cc_long_chain": _oracle_cc_long_chain(),
         "entity_canonicalize": _oracle_entity_canonicalize(),
+        "entity_canonicalize_hot": _oracle_entity_canonicalize_hot(),
         "mention_detection_single": _oracle_mention_detection_single(),
         "mention_detection_multiword": _oracle_mention_detection_multiword(),
         "curation_pipeline": _oracle_curation(),
