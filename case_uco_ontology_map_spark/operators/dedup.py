@@ -121,6 +121,53 @@ def exact_dedup(
     )
 
 
+def common_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    df_fraction: float = 0.05,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+    sample_fraction: Optional[float] = None,
+) -> List[int]:
+    """Corpus-common token-shingle hashes: shingles present in more than
+    ``df_fraction`` of documents. The web-corpus boilerplate defuse for
+    near-dup detection — navigation chrome, cookie banners, and footer
+    text repeat across most pages of a site, dominate every minhash, and
+    flood LSH buckets with cross-page collisions exactly like the
+    hot-domain entity-key prefix (see canonicalize.common_shingles, the
+    entity twin of this function, for the measured fixed-cap recall
+    failure that motivates DF filtering). Pass the result to
+    ``minhash_signatures(exclude=...)``; exact/estimate verification
+    semantics are the caller's choice as before.
+
+    One aggregation: explode distinct per-doc shingles → groupBy(hash) →
+    count, map-side partial combined. At 10^12 docs use
+    ``sample_fraction`` — genuinely common shingles concentrate, so a
+    uniform sample estimates them tightly at 1/fraction the cost. Returns
+    a broadcast-size Python list (≤ shingles-per-doc / df_fraction
+    entries by construction)."""
+    base = df
+    n = base.count()
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=13)
+        n = max(base.count(), 1)
+    staged = base.select(
+        tokens_lower_col(F.col(text_col)).alias("_toks")
+    ).select(
+        shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode).alias("_sh")
+    )
+    cutoff = max(int(n * df_fraction), 1)
+    rows = (
+        staged.select(F.explode("_sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cutoff)
+        .select("s")
+        .collect()
+    )
+    return [r["s"] for r in rows]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -128,10 +175,16 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     hash_mode: str = "xxhash64",
+    exclude: Optional[Sequence[int]] = None,
 ) -> DataFrame:
     """k minhashes per doc: sig_i = min over shingles of ((a_i*s + b_i) mod p).
     All JVM (transform + array_min) — no Python, no shuffle. Empty shingle
     sets get p (sentinel) so they never collide with real signatures.
+
+    ``exclude``: shingle hashes removed before signing (see
+    common_shingle_hashes — the boilerplate defuse). A doc whose every
+    shingle is excluded degrades to the sentinel signature (never
+    collides).
 
     The shingle array is materialized in its OWN projection before the k
     per-hash transforms reference it: inlined, CollapseProject folds the
@@ -141,11 +194,16 @@ def minhash_signatures(
     per row — measured 36× slower (44s → 1.2s for 5k docs × 64 hashes).
     Same fix as simhash's `_votes` staging below."""
     params = _hash_params(num_hashes)
+    sh = shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode)
+    if exclude:
+        sh = F.array_except(
+            sh, F.array(*[F.lit(int(x)).cast("long") for x in exclude])
+        )
     staged = df.select(
         F.col(id_col), tokens_lower_col(F.col(text_col)).alias("_toks")
     ).select(
         F.col(id_col),
-        shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode).alias("_sh"),
+        sh.alias("_sh"),
     )
 
     def _min_hash(a: int, b: int) -> Column:
@@ -335,10 +393,14 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     estimate: bool = False,
     hash_mode: str = "xxhash64",
+    exclude: Optional[Sequence[int]] = None,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     Jaccard verification on candidates only. Returns (a_id, b_id, jaccard)
-    pairs with jaccard ≥ threshold.
+    pairs with jaccard ≥ threshold. ``exclude``/``observation`` thread to
+    minhash_signatures (boilerplate DF filter) and the band join (drop
+    accounting).
 
     estimate=False verifies with EXACT shingle-set Jaccard (re-joins the
     docs). estimate=True verifies with the minhash estimate (fraction of
@@ -348,13 +410,19 @@ def minhash_dedup_pairs(
     (An in-bucket estimate — signatures riding the collect_list rows — was
     measured 3× SLOWER than this join: the deeply nested HOF over
     array<struct<id,array<bigint>>> drops out of whole-stage codegen.)"""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_mode)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_mode, exclude=exclude
+    )
     if not estimate:
-        cands = lsh_candidate_pairs(sigs, id_col, bands, hash_mode=hash_mode)
+        cands = lsh_candidate_pairs(
+            sigs, id_col, bands, hash_mode=hash_mode, observation=observation
+        )
         return ngram_jaccard_pairs(
             df, cands, text_col, id_col, shingle_n, threshold, hash_mode
         )
-    return minhash_estimate_pairs(sigs, id_col, bands, threshold, hash_mode)
+    return minhash_estimate_pairs(
+        sigs, id_col, bands, threshold, hash_mode, observation=observation
+    )
 
 
 def minhash_estimate_pairs(
@@ -364,6 +432,7 @@ def minhash_estimate_pairs(
     threshold: float = 0.7,
     hash_mode: str = "xxhash64",
     cache: bool = True,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Signature-only near-dup pairs: banded LSH candidates verified by the
     minhash Jaccard ESTIMATE (fraction of agreeing signature positions).
@@ -379,7 +448,9 @@ def minhash_estimate_pairs(
     persisted ``sigs`` and ``cache=False``, then unpersist itself."""
     if cache:
         sigs = sigs.cache()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, hash_mode=hash_mode)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, hash_mode=hash_mode, observation=observation
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     agree = F.size(
         F.filter(

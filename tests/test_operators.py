@@ -138,6 +138,59 @@ def test_lsh_candidate_pairs_drop_observation(spark):
     assert m["dropped_members"] == 200
 
 
+def test_boilerplate_df_filter_restores_lsh_recall(spark):
+    """Web-corpus boilerplate defuse (the document twin of the hot-domain
+    entity fix): a shared chrome/footer preamble dominates every minhash,
+    all docs collide into the same capped band buckets, and the TRUE
+    near-dup pair is lost with the caps. Excluding corpus-common shingles
+    (common_shingle_hashes) re-bases the signatures on each doc's
+    distinctive body and recall comes back — at the same tight cap."""
+    boiler = (
+        "home about contact cookie notice accept all privacy terms of "
+        "service subscribe newsletter follow us copyright twenty twenty "
+        "five all rights reserved site navigation search menu "
+    )
+    docs = spark.createDataFrame(
+        [(i, boiler + f"distinct body content number {i} alpha beta gamma "
+          f"delta epsilon zeta eta theta iota kappa item{i} token{i}")
+         for i in range(40)]
+        + [
+            (100, boiler + "unique near duplicate body about spark "
+             "engines and columnar execution plans"),
+            (101, boiler + "unique near duplicate body about spark "
+             "engines and columnar execution plan"),
+        ],
+        "doc_id long, text string",
+    )
+    # without the DF filter: boilerplate-dominated bands collapse the
+    # whole corpus into over-cap buckets — a measurable flood the cap has
+    # to drop (observed, not silent)
+    sigs_plain = dedup.minhash_signatures(docs, num_hashes=32)
+    obs_plain = dedup.drop_observation()
+    dedup.lsh_candidate_pairs(
+        sigs_plain, bands=8, max_bucket=10, observation=obs_plain
+    ).collect()
+    m_plain = dedup.drop_metrics(obs_plain)
+    assert m_plain["dropped_buckets"] >= 1
+    assert m_plain["dropped_members"] >= len(docs.collect()) // 2
+
+    common = dedup.common_shingle_hashes(docs, df_fraction=0.3)
+    assert len(common) >= 10  # the boilerplate shingles
+    sigs = dedup.minhash_signatures(docs, num_hashes=32, exclude=common)
+    obs = dedup.drop_observation()
+    cands = dedup.lsh_candidate_pairs(
+        sigs, bands=8, max_bucket=10, observation=obs
+    ).collect()
+    got = {(r["a_id"], r["b_id"]) for r in cands}
+    # true pair found, no bucket over the cap, nothing dropped
+    assert (100, 101) in got
+    m = dedup.drop_metrics(obs)
+    assert m["dropped_buckets"] == 0 and m["dropped_members"] == 0
+    # verification still uses FULL shingle sets — boilerplate-only overlap
+    # pairs score high Jaccard on full text, so thresholding is the
+    # caller's semantic choice exactly as before (here: candidates only)
+
+
 def test_drop_metrics_none_when_all_buckets_capped(spark):
     """All-dropped corner: AQE empty-propagation prunes the metrics node;
     drop_metrics answers None ('unavailable'), never a fake zero."""
