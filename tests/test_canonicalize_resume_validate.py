@@ -66,6 +66,21 @@ def test_connected_components_self_loops_and_dups(spark):
     assert out == {1: 1, 2: 1, 5: 5, 7: 7}
 
 
+def test_connected_components_reclaims_round_blocks(spark):
+    """Iterative CC must not leak one checkpointed edge-set copy per round
+    into the block manager: after a run, only the blocks the RETURNED
+    frame still depends on (node set + final round) may remain — a
+    ~9-round chain leaves 2 persistent RDDs, not ~10."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "src long, dst long"
+    )
+    before = len(canonicalize._persistent_ids(spark))
+    out = canonicalize.connected_components(edges)
+    assert out.count() == 151
+    after = len(canonicalize._persistent_ids(spark))
+    assert after - before <= 2
+
+
 def test_canonicalize_entities(spark):
     rows = [
         (1, "acme corporation"),
