@@ -416,6 +416,37 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-style rolling hash): exact
+    sha256 + min over 16-token-window hashes, md5_60 mode so DuckDB
+    replays the window slide and the hash bit-exactly."""
+    from case_uco_ontology_map_spark.operators.textstats import doc_fingerprints
+
+    return (
+        doc_fingerprints(_docs(spark, sf_dir), hash_mode="md5_60")
+        .select("doc_id", "exact_sha256", "rolling_min_hash")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_doc_fingerprints() -> str:
+    h = _MD5_60
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       sha256(text) AS exact_sha256,
+       list_min(list_transform(
+         range(0, greatest(len(t) - 16, 0) + 1),
+         i -> {h.format(x="array_to_string(t[i+1:i+16], ' ')")}
+       )) AS rolling_min_hash
+FROM toks ORDER BY doc_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on all pairs among the 200 lowest doc_ids with
     similarity ≥ 0.2 (verification-stage semantics; candidate generation is
@@ -1530,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_counts": q_doc_quality_counts,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
         # dedup
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1569,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),
         "lang_id": _oracle_lang_id(),
+        "doc_fingerprints": _oracle_doc_fingerprints(),
         "exact_dedup": _oracle_exact_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),

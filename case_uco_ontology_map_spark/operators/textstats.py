@@ -117,10 +117,16 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
-def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", hash_mode: str = "xxhash64"
+) -> DataFrame:
     """Document fingerprints: exact sha256 + a rolling-window fingerprint
-    (xxhash64 of each 16-token window, min over windows ≙ winnowing pick).
-    JVM-only: transform over a slide of token arrays."""
+    (hash of each 16-token window, min over windows ≙ winnowing pick).
+    JVM-only: transform over a slide of token arrays. ``hash_mode``
+    follows dedup.content_hash64 (xxhash64 production; md5_60 for the
+    engine-portable oracle replay)."""
+    from .dedup import content_hash64
+
     text = F.col(text_col)
     # stage tokens in their own projection: the per-window lambda below
     # references the token array, and an inline tokenize expression would
@@ -134,7 +140,9 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     window_hashes = F.transform(
         idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, win))),
+        lambda i: content_hash64(
+            F.concat_ws(" ", F.slice(toks, i + 1, win)), hash_mode
+        ),
     )
     return staged.select(
         *df.columns,
