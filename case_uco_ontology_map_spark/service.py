@@ -1,0 +1,298 @@
+"""HTTP/SSE service surface — the reference's FastAPI app re-expressed on
+the standard library.
+
+Reference: ``routes.py:36-141`` defines ``GET /health``, ``GET /`` and
+``POST /invoke-streaming`` (Server-Sent Events wrapping the session event
+stream, envelope ``{"type", "session_id", "data"}`` per event, terminated
+by ``stream_complete`` / ``stream_error``); ``services.py:67-72`` mints the
+session id as ``{user[:10]}_{YYYYmmdd_HHMMSS}_{uuid4[:8]}``. The LLM agent
+behind the reference stream is replaced by the deterministic
+``plans.artifacts.analyze_payload`` pipeline; the event *sequence*
+(session start → ingest → ontology mapping → graph → validation →
+complete) and the SSE wire framing are preserved so a reference client can
+consume this stream unchanged.
+
+Design notes for the batch engine:
+  * One long-lived SparkSession is shared across requests (the server is a
+    thin control plane; all heavy lifting is Spark jobs). The handler is
+    ``ThreadingHTTPServer`` so a slow analysis does not block /health —
+    SparkSession is thread-safe for job submission.
+  * Events stream as each pipeline stage's Spark action completes — the
+    client sees progress, not a buffered dump (``wfile.flush()`` per
+    event, chunked via Content-Type: text/event-stream semantics).
+  * No FastAPI/pydantic/uvicorn: this container is stdlib-only, and a
+    control-plane endpoint has no need for an ASGI stack.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+SERVICE_NAME = "case-uco-ontology-mapping-spark"
+
+
+def generate_session_id(
+    user_identifier: str = "user",
+    now: Optional[datetime] = None,
+    unique: Optional[str] = None,
+) -> str:
+    """Session id with the reference's shape (services.py:67-72):
+    ``{user[:10]}_{YYYYmmdd_HHMMSS}_{uuid4[:8]}``. ``now``/``unique`` are
+    injectable for deterministic tests (the F15 pattern — wall clock and
+    uuid4 never leak into pipeline state, only into the session label)."""
+    ts = (now or datetime.now()).strftime("%Y%m%d_%H%M%S")
+    uid = unique if unique is not None else str(uuid.uuid4())[:8]
+    prefix = user_identifier[:10] if user_identifier else "user"
+    return f"{prefix}_{ts}_{uid}"
+
+
+def session_events(
+    spark,
+    payload: Any,
+    out_dir: str,
+    session_id: Optional[str] = None,
+    class_names: Optional[Sequence[str]] = None,
+    raw: Optional[bytes] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Run one analysis session, yielding progress events as each stage
+    completes — the stream behind both the CLI runner
+    (scripts/analyze_session.py) and ``POST /invoke-streaming``.
+
+    Event sequence (field-for-field what run_session printed):
+      session_start → ingest → ontology → graph → validation → complete
+    The ``complete`` event carries the full session record under
+    ``"session"`` (the audit row persisted to session.json).
+    """
+    from .plans.artifacts import analyze_payload
+    from .refmap.ontology import load_dictionary
+    from .validation import validate_all
+
+    if raw is None:
+        raw = (
+            payload.encode("utf-8")
+            if isinstance(payload, str)
+            else json.dumps(payload, sort_keys=True).encode("utf-8")
+        )
+    input_sha = hashlib.sha256(raw).hexdigest()
+    session_id = session_id or f"session-{input_sha[:16]}"
+    yield {
+        "event": "session_start",
+        "session_id": session_id,
+        "input_sha256": input_sha,
+    }
+
+    is_csv = isinstance(payload, dict) and "csv" in payload
+    if is_csv:
+        payload = payload["csv"]
+    yield {"event": "ingest", "format": "csv" if is_csv else "json"}
+
+    result = analyze_payload(spark, payload, class_names=class_names)
+    yield {
+        "event": "ontology",
+        "classes": result["ontology_map"].get("classes", []),
+        "facets": result["ontology_map"].get("facets", []),
+    }
+
+    os.makedirs(out_dir, exist_ok=True)
+    graph_path = os.path.join(out_dir, "graph.jsonld")
+    with open(graph_path, "w") as fh:
+        json.dump(result["graph"], fh, indent=2, sort_keys=True)
+    triples_path = os.path.join(out_dir, "triples.parquet")
+    result["triples"].write.mode("overwrite").parquet(triples_path)
+    if result["ttl"]:
+        with open(os.path.join(out_dir, "extension_facets.ttl"), "w") as fh:
+            fh.write(result["ttl"])
+    n_triples = spark.read.parquet(triples_path).count()
+    n_nodes = len(result["graph"]["@graph"])
+    yield {
+        "event": "graph",
+        "nodes": n_nodes,
+        "triples": n_triples,
+        "path": graph_path,
+    }
+
+    violations = validate_all(
+        spark.read.parquet(triples_path),
+        result["ontology_map"],
+        load_dictionary(),
+    )
+    yield {
+        "event": "validation",
+        "is_clean": all(v == 0 for v in violations.values()),
+        "violations": violations,
+    }
+
+    session = {
+        "session_id": session_id,
+        "input_sha256": input_sha,
+        "records": result["records"].count(),
+        "nodes": n_nodes,
+        "triples": n_triples,
+        "violations": violations,
+        "outputs": sorted(set(os.listdir(out_dir)) | {"session.json"}),
+    }
+    with open(os.path.join(out_dir, "session.json"), "w") as fh:
+        json.dump(session, fh, indent=2, sort_keys=True)
+    yield {
+        "event": "complete",
+        "session_id": session_id,
+        "out_dir": out_dir,
+        "session": session,
+    }
+
+
+def _sse(obj: Dict[str, Any]) -> bytes:
+    """One Server-Sent Event frame, the reference's exact framing
+    (routes.py:101: ``data: {json}\\n\\n``)."""
+    return f"data: {json.dumps(obj)}\n\n".encode("utf-8")
+
+
+def _envelope(event: Dict[str, Any], session_id: str) -> Dict[str, Any]:
+    """routes.py:88-99 — {"type", "session_id", "data"} with the session id
+    removed from data to avoid duplication."""
+    data = {k: v for k, v in event.items() if k not in ("event", "session_id")}
+    return {"type": event["event"], "session_id": session_id, "data": data}
+
+
+def build_payload(body: Dict[str, Any]) -> Any:
+    """AnalysisInput → pipeline payload (routes.py:19-26, 70-78): pass JSON
+    artifacts through; wrap a CSV string with the optional artifact_type /
+    description / source metadata."""
+    artifacts = body.get("input_artifacts")
+    meta = {
+        k: body[k]
+        for k in ("artifact_type", "description", "source")
+        if body.get(k)
+    }
+    if isinstance(artifacts, str) and meta:
+        from .sources.ingest import sniff_payload, wrap_csv_rows
+
+        fmt, parsed = sniff_payload(artifacts)
+        if fmt == "csv":
+            return wrap_csv_rows(parsed, **meta)
+    return artifacts
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Routes mirror the reference app: GET /health, GET /, and
+    POST /invoke-streaming."""
+
+    protocol_version = "HTTP/1.1"
+
+    # Silence per-request stderr logging (tests and bench runs).
+    def log_message(self, fmt: str, *args: Any) -> None:
+        pass
+
+    def _json(self, code: int, obj: Dict[str, Any]) -> None:
+        body = json.dumps(obj).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        if self.path == "/health":
+            self._json(
+                200,
+                {
+                    "status": "healthy",
+                    "message": "KG construction API is running",
+                    "service": SERVICE_NAME,
+                },
+            )
+        elif self.path == "/":
+            self._json(
+                200,
+                {
+                    "message": "CASE/UCO Ontology Mapping Spark API",
+                    "version": "1.0.0",
+                    "endpoints": {
+                        "health": "/health",
+                        "streaming_analysis": "/invoke-streaming",
+                    },
+                },
+            )
+        else:
+            self._json(404, {"detail": "Not Found"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        if self.path != "/invoke-streaming":
+            self._json(404, {"detail": "Not Found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(length)
+            body = json.loads(raw)
+            if not isinstance(body, dict) or "input_artifacts" not in body:
+                raise ValueError("input_artifacts is required")
+        except (ValueError, json.JSONDecodeError) as exc:
+            # Malformed request → 4xx before any stream starts
+            # (FastAPI/pydantic's 422 role).
+            self._json(422, {"detail": f"invalid request body: {exc}"})
+            return
+
+        session_id = generate_session_id(
+            str(body.get("user_identifier") or "user")
+        )
+        out_dir = os.path.join(self.server.sessions_dir, session_id)
+
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Access-Control-Allow-Origin", "*")
+        # SSE is open-ended: signal end-of-stream by closing the connection
+        # (no Content-Length), exactly like StreamingResponse.
+        self.send_header("Connection", "close")
+        self.end_headers()
+        try:
+            events = session_events(
+                self.server.spark,
+                build_payload(body),
+                out_dir,
+                session_id=session_id,
+                class_names=body.get("class_names"),
+                raw=raw,
+            )
+            for event in events:
+                self.wfile.write(_sse(_envelope(event, session_id)))
+                self.wfile.flush()
+            self.wfile.write(
+                _sse({"type": "stream_complete", "session_id": session_id})
+            )
+        except Exception as exc:  # stream already started → in-band error
+            self.wfile.write(
+                _sse(
+                    {
+                        "type": "stream_error",
+                        "session_id": session_id,
+                        "error": str(exc),
+                    }
+                )
+            )
+        self.wfile.flush()
+        self.close_connection = True
+
+
+def serve(
+    spark,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    sessions_dir: Optional[str] = None,
+) -> ThreadingHTTPServer:
+    """Bind the service and return the (not yet serving) server. Callers run
+    ``server.serve_forever()`` — tests in a daemon thread, the CLI script in
+    the main thread. ``port=0`` binds an ephemeral port
+    (``server.server_address[1]``)."""
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.spark = spark
+    server.sessions_dir = sessions_dir or os.path.join(
+        os.getcwd(), "sessions"
+    )
+    return server

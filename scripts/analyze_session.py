@@ -3,9 +3,12 @@
 /root/reference/routes.py:50-129, services.py:82-335) re-expressed as a
 runnable session: payload file in → JSON progress events on stdout (the
 SSE-equivalent stream) → JSON-LD graph + triples + session record on disk.
+The same event generator (``case_uco_ontology_map_spark.service``) also
+backs the actual HTTP/SSE server — ``--serve`` starts it.
 
     python scripts/analyze_session.py payload.json --out /tmp/session
     python scripts/analyze_session.py artifacts.csv --classes File,URL
+    python scripts/analyze_session.py --serve --port 8808
 
 Events (one JSON object per line, ``event`` field keyed like the
 reference's stream stages): session_start → ingest → ontology → graph →
@@ -18,7 +21,6 @@ per-session SQLite checkpoint.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import sys
@@ -38,69 +40,30 @@ def run_session(
     class_names=None,
     session_id: str = None,
 ) -> dict:
-    from case_uco_ontology_map_spark.plans.artifacts import analyze_payload
-    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
-    from case_uco_ontology_map_spark.validation import validate_all
+    from case_uco_ontology_map_spark.service import session_events
 
     with open(payload_path, "rb") as fh:
         raw = fh.read()
-    input_sha = hashlib.sha256(raw).hexdigest()
-    session_id = session_id or f"session-{input_sha[:16]}"
-    _emit("session_start", session_id=session_id, input_sha256=input_sha)
-
     if payload_path.endswith(".csv"):
         payload = {"csv": raw.decode("utf-8", errors="replace")}
     else:
         payload = json.loads(raw)
-    _emit("ingest", format="csv" if "csv" in payload else "json")
 
-    result = analyze_payload(spark, payload, class_names=class_names)
-    _emit(
-        "ontology",
-        classes=result["ontology_map"].get("classes", []),
-        facets=result["ontology_map"].get("facets", []),
-    )
-
-    os.makedirs(out_dir, exist_ok=True)
-    graph_path = os.path.join(out_dir, "graph.jsonld")
-    with open(graph_path, "w") as fh:
-        json.dump(result["graph"], fh, indent=2, sort_keys=True)
-    triples_path = os.path.join(out_dir, "triples.parquet")
-    result["triples"].write.mode("overwrite").parquet(triples_path)
-    if result["ttl"]:
-        with open(os.path.join(out_dir, "extension_facets.ttl"), "w") as fh:
-            fh.write(result["ttl"])
-    n_triples = spark.read.parquet(triples_path).count()
-    n_nodes = len(result["graph"]["@graph"])
-    _emit("graph", nodes=n_nodes, triples=n_triples, path=graph_path)
-
-    violations = validate_all(
-        spark.read.parquet(triples_path),
-        result["ontology_map"],
-        load_dictionary(),
-    )
-    _emit("validation", is_clean=all(v == 0 for v in violations.values()),
-          violations=violations)
-
-    session = {
-        "session_id": session_id,
-        "input_sha256": input_sha,
-        "payload_path": os.path.abspath(payload_path),
-        "records": result["records"].count(),
-        "nodes": n_nodes,
-        "triples": n_triples,
-        "violations": violations,
-        "outputs": sorted(set(os.listdir(out_dir)) | {"session.json"}),
-    }
-    with open(os.path.join(out_dir, "session.json"), "w") as fh:
-        json.dump(session, fh, indent=2, sort_keys=True)
-    _emit("complete", session_id=session_id, out_dir=out_dir)
+    session = None
+    for event in session_events(
+        spark, payload, out_dir,
+        session_id=session_id, class_names=class_names, raw=raw,
+    ):
+        session = event.pop("session", session)
+        _emit(**event)
     return session
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("payload", help="JSON payload or CSV file")
+    ap.add_argument(
+        "payload", nargs="?", help="JSON payload or CSV file (omit with --serve)"
+    )
     ap.add_argument("--out", default=None, help="session output directory")
     ap.add_argument(
         "--classes",
@@ -109,7 +72,16 @@ def main() -> None:
     )
     ap.add_argument("--session-id", default=None)
     ap.add_argument("--cpus", type=int, default=4)
+    ap.add_argument(
+        "--serve", action="store_true",
+        help="start the HTTP/SSE server instead of running one payload",
+    )
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8808)
+    ap.add_argument("--sessions-dir", default=None)
     args = ap.parse_args()
+    if not args.serve and not args.payload:
+        ap.error("payload is required unless --serve is given")
 
     from pyspark.sql import SparkSession
 
@@ -122,12 +94,30 @@ def main() -> None:
         .getOrCreate()
     )
     try:
-        out_dir = args.out or f"/tmp/kg-session-{int(time.time())}"
-        classes = args.classes.split(",") if args.classes else None
-        run_session(
-            spark, args.payload, out_dir,
-            class_names=classes, session_id=args.session_id,
-        )
+        if args.serve:
+            from case_uco_ontology_map_spark.service import serve
+
+            server = serve(
+                spark, host=args.host, port=args.port,
+                sessions_dir=args.sessions_dir,
+            )
+            _emit(
+                "serving",
+                host=server.server_address[0],
+                port=server.server_address[1],
+                sessions_dir=server.sessions_dir,
+            )
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                server.shutdown()
+        else:
+            out_dir = args.out or f"/tmp/kg-session-{int(time.time())}"
+            classes = args.classes.split(",") if args.classes else None
+            run_session(
+                spark, args.payload, out_dir,
+                class_names=classes, session_id=args.session_id,
+            )
     finally:
         spark.stop()
 

@@ -1,0 +1,174 @@
+"""HTTP/SSE service surface tests — a live ThreadingHTTPServer sharing the
+test SparkSession, driven over real sockets with http.client.
+
+Parity target: /root/reference/routes.py:36-141 (GET /health, GET /,
+POST /invoke-streaming with SSE envelope {"type","session_id","data"},
+stream_complete terminator, stream_error in-band) and services.py:67-72
+(session-id shape)."""
+
+import json
+import threading
+from http.client import HTTPConnection
+
+import pytest
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    from case_uco_ontology_map_spark.service import serve
+
+    srv = serve(spark, port=0, sessions_dir=str(tmp_path / "sessions"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+    t.join(timeout=10)
+
+
+def _request(server, method, path, body=None):
+    host, port = server.server_address
+    conn = HTTPConnection(host, port, timeout=120)
+    headers = {"Content-Type": "application/json"} if body else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def _sse_events(raw: bytes):
+    """Parse SSE framing: one `data: {json}` frame per blank-line-separated
+    block."""
+    events = []
+    for block in raw.decode("utf-8").split("\n\n"):
+        block = block.strip()
+        if block.startswith("data: "):
+            events.append(json.loads(block[len("data: "):]))
+    return events
+
+
+def test_health_and_root(server):
+    status, data = _request(server, "GET", "/health")
+    assert status == 200
+    body = json.loads(data)
+    assert body["status"] == "healthy"
+    assert body["service"]
+
+    status, data = _request(server, "GET", "/")
+    assert status == 200
+    body = json.loads(data)
+    assert body["endpoints"]["streaming_analysis"] == "/invoke-streaming"
+
+    status, _ = _request(server, "GET", "/nope")
+    assert status == 404
+
+
+def test_invoke_streaming_json_payload(server, tmp_path):
+    payload = {
+        "user_identifier": "analyst",
+        "input_artifacts": {
+            "case_name": "svc case",
+            "records": [
+                {"url": "https://a.example.org", "n_chars": 10},
+                {"url": "https://b.example.org", "n_chars": 20},
+            ],
+        },
+        "class_names": ["URL"],
+    }
+    status, raw = _request(
+        server, "POST", "/invoke-streaming", body=json.dumps(payload)
+    )
+    assert status == 200
+    events = _sse_events(raw)
+    types = [e["type"] for e in events]
+    assert types == [
+        "session_start", "ingest", "ontology", "graph", "validation",
+        "complete", "stream_complete",
+    ]
+    sid = events[0]["session_id"]
+    # reference session-id shape: {user[:10]}_{ts}_{uuid4[:8]}
+    assert sid.startswith("analyst_") and len(sid.split("_")) == 4
+    assert all(e["session_id"] == sid for e in events)
+    # envelope: payload under "data", session_id not duplicated inside
+    for e in events[:-1]:
+        assert "session_id" not in e["data"]
+    graph_ev = next(e for e in events if e["type"] == "graph")
+    assert graph_ev["data"]["triples"] > 0
+    validation_ev = next(e for e in events if e["type"] == "validation")
+    assert validation_ev["data"]["is_clean"]
+    complete = next(e for e in events if e["type"] == "complete")
+    session = complete["data"]["session"]
+    assert session["records"] == 2
+    # session artifacts landed under sessions_dir/<session_id>
+    out_dir = tmp_path / "sessions" / sid
+    assert (out_dir / "graph.jsonld").exists()
+    assert (out_dir / "session.json").exists()
+    with open(out_dir / "session.json") as fh:
+        assert json.load(fh)["session_id"] == sid
+
+
+def test_invoke_streaming_csv_with_metadata(server, tmp_path):
+    payload = {
+        "user_identifier": "csvuser",
+        "input_artifacts": "url,n_chars\nhttps://a.example.org,10\n",
+        "artifact_type": "Browser History",
+        "description": "exported rows",
+        "source": "unit-test",
+        "class_names": ["URL"],
+    }
+    status, raw = _request(
+        server, "POST", "/invoke-streaming", body=json.dumps(payload)
+    )
+    assert status == 200
+    events = _sse_events(raw)
+    assert [e["type"] for e in events][-1] == "stream_complete"
+    # metadata wrap reached the pipeline: the ontology_map artifacts slot
+    # is fed from shared artifact_type, which shows up in the session graph
+    sid = events[0]["session_id"]
+    with open(tmp_path / "sessions" / sid / "graph.jsonld") as fh:
+        graph = json.load(fh)
+    assert graph["@graph"]
+
+
+def test_invoke_streaming_bad_body(server):
+    status, data = _request(server, "POST", "/invoke-streaming", body="{not json")
+    assert status == 422
+    status, data = _request(
+        server, "POST", "/invoke-streaming", body=json.dumps({"x": 1})
+    )
+    assert status == 422
+    assert b"input_artifacts" in data
+
+
+def test_stream_error_in_band(server):
+    """A payload that fails mid-pipeline surfaces as an in-band
+    stream_error event (the stream already started → no HTTP error)."""
+    payload = {
+        "user_identifier": "bad",
+        # records present but malformed for the mapper: not a list of dicts
+        "input_artifacts": {"records": "not-a-list"},
+    }
+    status, raw = _request(
+        server, "POST", "/invoke-streaming", body=json.dumps(payload)
+    )
+    assert status == 200
+    events = _sse_events(raw)
+    assert events, "stream must carry at least one event"
+    assert events[-1]["type"] in ("stream_error", "stream_complete")
+
+
+def test_generate_session_id_shape():
+    from datetime import datetime
+
+    from case_uco_ontology_map_spark.service import generate_session_id
+
+    sid = generate_session_id(
+        "averylonguseridentifier",
+        now=datetime(2026, 8, 17, 12, 0, 0),
+        unique="abcd1234",
+    )
+    assert sid == "averylongu_20260817_120000_abcd1234"
+    assert generate_session_id(
+        "", now=datetime(2026, 8, 17, 12, 0, 0), unique="x"
+    ).startswith("user_")
