@@ -949,6 +949,95 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 batch twin: tumbling 1-hour window aggregation per event_type.
+    The SAME `F.window` expression (streaming/ingest.windowed_stats) runs in
+    batch and streaming — this oracles the window-assignment + agg math that
+    crawl_window_stats exercises on a stream. One shuffle, map-side
+    partials."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.streaming.ingest import windowed_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return windowed_stats(
+        ev,
+        "ts",
+        "1 hour",
+        keys=("event_type",),
+        aggs=[
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        ],
+    ).orderBy("window_start", "event_type")
+
+
+def _oracle_event_window_stats() -> str:
+    return """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (streaming/ingest.sessionize): events merge
+    while consecutive gaps are <= 30 min (Spark merges the exactly-gap
+    boundary — pinned in test_sessionize_gap_boundary); emitted window spans
+    [min(ts), max(ts) + gap) — replayed in DuckDB as a gaps-and-islands
+    lag/cumsum chain with the same strict-> new-session cut."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.streaming.ingest import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=("user_id",),
+        aggs=[
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    ).orderBy("user_id", "session_start")
+
+
+def _oracle_event_sessionization() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       round(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sess
+ORDER BY user_id, session_start
+"""
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 canonicalization core: connected components over a deterministic
     functional graph on the events users (edge u → (u*7) mod 150), via
@@ -1577,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_topk_per_group": q_w2_topk_per_group,
         "a3_property_collapse": q_a3_property_collapse,
         "a1_coverage_stats": q_a1_coverage_stats,
+        "event_window_stats": q_event_window_stats,
+        "event_sessionization": q_event_sessionization,
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
         "connected_components": q_connected_components,
@@ -1614,6 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         "w2_topk_per_group": _oracle_w2(),
         "a3_property_collapse": _oracle_a3(),
         "a1_coverage_stats": _oracle_a1(),
+        "event_window_stats": _oracle_event_window_stats(),
+        "event_sessionization": _oracle_event_sessionization(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
         "cc_long_chain": _oracle_cc_long_chain(),

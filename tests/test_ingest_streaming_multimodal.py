@@ -111,6 +111,58 @@ def test_crawl_window_stats(spark, sf_dir, tmp_path):
     assert out.columns == ["window_start", "window_end", "lang", "docs", "chars"]
 
 
+def test_sessionize_gap_boundary(spark):
+    """session_window semantics (pinned — the oracle's gaps-and-islands cut
+    must match): a gap of exactly gapDuration still MERGES (Spark treats the
+    [ts, ts+gap) ranges as touching); only a strictly larger gap starts a
+    new session; window end = last ts in session + gap."""
+    from datetime import datetime
+
+    from case_uco_ontology_map_spark.streaming.ingest import sessionize
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0, 0)),
+        ("u1", datetime(2024, 1, 1, 0, 30, 0)),    # exactly 30:00 → merges
+        ("u1", datetime(2024, 1, 1, 0, 59, 0)),    # < 30 min → merges
+        ("u1", datetime(2024, 1, 1, 1, 29, 1)),    # 30:01 → NEW session
+        ("u2", t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "ts", "30 minutes", keys=("user_id",)).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.session_start)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user["u1"]) == 2
+    first, second = by_user["u1"]
+    assert first.n_events == 3
+    assert first.session_start == datetime(2024, 1, 1, 0, 0, 0)
+    # end = last event in session + gap
+    assert first.session_end == datetime(2024, 1, 1, 1, 29, 0)
+    assert second.n_events == 1
+    assert by_user["u2"][0].n_events == 1
+
+
+def test_windowed_stats_sliding(spark):
+    """Sliding windows: each event lands in window_size/slide windows."""
+    from datetime import datetime
+
+    from case_uco_ontology_map_spark.streaming.ingest import windowed_stats
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 0, 45, 0))], ["k", "ts"]
+    )
+    out = windowed_stats(
+        df, "ts", "1 hour", keys=("k",), slide="30 minutes"
+    ).collect()
+    starts = sorted(r.window_start for r in out)
+    assert starts == [
+        datetime(2024, 1, 1, 0, 0, 0),
+        datetime(2024, 1, 1, 0, 30, 0),
+    ]
+    assert all(r.n_events == 1 for r in out)
+
+
 def test_multimodal_features_and_resize(spark):
     from case_uco_ontology_map_spark.operators import multimodal as mm
 
