@@ -696,6 +696,104 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def _ivf_centroids(k: int = 8, dim: int = 64, seed: int = 11):
+    """Contract centroids for the IVF oracle: seeded once, passed EXPLICITLY
+    to the Spark operator and inlined as literals into the DuckDB replay —
+    same pattern as the near-dup hyperplanes. In production these come from
+    centroids_kmeans; the IVF *math* (cell argmax, probe selection,
+    candidate ranking) is what this query pins, independent of training."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(k)]
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (cell-pruned ANN, the 100 TB serving path):
+    nearest-centroid cell per vector (ties → smallest cell), nprobe=4
+    probed cells per query (ties → largest cell), cosine re-rank within
+    candidates. Every stage replayed in DuckDB with the identical left-fold
+    cosine and tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return (
+        ivf_topk(emb, queries, _ivf_centroids(), k=5, nprobe=4)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_ivf_topk() -> str:
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        )
+        na = f"sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+        nb = f"sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y))"
+        return (
+            f"(CASE WHEN {na} > 0 AND {nb} > 0 "
+            f"THEN {dot} / ({na} * {nb}) ELSE 0.0 END)"
+        )
+
+    cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_ivf_centroids())
+    )
+    return f"""
+WITH cent(cell, c) AS (VALUES
+  {cent_rows}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e ORDER BY query_id LIMIT 3
+),
+-- nearest-centroid cell per vector: argmax round-9 cosine, ties -> smallest cell
+vc AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cos('e.v', 'cent.c')}, 9) DESC, cent.cell ASC
+           ) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+-- nprobe=4 probed cells per query: ties -> LARGEST cell (Spark reverse(array_sort))
+qc AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({cos('q.qv', 'cent.c')}, 9) DESC, cent.cell DESC
+           ) AS rn
+    FROM q CROSS JOIN cent
+  ) WHERE rn <= 4
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT qc.query_id, vc.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qc.query_id
+           ORDER BY round({cos('vc.v', 'qc.qv')}, 6) DESC, vc.vec_id ASC
+         ) AS rank
+  FROM vc JOIN qc ON vc.cell = qc.cell
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def _near_dup_hyperplanes(planes: int = 6, dim: int = 64, seed: int = 7):
     """The contract hyperplanes: seeded once, passed EXPLICITLY to both the
     Spark operator and (as inline literals) the DuckDB oracle — the planes
@@ -1658,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         # similarity
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # reference relational micro-ops
         "j1_fingerprint_reuse": q_j1_fingerprint_reuse,
@@ -1698,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),
+        "ivf_topk": _oracle_ivf_topk(),
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "j1_fingerprint_reuse": _oracle_j1(),
         "set1_anti_join": _oracle_set1(),
