@@ -1136,6 +1136,193 @@ ORDER BY user_id, session_start
 """
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): for every click event,
+    the most recent view by the same user at or before the click, within a
+    2-hour tolerance — union + ONE window pass, no candidate explosion.
+    Ties (several views at the winning timestamp) go to the largest
+    payload, replayed by the oracle's ORDER BY ts DESC, event_id DESC."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        clicks,
+        views,
+        ts_col="ts",
+        by=("user_id",),
+        right_cols=("event_id",),
+        prefix="view_",
+        tolerance="2 hours",
+    ).orderBy("event_id")
+
+
+def _oracle_asof_attribution() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id, c.ts, c.event_id, m.ts AS view_ts, m.event_id AS view_event_id
+FROM c LEFT JOIN LATERAL (
+  SELECT ts, event_id FROM v
+  WHERE v.user_id = c.user_id AND v.ts <= c.ts
+    AND v.ts >= c.ts - INTERVAL '2 hours'
+  ORDER BY ts DESC, event_id DESC LIMIT 1
+) m ON TRUE
+ORDER BY c.event_id
+"""
+
+
+def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.range_join_points): error events ⋈
+    the user's session intervals (from sessionize) on
+    session_start <= ts < session_end — bucketized into 1-hour equi-join
+    keys so Catalyst sees a plain hash join. Oracled by a direct BETWEEN
+    theta-join over the gaps-and-islands session replay."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.temporal import range_join_points
+    from case_uco_ontology_map_spark.streaming.ingest import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sessions = sessionize(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=("user_id",),
+        aggs=[F.count("*").cast("long").alias("n_events")],
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    return range_join_points(
+        errors,
+        sessions,
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        by=("user_id",),
+        bucket="1 hour",
+    ).orderBy("event_id")
+
+
+def _oracle_range_join_sessions() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+), sessions AS (
+  SELECT user_id, sess,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL '30 minutes' AS session_end,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sess
+)
+SELECT e.user_id, e.ts, e.event_id,
+       s.session_start, s.session_end, s.n_events
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND s.session_start <= e.ts AND e.ts < s.session_end
+WHERE e.event_type = 'error'
+ORDER BY e.event_id
+"""
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.05}
+_STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
+_SAMPLE_MOD = 1 << 20
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators/sampling.split_columns): hash-gated range carving, identical
+    on any partitioning/cluster/engine — md5_60 mode so DuckDB replays the
+    gate bit-exactly. The remaining 5% falls past the last range → NULL
+    (held out)."""
+    from case_uco_ontology_map_spark.operators.sampling import split_columns
+
+    return (
+        split_columns(
+            _docs(spark, sf_dir),
+            "doc_id",
+            _SPLIT_FRACTIONS,
+            salt="r3",
+            hash_mode="md5_60",
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_hash_split() -> str:
+    gate = _MD5_60.format(x="(doc_id::VARCHAR || chr(31) || 'r3')") + f" % {_SAMPLE_MOD}"
+    # same contiguous carving as split_columns: sorted split names
+    clauses, hi = [], 0
+    for name, frac in sorted(_SPLIT_FRACTIONS.items()):
+        lo, hi = hi, hi + int(frac * _SAMPLE_MOD)
+        clauses.append(f"WHEN g >= {lo} AND g < {hi} THEN '{name}'")
+    case = "CASE " + " ".join(clauses) + " ELSE NULL END"
+    return f"""
+WITH gated AS (SELECT doc_id, {gate} AS g FROM documents)
+SELECT doc_id, {case} AS split FROM gated ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum reproducible sampling
+    (operators/sampling.stratified_sample): event_type → keep fraction,
+    hash-gated on event_id (no RNG, partition-independent). Unlisted
+    strata drop (default 0.0)."""
+    from case_uco_ontology_map_spark.operators.sampling import stratified_sample
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        stratified_sample(
+            ev,
+            "event_id",
+            "event_type",
+            _STRATA_FRACTIONS,
+            salt="r3",
+            hash_mode="md5_60",
+        )
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+def _oracle_stratified_sample() -> str:
+    gate = _MD5_60.format(x="(event_id::VARCHAR || chr(31) || 'r3')") + f" % {_SAMPLE_MOD}"
+    cases = " ".join(
+        f"WHEN event_type = '{k}' THEN {int(v * _SAMPLE_MOD)}"
+        for k, v in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT event_id, event_type FROM events
+WHERE {gate} < (CASE {cases} ELSE 0 END)
+ORDER BY event_id
+"""
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 canonicalization core: connected components over a deterministic
     functional graph on the events users (edge u → (u*7) mod 150), via
@@ -1767,6 +1954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_coverage_stats": q_a1_coverage_stats,
         "event_window_stats": q_event_window_stats,
         "event_sessionization": q_event_sessionization,
+        "asof_attribution": q_asof_attribution,
+        "range_join_sessions": q_range_join_sessions,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
         "connected_components": q_connected_components,
@@ -1807,6 +1998,10 @@ def oracle_sql() -> dict[str, str]:
         "a1_coverage_stats": _oracle_a1(),
         "event_window_stats": _oracle_event_window_stats(),
         "event_sessionization": _oracle_event_sessionization(),
+        "asof_attribution": _oracle_asof_attribution(),
+        "range_join_sessions": _oracle_range_join_sessions(),
+        "hash_split": _oracle_hash_split(),
+        "stratified_sample": _oracle_stratified_sample(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
         "cc_long_chain": _oracle_cc_long_chain(),

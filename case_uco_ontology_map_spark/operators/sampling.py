@@ -1,0 +1,100 @@
+"""Reproducible corpus sampling — hash-based, not RNG-based.
+
+`df.sample()` is seeded per-partition RNG: the kept set CHANGES when the
+partitioning changes (repartition, AQE, input-split boundaries move), which
+is poison for training-data lineage ("which docs were in the 1% eval
+split?"). Hash-gating fixes that: a row is kept iff
+``hash(key ‖ salt) mod M < fraction·M`` — a pure function of the row key,
+so the split is identical across cluster sizes, partitionings, retries,
+and engines (the md5_60 mode replays bit-exactly in DuckDB, which is how
+the contract oracle pins it). Changing `salt` draws an independent split;
+disjoint salts give overlap ≈ product of fractions.
+
+All JVM expression work: the gate is a filter, pushes down past column
+pruning, costs one hash per row, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import content_hash64
+
+# Denominator for the keep gate. 2^20 gives ~1e-6 fraction granularity
+# while keeping pmod math in cheap integer space.
+SAMPLE_MOD = 1 << 20
+
+
+def _gate(key: Column, salt: str, hash_mode: str) -> Column:
+    """Non-negative bucket in [0, SAMPLE_MOD) from the row key + salt.
+    md5_60 is already non-negative; xxhash64 needs the pmod wrap."""
+    h = content_hash64(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)), hash_mode)
+    return F.pmod(h, F.lit(SAMPLE_MOD))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~`fraction` of rows, decided per-row by key hash. Exactly
+    reproducible: same (key, salt, fraction) → same kept set on any
+    cluster, partitioning, or engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    threshold = int(fraction * SAMPLE_MOD)
+    return df.filter(_gate(F.col(key_col), salt, hash_mode) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum hash-gated sampling (the reproducible `sampleBy`):
+    stratum → keep fraction, unlisted strata keep `default`. The threshold
+    is a small CASE expression compiled from the driver-side dict — still
+    one filter, no shuffle, no RNG."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    threshold = F.lit(int(default * SAMPLE_MOD))
+    for k, v in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(int(v * SAMPLE_MOD))
+        ).otherwise(threshold)
+    return df.filter(_gate(F.col(key_col), salt, hash_mode) < threshold)
+
+
+def split_columns(
+    df: DataFrame,
+    key_col: str,
+    splits: Dict[str, float],
+    salt: str = "",
+    hash_mode: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test …) by
+    carving [0, SAMPLE_MOD) into contiguous ranges in sorted split-name
+    order. Fractions must sum to <= 1; rows falling past the last range get
+    NULL (held out). Deterministic and partition-independent like the
+    samplers; one expression, no shuffle."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    gate = _gate(F.col(key_col), salt, hash_mode)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    for name, frac in sorted(splits.items()):
+        lo, hi = hi, hi + int(frac * SAMPLE_MOD)
+        expr = F.when((gate >= lo) & (gate < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -1,0 +1,177 @@
+"""Edge-case pins for operators/temporal.py and operators/sampling.py.
+The contract oracles (asof_attribution, range_join_sessions, hash_split,
+stratified_sample) cover bulk correctness; these pin the boundary and
+determinism semantics the oracles can't isolate."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(m, s=0):
+    return datetime(2024, 1, 1, 0, m, s)
+
+
+@pytest.fixture()
+def clicks_views(spark):
+    clicks = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(30), 101), (2, _ts(5), 102)],
+        ["user_id", "ts", "event_id"],
+    )
+    views = spark.createDataFrame(
+        [
+            (1, _ts(10), 200),   # same instant as click 100 → inclusive match
+            (1, _ts(10), 201),   # tie at winning ts → larger payload wins
+            (1, _ts(29), 202),
+            (3, _ts(1), 203),    # other user, never matches
+        ],
+        ["user_id", "ts", "event_id"],
+    )
+    return clicks, views
+
+
+def test_asof_backward_inclusive_and_ties(spark, clicks_views):
+    from case_uco_ontology_map_spark.operators.temporal import asof_join
+
+    clicks, views = clicks_views
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            clicks, views, ts_col="ts", by=("user_id",),
+            right_cols=("event_id",), prefix="view_",
+        ).collect()
+    }
+    # equal timestamp matches (inclusive), tie → largest event_id
+    assert out[100].view_event_id == 201
+    assert out[101].view_event_id == 202
+    # user 2 has no views at all → NULL match
+    assert out[102].view_event_id is None
+    assert out[102].view_ts is None
+
+
+def test_asof_forward_and_tolerance(spark, clicks_views):
+    from case_uco_ontology_map_spark.operators.temporal import asof_join
+
+    clicks, views = clicks_views
+    fwd = {
+        r.event_id: r
+        for r in asof_join(
+            clicks, views, ts_col="ts", by=("user_id",),
+            right_cols=("event_id",), prefix="view_", direction="forward",
+        ).collect()
+    }
+    # forward: smallest view ts >= click ts; equal instant still matches
+    assert fwd[100].view_event_id == 201
+    # no view at/after minute 30 for user 1
+    assert fwd[101].view_event_id is None
+
+    tight = {
+        r.event_id: r
+        for r in asof_join(
+            clicks, views, ts_col="ts", by=("user_id",),
+            right_cols=("event_id",), prefix="view_",
+            tolerance="30 seconds",
+        ).collect()
+    }
+    # click 101 at :30 — nearest view at :29 is 60s away → out of tolerance
+    assert tight[101].view_event_id is None
+    # click 100's match is at the same instant → inside any tolerance
+    assert tight[100].view_event_id == 201
+
+
+def test_asof_rejects_bad_direction(spark, clicks_views):
+    from case_uco_ontology_map_spark.operators.temporal import asof_join
+
+    clicks, views = clicks_views
+    with pytest.raises(ValueError):
+        asof_join(clicks, views, direction="nearest")
+
+
+def test_range_join_spanning_intervals(spark):
+    """An interval spanning many buckets matches each inside point exactly
+    once; boundary semantics are [start, end)."""
+    from case_uco_ontology_map_spark.operators.temporal import range_join_points
+
+    points = spark.createDataFrame(
+        [
+            ("k", datetime(2024, 1, 1, 0, 0), 1),   # == start → in
+            ("k", datetime(2024, 1, 1, 2, 30), 2),  # mid-span → in
+            ("k", datetime(2024, 1, 1, 5, 0), 3),   # == end → OUT (exclusive)
+            ("k", datetime(2024, 1, 1, 9, 0), 4),   # outside → no match
+        ],
+        ["key", "ts", "pid"],
+    )
+    intervals = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 5, 0), "A")],
+        ["key", "start", "end", "label"],
+    )
+    inner = range_join_points(
+        points, intervals, "ts", "start", "end", by=("key",), bucket="1 hour"
+    )
+    got = {(r.pid, r.label) for r in inner.collect()}
+    assert got == {(1, "A"), (2, "A")}
+
+    left = range_join_points(
+        points, intervals, "ts", "start", "end", by=("key",),
+        bucket="1 hour", how="left",
+    )
+    rows = {r.pid: r.label for r in left.collect()}
+    assert rows == {1: "A", 2: "A", 3: None, 4: None}
+
+
+def test_deterministic_sample_partition_invariant(spark):
+    """The kept set must not change with partitioning — the property RNG
+    sampling lacks."""
+    from case_uco_ontology_map_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(
+        r.k for r in deterministic_sample(df, "k", 0.25, salt="s").collect()
+    )
+    b = sorted(
+        r.k
+        for r in deterministic_sample(
+            df.repartition(17), "k", 0.25, salt="s"
+        ).collect()
+    )
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.3
+    # a different salt draws an (almost surely) different split
+    c = sorted(
+        r.k for r in deterministic_sample(df, "k", 0.25, salt="t").collect()
+    )
+    assert a != c
+
+
+def test_split_columns_disjoint_and_complete(spark):
+    from case_uco_ontology_map_spark.operators.sampling import split_columns
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    out = split_columns(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.05}, salt="s"
+    )
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 3000
+    assert counts.get("train", 0) > counts.get("val", 0) > 0
+    # ~5% lands in no split (held out) — the None bucket
+    assert counts.get(None, 0) > 0
+    with pytest.raises(ValueError):
+        split_columns(df, "k", {"a": 0.9, "b": 0.2})
+
+
+def test_stratified_sample_rates(spark):
+    from case_uco_ontology_map_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    out = stratified_sample(df, "k", "s", {"a": 1.0}, default=0.0)
+    rows = out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    got = {r.s: r.n for r in rows}
+    assert got == {"a": 1500}  # full stratum kept, default-0 stratum dropped
