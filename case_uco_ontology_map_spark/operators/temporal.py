@@ -161,27 +161,24 @@ def range_join_points(
     i = intervals.withColumn("_rb", F.explode(i_buckets))
     cond = [p["_rb"] == i["_rb"]] + [p[k] == i[k] for k in by]
     residual = (i[start_col] <= p[ts_col]) & (p[ts_col] < i[end_col])
-    joined = p.join(i, [*cond, residual] if how == "inner" else cond, how="left" if how == "left" else "inner")
-    if how == "left":
-        # left: keep every point once; residual failures null the interval
-        # side, then collapse duplicate bucket matches (a point matches an
-        # interval in exactly one bucket — its own — so no true dup arises,
-        # but residual-failed rows must not multiply the point)
-        int_cols = [c for c in intervals.columns if c not in by]
-        keep = F.when(residual, F.struct(*[i[c].alias(c) for c in int_cols]))
-        joined = (
-            joined.withColumn("_iv", keep)
-            .groupBy(*[p[c] for c in points.columns])
-            .agg(F.max("_iv").alias("_iv"))
-        )
-        return joined.select(
-            *[F.col(c) for c in points.columns],
-            *[F.col("_iv")[c].alias(c) for c in int_cols],
-        )
-    return joined.select(
-        *[p[c] for c in points.columns],
-        *[i[c] for c in intervals.columns if c not in by],
+    int_cols = [c for c in intervals.columns if c not in by]
+    matched = p.join(i, [*cond, residual], "inner").select(
+        *[p[c] for c in points.columns], *[i[c] for c in int_cols]
     )
+    if how == "inner":
+        return matched
+    # left: matched rows keep their (possibly several) intervals; points
+    # with no covering interval come back via an anti-join on the SAME
+    # condition — preserving point multiplicity and multi-interval matches
+    # (a groupBy-based fallback would collapse both).
+    unmatched = p.join(i, [*cond, residual], "left_anti").select(
+        *[F.col(c) for c in points.columns],
+        *[
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in int_cols
+        ],
+    )
+    return matched.unionByName(unmatched)
 
 
 def _bucket_seconds(bucket: str) -> int:

@@ -103,21 +103,25 @@ def test_range_join_spanning_intervals(spark):
         ["key", "ts", "pid"],
     )
     intervals = spark.createDataFrame(
-        [("k", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 5, 0), "A")],
+        [
+            ("k", datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 5, 0), "A"),
+            # overlapping interval: point 2 must match BOTH in either mode
+            ("k", datetime(2024, 1, 1, 2, 0), datetime(2024, 1, 1, 3, 0), "B"),
+        ],
         ["key", "start", "end", "label"],
     )
     inner = range_join_points(
         points, intervals, "ts", "start", "end", by=("key",), bucket="1 hour"
     )
     got = {(r.pid, r.label) for r in inner.collect()}
-    assert got == {(1, "A"), (2, "A")}
+    assert got == {(1, "A"), (2, "A"), (2, "B")}
 
     left = range_join_points(
         points, intervals, "ts", "start", "end", by=("key",),
         bucket="1 hour", how="left",
     )
-    rows = {r.pid: r.label for r in left.collect()}
-    assert rows == {1: "A", 2: "A", 3: None, 4: None}
+    rows = sorted((r.pid, r.label) for r in left.collect())
+    assert rows == [(1, "A"), (2, "A"), (2, "B"), (3, None), (4, None)]
 
 
 def test_deterministic_sample_partition_invariant(spark):
