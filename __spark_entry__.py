@@ -1111,17 +1111,19 @@ def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_event_sessionization() -> str:
     return """
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ), flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM ordered
 ), numbered AS (
+  -- cumsum must use the SAME total order as the lag above (ts, event_id):
+  -- a tie on ts alone would let the frame split a new-session flag
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sess
   FROM flagged
 )

@@ -61,7 +61,9 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     by = list(by)
-    right_cols = [c for c in (right_cols or right.columns) if c != ts_col and c not in by]
+    if right_cols is None:
+        right_cols = right.columns
+    right_cols = [c for c in right_cols if c != ts_col and c not in by]
 
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in right_cols]
@@ -157,28 +159,25 @@ def range_join_points(
         # end is exclusive, but a same-bucket end still covers the bucket
         (epoch(F.col(end_col)) / sec).cast("long"),
     )
-    p = points.withColumn("_rb", p_bucket)
-    i = intervals.withColumn("_rb", F.explode(i_buckets))
-    cond = [p["_rb"] == i["_rb"]] + [p[k] == i[k] for k in by]
-    residual = (i[start_col] <= p[ts_col]) & (p[ts_col] < i[end_col])
+    # explicit aliases: points and intervals often share lineage (intervals
+    # built by aggregating the points' parent), and frame-indexed columns
+    # (p[k] == i[k]) then resolve BOTH sides to one attribute — a silently
+    # trivially-true predicate. String-qualified refs cannot mis-resolve.
+    p = points.withColumn("_rb", p_bucket).alias("_rjp")
+    i = intervals.withColumn("_rb", F.explode(i_buckets)).alias("_rji")
+    lc = lambda c: F.col(f"_rjp.{c}")
+    rc = lambda c: F.col(f"_rji.{c}")
+    cond = [lc("_rb") == rc("_rb")] + [lc(k) == rc(k) for k in by]
+    residual = (rc(start_col) <= lc(ts_col)) & (lc(ts_col) < rc(end_col))
     int_cols = [c for c in intervals.columns if c not in by]
-    matched = p.join(i, [*cond, residual], "inner").select(
-        *[p[c] for c in points.columns], *[i[c] for c in int_cols]
+    # the residual lives INSIDE the join condition, so "left" is a plain
+    # left outer: matched rows keep their (possibly several) intervals,
+    # unmatched points get one null-extended row — one join, one pass over
+    # the exploded interval side.
+    joined = p.join(i, [*cond, residual], how)
+    return joined.select(
+        *[lc(c) for c in points.columns], *[rc(c) for c in int_cols]
     )
-    if how == "inner":
-        return matched
-    # left: matched rows keep their (possibly several) intervals; points
-    # with no covering interval come back via an anti-join on the SAME
-    # condition — preserving point multiplicity and multi-interval matches
-    # (a groupBy-based fallback would collapse both).
-    unmatched = p.join(i, [*cond, residual], "left_anti").select(
-        *[F.col(c) for c in points.columns],
-        *[
-            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
-            for c in int_cols
-        ],
-    )
-    return matched.unionByName(unmatched)
 
 
 def _bucket_seconds(bucket: str) -> int:

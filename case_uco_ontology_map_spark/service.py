@@ -29,10 +29,11 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import uuid
 from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 SERVICE_NAME = "case-uco-ontology-mapping-spark"
 
@@ -48,7 +49,11 @@ def generate_session_id(
     uuid4 never leak into pipeline state, only into the session label)."""
     ts = (now or datetime.now()).strftime("%Y%m%d_%H%M%S")
     uid = unique if unique is not None else str(uuid.uuid4())[:8]
-    prefix = user_identifier[:10] if user_identifier else "user"
+    # The id names an on-disk session directory: restrict the
+    # caller-controlled prefix to filename-safe characters so a hostile
+    # user_identifier ("../../x", "a/b") cannot traverse out of
+    # sessions_dir.
+    prefix = re.sub(r"[^A-Za-z0-9_-]", "_", user_identifier[:10]) or "user"
     return f"{prefix}_{ts}_{uid}"
 
 
@@ -59,6 +64,7 @@ def session_events(
     session_id: Optional[str] = None,
     class_names: Optional[Sequence[str]] = None,
     raw: Optional[bytes] = None,
+    fmt: Optional[str] = None,
 ) -> Iterator[Dict[str, Any]]:
     """Run one analysis session, yielding progress events as each stage
     completes — the stream behind both the CLI runner
@@ -90,7 +96,10 @@ def session_events(
     is_csv = isinstance(payload, dict) and "csv" in payload
     if is_csv:
         payload = payload["csv"]
-    yield {"event": "ingest", "format": "csv" if is_csv else "json"}
+    yield {
+        "event": "ingest",
+        "format": fmt or ("csv" if is_csv else "json"),
+    }
 
     result = analyze_payload(spark, payload, class_names=class_names)
     yield {
@@ -160,23 +169,26 @@ def _envelope(event: Dict[str, Any], session_id: str) -> Dict[str, Any]:
     return {"type": event["event"], "session_id": session_id, "data": data}
 
 
-def build_payload(body: Dict[str, Any]) -> Any:
-    """AnalysisInput → pipeline payload (routes.py:19-26, 70-78): pass JSON
-    artifacts through; wrap a CSV string with the optional artifact_type /
-    description / source metadata."""
+def build_payload(body: Dict[str, Any]) -> Tuple[Any, str]:
+    """AnalysisInput → (pipeline payload, sniffed format) (routes.py:19-26,
+    70-78): pass JSON artifacts through; wrap a CSV string with the
+    optional artifact_type / description / source metadata. The format is
+    returned so the ingest event reports what actually arrived — a
+    metadata-wrapped CSV still streams as "csv"."""
     artifacts = body.get("input_artifacts")
     meta = {
         k: body[k]
         for k in ("artifact_type", "description", "source")
         if body.get(k)
     }
-    if isinstance(artifacts, str) and meta:
+    if isinstance(artifacts, str):
         from .sources.ingest import sniff_payload, wrap_csv_rows
 
         fmt, parsed = sniff_payload(artifacts)
-        if fmt == "csv":
-            return wrap_csv_rows(parsed, **meta)
-    return artifacts
+        if fmt == "csv" and meta:
+            return wrap_csv_rows(parsed, **meta), "csv"
+        return artifacts, fmt
+    return artifacts, "json"
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -230,7 +242,7 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", "0"))
             raw = self.rfile.read(length)
             body = json.loads(raw)
-            if not isinstance(body, dict) or "input_artifacts" not in body:
+            if not isinstance(body, dict) or body.get("input_artifacts") is None:
                 raise ValueError("input_artifacts is required")
         except (ValueError, json.JSONDecodeError) as exc:
             # Malformed request → 4xx before any stream starts
@@ -252,13 +264,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Connection", "close")
         self.end_headers()
         try:
+            payload, fmt = build_payload(body)
             events = session_events(
                 self.server.spark,
-                build_payload(body),
+                payload,
                 out_dir,
                 session_id=session_id,
                 class_names=body.get("class_names"),
                 raw=raw,
+                fmt=fmt,
             )
             for event in events:
                 self.wfile.write(_sse(_envelope(event, session_id)))

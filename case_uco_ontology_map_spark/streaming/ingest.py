@@ -172,7 +172,9 @@ def sessionize(
     watermark: Optional[str] = None,
 ) -> DataFrame:
     """Session windows per key: events merge while the gap between
-    consecutive timestamps is < `gap`; the emitted window spans
+    consecutive timestamps is <= `gap` (a gap of exactly `gap` still
+    merges — pinned in test_sessionize_gap_boundary); the emitted window
+    spans
     [min(ts), max(ts) + gap) — Spark `session_window` semantics, identical
     in batch and streaming. The training-pipeline use is user/host
     sessionization of crawl or interaction logs. One shuffle on the keys;

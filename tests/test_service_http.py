@@ -123,6 +123,10 @@ def test_invoke_streaming_csv_with_metadata(server, tmp_path):
     assert status == 200
     events = _sse_events(raw)
     assert [e["type"] for e in events][-1] == "stream_complete"
+    # the ingest event reports what actually arrived, even though the
+    # metadata wrap turned the CSV into a records dict
+    ingest = next(e for e in events if e["type"] == "ingest")
+    assert ingest["data"]["format"] == "csv"
     # metadata wrap reached the pipeline: the ontology_map artifacts slot
     # is fed from shared artifact_type, which shows up in the session graph
     sid = events[0]["session_id"]
@@ -139,15 +143,22 @@ def test_invoke_streaming_bad_body(server):
     )
     assert status == 422
     assert b"input_artifacts" in data
+    # explicit null is as absent: reject before streaming (pydantic parity)
+    status, data = _request(
+        server, "POST", "/invoke-streaming",
+        body=json.dumps({"input_artifacts": None}),
+    )
+    assert status == 422
 
 
 def test_stream_error_in_band(server):
-    """A payload that fails mid-pipeline surfaces as an in-band
+    """A payload that fails mid-pipeline MUST surface as an in-band
     stream_error event (the stream already started → no HTTP error)."""
     payload = {
         "user_identifier": "bad",
-        # records present but malformed for the mapper: not a list of dicts
-        "input_artifacts": {"records": "not-a-list"},
+        # empty records list → createDataFrame cannot infer a schema →
+        # deterministic mid-stream failure
+        "input_artifacts": {"records": []},
     }
     status, raw = _request(
         server, "POST", "/invoke-streaming", body=json.dumps(payload)
@@ -155,7 +166,27 @@ def test_stream_error_in_band(server):
     assert status == 200
     events = _sse_events(raw)
     assert events, "stream must carry at least one event"
-    assert events[-1]["type"] in ("stream_error", "stream_complete")
+    assert events[-1]["type"] == "stream_error"
+    assert events[-1]["error"]
+
+
+def test_session_dir_traversal_blocked(server, tmp_path):
+    """A hostile user_identifier must not escape sessions_dir."""
+    payload = {
+        "user_identifier": "../../evil",
+        "input_artifacts": {"records": [{"url": "https://a.example.org"}]},
+        "class_names": ["URL"],
+    }
+    status, raw = _request(
+        server, "POST", "/invoke-streaming", body=json.dumps(payload)
+    )
+    assert status == 200
+    events = _sse_events(raw)
+    sid = events[0]["session_id"]
+    assert "/" not in sid and ".." not in sid
+    assert (tmp_path / "sessions" / sid).exists()
+    # nothing was written outside sessions_dir
+    assert not (tmp_path.parent / "evil").exists()
 
 
 def test_generate_session_id_shape():
@@ -172,3 +203,8 @@ def test_generate_session_id_shape():
     assert generate_session_id(
         "", now=datetime(2026, 8, 17, 12, 0, 0), unique="x"
     ).startswith("user_")
+    # filename-unsafe characters in the prefix are neutralized
+    evil = generate_session_id(
+        "../../x", now=datetime(2026, 8, 17, 12, 0, 0), unique="x"
+    )
+    assert "/" not in evil and ".." not in evil

@@ -124,6 +124,37 @@ def test_range_join_spanning_intervals(spark):
     assert rows == [(1, "A"), (2, "A"), (2, "B"), (3, None), (4, None)]
 
 
+def test_range_join_shared_lineage(spark):
+    """points and intervals derived from the SAME parent frame (the
+    production shape: sessions aggregated from the very events being
+    joined) must not collapse the by-key predicate into a trivially-true
+    self-comparison — cross-key matches are the failure mode."""
+    from case_uco_ontology_map_spark.operators.temporal import range_join_points
+    from case_uco_ontology_map_spark.streaming.ingest import sessionize
+
+    events = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1, 0, 0), 1),
+            ("u1", datetime(2024, 1, 1, 0, 10), 2),
+            # u2's event sits INSIDE u1's session time-range: a broken
+            # key predicate would match it to u1's session
+            ("u2", datetime(2024, 1, 1, 0, 5), 3),
+        ],
+        ["user_id", "ts", "event_id"],
+    )
+    sessions = sessionize(
+        events, "ts", "30 minutes", keys=("user_id",),
+        aggs=[F.count("*").alias("n_events")],
+    )
+    out = range_join_points(
+        events, sessions, "ts", "session_start", "session_end",
+        by=("user_id",), bucket="1 hour",
+    ).collect()
+    assert len(out) == 3  # each event in exactly its own user's session
+    ns = {r.event_id: r.n_events for r in out}
+    assert ns == {1: 2, 2: 2, 3: 1}
+
+
 def test_deterministic_sample_partition_invariant(spark):
     """The kept set must not change with partitioning — the property RNG
     sampling lacks."""
