@@ -155,6 +155,102 @@ def test_range_join_shared_lineage(spark):
     assert ns == {1: 2, 2: 2, 3: 1}
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-validation: asof_join ≡ pandas.merge_asof on 1k
+    left rows × 600 right rows across 25 keys, both directions. Right
+    (key, ts) pairs are unique so the tie rule (which pandas defines
+    positionally, we define by payload) never fires."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(42)
+    base = datetime(2024, 1, 1).timestamp()
+
+    def mk_ts(off):
+        return datetime.fromtimestamp(base + off)
+
+    left_rows = [
+        (rnd.randrange(25), mk_ts(rnd.randrange(100_000)), i)
+        for i in range(1000)
+    ]
+    seen = set()
+    right_rows = []
+    for j in range(600):
+        k, off = rnd.randrange(25), rnd.randrange(100_000)
+        if (k, off) in seen:
+            continue
+        seen.add((k, off))
+        right_rows.append((k, mk_ts(off), 10_000 + j))
+    left = spark.createDataFrame(left_rows, ["k", "ts", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "rid"])
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "rid"]).sort_values("ts")
+
+    from case_uco_ontology_map_spark.operators.temporal import asof_join
+
+    for direction in ("backward", "forward"):
+        ours = {
+            r.lid: (r.matched_ts, r.matched_rid)
+            for r in asof_join(
+                left, right, ts_col="ts", by=("k",),
+                right_cols=("rid",), direction=direction,
+            ).collect()
+        }
+        ref = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction=direction,
+            suffixes=("", "_r"),
+        )
+        for row in ref.itertuples():
+            want = (
+                (None, None)
+                if pd.isna(row.rid)
+                else (row.ts, int(row.rid))
+            )
+            got = ours[row.lid]
+            assert (got[1] or None) == want[1], (row.lid, got, want)
+
+
+def test_sessionize_matches_pure_python(spark):
+    """Randomized cross-validation: sessionize ≡ a pure-Python gap
+    sessionizer over 2k events / 20 users (second-granularity timestamps so
+    exact-gap boundaries actually occur)."""
+    import random
+
+    rnd = random.Random(7)
+    base = datetime(2024, 1, 1).timestamp()
+    rows = [
+        (rnd.randrange(20), datetime.fromtimestamp(base + rnd.randrange(0, 40_000, 60)))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+
+    from case_uco_ontology_map_spark.streaming.ingest import sessionize
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, "ts", "10 minutes", keys=("user_id",)).collect()
+    )
+
+    gap = 600
+    by_user = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    want = []
+    for u, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if (ts - last).total_seconds() > gap:  # == gap still merges
+                want.append((u, start, datetime.fromtimestamp(last.timestamp() + gap), n))
+                start, n = ts, 0
+            last = ts
+            n += 1
+        want.append((u, start, datetime.fromtimestamp(last.timestamp() + gap), n))
+    assert got == sorted(want)
+
+
 def test_deterministic_sample_partition_invariant(spark):
     """The kept set must not change with partitioning — the property RNG
     sampling lacks."""
