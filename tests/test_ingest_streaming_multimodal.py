@@ -163,6 +163,56 @@ def test_windowed_stats_sliding(spark):
     assert all(r.n_events == 1 for r in out)
 
 
+def test_threshold_alerts_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-key running sum crosses
+    a threshold EXACTLY ONCE, accumulating across micro-batches — the
+    cross-batch emit-once semantic no built-in streaming agg expresses."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from case_uco_ontology_map_spark.streaming.stateful import threshold_alerts
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("value", T.DoubleType())]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: a crosses immediately; b accumulates below threshold
+    write_batch("b1", [("a", 60.0), ("b", 30.0), ("c", 1.0)])
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    alerts = threshold_alerts(stream, ("k",), "value", threshold=50.0)
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alerts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.k: r for r in spark.sql("SELECT * FROM alerts").collect()}
+        assert set(got1) == {"a"}
+        assert got1["a"].total == 60.0 and got1["a"].n_events == 1
+
+        # batch 2: b crosses on CUMULATIVE state (30+30); a must not refire
+        write_batch("b2", [("b", 30.0), ("a", 100.0)])
+        q.processAllAvailable()
+        got2 = {r.k: r for r in spark.sql("SELECT * FROM alerts").collect()}
+        assert set(got2) == {"a", "b"}
+        assert got2["b"].total == 60.0 and got2["b"].n_events == 2
+    finally:
+        q.stop()
+
+
 def test_multimodal_features_and_resize(spark):
     from case_uco_ontology_map_spark.operators import multimodal as mm
 
