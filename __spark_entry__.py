@@ -1325,6 +1325,69 @@ ORDER BY event_id
 """
 
 
+_PACK_MAX = 512
+_PACK_BUCKETS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): greedy next-fit
+    token packing into 512-token packs within 8 hash buckets — the whole
+    state machine (bucket assignment, id-order scan, overflow rule,
+    in-pack position) replayed by a DuckDB recursive CTE in md5_60 mode."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.packing import pack_sequences
+    from case_uco_ontology_map_spark.operators.textstats import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        pack_sequences(
+            docs,
+            token_col="n_tokens",
+            id_col="doc_id",
+            max_tokens=_PACK_MAX,
+            buckets=_PACK_BUCKETS,
+            salt="r3",
+            hash_mode="md5_60",
+        )
+        .select("doc_id", "n_tokens", "bucket", "pack_id", "pack_pos")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    gate = _MD5_60.format(x="(doc_id::VARCHAR || chr(31) || 'r3')")
+    new_pack = f"rec.running > 0 AND rec.running + b.n_tokens > {_PACK_MAX}"
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens,
+         CAST({gate} % {_PACK_BUCKETS} AS INT) AS bucket
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM toks
+), rec AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, CAST(1 AS INT) AS pack_pos,
+         n_tokens AS running
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.bucket, b.rn, b.doc_id, b.n_tokens,
+         CASE WHEN {new_pack} THEN rec.pack_id + 1 ELSE rec.pack_id END,
+         CAST(CASE WHEN {new_pack} THEN 1 ELSE rec.pack_pos + 1 END AS INT),
+         CASE WHEN {new_pack} THEN b.n_tokens
+              ELSE rec.running + b.n_tokens END
+  FROM rec JOIN b ON b.bucket = rec.bucket AND b.rn = rec.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, pack_id, pack_pos
+FROM rec ORDER BY doc_id
+"""
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 canonicalization core: connected components over a deterministic
     functional graph on the events users (edge u → (u*7) mod 150), via
@@ -1960,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_sessions": q_range_join_sessions,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
         "connected_components": q_connected_components,
@@ -2004,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_sessions": _oracle_range_join_sessions(),
         "hash_split": _oracle_hash_split(),
         "stratified_sample": _oracle_stratified_sample(),
+        "pack_sequences": _oracle_pack_sequences(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
         "cc_long_chain": _oracle_cc_long_chain(),

@@ -293,6 +293,49 @@ def test_split_columns_disjoint_and_complete(spark):
         split_columns(df, "k", {"a": 0.9, "b": 0.2})
 
 
+def test_pack_sequences_greedy_rule(spark):
+    """Greedy next-fit semantics in one bucket: overflow opens a new pack;
+    an oversized doc sits alone; positions restart per pack — and the
+    assignment is partition-invariant."""
+    from case_uco_ontology_map_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    rows = [(i, t) for i, t in enumerate([40, 40, 40, 150, 60, 10])]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(
+        df, max_tokens=100, buckets=1, id_col="doc_id", token_col="n_tokens"
+    )
+    got = {r.doc_id: (r.pack_id, r.pack_pos) for r in out.collect()}
+    # [40,40]=80 fits pack 0; third 40 overflows → pack 1; 150 overflows
+    # pack 1 and exceeds the budget alone → own pack 2; 60 overflows → pack
+    # 3; 10 joins it (60+10 <= 100).
+    assert got == {
+        0: (0, 1), 1: (0, 2), 2: (1, 1), 3: (2, 1), 4: (3, 1), 5: (3, 2)
+    }
+
+    stats = {
+        (r.bucket, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in pack_stats(out).collect()
+    }
+    assert stats[(0, 0)] == (2, 80)
+    assert stats[(0, 2)] == (1, 150)
+
+    # partitioning must not change pack membership
+    out2 = {
+        r.doc_id: (r.pack_id, r.pack_pos)
+        for r in pack_sequences(
+            df.repartition(7), max_tokens=100, buckets=1,
+            id_col="doc_id", token_col="n_tokens",
+        ).collect()
+    }
+    assert out2 == got
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
+
+
 def test_stratified_sample_rates(spark):
     from case_uco_ontology_map_spark.operators.sampling import (
         stratified_sample,
