@@ -75,6 +75,31 @@ def stratified_sample(
     return df.filter(_gate(F.col(key_col), salt, hash_mode) < threshold)
 
 
+def mix_corpora(
+    sources,
+    key_col: str,
+    salt: str = "",
+    hash_mode: str = "xxhash64",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic weighted corpus mixture: `sources` is a sequence of
+    (name, df, weight) with weight = the fraction of that corpus to keep.
+    Each source is hash-gated with its name folded into the salt, so the
+    per-source draws are independent; rows carry a `source` tag column.
+    The mixture is reproducible on any cluster/partitioning — the usual
+    requirement when a training mix must be re-materialized bit-identically
+    for ablations. Schemas must align (unionByName)."""
+    mixed = None
+    for name, df, weight in sources:
+        part = deterministic_sample(
+            df, key_col, weight, salt=f"{salt}\x1f{name}", hash_mode=hash_mode
+        ).withColumn(source_col, F.lit(name))
+        mixed = part if mixed is None else mixed.unionByName(part)
+    if mixed is None:
+        raise ValueError("mix_corpora needs at least one source")
+    return mixed
+
+
 def split_columns(
     df: DataFrame,
     key_col: str,

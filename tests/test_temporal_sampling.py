@@ -336,6 +336,27 @@ def test_pack_sequences_greedy_rule(spark):
         pack_sequences(df, max_tokens=0)
 
 
+def test_mix_corpora_weighted_union(spark):
+    from case_uco_ontology_map_spark.operators.sampling import mix_corpora
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(1000, 2000).withColumnRenamed("id", "k")
+    out = mix_corpora([("web", a, 1.0), ("books", b, 0.2)], "k", salt="s")
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["web"] == 1000
+    assert 120 < counts["books"] < 280
+    # reproducible: the same call yields the identical kept set
+    again = mix_corpora([("web", a, 1.0), ("books", b, 0.2)], "k", salt="s")
+    assert sorted(r.k for r in out.collect()) == sorted(
+        r.k for r in again.collect()
+    )
+    with pytest.raises(ValueError):
+        mix_corpora([], "k")
+
+
 def test_stratified_sample_rates(spark):
     from case_uco_ontology_map_spark.operators.sampling import (
         stratified_sample,
