@@ -105,6 +105,45 @@ def main():
             emb, queries, k=3
         ),
     }
+
+    from case_uco_ontology_map_spark.operators.packing import pack_sequences
+    from case_uco_ontology_map_spark.operators.sampling import split_columns
+    from case_uco_ontology_map_spark.operators.temporal import (
+        asof_join,
+        range_join_points,
+    )
+    from case_uco_ontology_map_spark.streaming.ingest import sessionize
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    sessions = sessionize(
+        ev, "ts", "30 minutes", keys=("user_id",),
+        aggs=[F.count("*").alias("n_events")],
+    )
+    sections.update(
+        {
+            "asof_join (union + ONE window shuffle, no candidate explosion)": asof_join(
+                clicks, views, ts_col="ts", by=("user_id",),
+                right_cols=("event_id",),
+            ),
+            "range_join_points (bucketized equi-join, residual inside the join)": range_join_points(
+                clicks, sessions, "ts", "session_start", "session_end",
+                by=("user_id",), bucket="1 hour",
+            ),
+            "split_columns (hash gate: one filter expression, zero shuffle)": split_columns(
+                docs, "doc_id", {"train": 0.8, "val": 0.1}
+            ),
+            "pack_sequences (one shuffle on bucket + Arrow state machine)": pack_sequences(
+                docs.select("doc_id", F.length("text").alias("n_tokens")),
+                max_tokens=4096, buckets=8,
+            ),
+        }
+    )
     lines = [
         "# PLANS — physical-plan review",
         "",
