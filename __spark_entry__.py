@@ -1108,25 +1108,35 @@ def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
-def _oracle_event_sessionization() -> str:
-    return """
-WITH ordered AS (
-  SELECT user_id, ts, value, event_id,
+def _session_ctes(carry: str) -> str:
+    """The gaps-and-islands replay of Spark session_window (30-min gap,
+    per user) — ONE definition shared by every session-consuming oracle.
+    `carry` names extra event columns threaded through the CTE chain.
+    The cumsum must use the SAME total order as the lag (ts, event_id): a
+    tie on ts alone would let the frame split a new-session flag. The
+    new-session cut is strict-> because Spark MERGES an exactly-gap
+    boundary (pinned in test_sessionize_gap_boundary)."""
+    return f"""
+ordered AS (
+  SELECT user_id, ts, event_id{carry},
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ), flagged AS (
-  SELECT user_id, ts, value, event_id,
+  SELECT user_id, ts, event_id{carry},
          CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM ordered
 ), numbered AS (
-  -- cumsum must use the SAME total order as the lag above (ts, event_id):
-  -- a tie on ts alone would let the frame split a new-session flag
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id{carry},
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sess
   FROM flagged
-)
+)"""
+
+
+def _oracle_event_sessionization() -> str:
+    return f"""
+WITH {_session_ctes(", value")}
 SELECT MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        user_id,
@@ -1218,22 +1228,8 @@ def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_range_join_sessions() -> str:
-    return """
-WITH ordered AS (
-  SELECT user_id, ts, event_id,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
-), flagged AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-              THEN 1 ELSE 0 END AS new_s
-  FROM ordered
-), numbered AS (
-  SELECT user_id, ts, event_id,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sess
-  FROM flagged
-), sessions AS (
+    return f"""
+WITH {_session_ctes("")}, sessions AS (
   SELECT user_id, sess,
          MIN(ts) AS session_start,
          MAX(ts) + INTERVAL '30 minutes' AS session_end,
@@ -1252,7 +1248,6 @@ ORDER BY e.event_id
 
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.05}
 _STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
-_SAMPLE_MOD = 1 << 20
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1277,11 +1272,13 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_hash_split() -> str:
-    gate = _MD5_60.format(x="(doc_id::VARCHAR || chr(31) || 'r3')") + f" % {_SAMPLE_MOD}"
+    from case_uco_ontology_map_spark.operators.sampling import SAMPLE_MOD
+
+    gate = _MD5_60.format(x="(doc_id::VARCHAR || chr(31) || 'r3')") + f" % {SAMPLE_MOD}"
     # same contiguous carving as split_columns: sorted split names
     clauses, hi = [], 0
     for name, frac in sorted(_SPLIT_FRACTIONS.items()):
-        lo, hi = hi, hi + int(frac * _SAMPLE_MOD)
+        lo, hi = hi, hi + int(frac * SAMPLE_MOD)
         clauses.append(f"WHEN g >= {lo} AND g < {hi} THEN '{name}'")
     case = "CASE " + " ".join(clauses) + " ELSE NULL END"
     return f"""
@@ -1313,9 +1310,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_stratified_sample() -> str:
-    gate = _MD5_60.format(x="(event_id::VARCHAR || chr(31) || 'r3')") + f" % {_SAMPLE_MOD}"
+    from case_uco_ontology_map_spark.operators.sampling import SAMPLE_MOD
+
+    gate = _MD5_60.format(x="(event_id::VARCHAR || chr(31) || 'r3')") + f" % {SAMPLE_MOD}"
     cases = " ".join(
-        f"WHEN event_type = '{k}' THEN {int(v * _SAMPLE_MOD)}"
+        f"WHEN event_type = '{k}' THEN {int(v * SAMPLE_MOD)}"
         for k, v in sorted(_STRATA_FRACTIONS.items())
     )
     return f"""

@@ -26,16 +26,12 @@ oversized single documents occupy their own pack.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import content_hash64
-
-PACK_BUCKET_MOD = 1 << 20
+from .sampling import hash_bucket
 
 
 def pack_sequences(
@@ -53,13 +49,7 @@ def pack_sequences(
     pack_pos is the 1-based position within the pack."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
-    bucket = F.pmod(
-        content_hash64(
-            F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(salt)),
-            hash_mode,
-        ),
-        F.lit(buckets),
-    ).cast("int")
+    bucket = hash_bucket(F.col(id_col), buckets, salt, hash_mode).cast("int")
     out_schema = T.StructType(
         [
             *df.schema.fields,

@@ -16,7 +16,7 @@ pruning, costs one hash per row, no shuffle.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,11 +28,17 @@ from .dedup import content_hash64
 SAMPLE_MOD = 1 << 20
 
 
-def _gate(key: Column, salt: str, hash_mode: str) -> Column:
-    """Non-negative bucket in [0, SAMPLE_MOD) from the row key + salt.
-    md5_60 is already non-negative; xxhash64 needs the pmod wrap."""
+def hash_bucket(key: Column, buckets: int, salt: str, hash_mode: str) -> Column:
+    """Non-negative bucket in [0, buckets) from the row key + salt — THE
+    deterministic row-routing primitive shared by the samplers and
+    bucket-local operators (packing). md5_60 is already non-negative;
+    xxhash64 needs the pmod wrap."""
     h = content_hash64(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)), hash_mode)
-    return F.pmod(h, F.lit(SAMPLE_MOD))
+    return F.pmod(h, F.lit(buckets))
+
+
+def _gate(key: Column, salt: str, hash_mode: str) -> Column:
+    return hash_bucket(key, SAMPLE_MOD, salt, hash_mode)
 
 
 def deterministic_sample(

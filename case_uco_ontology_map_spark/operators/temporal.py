@@ -22,7 +22,7 @@ events) concentrates one partition and is salted/split the same way
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -68,29 +68,24 @@ def asof_join(
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in right_cols]
     )
-    r = right.select(
-        *by,
-        F.col(ts_col),
-        payload.alias(_PAYLOAD),
-        F.lit(0).alias(_LEFT_MARK),
-    )
-    l = left.select(
-        "*",
-        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
-        F.lit(1).alias(_LEFT_MARK),
-    )
-    # union by the right frame's narrow schema + the left's own columns:
-    # align on (by, ts, payload, mark) then re-join the left attributes via
-    # the same row (carry them through the union as nullable extras).
+    # one aligned schema for both sides: (by, ts, left attrs as nullable
+    # extras, payload, mark) — right rows carry the payload, left rows
+    # carry their own attributes and a NULL payload.
     extra_left = [c for c in left.columns if c not in by and c != ts_col]
-    r_full = r.select(
+    r_full = right.select(
         *by,
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in extra_left],
-        _PAYLOAD,
-        _LEFT_MARK,
+        payload.alias(_PAYLOAD),
+        F.lit(0).alias(_LEFT_MARK),
     )
-    l_full = l.select(*by, F.col(ts_col), *extra_left, _PAYLOAD, _LEFT_MARK)
+    l_full = left.select(
+        *by,
+        F.col(ts_col),
+        *extra_left,
+        F.lit(None).cast(r_full.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        F.lit(1).alias(_LEFT_MARK),
+    )
     unioned = l_full.unionByName(r_full)
 
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()

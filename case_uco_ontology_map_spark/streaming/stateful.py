@@ -24,7 +24,7 @@ store checkpoints with the query (exactly-once on restart).
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
