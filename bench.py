@@ -511,6 +511,19 @@ def report_scaling():
     }
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
+    # preserve manually-maintained sections (e.g. the hot-domain skew
+    # study) that live after the two generated sections
+    extra = ""
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            prev = fh.read()
+        for marker in ("\n## Hot-domain", "\n## "):
+            idx = prev.find(marker, prev.find("## Single-node"))
+            if idx != -1 and "Single-node" not in prev[idx : idx + 40]:
+                extra = prev[idx:]
+                break
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
             "# BENCH — measured baseline\n\n"
@@ -551,6 +564,7 @@ def report_scaling():
             "cached. The reference publishes no comparable numbers "
             "(LLM-bound, minutes per 2-record session — BASELINE.md); our "
             "single-node floor exceeds it by >10^6×.\n"
+            + extra
         )
 
 
