@@ -1051,8 +1051,9 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5 batch twin: tumbling 1-hour window aggregation per event_type.
     The SAME `F.window` expression (streaming/ingest.windowed_stats) runs in
     batch and streaming — this oracles the window-assignment + agg math that
-    crawl_window_stats exercises on a stream. One shuffle, map-side
-    partials."""
+    crawl_window_stats exercises on a stream. Map-side partials on the agg
+    shuffle; the distinct-user count adds the usual second (expand)
+    phase."""
     from pyspark.sql import functions as F
 
     from case_uco_ontology_map_spark.streaming.ingest import windowed_stats
