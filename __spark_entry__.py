@@ -1247,6 +1247,102 @@ ORDER BY e.event_id
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): scheme/host lowercasing,
+    www + default-port strip, fragment drop, tracker strip + query sort,
+    empty path → '/', plus host and registered-domain extraction — all JVM
+    expressions. Input urls are synthesized deterministically from doc_id
+    (mixed case, :80 ports, co.uk multipart suffix, utm/fbclid params,
+    fragments, empty paths) with the IDENTICAL string ops in the oracle."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.urls import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WwW.Site"),
+        (did % 7).cast("string"),
+        F.lit(".Example.CO.UK"),
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("/Path"),
+                (did % 5).cast("string"),
+                F.when(did % 3 == 0, F.lit("")).otherwise(F.lit("/page")),
+            )
+        ),
+        F.lit("?utm_source=feed&b="),
+        (did % 4).cast("string"),
+        F.lit("&a=1"),
+        F.when(did % 2 == 0, F.lit("&fbclid=xyz")).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return (
+        d.select("doc_id", raw.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            url_normalize(F.col("url")).alias("norm_url"),
+            url_host(F.col("url")).alias("host"),
+            url_registered_domain(F.col("url")).alias("domain"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_url_normalize() -> str:
+    return r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://WwW.Site' || (doc_id % 7) || '.Example.CO.UK'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ''
+                  ELSE '/Path' || (doc_id % 5)
+                       || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/page' END)
+             END)
+         || '?utm_source=feed&b=' || (doc_id % 4) || '&a=1'
+         || (CASE WHEN doc_id % 2 = 0 THEN '&fbclid=xyz' ELSE '' END)
+         || '#frag' AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+           '^[^@]*@', ''), ':(80|443)$', ''), '^www\.', '') AS host,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+         array_to_string(list_sort(list_filter(
+           str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|fbclid|gclid|msclkid)(=.*)?$')
+         )), '&') AS q
+  FROM raw
+), norm AS (
+  SELECT doc_id, url, host,
+         scheme || '://' || host
+         || (CASE WHEN path = '' THEN '/' ELSE path END)
+         || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS norm_url,
+         str_split(host, '.') AS labels
+  FROM parts
+)
+SELECT doc_id, url, norm_url, host,
+       CASE WHEN len(labels) <= 2 THEN host
+            WHEN array_to_string(labels[greatest(len(labels)-1,1):len(labels)], '.')
+                 IN ('co.uk', 'com.au', 'co.jp', 'com.br', 'co.in')
+                 AND len(labels) >= 3
+            THEN array_to_string(labels[greatest(len(labels)-2,1):len(labels)], '.')
+            ELSE array_to_string(labels[greatest(len(labels)-1,1):len(labels)], '.')
+       END AS domain
+FROM norm ORDER BY doc_id
+"""
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.05}
 _STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
 
@@ -2024,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "url_normalize": q_url_normalize,
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
         "connected_components": q_connected_components,
@@ -2069,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _oracle_hash_split(),
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
+        "url_normalize": _oracle_url_normalize(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
         "cc_long_chain": _oracle_cc_long_chain(),

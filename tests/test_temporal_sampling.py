@@ -336,6 +336,38 @@ def test_pack_sequences_greedy_rule(spark):
         pack_sequences(df, max_tokens=0)
 
 
+def test_url_normalize_corner_cases(spark):
+    """Cases the synthesized oracle corpus doesn't produce: :443 strip,
+    no-scheme passthrough, gclid, userinfo@, non-multipart domain."""
+    from case_uco_ontology_map_spark.functions.urls import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    rows = [
+        ("HTTPS://user:pw@Sub.Host.ORG:443/A/B?gclid=1&z=2&a=3#x",),
+        ("relative/path/no/scheme",),
+        ("http://example.com",),
+        ("https://deep.sub.example.com/x",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    out = df.select(
+        "url",
+        url_normalize(F.col("url")).alias("n"),
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    by = {r.url: r for r in out}
+    r0 = by[rows[0][0]]
+    assert r0.n == "https://sub.host.org/A/B?a=3&z=2"
+    assert r0.h == "sub.host.org" and r0.d == "host.org"
+    # no scheme → untouched
+    assert by["relative/path/no/scheme"].n == "relative/path/no/scheme"
+    assert by["http://example.com"].n == "http://example.com/"
+    assert by["https://deep.sub.example.com/x"].d == "example.com"
+
+
 def test_mix_corpora_weighted_union(spark):
     from case_uco_ontology_map_spark.operators.sampling import mix_corpora
 
