@@ -1247,6 +1247,49 @@ ORDER BY e.event_id
 """
 
 
+def q_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.salted_aggregate):
+    hot keys spread over (key, salt) partials, then recombined — the
+    result must be EXACTLY the plain groupBy (salting is pure routing),
+    which is what the oracle asserts. Exact-integer sum + min/max so no
+    float reassociation can blur the hash."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.skew import salted_aggregate
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "sum_uid": ("sum", "user_id"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        unique_col="event_id",
+        salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_uid").cast("long").alias("sum_uid"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+def _oracle_salted_aggregate() -> str:
+    return """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(user_id) AS sum_uid,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/urls.py): scheme/host lowercasing,
     www + default-port strip, fragment drop, tracker strip + query sort,
@@ -2121,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "url_normalize": q_url_normalize,
+        "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
         "connected_components": q_connected_components,
@@ -2167,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
         "url_normalize": _oracle_url_normalize(),
+        "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),
         "cc_long_chain": _oracle_cc_long_chain(),
