@@ -129,23 +129,16 @@ def common_shingles(
     tight error while cutting the aggregation 100×. Returns a Python list
     (broadcast-size by construction: only shingles in ≥df_fraction of all
     keys can qualify, so at most 1/df_fraction × shingles-per-key entries)."""
-    base = entities
-    n = base.count()
-    if sample_fraction is not None:
-        base = base.sample(fraction=sample_fraction, seed=13)
-        n = max(base.count(), 1)
-    exploded = base.select(
-        F.explode(char_shingles(F.col(key_col), hash_mode=hash_mode)).alias("s")
+    from .dedup import high_df_hashes
+
+    return high_df_hashes(
+        entities,
+        lambda b: b.select(
+            char_shingles(F.col(key_col), hash_mode=hash_mode).alias("_sh")
+        ),
+        df_fraction,
+        sample_fraction,
     )
-    cutoff = max(int(n * df_fraction), 1)
-    rows = (
-        exploded.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > cutoff)
-        .select("s")
-        .collect()
-    )
-    return [r["s"] for r in rows]
 
 
 def candidate_edges(
@@ -260,7 +253,8 @@ def _edge_fingerprint(pairs: DataFrame):
 
 def _persistent_ids(spark) -> set:
     """Ids of currently persisted RDDs (localCheckpoint blocks included).
-    Best-effort py4j introspection — empty set on any failure."""
+    Inspection/testing helper — attribution of OUR checkpoints uses
+    _checkpointed_rdd_id, never a global diff (thread-exactness)."""
     try:
         return {
             int(i)
@@ -270,6 +264,20 @@ def _persistent_ids(spark) -> set:
         }
     except Exception:
         return set()
+
+
+def _checkpointed_rdd_id(df: DataFrame):
+    """The localCheckpoint's RDD id, read straight off the DataFrame's
+    LogicalRDD plan node. Exact attribution: unlike diffing the global
+    persistent-RDD set before/after, this can never pick up a checkpoint
+    another thread materialized in the same window (unpersisting a
+    foreign localCheckpoint would CRASH that thread's computation — its
+    lineage is truncated, so the lost blocks cannot be recomputed).
+    None on any introspection failure."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
 
 
 def _unpersist_ids(spark, ids) -> None:
@@ -353,9 +361,10 @@ def connected_components(
     prev_round_ids: set = set()
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
-        before = _persistent_ids(spark)
         pairs, fp = _checkpoint_with_fingerprint(pairs, 0)
-        prev_round_ids = _persistent_ids(spark) - before
+        prev_round_ids = {
+            i for i in (_checkpointed_rdd_id(pairs),) if i is not None
+        }
     else:
         fp = _edge_fingerprint(pairs)
     converged = False
@@ -367,17 +376,18 @@ def connected_components(
         # dedupes — saves one full exchange per round
         pairs = _small_star(_large_star(pairs, dedup=False), oriented=True)
         if checkpoint:
-            before = _persistent_ids(spark)
             pairs, new_fp = _checkpoint_with_fingerprint(pairs, round_no)
             # the new round is materialized — the PREVIOUS round's
             # checkpoint blocks are dead weight; without this, iterative
             # CC leaks one edge-set copy per round into the block manager
             # (measured: repeated in-session runs degrade 24s → 50s as
-            # eviction pressure mounts). Only ids attributed to our own
-            # previous checkpoint are dropped; the final round's blocks
+            # eviction pressure mounts). Ids come straight off our own
+            # checkpointed plan (thread-exact); the final round's blocks
             # stay live for the star-collapse below.
             _unpersist_ids(spark, prev_round_ids)
-            prev_round_ids = _persistent_ids(spark) - before
+            prev_round_ids = {
+                i for i in (_checkpointed_rdd_id(pairs),) if i is not None
+            }
         else:
             new_fp = _edge_fingerprint(pairs)
         if new_fp == fp:
@@ -484,12 +494,16 @@ def canonicalize_entities(
         sigs, id_col, bands, max_bucket=max_bucket, hash_mode=hash_mode,
         observation=observation,
     )
+    cands_ckpt_ids: set = set()
     if estimate_prefilter == "auto":
         # measure the candidate flood: localCheckpoint so the LSH band
         # explode runs once (the count below materializes it, the verify
         # join reuses it) — on a flood shape recomputing the band join
         # would double the most expensive stage
         cands = cands.localCheckpoint(eager=True)
+        cands_ckpt_ids = {
+            i for i in (_checkpointed_rdd_id(cands),) if i is not None
+        }
         n_cands = cands.count()
         n_entities = entities.select(id_col).count()
         if n_entities > 0 and n_cands / n_entities > auto_prefilter_ratio:
@@ -543,6 +557,10 @@ def canonicalize_entities(
         # plan that referenced the signatures has already run — drop the
         # cache instead of leaking it for the session's lifetime
         cached_sigs.unpersist(blocking=False)
+    # same reclamation for the auto-prefilter candidate checkpoint: CC has
+    # its own checkpoints of everything downstream, so the (possibly huge)
+    # flood-shape candidate blocks are dead weight from here on
+    _unpersist_ids(entities.sparkSession, cands_ckpt_ids)
     return (
         entities.join(comps, entities[id_col] == comps["id"], "left")
         .select(

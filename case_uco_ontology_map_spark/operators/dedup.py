@@ -146,21 +146,51 @@ def common_shingle_hashes(
     uniform sample estimates them tightly at 1/fraction the cost. Returns
     a broadcast-size Python list (≤ shingles-per-doc / df_fraction
     entries by construction)."""
-    base = df
-    n = base.count()
+    return high_df_hashes(
+        df,
+        lambda b: b.select(
+            tokens_lower_col(F.col(text_col)).alias("_toks")
+        ).select(
+            shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode).alias(
+                "_sh"
+            )
+        ),
+        df_fraction,
+        sample_fraction,
+    )
+
+
+def high_df_hashes(
+    base: DataFrame,
+    stage,
+    df_fraction: float,
+    sample_fraction: Optional[float] = None,
+) -> List[int]:
+    """Shared DF-cutoff scaffold behind ``common_shingle_hashes`` and
+    ``canonicalize.common_shingles``: optional uniform sample →
+    ``stage(df)`` producing an ``_sh`` shingle-hash array column →
+    explode + groupBy counts, filtered against the corpus row count.
+    The count rides the SAME query as a broadcast cross-joined aggregate
+    (cutoff = greatest(floor(n·fraction), 1), identical to the old
+    driver-side ``max(int(n·fraction), 1)`` for non-negative n), so the
+    whole computation is ONE action instead of a separate count() job.
+    ``stage`` exists because of the HOF-staging rule — the shingle lambda
+    must reference a materialized column, never an inline expression
+    (measured 36× recompute otherwise)."""
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=13)
-        n = max(base.count(), 1)
-    staged = base.select(
-        tokens_lower_col(F.col(text_col)).alias("_toks")
-    ).select(
-        shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode).alias("_sh")
-    )
-    cutoff = max(int(n * df_fraction), 1)
-    rows = (
-        staged.select(F.explode("_sh").alias("s"))
+    counts = (
+        stage(base)
+        .select(F.explode("_sh").alias("s"))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total = base.agg(F.count(F.lit(1)).alias("n"))
+    cutoff = F.greatest(
+        F.floor(F.col("n") * F.lit(df_fraction)).cast("long"), F.lit(1)
+    )
+    rows = (
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("df") > cutoff)
         .select("s")
         .collect()
@@ -679,6 +709,11 @@ def embedding_near_dups(
         F.col(id_col), F.col(vec_col), sign_bits(F.col(vec_col)).alias("bucket")
     )
     if max_bucket is not None:
+        # deliberate recompute: sizes (and each self-join side) re-evaluate
+        # the sign-bit projection — a few hundred FLOPs/row — rather than
+        # persisting (id, vec, bucket), which would materialize every
+        # vector; at 10^12 rows the recompute is the cheaper side of that
+        # trade and stays inside whole-stage codegen
         sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
         if observation is not None:
             over = F.col("_bn") > max_bucket

@@ -244,8 +244,17 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                     properties[local]["description"] = comment
 
             # named sh:in vocabulary PropertyShape (severity-tagged open
-            # vocabularies — case_utils flags these as Info/Warning)
-            if subject.endswith("-in-shape") and "sh:in" in stmt:
+            # vocabularies — case_utils flags these as Info/Warning).
+            # Detection is by CONTENT (standalone shape carrying sh:in),
+            # not by name: UCO uses both `...-in-shape` and
+            # `...-shape-value-not-vocabulary-member` naming, and gating
+            # on a suffix silently skipped the latter. Deactivated shapes
+            # are ignored like pySHACL ignores them.
+            if (
+                "sh:in" in stmt
+                and "sh:targetClass" not in stmt
+                and "sh:deactivated" not in stmt
+            ):
                 in_m = re.search(r"sh:in\s*\(([^)]*)\)", stmt, re.DOTALL)
                 path_m = re.search(r"sh:path\s+(\S+)", stmt)
                 sev_m = re.search(r"sh:severity\s+sh:(\w+)", stmt)
@@ -261,7 +270,11 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
             if target_m and "sh:property" in stmt:
                 target_local = _local_name(target_m.group(1).rstrip(";"))
                 shape = shapes.setdefault(target_local, {})
-                for ref in re.findall(r"(\S+-in-shape)\b", stmt):
+                # every prefixed name in the class statement is a candidate
+                # reference to a named vocabulary shape; the attach loop
+                # below keeps only names that actually compiled into
+                # in_shapes (so arbitrary tokens cost nothing)
+                for ref in re.findall(r"([A-Za-z][\w.\-]*:[\w.\-]+)", stmt):
                     class_in_refs.setdefault(target_local, []).append(
                         _local_name(ref)
                     )
@@ -283,6 +296,18 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                         "nodeKind": nk_m.group(1) if nk_m else None,
                         "isObjectProp": bool(cls_m) or (nk_m and nk_m.group(1) == "IRI"),
                     }
+                    # inline anonymous sh:in (e.g. core:objectStatus's
+                    # closed Draft/Final/Deprecated list — no sh:severity
+                    # means a HARD Violation, unlike the named Info shapes)
+                    in_m = re.search(r"sh:in\s*\(([^)]*)\)", block, re.DOTALL)
+                    if in_m:
+                        sev_m = re.search(r"sh:severity\s+sh:(\w+)", block)
+                        shape[prop_local]["vocab"] = re.findall(
+                            r'"((?:[^"\\]|\\.)*)"', in_m.group(1)
+                        )
+                        shape[prop_local]["vocabSeverity"] = (
+                            sev_m.group(1) if sev_m else "Violation"
+                        )
 
     # attach sh:in vocabularies to their referencing class shapes
     for cls, refs in class_in_refs.items():

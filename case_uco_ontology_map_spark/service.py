@@ -126,6 +126,8 @@ def session_events(
         "path": graph_path,
     }
 
+    from .validation import is_conformant
+
     violations = validate_all(
         spark.read.parquet(triples_path),
         result["ontology_map"],
@@ -133,7 +135,7 @@ def session_events(
     )
     yield {
         "event": "validation",
-        "is_clean": all(v == 0 for v in violations.values()),
+        "is_clean": is_conformant(violations),
         "violations": violations,
     }
 

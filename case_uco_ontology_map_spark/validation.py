@@ -390,7 +390,15 @@ def validate_all(
     validator.py:88). ``vocabulary`` counts only severity=Violation rows as
     hard failures; Info/Warning rows (UCO open vocabularies) are reported
     under ``vocabulary_info`` — the same split case_utils' SHACL report
-    makes, where sh:Info results do not break conformance."""
+    makes, where sh:Info results do not break conformance. Use
+    ``is_conformant`` on the result — a bare all-zero check would wrongly
+    fail on Info tallies. Engine-internal audit marker rows
+    (drafting:mentionSurface, emitted by surface_markers=True pipelines)
+    are excluded up front: they are not ontology triples and every rule
+    would otherwise flag them."""
+    from .operators.mentions import MENTION_MARKER_PRED
+
+    triples = triples.filter(F.col("pred") != MENTION_MARKER_PRED)
     out = {
         "placement": check_placement(triples, ontology_map).count(),
         "no_nulls": check_no_nulls(triples).count(),
@@ -411,3 +419,14 @@ def validate_all(
         ).count()
         vocab.unpersist(blocking=False)
     return out
+
+
+def is_conformant(violations: Dict[str, int]) -> bool:
+    """case_utils conformance verdict over a ``validate_all`` result:
+    hard rules must be zero; tallies reported under ``*_info`` keys
+    (sh:Info/Warning severities — UCO open vocabularies) do NOT break
+    conformance, exactly as a pySHACL report with only Info results still
+    conforms."""
+    return all(
+        v == 0 for k, v in violations.items() if not k.endswith("_info")
+    )

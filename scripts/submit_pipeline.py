@@ -41,12 +41,28 @@ def main() -> None:
         out_dir=args.out,
         with_mentions=args.with_mentions,
     )
-    n_triples = out["triples"].count()
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.mentions import (
+        MENTION_MARKER_PRED,
+    )
+
+    # count ontology triples and audit marker rows separately — markers
+    # (surface_markers pipelines) are engine-internal, not graph content
+    by_kind = (
+        out["triples"]
+        .groupBy((F.col("pred") == MENTION_MARKER_PRED).alias("is_marker"))
+        .count()
+        .collect()
+    )
+    n_triples = sum(r["count"] for r in by_kind if not r["is_marker"])
+    n_markers = sum(r["count"] for r in by_kind if r["is_marker"])
     elapsed = time.perf_counter() - t0
     print(
         json.dumps(
             {
                 "triples": n_triples,
+                "marker_rows": n_markers,
                 "sec": round(elapsed, 3),
                 "sf_dir": args.sf_dir,
                 "out": args.out,

@@ -379,6 +379,63 @@ def test_vocabulary_membership(spark):
     assert v[0]["severity"] == "Info"
 
 
+def test_vocabulary_content_detected_shapes(spark):
+    """Vocabulary shapes are detected by CONTENT, not name suffix: the
+    `...-shape-value-not-vocabulary-member` RIR shape (Info) and the
+    inline anonymous core:objectStatus closed list (no sh:severity →
+    Violation) must both be compiled and enforced. is_conformant ignores
+    the Info tally but fails on the hard one."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    d = load_dictionary()
+    rir = d["shapes"]["AutonomousSystemFacet"]["regionalInternetRegistry"]
+    assert rir["vocab"] == ["APNIC", "ARIN", "AfriNIC", "LACNIC", "RIPE NCC"]
+    assert rir["vocabSeverity"] == "Info"
+    status = d["shapes"]["UcoObject"]["objectStatus"]
+    assert status["vocab"] == ["Draft", "Final", "Deprecated"]
+    assert status["vocabSeverity"] == "Violation"
+
+    rows = [
+        ("kb:as1", "rdf:type", "uco-observable:AutonomousSystemFacet", True, None, "r1"),
+        ("kb:as1", "uco-observable:regionalInternetRegistry", "XYZ", False, None, "r1"),
+        ("kb:o1", "rdf:type", "uco-core:UcoObject", True, None, "r1"),
+        ("kb:o1", "uco-core:objectStatus", "Smudged", False, None, "r1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    v = {r["subj"]: r["severity"] for r in validation.check_vocabulary(triples, d).collect()}
+    assert v == {"kb:as1": "Info", "kb:o1": "Violation"}
+
+
+def test_is_conformant_ignores_info_tallies():
+    """sh:Info results must not break conformance (case_utils parity) —
+    the helper every is_clean consumer goes through."""
+    assert validation.is_conformant({"placement": 0, "vocabulary": 0, "vocabulary_info": 3})
+    assert not validation.is_conformant({"placement": 0, "vocabulary": 1, "vocabulary_info": 0})
+    assert validation.is_conformant({})
+
+
+def test_validate_all_ignores_mention_markers(spark):
+    """Engine-internal audit marker rows (drafting:mentionSurface) are not
+    ontology triples — validate_all must not flag them."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    rows = [
+        ("kb:rel-1", "drafting:mentionSurface", '{"c":"URL","n":1,"s":"x"}',
+         False, "drafting:json", "r1"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    out = validation.validate_all(triples, {"classes": [], "facets": []}, load_dictionary())
+    assert validation.is_conformant(out), out
+
+
 def test_object_class_conformance(spark):
     """sh:class (check_object_class): accountIssuer on AccountFacet
     requires an object typed under UcoObject — a URL-typed target conforms
