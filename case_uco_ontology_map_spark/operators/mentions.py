@@ -104,8 +104,10 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
 
 def strip_mention_markers(triples: DataFrame) -> DataFrame:
     """Drop the audit marker rows — what render/validation/export consumers
-    should see (marker rows are lineage/audit data, not ontology triples)."""
-    return triples.filter(F.col("pred") != MENTION_MARKER_PRED)
+    should see (marker rows are lineage/audit data, not ontology triples).
+    Null-safe: a malformed row with pred NULL is NOT a marker and must stay
+    visible to downstream validation (a plain != would silently drop it)."""
+    return triples.filter(~F.col("pred").eqNullSafe(MENTION_MARKER_PRED))
 
 
 def build_gazetteer(

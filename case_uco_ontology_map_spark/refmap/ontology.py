@@ -253,7 +253,10 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
             if (
                 "sh:in" in stmt
                 and "sh:targetClass" not in stmt
-                and "sh:deactivated" not in stmt
+                # pySHACL parity: only sh:deactivated TRUE disables a
+                # shape (a value-insensitive substring test would also
+                # skip explicitly-active shapes or mere mentions)
+                and not re.search(r'sh:deactivated\s+"?true', stmt)
             ):
                 in_m = re.search(r"sh:in\s*\(([^)]*)\)", stmt, re.DOTALL)
                 path_m = re.search(r"sh:path\s+(\S+)", stmt)
@@ -270,11 +273,14 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
             if target_m and "sh:property" in stmt:
                 target_local = _local_name(target_m.group(1).rstrip(";"))
                 shape = shapes.setdefault(target_local, {})
-                # every prefixed name in the class statement is a candidate
-                # reference to a named vocabulary shape; the attach loop
-                # below keeps only names that actually compiled into
-                # in_shapes (so arbitrary tokens cost nothing)
-                for ref in re.findall(r"([A-Za-z][\w.\-]*:[\w.\-]+)", stmt):
+                # every prefixed name in the class statement OUTSIDE quoted
+                # literals is a candidate reference to a named vocabulary
+                # shape (rdfs:comment / sh:message text routinely mentions
+                # shape names — scanning inside strings would graft a
+                # vocabulary onto the wrong class); the attach loop below
+                # keeps only names that actually compiled into in_shapes
+                unquoted = re.sub(r'"(?:[^"\\]|\\.)*"', '""', stmt)
+                for ref in re.findall(r"([A-Za-z][\w.\-]*:[\w.\-]+)", unquoted):
                     class_in_refs.setdefault(target_local, []).append(
                         _local_name(ref)
                     )

@@ -396,9 +396,9 @@ def validate_all(
     (drafting:mentionSurface, emitted by surface_markers=True pipelines)
     are excluded up front: they are not ontology triples and every rule
     would otherwise flag them."""
-    from .operators.mentions import MENTION_MARKER_PRED
+    from .operators.mentions import strip_mention_markers
 
-    triples = triples.filter(F.col("pred") != MENTION_MARKER_PRED)
+    triples = strip_mention_markers(triples)
     out = {
         "placement": check_placement(triples, ontology_map).count(),
         "no_nulls": check_no_nulls(triples).count(),

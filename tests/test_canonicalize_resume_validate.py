@@ -436,6 +436,23 @@ def test_validate_all_ignores_mention_markers(spark):
     assert validation.is_conformant(out), out
 
 
+def test_validate_all_marker_filter_keeps_null_pred(spark):
+    """A malformed row with NULL pred is NOT a marker — the marker filter
+    must be null-safe so such rows still reach the rules (a plain !=
+    would drop them and report the graph clean)."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    rows = [("kb:x", None, None, False, None, "r1")]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    out = validation.validate_all(triples, {"classes": [], "facets": []}, load_dictionary())
+    assert out["no_nulls"] == 1
+    assert not validation.is_conformant(out)
+
+
 def test_object_class_conformance(spark):
     """sh:class (check_object_class): accountIssuer on AccountFacet
     requires an object typed under UcoObject — a URL-typed target conforms
