@@ -1283,7 +1283,7 @@ def _oracle_salted_aggregate() -> str:
     return """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(user_id) AS sum_uid,
+       CAST(SUM(user_id) AS BIGINT) AS sum_uid,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events GROUP BY event_type ORDER BY event_type
