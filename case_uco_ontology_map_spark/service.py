@@ -65,6 +65,7 @@ def session_events(
     class_names: Optional[Sequence[str]] = None,
     raw: Optional[bytes] = None,
     fmt: Optional[str] = None,
+    memory: Optional[Dict[str, Any]] = None,
 ) -> Iterator[Dict[str, Any]]:
     """Run one analysis session, yielding progress events as each stage
     completes — the stream behind both the CLI runner
@@ -74,8 +75,27 @@ def session_events(
       session_start → ingest → ontology → graph → validation → complete
     The ``complete`` event carries the full session record under
     ``"session"`` (the audit row persisted to session.json).
+
+    ``memory`` is the caller-owned memory state dict (the reference keeps
+    it on the LangGraph State, checkpointed per session — memory.py:9-18).
+    A dirty validation enters the reference's bounded retry loop
+    (graph.py:117-143, MAX_VALIDATION_ATTEMPTS config.py:11): each failed
+    attempt learns a failure pattern (memory.py:21-37), persists it, and
+    threads the refreshed memory context into the next attempt as the
+    supervisor does on every routing step (graph.py:37-39). Our generator
+    is deterministic, so the "regeneration" between attempts is a no-op
+    re-validation — exactly what the reference's deterministic fallback
+    path produces. Pass the same dict across sessions to accumulate
+    patterns the way the reference's checkpointer would.
     """
     from .plans.artifacts import analyze_payload
+    from .refmap.memory import (
+        MAX_VALIDATION_ATTEMPTS,
+        learn_from_validation_result,
+        persist_learned_memory,
+        update_memory_context,
+        violations_to_feedback,
+    )
     from .refmap.ontology import load_dictionary
     from .validation import validate_all
 
@@ -128,16 +148,42 @@ def session_events(
 
     from .validation import is_conformant
 
-    violations = validate_all(
-        spark.read.parquet(triples_path),
-        result["ontology_map"],
-        load_dictionary(),
-    )
-    yield {
-        "event": "validation",
-        "is_clean": is_conformant(violations),
-        "violations": violations,
-    }
+    memory_state = memory if memory is not None else {}
+    dictionary = load_dictionary()
+    attempt = 0
+    while True:
+        attempt += 1
+        violations = validate_all(
+            spark.read.parquet(triples_path),
+            result["ontology_map"],
+            dictionary,
+        )
+        clean = is_conformant(violations)
+        yield {
+            "event": "validation",
+            "is_clean": clean,
+            "violations": violations,
+            "attempt": attempt,
+        }
+        if clean or attempt >= MAX_VALIDATION_ATTEMPTS:
+            break
+        # graph.py:117-143 — dirty + attempts left → learn, refresh the
+        # memory context, and route back to the generator (deterministic
+        # here, so the retry is a re-validation of the regenerated graph).
+        learn_from_validation_result(
+            memory_state,
+            {
+                "is_clean": False,
+                "violations": violations_to_feedback(violations),
+            },
+        )
+        persist_learned_memory(memory_state)
+        memory_state["memory_context"] = update_memory_context(memory_state)
+        yield {
+            "event": "memory",
+            "context": memory_state["memory_context"],
+            "attempt": attempt,
+        }
 
     session = {
         "session_id": session_id,
@@ -146,6 +192,8 @@ def session_events(
         "nodes": n_nodes,
         "triples": n_triples,
         "violations": violations,
+        "validation_attempts": attempt,
+        "memory_context": memory_state.get("memory_context", ""),
         "outputs": sorted(set(os.listdir(out_dir)) | {"session.json"}),
     }
     with open(os.path.join(out_dir, "session.json"), "w") as fh:
