@@ -32,6 +32,8 @@ from __future__ import annotations
 import decimal as _decimal
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +54,48 @@ def char_shingles(col, n: int = 3, hash_mode: str = "xxhash64"):
     )
 
 
+#: Above this many exclusion hashes the set-difference leaves the JVM:
+#: ``array_except`` rebuilds a hash set of the right-hand array PER ROW
+#: (measured: 10k exclusions × 80k keys ≈ 6 s vs 3.5 s Arrow-batched),
+#: and even as a single array ``Literal`` the plan/analysis cost grows
+#: with the list. Below it, one array literal + array_except stays fully
+#: codegen'd with no Python worker round-trip.
+_EXCLUDE_INLINE_MAX = 256
+
+
+def _excluded_shingles(staged: DataFrame, ex_list) -> DataFrame:
+    """Arrow-batched shingle exclusion for large lists: the sorted hash
+    array ships ONCE per executor as a broadcast variable and each batch
+    filters via vectorized searchsorted — never an expression-tree literal
+    (the inline form bloats the plan and, at array_except's per-row
+    hash-set rebuild, the runtime). First-occurrence dedup mirrors
+    array_except's set semantics exactly (upstream char_shingles is
+    already array_distinct, so this is belt-and-braces for parity)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    bc = staged.sparkSession.sparkContext.broadcast(
+        np.array(ex_list, dtype=np.int64)
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _diff(col: pd.Series) -> pd.Series:
+        exc = bc.value
+
+        def one(arr):
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size:
+                _, first = np.unique(a, return_index=True)
+                a = a[np.sort(first)]
+                pos = np.searchsorted(exc, a)
+                pos[pos == exc.size] = 0
+                a = a[exc[pos] != a] if exc.size else a
+            return a
+
+        return col.map(one)
+
+    return staged.withColumn("_sh", _diff("_sh"))
+
+
 def entity_minhash(
     entities: DataFrame,
     key_col: str = "entity_key",
@@ -65,7 +109,12 @@ def entity_minhash(
     ``exclude``: shingle hashes dropped before signing (see
     common_shingles — the hot-domain shared-prefix defuse). Signatures of
     a key whose every shingle is excluded degrade to the empty-set
-    sentinel (never collides)."""
+    sentinel (never collides). Small lists inline as ONE array literal
+    (array_except, pure codegen); past _EXCLUDE_INLINE_MAX the list ships
+    as a broadcast variable consulted by an Arrow-batched set-difference,
+    so plan size and analysis time stay flat no matter how aggressive
+    drop_common_df gets (long keys + df_fraction→0 can push the list to
+    10^4+ hashes)."""
     from .dedup import _MERSENNE_P, _hash_params
 
     params = _hash_params(num_hashes, seed=17)
@@ -73,15 +122,16 @@ def entity_minhash(
     # into (and re-evaluated by) every one of the k lambdas below
     # (dedup.minhash_signatures' 36× lesson)
     sh = char_shingles(F.col(key_col), hash_mode=hash_mode)
-    if exclude:
-        sh = F.array_except(
-            sh, F.array(*[F.lit(int(x)).cast("long") for x in exclude])
-        )
+    ex_list = sorted({int(x) for x in exclude}) if exclude else []
+    if ex_list and len(ex_list) <= _EXCLUDE_INLINE_MAX:
+        sh = F.array_except(sh, F.lit(ex_list).cast("array<long>"))
     staged = entities.select(
         F.col(id_col),
         F.col(key_col),
         sh.alias("_sh"),
     )
+    if len(ex_list) > _EXCLUDE_INLINE_MAX:
+        staged = _excluded_shingles(staged, ex_list)
 
     def _min_hash(a: int, b: int):
         # closure factory — see dedup.minhash_signatures for why not

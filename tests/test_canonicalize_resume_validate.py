@@ -203,6 +203,49 @@ def test_canonicalize_drop_common_df_defuses_shared_prefix(spark):
     assert len(sampled) <= 2 * len(common)
 
 
+def test_minhash_exclude_paths_agree(spark, monkeypatch):
+    """The two exclusion implementations (inline array_except literal vs
+    broadcast + Arrow set-difference) must produce IDENTICAL signatures —
+    the hot-chain oracle depends on the semantics being one thing."""
+    ents = spark.createDataFrame(
+        [(i, f"https://example.com/page/{i:06d}") for i in range(200)]
+        + [(9999, "")],  # empty key → empty shingles edge case
+        "entity_id long, entity_key string",
+    )
+    # 300 entries (> _EXCLUDE_INLINE_MAX=256 → Arrow path), seeded with
+    # shingles that actually occur so the exclusion does real work
+    real = canonicalize.common_shingles(ents, df_fraction=0.05)
+    assert real, "fixture must produce corpus-common shingles"
+    exclude = sorted(set(real) | set(range(300)))[:300]
+    assert len(exclude) > canonicalize._EXCLUDE_INLINE_MAX
+
+    arrow = canonicalize.entity_minhash(ents, exclude=exclude).collect()
+    monkeypatch.setattr(canonicalize, "_EXCLUDE_INLINE_MAX", 100000)
+    inline = canonicalize.entity_minhash(ents, exclude=exclude).collect()
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, inline))
+
+
+def test_minhash_exclude_10k_no_plan_blowup(spark):
+    """A 10k-entry exclusion list (long keys + tiny drop_common_df) must
+    not inline into the expression tree: plan string stays bounded and
+    analysis is instant. The old F.array(*10k literals) form produced a
+    ~350 KB plan and ~20 s of analysis."""
+    import time
+
+    ents = spark.createDataFrame(
+        [(i, f"https://example.com/page/{i:06d}") for i in range(50)],
+        "entity_id long, entity_key string",
+    )
+    exclude = list(range(10_000))
+    t0 = time.time()
+    sig = canonicalize.entity_minhash(ents, exclude=exclude)
+    plan = sig._jdf.queryExecution().toString()
+    analysis = time.time() - t0
+    assert len(plan) < 50_000, f"plan blew up: {len(plan)}B"
+    assert analysis < 5.0, f"analysis took {analysis:.1f}s"
+    assert sig.count() == 50  # and it actually runs
+
+
 def test_resume_split_and_invalidate(spark, tmp_path):
     records = spark.createDataFrame(
         [(i, f"val{i}") for i in range(10)], "rid long, payload string"
