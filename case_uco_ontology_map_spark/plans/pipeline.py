@@ -425,6 +425,7 @@ def run_pipeline(
     with_mentions: bool = False,
     checkpoint_dir: Optional[str] = None,
     per_record_meta: str = "all",
+    canonicalize_opts: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, DataFrame]:
     """Full batch: corpus → triples [+ mention triples + canonical entities]
     (+ optional materialization + checkpoint manifest + lineage).
@@ -434,6 +435,19 @@ def run_pipeline(
     pmod(xxhash64(record_uuid), 64) so entity-keyed work downstream
     co-locates without re-shuffling small files; the manifest enables ST1
     exact resume (streaming/resume.py).
+
+    ``canonicalize_opts`` forwards tuning knobs (max_bucket, bands,
+    jaccard_threshold, drop_common_df, …) to canonicalize_entities.
+
+    Drop accounting (no silent caps at 100 TB): the canonicalization LSH
+    bucket cap reports (dropped_buckets, dropped_members) on the same job
+    that builds the candidate pairs. With ``out_dir`` the metrics ride the
+    entities write and land in ``out["canonicalize_drops"]`` AND in
+    ``out_dir/run_report.json`` next to the lineage rows; without
+    ``out_dir`` the pipeline stays lazy, so ``out["drop_observation"]``
+    carries the Observation — read ``dedup.drop_metrics(obs)`` after your
+    own first action on ``out["entities"]``. None (never a fake zero)
+    means the metrics node was pruned (see dedup.drop_metrics).
     """
     corpus = web_corpus(spark, sf_dir)
     pages = extracted_pages(corpus, lang=lang)
@@ -446,8 +460,10 @@ def run_pipeline(
         "triples": triples,
     }
 
+    canon_kw = dict(canonicalize_opts or {})
     if with_mentions:
         from ..operators.canonicalize import canonicalize_entities
+        from ..operators.dedup import drop_metrics, drop_observation
         from ..operators.mentions import (
             build_gazetteer,
             class_centroids,
@@ -486,7 +502,13 @@ def run_pipeline(
             F.xxhash64("surface", "entity_class").alias("entity_id"),
             F.concat_ws("|", "entity_class", "surface").alias("entity_key"),
         ).distinct()
-        out["entities"] = canonicalize_entities(entities)
+        # an Observation binds to ONE plan; this one serves the lazy
+        # entities frame (no-out_dir callers act on it themselves)
+        lazy_obs = drop_observation("canonicalize_drops")
+        out["entities"] = canonicalize_entities(
+            entities, observation=lazy_obs, **canon_kw
+        )
+        out["drop_observation"] = lazy_obs
 
     if out_dir:
         from ..streaming.resume import lineage, write_manifest
@@ -520,6 +542,9 @@ def run_pipeline(
             )
 
             out["mentions"] = _link(_mft(written), centroids)
+            # fresh Observation for the materialized plan — the lazy one
+            # above is superseded (its plan never runs under out_dir)
+            written_obs = drop_observation("canonicalize_drops_written")
             out["entities"] = _canon(
                 _mft(written)
                 .select(
@@ -528,8 +553,11 @@ def run_pipeline(
                         "entity_key"
                     ),
                 )
-                .distinct()
+                .distinct(),
+                observation=written_obs,
+                **canon_kw,
             )
+            out["drop_observation"] = written_obs
         write_manifest(
             # isNotNull: no-op in "all" mode, selects the one meta-carrying
             # row per record in "first" mode (same manifest either way)
@@ -554,4 +582,24 @@ def run_pipeline(
                 .partitionBy("bucket")
                 .parquet(os.path.join(out_dir, "entities"))
             )
+            # the write IS the entities plan's action — the cap-drop
+            # metrics observed on the candidate job are now available and
+            # belong in the run's audit trail next to the lineage rows
+            # (no silent caps: a 100 TB operator reads dropped_buckets in
+            # the run report, not in a test harness)
+            out["canonicalize_drops"] = drop_metrics(written_obs)
+            import json as _json
+
+            with open(os.path.join(out_dir, "run_report.json"), "w") as fh:
+                _json.dump(
+                    {
+                        "canonicalize_drops": out["canonicalize_drops"],
+                        "canonicalize_opts": canon_kw,
+                        "sf_dir": sf_dir,
+                        "tables": ["triples", "entities"],
+                    },
+                    fh,
+                    indent=2,
+                    sort_keys=True,
+                )
     return out

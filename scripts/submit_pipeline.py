@@ -58,18 +58,26 @@ def main() -> None:
     n_triples = sum(r["count"] for r in by_kind if not r["is_marker"])
     n_markers = sum(r["count"] for r in by_kind if r["is_marker"])
     elapsed = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "triples": n_triples,
-                "marker_rows": n_markers,
-                "sec": round(elapsed, 3),
-                "sf_dir": args.sf_dir,
-                "out": args.out,
-                "default_parallelism": spark.sparkContext.defaultParallelism,
-            }
+    report = {
+        "triples": n_triples,
+        "marker_rows": n_markers,
+        "sec": round(elapsed, 3),
+        "sf_dir": args.sf_dir,
+        "out": args.out,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+    }
+    if args.with_mentions:
+        # canonicalization cap-drop audit (no silent caps). Materialized
+        # runs read the metrics off the entities write; lazy runs must
+        # act on the entities frame first — count() here is that action.
+        if "canonicalize_drops" not in out:
+            out["entities"].count()
+        from case_uco_ontology_map_spark.operators.dedup import drop_metrics
+
+        report["canonicalize_drops"] = out.get(
+            "canonicalize_drops", drop_metrics(out["drop_observation"])
         )
-    )
+    print(json.dumps(report))
     spark.stop()
 
 

@@ -149,6 +149,64 @@ def test_entity_table_materialized_partitioned(spark, sf_dir, tmp_path):
     assert written.count() == live
 
 
+def test_run_pipeline_drop_metrics_on_degenerate_corpus(spark, tmp_path):
+    """No silent caps in the PRODUCTION entry point: a degenerate corpus
+    (every gazetteer surface packed into a few docs → hundreds of distinct
+    entity keys) with a tight bucket cap must surface non-None
+    canonicalization drop metrics in run_pipeline's output AND in the
+    on-disk run report — the audit posture the north_rule demands at
+    100 TB, not a test-harness-only observation."""
+    import json
+    import os
+
+    from case_uco_ontology_map_spark.operators.dedup import drop_metrics
+    from case_uco_ontology_map_spark.operators.mentions import build_gazetteer
+    from case_uco_ontology_map_spark.plans.pipeline import run_pipeline
+
+    surfaces = sorted(build_gazetteer().keys())
+    per_doc = 12
+    rows = [
+        (
+            i,
+            ". ".join(f"the {s} artifact" for s in surfaces[i : i + per_doc])
+            + ".",
+            "en",
+            "degenerate",
+            0,
+        )
+        for i in range(0, len(surfaces), per_doc)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out_dir = str(tmp_path / "kg")
+    out = run_pipeline(
+        spark, sf, with_mentions=True, out_dir=out_dir,
+        canonicalize_opts={"max_bucket": 2},
+    )
+    drops = out["canonicalize_drops"]
+    assert drops is not None, "cap drops must be observed, not silent"
+    assert drops["dropped_buckets"] > 0
+    assert drops["dropped_members"] > drops["dropped_buckets"]
+    with open(os.path.join(out_dir, "run_report.json")) as fh:
+        report = json.load(fh)
+    assert report["canonicalize_drops"] == drops
+    assert report["canonicalize_opts"] == {"max_bucket": 2}
+
+    # lazy path (no out_dir): the caller's own first action on the
+    # entities frame fires the same observation
+    lazy = run_pipeline(
+        spark, sf, with_mentions=True, canonicalize_opts={"max_bucket": 2}
+    )
+    assert "canonicalize_drops" not in lazy
+    lazy["entities"].count()
+    lazy_drops = drop_metrics(lazy["drop_observation"])
+    assert lazy_drops is not None and lazy_drops["dropped_buckets"] > 0
+
+
 def test_first_meta_materialization_same_manifest(spark, sf_dir, tmp_path):
     """per_record_meta="first" through run_pipeline's materialization: the
     isNotNull manifest filter must yield the SAME (fingerprint →
