@@ -241,9 +241,80 @@ def build_payload(body: Dict[str, Any]) -> Tuple[Any, str]:
     return artifacts, "json"
 
 
+# Reference app.py is a Streamlit browser UI (467 LoC of widget code over
+# the same /invoke-streaming stream). The batch engine's supported surface
+# is the HTTP/SSE API; this read-only status page is its UI equivalent:
+# sessions land on disk as they complete, /sessions lists them, and the
+# page polls it. No framework — the page is static and the data is JSON.
+_UI_HTML = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<title>CASE/UCO KG construction — sessions</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;color:#222}
+ table{border-collapse:collapse;width:100%}
+ th,td{border:1px solid #ccc;padding:.4rem .6rem;text-align:left;
+       font-size:.9rem}
+ th{background:#f2f2f2}
+ .clean{color:#0a7a0a}.dirty{color:#b00020}
+ #meta{color:#666;font-size:.85rem;margin-bottom:1rem}
+</style></head><body>
+<h1>KG construction sessions</h1>
+<div id="meta">read-only status over <code>GET /sessions</code>;
+refreshes every 5s</div>
+<table id="t"><thead><tr>
+ <th>session</th><th>records</th><th>nodes</th><th>triples</th>
+ <th>validation</th><th>attempts</th><th>outputs</th>
+</tr></thead><tbody></tbody></table>
+<script>
+async function refresh(){
+  const r = await fetch('/sessions'); const body = await r.json();
+  const tb = document.querySelector('#t tbody'); tb.innerHTML = '';
+  for (const s of body.sessions){
+    const tr = document.createElement('tr');
+    const clean = (s.violations||[]).length === 0;
+    tr.innerHTML = `<td>${s.session_id}</td><td>${s.records}</td>
+      <td>${s.nodes}</td><td>${s.triples}</td>
+      <td class="${clean?'clean':'dirty'}">${clean?'clean':'violations'}</td>
+      <td>${s.validation_attempts||1}</td>
+      <td>${(s.outputs||[]).join(', ')}</td>`;
+    tb.appendChild(tr);
+  }
+  document.querySelector('#meta').textContent =
+    `${body.sessions.length} session(s) — ` + new Date().toLocaleString();
+}
+refresh(); setInterval(refresh, 5000);
+</script></body></html>"""
+
+
+def list_sessions(sessions_dir: str) -> Dict[str, Any]:
+    """Read-only session census: every completed session directory's
+    session.json audit row, newest name last (ids embed the timestamp, so
+    lexicographic order is chronological per user). Directories without a
+    session.json (in-flight or failed before the complete event) are
+    reported by id only under "in_progress"."""
+    sessions, in_progress = [], []
+    try:
+        names = sorted(os.listdir(sessions_dir))
+    except OSError:
+        names = []
+    for name in names:
+        path = os.path.join(sessions_dir, name, "session.json")
+        try:
+            with open(path) as fh:
+                sessions.append(json.load(fh))
+        except OSError:
+            if os.path.isdir(os.path.join(sessions_dir, name)):
+                in_progress.append(name)
+        except json.JSONDecodeError:
+            in_progress.append(name)
+    return {"sessions": sessions, "in_progress": in_progress}
+
+
 class _Handler(BaseHTTPRequestHandler):
-    """Routes mirror the reference app: GET /health, GET /, and
-    POST /invoke-streaming."""
+    """Routes mirror the reference app: GET /health, GET /,
+    POST /invoke-streaming — plus the read-only status surface
+    (GET /sessions, GET /ui) standing in for the reference's Streamlit
+    front end (app.py)."""
 
     protocol_version = "HTTP/1.1"
 
@@ -281,6 +352,15 @@ class _Handler(BaseHTTPRequestHandler):
                     },
                 },
             )
+        elif self.path == "/sessions":
+            self._json(200, list_sessions(self.server.sessions_dir))
+        elif self.path == "/ui":
+            body = _UI_HTML.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._json(404, {"detail": "Not Found"})
 
@@ -290,6 +370,27 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self.close_connection = True
+            self._json(422, {"detail": "invalid Content-Length"})
+            return
+        # Bound the request body BEFORE reading it: an unbounded
+        # rfile.read(Content-Length) lets one request allocate arbitrary
+        # driver memory. FastAPI deployments put this limit at the ASGI
+        # server; stdlib puts it here. 413 = Payload Too Large.
+        if length > self.server.max_body_bytes:
+            # the unread body is still on the socket — drop the connection
+            # so keep-alive reuse can't misparse it as the next request
+            self.close_connection = True
+            self._json(
+                413,
+                {
+                    "detail": "request body too large: "
+                    f"{length} > {self.server.max_body_bytes} bytes"
+                },
+            )
+            return
+        try:
             raw = self.rfile.read(length)
             body = json.loads(raw)
             if not isinstance(body, dict) or body.get("input_artifacts") is None:
@@ -349,14 +450,17 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 0,
     sessions_dir: Optional[str] = None,
+    max_body_bytes: int = 10 * 1024 * 1024,
 ) -> ThreadingHTTPServer:
     """Bind the service and return the (not yet serving) server. Callers run
     ``server.serve_forever()`` — tests in a daemon thread, the CLI script in
     the main thread. ``port=0`` binds an ephemeral port
-    (``server.server_address[1]``)."""
+    (``server.server_address[1]``). Requests with bodies over
+    ``max_body_bytes`` are rejected 413 before the body is read."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.spark = spark
     server.sessions_dir = sessions_dir or os.path.join(
         os.getcwd(), "sessions"
     )
+    server.max_body_bytes = max_body_bytes
     return server

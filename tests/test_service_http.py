@@ -189,6 +189,134 @@ def test_session_dir_traversal_blocked(server, tmp_path):
     assert not (tmp_path.parent / "evil").exists()
 
 
+def test_concurrent_streaming_sessions_no_crosstalk(server, tmp_path):
+    """ThreadingHTTPServer under two OVERLAPPING /invoke-streaming sessions:
+    both must stream to completion with distinct session ids, every event
+    on each connection carrying ONLY its own session id (no cross-talk),
+    and both session dirs materialized. The two requests are launched
+    simultaneously and the slow Spark pipeline guarantees their lifetimes
+    overlap."""
+    import queue
+
+    results = queue.Queue()
+
+    def run(user, url):
+        payload = {
+            "user_identifier": user,
+            "input_artifacts": {
+                "case_name": f"case {user}",
+                "records": [{"url": url, "n_chars": len(url)}],
+            },
+            "class_names": ["URL"],
+        }
+        status, raw = _request(
+            server, "POST", "/invoke-streaming", body=json.dumps(payload)
+        )
+        results.put((user, status, _sse_events(raw)))
+
+    threads = [
+        threading.Thread(target=run, args=("alice", "https://a.example.org")),
+        threading.Thread(target=run, args=("bob", "https://b.example.org")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "streaming request hung"
+
+    by_user = {}
+    while not results.empty():
+        user, status, events = results.get()
+        assert status == 200
+        by_user[user] = events
+    assert set(by_user) == {"alice", "bob"}
+
+    sids = {}
+    for user, events in by_user.items():
+        types = [e["type"] for e in events]
+        assert types == [
+            "session_start", "ingest", "ontology", "graph", "validation",
+            "complete", "stream_complete",
+        ], f"{user}: {types}"
+        sid = events[0]["session_id"]
+        assert sid.startswith(user + "_")
+        # no cross-talk: every frame on this connection is this session's
+        assert all(e["session_id"] == sid for e in events)
+        sids[user] = sid
+        assert (tmp_path / "sessions" / sid / "session.json").exists()
+    assert sids["alice"] != sids["bob"]
+
+
+def test_request_body_cap_413(spark, tmp_path):
+    """Bodies over max_body_bytes are rejected 413 BEFORE the server reads
+    them; right-sized requests on the same server still stream fine."""
+    from case_uco_ontology_map_spark.service import serve
+
+    srv = serve(
+        spark, port=0, sessions_dir=str(tmp_path / "s"), max_body_bytes=2048
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        big = json.dumps(
+            {"user_identifier": "hog", "input_artifacts": "x" * 4096}
+        )
+        status, data = _request(srv, "POST", "/invoke-streaming", body=big)
+        assert status == 413
+        assert b"too large" in data
+
+        ok = {
+            "user_identifier": "small",
+            "input_artifacts": {
+                "records": [{"url": "https://a.example.org", "n_chars": 5}]
+            },
+            "class_names": ["URL"],
+        }
+        status, raw = _request(
+            srv, "POST", "/invoke-streaming", body=json.dumps(ok)
+        )
+        assert status == 200
+        assert _sse_events(raw)[-1]["type"] == "stream_complete"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+
+def test_sessions_listing_and_ui(server, tmp_path):
+    """Read-only status surface: /sessions lists completed session audit
+    rows (and flags in-flight dirs), /ui serves the static status page."""
+    status, data = _request(server, "GET", "/sessions")
+    assert status == 200
+    assert json.loads(data) == {"sessions": [], "in_progress": []}
+
+    payload = {
+        "user_identifier": "lister",
+        "input_artifacts": {
+            "records": [{"url": "https://a.example.org", "n_chars": 7}]
+        },
+        "class_names": ["URL"],
+    }
+    _, raw = _request(
+        server, "POST", "/invoke-streaming", body=json.dumps(payload)
+    )
+    sid = _sse_events(raw)[0]["session_id"]
+    # an in-flight dir (no session.json yet) is reported separately
+    (tmp_path / "sessions" / "lister_inflight_x").mkdir()
+
+    status, data = _request(server, "GET", "/sessions")
+    assert status == 200
+    body = json.loads(data)
+    assert [s["session_id"] for s in body["sessions"]] == [sid]
+    assert body["sessions"][0]["triples"] > 0
+    assert body["in_progress"] == ["lister_inflight_x"]
+
+    status, data = _request(server, "GET", "/ui")
+    assert status == 200
+    assert data.startswith(b"<!doctype html>")
+    assert b"/sessions" in data
+
+
 def test_generate_session_id_shape():
     from datetime import datetime
 
