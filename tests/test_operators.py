@@ -335,3 +335,66 @@ def test_ivf_index_partition_pruned_matches_inline(spark, sf_dir, tmp_path):
         sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3]))
     plan = from_idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_assign_cells_arrow_matches_expr(spark, sf_dir):
+    """The vectorized (numpy-matmul) assignment kernel agrees with the
+    oracle-replayable Catalyst-expression kernel on every real vector —
+    the two may only diverge within BLAS rounding of an exact two-cell
+    tie, which real embeddings don't sit on. Also pins kmeans(sample=...,
+    impl='arrow') + write_ivf_index(impl='arrow') end to end: the index
+    built by the fast path serves the same top-k as the expr index."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = similarity.centroids_kmeans(
+        emb, k=8, iterations=2, impl="arrow", sample=256
+    )
+    by_expr = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(emb, cents).select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    by_arrow = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(emb, cents, impl="arrow").select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    assert by_expr == by_arrow
+
+
+def test_write_ivf_index_arrow_serves_same_topk(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            (F.col("vec_id") + 10000).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    cents = similarity.centroids_kmeans(emb, k=8, iterations=2)
+    expr_path = str(tmp_path / "ivf-expr")
+    arrow_path = str(tmp_path / "ivf-arrow")
+    similarity.write_ivf_index(emb, cents, expr_path)
+    similarity.write_ivf_index(emb, cents, arrow_path, impl="arrow")
+    key = lambda t: (t[0], t[3])
+    a = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_from_index(
+                spark, expr_path, queries, cents, k=3, nprobe=4
+            ).collect(),
+        ),
+        key=key,
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_from_index(
+                spark, arrow_path, queries, cents, k=3, nprobe=4
+            ).collect(),
+        ),
+        key=key,
+    )
+    assert a == b
