@@ -466,6 +466,71 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, pairs, threshold=0.2).orderBy("a_id", "b_id")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: the benchmark is a synthetic eval set built
+    from the corpus itself (first 12 tokens of every doc_id % 25 == 0
+    document — guaranteed overlap with its source doc and that doc's
+    exact/near duplicates); flag every document sharing >= 2 distinct
+    8-grams with a benchmark item. Benchmark grams broadcast; doc gram
+    strings never shuffle (operators/decontam.py)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.decontam import decontaminate
+    from case_uco_ontology_map_spark.operators.dedup import tokens_lower_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(tokens_lower_col(F.col("text")), 1, 12)
+        ).alias("text"),
+    )
+    return decontaminate(docs, bench, ngram_n=8, min_hits=2).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+def _oracle_decontaminate() -> str:
+    # DuckDB list slicing l[a:b] is 1-based INCLUSIVE-end: toks[i:i+7] is
+    # an 8-gram, toks[1:12] the first 12 tokens — mirroring Spark's
+    # slice(toks, i, 8) / slice(toks, 1, 12).
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, toks[1:12] AS btoks FROM toks WHERE doc_id % 25 = 0
+),
+bx AS (
+  SELECT bench_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(btoks) - 7, 0) + 1),
+           i -> array_to_string(btoks[i:i+7], ' ')
+         ))) AS gram
+  FROM bench
+),
+bc AS (SELECT bench_id, count(*) AS bench_ngram_count FROM bx GROUP BY bench_id),
+dx AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 7, 0) + 1),
+           i -> array_to_string(toks[i:i+7], ' ')
+         ))) AS gram
+  FROM toks
+),
+hits AS (
+  SELECT doc_id, bench_id, count(*) AS n_hit_ngrams
+  FROM dx JOIN bx USING (gram)
+  GROUP BY doc_id, bench_id
+  HAVING count(*) >= 2
+)
+SELECT doc_id, bench_id, n_hit_ngrams, bench_ngram_count,
+       round(n_hit_ngrams::DOUBLE / bench_ngram_count, 6) AS overlap_frac
+FROM hits JOIN bc USING (bench_id)
+ORDER BY doc_id, bench_id
+"""
+
+
 def _oracle_ngram_jaccard() -> str:
     return """
 WITH sh AS (
@@ -2143,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         # similarity
@@ -2192,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _oracle_doc_fingerprints(),
         "exact_dedup": _oracle_exact_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
+        "decontaminate": _oracle_decontaminate(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),

@@ -253,6 +253,37 @@ def test_ivf_topk_matches_brute_force_on_testdata(spark, sf_dir):
         assert vid == qid - 10000
 
 
+def test_decontaminate(spark):
+    from case_uco_ontology_map_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),  # full bench item
+            (1, "x alpha beta gamma delta y"),  # one 4-gram only
+            (2, "unrelated words entirely different here now"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "bench_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontam.decontaminate(
+            docs, bench, ngram_n=4, min_hits=1
+        ).collect()
+    }
+    # bench item has 3 distinct 4-grams; doc 0 contains all, doc 1 one
+    assert out[0]["n_hit_ngrams"] == 3 and out[0]["overlap_frac"] == 1.0
+    assert out[1]["n_hit_ngrams"] == 1
+    assert 2 not in out and 3 not in out
+    # min_hits=2 drops the single-gram hit
+    strict = decontam.decontaminate(docs, bench, ngram_n=4, min_hits=2)
+    assert [r["doc_id"] for r in strict.collect()] == [0]
+
+
 def test_quality_features(docs):
     out = {r["doc_id"]: r for r in textstats.quality_features(docs).collect()}
     assert out[0]["n_tokens"] == 9
