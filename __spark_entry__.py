@@ -279,6 +279,53 @@ def _oracle_triples_structural() -> str:
     )
 
 
+def q_graph_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop SPARQL-style traversal over the emitted KG — the query a
+    CASE/UCO consumer actually runs: ``?record uco-core:hasFacet ?facet .
+    ?facet rdf:type ?type`` plus a per-facet literal-property count.
+    Runs in the structural-surrogate id space (same rewrite as
+    q_triples_structural) so DuckDB replays the whole traversal.
+
+    Scale shape: both hops are equi-joins on node id — on a cluster the
+    triple table is bucket-partitioned by subject (see q_materialize /
+    run_pipeline), so hop joins co-locate without a shuffle; the rdf:type
+    and property-count sides here are derived from the same scan (one
+    exchange under AQE)."""
+    from pyspark.sql import functions as F
+
+    t = q_triples_structural(spark, sf_dir)
+    edges = t.filter(F.col("pred") == "uco-core:hasFacet").select(
+        "url", F.col("obj").alias("facet")
+    )
+    types = t.filter(F.col("pred") == "rdf:type").select(
+        F.col("subj").alias("facet"), F.col("obj").alias("facet_type")
+    )
+    props = (
+        t.filter(~F.col("obj_is_iri"))
+        .groupBy(F.col("subj").alias("facet"))
+        .agg(F.count("*").alias("n_props"))
+    )
+    return (
+        edges.join(types, "facet")
+        .join(props, "facet")
+        .select("url", "facet_type", "n_props")
+        .orderBy("url", "facet_type")
+    )
+
+
+def _oracle_graph_traverse() -> str:
+    return f"""
+WITH g AS ({_oracle_triples_structural()}),
+e AS (SELECT url, obj AS facet FROM g WHERE pred = 'uco-core:hasFacet'),
+ty AS (SELECT subj AS facet, obj AS facet_type FROM g WHERE pred = 'rdf:type'),
+pr AS (SELECT subj AS facet, count(*) AS n_props FROM g
+       WHERE NOT obj_is_iri GROUP BY subj)
+SELECT e.url, ty.facet_type, pr.n_props
+FROM e JOIN ty USING (facet) JOIN pr USING (facet)
+ORDER BY url, facet_type
+"""
+
+
 def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triple emission incl. uuid5 IRIs (not SQL-expressible: uuid5 is
     SHA-1-based and DuckDB has no sha1) — rows-only driver check; exact
@@ -2199,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_literal_triples": q_fused_literal_triples,
         "triples_full": q_triples_full,
         "triples_structural": q_triples_structural,
+        "graph_traverse": q_graph_traverse,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -2251,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "page_literal_triples": _oracle_page_literal_triples(),
         "fused_literal_triples": _oracle_page_literal_triples(),
         "triples_structural": _oracle_triples_structural(),
+        "graph_traverse": _oracle_graph_traverse(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

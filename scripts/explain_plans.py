@@ -106,6 +106,7 @@ def main():
         ),
     }
 
+    from case_uco_ontology_map_spark.operators.decontam import decontaminate
     from case_uco_ontology_map_spark.operators.packing import pack_sequences
     from case_uco_ontology_map_spark.operators.sampling import split_columns
     from case_uco_ontology_map_spark.operators.temporal import (
@@ -142,8 +143,23 @@ def main():
                 docs.select("doc_id", F.length("text").alias("n_tokens")),
                 max_tokens=4096, buckets=8,
             ),
+            "decontaminate (benchmark grams broadcast; only (doc,bench) counts shuffle)": decontaminate(
+                docs.select("doc_id", "text"),
+                docs.filter(F.col("doc_id") % 25 == 0).select(
+                    F.col("doc_id").alias("bench_id"), "text"
+                ),
+            ),
         }
     )
+    # decontam scale invariant: the corpus-side gram stream must meet the
+    # benchmark grams in a BROADCAST hash join — a sort-merge join here
+    # would shuffle every document's gram strings
+    decon_plan = plan_of(sections[
+        "decontaminate (benchmark grams broadcast; only (doc,bench) counts shuffle)"
+    ])
+    assert "BroadcastHashJoin" in decon_plan and decon_plan.count(
+        "SortMergeJoin"
+    ) == 0, "decontaminate gram join must broadcast"
     lines = [
         "# PLANS — physical-plan review",
         "",
