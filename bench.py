@@ -278,12 +278,16 @@ def bench_queries(spark, sf_dir: str):
         return groups
 
     # ---- ANN serving path at bench scale (stress stages) ---------------
-    # sf0.1 ships 2k dim-64 embeddings; amplify ×EMB_AMPLIFY (default 64 →
-    # 128k vectors) the same way the corpus is amplified: deterministic
+    # sf0.1 ships 2k dim-64 embeddings; amplify ×EMB_AMPLIFY (default 512
+    # → 1.02M vectors) the same way the corpus is amplified: deterministic
     # copies, each copy distinct (one dimension scaled by a copy-indexed
     # factor) so the index has real work and recall is measured against a
     # non-degenerate neighborhood structure. Staged to parquet like the
-    # corpus (an index build reads storage, not heap cache).
+    # corpus (an index build reads storage, not heap cache). The corpus
+    # must be big enough that the O(N·Q) brute scan actually hurts —
+    # at 128k vectors the codegen'd crossJoin finished before IVF's fixed
+    # costs (driver probe action + partitioned-file listing) amortized,
+    # which inverts the comparison the stage exists to show.
     emb_stage = stage_dir.rstrip("/") + "-emb"
     ivf_path = stage_dir.rstrip("/") + "-ivf"
     ann_state = {}
@@ -299,7 +303,7 @@ def bench_queries(spark, sf_dir: str):
             os.path.join(sf_dir, "embeddings.parquet")
         )
         n_emb_base = emb_base.count()
-        emb_amp = int(os.environ.get("SPARK_GRAFT_EMB_AMPLIFY", "64"))
+        emb_amp = int(os.environ.get("SPARK_GRAFT_EMB_AMPLIFY", "512"))
         dup_e = spark.range(emb_amp).select(
             F.col("id").cast("int").alias("copy")
         )
