@@ -513,6 +513,124 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, pairs, threshold=0.2).orderBy("a_id", "b_id")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (2-gram frequency + line
+    dup fractions) per document — operators/textstats.py
+    ``repetition_features``."""
+    from case_uco_ontology_map_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    return repetition_features(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def _oracle_repetition() -> str:
+    # SUM over BIGINT → HUGEINT → pandas float64 breaks value hashes
+    # (the salted_aggregate lesson): CAST every integer SUM to BIGINT.
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> array_to_string(toks[i:i+1], ' ')
+         )) AS gram
+  FROM toks
+),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+ga AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         max(cnt) AS topc,
+         CAST(coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS BIGINT) AS dupc
+  FROM gc GROUP BY doc_id
+),
+ln AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+)
+SELECT d.doc_id,
+       coalesce(ga.n_grams, 0) AS n_grams,
+       round(CASE WHEN coalesce(ga.n_grams, 0) > 0
+             THEN ga.topc::DOUBLE / ga.n_grams ELSE 0.0 END, 6) AS top_ngram_frac,
+       round(CASE WHEN coalesce(ga.n_grams, 0) > 0
+             THEN ga.dupc::DOUBLE / ga.n_grams ELSE 0.0 END, 6) AS dup_ngram_frac,
+       round(CASE WHEN len(ln.lines) > 0
+             THEN (len(ln.lines) - len(list_distinct(ln.lines)))::DOUBLE / len(ln.lines)
+             ELSE 0.0 END, 6) AS dup_line_frac
+FROM documents d LEFT JOIN ga USING (doc_id) JOIN ln USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py) over deterministically PII-laced
+    documents: every doc gains one synthetic email + IPv4, every even doc
+    a phone; the scrubbed text AND the per-pattern counts must hash-match
+    the DuckDB replay (Java regex ∩ RE2 portable pattern subset)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.pii import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    laced = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +1 555-01"),
+                    F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(laced).orderBy("doc_id")
+
+
+def _oracle_pii_scrub() -> str:
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    phone = "\\+\\d[\\d\\- ]{6,}\\d"
+    return f"""
+WITH laced AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example' ||
+         CAST(doc_id % 7 AS VARCHAR) || '.com from 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0
+              THEN ' call +1 555-01' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '<EMAIL>', 'g'),
+           '{ip}', '<IP>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone
+FROM laced ORDER BY doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: the benchmark is a synthetic eval set built
     from the corpus itself (first 12 tokens of every doc_id % 25 == 0
@@ -2253,10 +2371,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "repetition": q_repetition,
         # dedup
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         # similarity
@@ -2305,9 +2425,11 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _oracle_token_counts(),
         "lang_id": _oracle_lang_id(),
         "doc_fingerprints": _oracle_doc_fingerprints(),
+        "repetition": _oracle_repetition(),
         "exact_dedup": _oracle_exact_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "decontaminate": _oracle_decontaminate(),
+        "pii_scrub": _oracle_pii_scrub(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),

@@ -26,17 +26,18 @@ from pyspark.sql import functions as F
 from .dedup import tokens_lower_col
 
 
-def ngram_strings(toks: Column, n: int) -> Column:
-    """Token array → DISTINCT space-joined n-gram strings (array<string>).
-    Empty when the document has fewer than n tokens (the guard matters:
-    Spark's sequence(1, 0) counts DOWN, yielding phantom indices)."""
+def ngram_strings(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Token array → space-joined n-gram strings (array<string>), distinct
+    by default (containment semantics); ``distinct=False`` keeps every
+    occurrence (repetition/frequency semantics — textstats). Empty when
+    the document has fewer than n tokens (the guard matters: Spark's
+    sequence(1, 0) counts DOWN, yielding phantom indices)."""
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def decontaminate(

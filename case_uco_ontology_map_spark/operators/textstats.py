@@ -149,3 +149,83 @@ def doc_fingerprints(
         F.sha2(text, 256).alias("exact_sha256"),
         F.array_min(window_hashes).alias("rolling_min_hash"),
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    quality rules — public): heavily self-repeating documents (boilerplate,
+    SEO spam, template floods) are the classic web-corpus failure mode.
+
+    Columns: n_grams (total ngram_n-gram occurrences), top_ngram_frac
+    (occurrences of the single most frequent n-gram / total), dup_ngram_frac
+    (fraction of occurrences whose gram appears >= 2x), dup_line_frac
+    (1 - distinct non-empty trimmed lines / lines).
+
+    Scale shape: line stats are pure per-row expressions (narrow). Gram
+    frequencies go relational — explode -> groupBy(id, gram) ->
+    groupBy(id) — because the in-expression alternative is O(tokens^2)
+    per doc (hopeless at 10k-token docs). Both groupBys partial-aggregate
+    map-side, so the first shuffle moves ~distinct-grams-per-doc rows and
+    the second exactly one row per doc."""
+    from .decontam import ngram_strings
+    from .dedup import tokens_lower_col
+
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    base = df.select(
+        F.col(id_col),
+        F.when(
+            n_lines > 0,
+            (n_lines - n_distinct_lines).cast("double") / n_lines,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_dlf"),
+        ngram_strings(
+            tokens_lower_col(text), ngram_n, distinct=False
+        ).alias("_grams"),
+    )
+    gram_aggs = (
+        base.select(id_col, F.explode("_grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("_top"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+            ).alias("_dup"),
+        )
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    return (
+        base.select(id_col, "_dlf")
+        .join(gram_aggs, id_col, "left")
+        .select(
+            id_col,
+            n_grams.alias("n_grams"),
+            F.round(
+                F.when(
+                    n_grams > 0, F.col("_top").cast("double") / n_grams
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_ngram_frac"),
+            F.round(
+                F.when(
+                    n_grams > 0, F.col("_dup").cast("double") / n_grams
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ngram_frac"),
+            F.round(F.col("_dlf"), 6).alias("dup_line_frac"),
+        )
+    )

@@ -253,6 +253,51 @@ def test_ivf_topk_matches_brute_force_on_testdata(spark, sf_dir):
         assert vid == qid - 10000
 
 
+def test_pii_scrub(spark):
+    from case_uco_ontology_map_spark.operators import pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@x.co and d@y.org now"),
+            (1, "server 192.168.1.254 up, 10.0.0.1 down"),
+            (2, "call +1 555-0147 258 or +44 20 7946 0958"),
+            (3, "clean text with number 12345 and v1.2 tag"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii.pii_scrub(docs).collect()}
+    assert out[0]["text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[0]["n_email"] == 2
+    assert out[1]["text"] == "server <IP> up, <IP> down"
+    assert out[1]["n_ip"] == 2
+    assert out[2]["n_phone"] == 2 and "<PHONE>" in out[2]["text"]
+    assert out[3]["text"] == docs.collect()[3]["text"]  # untouched
+    assert (
+        out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+    )
+
+
+def test_repetition_features(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),  # 3x "spam spam" 2-gram
+            (1, "all words here are quite different tokens"),
+            (2, "line one\nline one\n  \nline two"),  # dup line + blank
+            (3, "solo"),  # < n tokens → zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in textstats.repetition_features(docs).collect()
+    }
+    assert out[0]["n_grams"] == 3 and out[0]["top_ngram_frac"] == 1.0
+    assert out[0]["dup_ngram_frac"] == 1.0
+    assert out[1]["dup_ngram_frac"] == 0.0 and out[1]["top_ngram_frac"] < 0.2
+    # 3 non-empty trimmed lines, 2 distinct → 1/3 duplicated
+    assert out[2]["dup_line_frac"] == round(1 / 3, 6)
+    assert out[3]["n_grams"] == 0 and out[3]["top_ngram_frac"] == 0.0
+
+
 def test_decontaminate(spark):
     from case_uco_ontology_map_spark.operators import decontam
 
