@@ -326,6 +326,39 @@ ORDER BY url, facet_type
 """
 
 
+#: The bgp_match contract conjunction — the canonical CASE/UCO consumer
+#: lookup: which record carries which ContentDataFacet with which hash.
+_BGP_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?facet"),
+    ("?facet", "rdf:type", "uco-observable:ContentDataFacet"),
+    ("?facet", "uco-observable:hash", "?hash"),
+]
+
+
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over the emitted KG via the generic pattern
+    compiler (operators/graphquery.py): three triple patterns joined on
+    shared variables in greedy most-selective-first order. Runs in the
+    structural-surrogate id space so DuckDB replays the identical
+    conjunction with bgp_sql() over the same reconstructed graph."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(
+        t, _BGP_PATTERNS, select=["rec", "facet", "hash"]
+    ).orderBy("rec", "facet", "hash")
+
+
+def _oracle_bgp_match() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_sql
+
+    inner = bgp_sql(_BGP_PATTERNS, select=["rec", "facet", "hash"])
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n{inner}\n"
+        "ORDER BY rec, facet, hash"
+    )
+
+
 def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triple emission incl. uuid5 IRIs (not SQL-expressible: uuid5 is
     SHA-1-based and DuckDB has no sha1) — rows-only driver check; exact
@@ -2029,6 +2062,42 @@ ORDER BY entity_id
 """
 
 
+def q_canonicalize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonicalization equals full recompute: canonicalize
+    80% of the entities (prior run), fold the remaining 20% in via
+    canonicalize_incremental — prior connectivity injected as star edges
+    for TOUCHED components only, all pair generation restricted to
+    new-touching buckets — and the merged assignment must hash-match the
+    FULL-corpus DuckDB oracle (the same recursive-CTE chain replay as
+    entity_canonicalize; the oracle never sees the split). Equivalence
+    conditions (no cap crossings, no corpus-dependent exclusion) hold by
+    construction here: max_bucket = 500 ≥ the 500-entity corpus."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        canonicalize_entities,
+        canonicalize_incremental,
+    )
+
+    ents = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("entity_id"),
+            F.concat(F.col("source"), F.lit(" doc "), F.col("lang")).alias(
+                "entity_key"
+            ),
+        )
+    )
+    prior_e = ents.filter(F.pmod(F.col("entity_id"), F.lit(5)) != 0)
+    new_e = ents.filter(F.pmod(F.col("entity_id"), F.lit(5)) == 0)
+    prior = canonicalize_entities(
+        prior_e, jaccard_threshold=0.6, hash_mode="md5_60"
+    )
+    return canonicalize_incremental(
+        prior, new_e, jaccard_threshold=0.6, hash_mode="md5_60"
+    ).orderBy("entity_id")
+
+
 def q_entity_canonicalize_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-domain canonicalization under the hash gate: every key shares a
     long structured same-host prefix (the north-rule skew shape), groups
@@ -2365,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_full": q_triples_full,
         "triples_structural": q_triples_structural,
         "graph_traverse": q_graph_traverse,
+        "bgp_match": q_bgp_match,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -2405,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_long_chain": q_cc_long_chain,
         "entity_canonicalize": q_entity_canonicalize,
         "entity_canonicalize_hot": q_entity_canonicalize_hot,
+        "canonicalize_incremental": q_canonicalize_incremental,
         "mention_detection": q_mention_detection,
         "mention_detection_single": q_mention_detection_single,
         "mention_detection_multiword": q_mention_detection_multiword,
@@ -2420,6 +2491,7 @@ def oracle_sql() -> dict[str, str]:
         "fused_literal_triples": _oracle_page_literal_triples(),
         "triples_structural": _oracle_triples_structural(),
         "graph_traverse": _oracle_graph_traverse(),
+        "bgp_match": _oracle_bgp_match(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),
@@ -2455,6 +2527,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_long_chain": _oracle_cc_long_chain(),
         "entity_canonicalize": _oracle_entity_canonicalize(),
         "entity_canonicalize_hot": _oracle_entity_canonicalize_hot(),
+        # incremental ≡ full recompute — the oracle IS the full-corpus
+        # chain replay, blind to the prior/new split
+        "canonicalize_incremental": _oracle_entity_canonicalize(),
         "mention_detection_single": _oracle_mention_detection_single(),
         "mention_detection_multiword": _oracle_mention_detection_multiword(),
         "curation_pipeline": _oracle_curation(),

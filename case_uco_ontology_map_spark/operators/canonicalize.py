@@ -619,3 +619,191 @@ def canonicalize_entities(
             F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def incremental_candidate_edges(
+    flagged_sigs: DataFrame,
+    id_col: str = "entity_id",
+    is_new_col: str = "_is_new",
+    bands: int = 8,
+    max_bucket: int = 500,
+    hash_mode: str = "xxhash64",
+    observation=None,
+) -> DataFrame:
+    """LSH candidate edges restricted to pairs touching ≥1 NEW entity.
+
+    Bands with the SAME kernel as the full run (dedup.band_hash_array), so
+    an incremental batch lands in exactly the buckets a full recompute
+    would build — then two delta filters make the mature-corpus case
+    cheap:
+
+    - whole buckets with zero new members are dropped BEFORE the pair
+      explode (an ``exists`` over the grouped member array — on a mature
+      corpus that is almost every bucket, and no prior-prior pair ever
+      materializes);
+    - within mixed buckets, prior-prior pairs are filtered after the
+      explode (bounded by max_bucket² per bucket either way).
+
+    Returns distinct (src, dst), src ≠ dst, each touching a new entity.
+    """
+    from .dedup import _bucket_member_pairs, band_hash_array
+
+    banded = flagged_sigs.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.col(is_new_col).alias("is_new")
+        ).alias("m"),
+        F.posexplode(band_hash_array(bands, hash_mode)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    pairs = _bucket_member_pairs(
+        banded.select("band_idx", "band_hash", "m"),
+        ["band_idx", "band_hash"],
+        max_bucket,
+        observation,
+        bucket_filter=lambda ms: F.exists(ms, lambda m: m["is_new"]),
+    )
+    return (
+        pairs.where(F.col("a.is_new") | F.col("b.is_new"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def canonicalize_incremental(
+    prior: DataFrame,
+    new_entities: DataFrame,
+    key_col: str = "entity_key",
+    id_col: str = "entity_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+    max_bucket: int = 500,
+    observation=None,
+    drop_common_df: Optional[float] = None,
+) -> DataFrame:
+    """Fold a NEW batch of entities into a prior canonicalization WITHOUT
+    re-clustering the whole corpus — the daily-increment path at 10^12
+    docs, where full canonicalize_entities would re-pair and re-CC
+    everything for a <1% delta.
+
+    ``prior``: the previous run's (id, key, canonical_id) assignment
+    (canonical_id = min entity id of each component, as
+    canonicalize_entities emits). ``new_entities``: (id, key), ids
+    disjoint from prior. Returns the merged (id, key, canonical_id)
+    covering prior ∪ new.
+
+    How it stays sub-linear in the prior corpus:
+
+    1. Signatures ARE recomputed over the union (one linear, embarrassingly
+       parallel scan — signatures are per-row functions, so prior rows hash
+       to byte-identical signatures), but every super-linear stage sees
+       only the delta: bucket pairing skips all-prior buckets wholesale
+       (incremental_candidate_edges), the exact-Jaccard verify join runs
+       on new-touching candidates only, and connected components runs on
+       the TOUCHED subgraph.
+    2. Prior connectivity is injected as (member → canonical_id) star
+       edges, but only for components actually touched by a new edge:
+       edge endpoints ⋉ prior (broadcast semi-join — the endpoint set is
+       delta-sized) → touched canonical ids → their members. Untouched
+       prior rows stream through unchanged; the prior table is scanned,
+       never shuffled (both semi-joins broadcast the small side under
+       AQE).
+    3. CC input = new-touching verified edges ∪ touched star edges. Since
+       the star edges have exactly the transitive closure of the prior
+       run's prior-prior edges, components (and their min-id
+       representatives) equal a full recompute's — the equivalence the
+       contract query pins against the full-corpus DuckDB oracle.
+
+    Exactness caveats (documented, test-pinned): equivalence to a full
+    recompute holds when (a) no mixed bucket exceeds ``max_bucket`` in the
+    union while its prior-run counterpart stayed under (a bucket CAN cross
+    the cap as the corpus grows — then the incremental result keeps
+    previously-found merges a fresh full run would drop, which is the
+    better behavior anyway), and (b) ``drop_common_df`` is either None or
+    accepted as recomputed over the union (document frequencies shift with
+    the corpus; prior signatures were signed under the OLD exclusion set,
+    so aggressive DF exclusion weakens the equivalence to "same components
+    for all pairs whose buckets agree"). The contract query runs with (a)
+    impossible (cap ≥ corpus) and (b) None.
+    """
+    prior_rows = prior.select(
+        F.col(id_col), F.col(key_col), F.col("canonical_id")
+    )
+    all_entities = prior_rows.select(id_col, key_col).unionByName(
+        new_entities.select(id_col, key_col)
+    )
+    exclude = None
+    if drop_common_df is not None:
+        exclude = common_shingles(
+            all_entities, key_col, df_fraction=drop_common_df,
+            hash_mode=hash_mode,
+        )
+    sigs = entity_minhash(
+        all_entities, key_col, id_col, num_hashes, hash_mode, exclude=exclude
+    )
+    new_ids = new_entities.select(
+        F.col(id_col), F.lit(True).alias("_is_new")
+    )
+    flagged = sigs.join(new_ids, id_col, "left").withColumn(
+        "_is_new", F.coalesce(F.col("_is_new"), F.lit(False))
+    )
+    cands = incremental_candidate_edges(
+        flagged, id_col, "_is_new", bands, max_bucket, hash_mode, observation
+    )
+    # exact-Jaccard verify on FULL shingle sets — identical edge semantics
+    # to canonicalize_entities' exact path
+    keys = all_entities.select(
+        F.col(id_col),
+        char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    edges = (
+        cands.join(a, cands["src"] == F.col(f"a.{id_col}"))
+        .join(b, cands["dst"] == F.col(f"b.{id_col}"))
+        .filter(jac >= jaccard_threshold)
+        .select("src", "dst")
+    )
+    # delta-sized edge set feeds every join below — checkpoint once so the
+    # whole LSH+verify chain doesn't replan into each of the three uses
+    edges = edges.localCheckpoint(eager=True)
+
+    endpoints = (
+        edges.select(F.col("src").alias(id_col))
+        .union(edges.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
+    touched_canons = (
+        prior_rows.join(endpoints, id_col, "leftsemi")
+        .select("canonical_id")
+        .distinct()
+    )
+    touched_members = prior_rows.join(
+        touched_canons, "canonical_id", "leftsemi"
+    )
+    star_edges = touched_members.select(
+        F.col(id_col).alias("src"), F.col("canonical_id").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+
+    comps = connected_components(edges.unionByName(star_edges))
+    changed = (
+        touched_members.select(id_col, key_col)
+        .unionByName(new_entities.select(id_col, key_col))
+        .join(comps, F.col(id_col) == comps["id"], "left")
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias(
+                "canonical_id"
+            ),
+        )
+    )
+    untouched = prior_rows.join(touched_canons, "canonical_id", "left_anti")
+    return untouched.select(id_col, key_col, "canonical_id").unionByName(
+        changed
+    )

@@ -288,6 +288,7 @@ def _bucket_member_pairs(
     keys: List[str],
     max_bucket: Optional[int],
     observation: Optional[Observation] = None,
+    bucket_filter=None,
 ) -> DataFrame:
     """(keys..., m) → exploded in-bucket member pairs (a, b), a = least.
 
@@ -306,9 +307,16 @@ def _bucket_member_pairs(
 
     ``m`` may be a scalar id OR a struct whose FIRST field is the id
     (struct comparison is field-order lexicographic, so least/greatest
-    order by id either way). Callers project/filter/distinct the result."""
+    order by id either way). Callers project/filter/distinct the result.
+
+    ``bucket_filter`` (Column fn of the grouped member array): drops whole
+    buckets BEFORE the cap/pair explode — the incremental-canonicalize
+    path uses it to skip all-prior buckets so a mature corpus's buckets
+    cost nothing when only the delta needs pairing."""
     grouped = bucketed.groupBy(*keys).agg(F.collect_list("m").alias("ms"))
     grouped = grouped.filter(F.size("ms") > 1)
+    if bucket_filter is not None:
+        grouped = grouped.filter(bucket_filter(F.col("ms")))
     if max_bucket is not None:
         if observation is not None:
             over = F.size("ms") > max_bucket
@@ -363,6 +371,38 @@ def _bucket_pairs(
     )
 
 
+def band_hash_array(
+    bands: int, hash_mode: str = "xxhash64", minhash_col: str = "minhash"
+) -> Column:
+    """``array<bigint>`` of per-band bucket hashes over the ``minhash``
+    signature column — the shared banding kernel of lsh_candidate_pairs
+    and canonicalize.incremental_candidate_edges (identical hashes by
+    construction, so an incremental run lands in EXACTLY the full run's
+    buckets)."""
+    rows = F.size(F.col(minhash_col)) / bands
+
+    def _band_hash(b: Column) -> Column:
+        sl = F.slice(
+            F.col(minhash_col), (b * rows + 1).cast("int"), rows.cast("int")
+        )
+        if hash_mode == "xxhash64":
+            # xxhash64 hashes the sliced array structurally — no string
+            # concat needed, ~10× smaller expression tree
+            return F.xxhash64(sl, b)
+        # md5_60: hash "<band>,<v1>,<v2>,..." — the oracle reproduces the
+        # same string with band_idx::VARCHAR || ',' || array_to_string(...)
+        return content_hash64(
+            F.concat_ws(
+                ",",
+                b.cast("string"),
+                F.array_join(F.transform(sl, lambda x: x.cast("string")), ","),
+            ),
+            hash_mode,
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_hash)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -382,30 +422,11 @@ def lsh_candidate_pairs(
     counts on the same job — capped recall loss is reported, never silent.
     Returns distinct (a_id, b_id) with a_id < b_id.
     """
-    rows = F.size(F.col("minhash")) / bands
-
-    def _band_hash(b: Column) -> Column:
-        sl = F.slice(F.col("minhash"), (b * rows + 1).cast("int"), rows.cast("int"))
-        if hash_mode == "xxhash64":
-            # xxhash64 hashes the sliced array structurally — no string
-            # concat needed, ~10× smaller expression tree
-            return F.xxhash64(sl, b)
-        # md5_60: hash "<band>,<v1>,<v2>,..." — the oracle reproduces the
-        # same string with band_idx::VARCHAR || ',' || array_to_string(...)
-        return content_hash64(
-            F.concat_ws(
-                ",",
-                b.cast("string"),
-                F.array_join(F.transform(sl, lambda x: x.cast("string")), ","),
-            ),
-            hash_mode,
-        )
-
     banded = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_hash)
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hash_array(bands, hash_mode)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     return _bucket_pairs(
         banded.select("band_idx", "band_hash", id_col), id_col, max_bucket,
