@@ -496,6 +496,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (operators/spandedup.py): maximal
+    duplicated 8-token spans per doc — rolling gram hashes, corpus-wide
+    duplicate filter, per-doc interval merge — replayed end-to-end by the
+    DuckDB oracle (same md5_60 gram hashes, same window-merge
+    recurrence)."""
+    from case_uco_ontology_map_spark.operators.spandedup import (
+        duplicated_spans,
+    )
+
+    return duplicated_spans(
+        _docs(spark, sf_dir), width=8, hash_mode="md5_60"
+    ).orderBy("doc_id", "span_start")
+
+
+def _oracle_dup_spans() -> str:
+    width = 8
+    gh = _MD5_60.format(x=f"array_to_string(t[i+1:i+{width}], ' ')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, {gh} AS gh
+  FROM toks CROSS JOIN LATERAL unnest(range(0, greatest(len(t) - {width}, 0) + 1)) r(i)
+  WHERE len(t) >= {width}
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+dp AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {width}) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_span
+  FROM dp),
+sp AS (
+  SELECT doc_id, pos, sum(new_span) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM marked)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {width} AS span_end
+FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (winnowing-style rolling hash): exact
     sha256 + min over 16-token-window hashes, md5_60 mode so DuckDB
@@ -2444,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         # dedup
         "exact_dedup": q_exact_dedup,
+        "dup_spans": q_dup_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -2499,6 +2547,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _oracle_doc_fingerprints(),
         "repetition": _oracle_repetition(),
         "exact_dedup": _oracle_exact_dedup(),
+        "dup_spans": _oracle_dup_spans(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "decontaminate": _oracle_decontaminate(),
         "pii_scrub": _oracle_pii_scrub(),
