@@ -496,6 +496,48 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a 20% batch against the 80% corpus hash
+    index (operators/dedup.incremental_exact_dedup): batch-internal
+    collapse + corpus membership probe, corpus text never re-read."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.dedup import (
+        hash_index,
+        incremental_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return incremental_exact_dedup(batch, hash_index(corpus)).orderBy(
+        "doc_id"
+    )
+
+
+def _oracle_incremental_dedup() -> str:
+    return """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+idx AS (
+  SELECT sha256(text) AS content_hash, min(doc_id) AS corpus_canonical
+  FROM corpus GROUP BY 1
+),
+b AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS batch_canonical
+  FROM batch
+)
+SELECT b.doc_id, b.content_hash,
+       coalesce(idx.corpus_canonical, b.batch_canonical) AS canonical_id,
+       idx.corpus_canonical IS NOT NULL AS in_corpus,
+       (idx.corpus_canonical IS NULL AND b.batch_canonical = b.doc_id)
+         AS is_canonical
+FROM b LEFT JOIN idx USING (content_hash)
+ORDER BY doc_id
+"""
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (operators/spandedup.py): maximal
     duplicated 8-token spans per doc — rolling gram hashes, corpus-wide
@@ -2492,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_dedup": q_exact_dedup,
         "dup_spans": q_dup_spans,
+        "incremental_dedup": q_incremental_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -2548,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": _oracle_repetition(),
         "exact_dedup": _oracle_exact_dedup(),
         "dup_spans": _oracle_dup_spans(),
+        "incremental_dedup": _oracle_incremental_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "decontaminate": _oracle_decontaminate(),
         "pii_scrub": _oracle_pii_scrub(),

@@ -788,3 +788,92 @@ def _cosine(a: Column, b: Column) -> Column:
         )
     )
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def hash_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus content-hash membership index: (content_hash, canonical_id)
+    with canonical_id = min doc id per hash. One shuffle on a uniform key
+    (sha256) — no skew by construction."""
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+
+
+def write_hash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Persist the corpus hash index partitioned by a hash-prefix bucket
+    column — the membership table an incremental crawl dedups against
+    WITHOUT touching document text. Same sink rule as every other writer
+    here: repartition on the bucket key BEFORE partitionBy so each
+    partition directory is one task's output (no small-files explosion).
+
+    At 10^12 docs this table is Iceberg, bucket-clustered on
+    content_hash, so a delta join shuffles only the delta; the
+    bucket-column parquet layout stands in for that here (the same
+    SnapshotTable convention the triple/entity sinks use)."""
+    idx = hash_index(df, text_col, id_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("content_hash"), F.lit(buckets))
+    )
+    idx.repartition(buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus hash index (and within
+    itself) without rescanning corpus text — the daily-crawl companion of
+    canonicalize_incremental.
+
+    Returns one row per batch doc: (id, content_hash, canonical_id,
+    in_corpus, is_canonical) where canonical_id is the corpus's canonical
+    doc when the hash is already known, else the batch's min-id holder of
+    that hash; is_canonical marks the rows a curation pipeline keeps
+    (fresh content only).
+
+    Scale shape: the batch-internal collapse is one window over the
+    uniform sha256 key; the corpus probe is a left join whose RIGHT side
+    is the (hash, canonical) index — clustered storage (see
+    write_hash_index) keeps the corpus side shuffle-free at 10^12 while
+    only the delta shuffles into its bucketing. Corpus text is never
+    read."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    b = (
+        batch.select(F.col(id_col), h)
+        .withColumn("batch_canonical", F.min(id_col).over(w))
+    )
+    probe = index.select(
+        "content_hash", F.col("canonical_id").alias("_corpus_canonical")
+    )
+    return (
+        b.join(probe, "content_hash", "left")
+        .select(
+            F.col(id_col),
+            "content_hash",
+            F.coalesce("_corpus_canonical", "batch_canonical").alias(
+                "canonical_id"
+            ),
+            F.col("_corpus_canonical").isNotNull().alias("in_corpus"),
+            (
+                F.col("_corpus_canonical").isNull()
+                & (F.col("batch_canonical") == F.col(id_col))
+            ).alias("is_canonical"),
+        )
+    )
