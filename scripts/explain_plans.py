@@ -160,6 +160,75 @@ def main():
     assert "BroadcastHashJoin" in decon_plan and decon_plan.count(
         "SortMergeJoin"
     ) == 0, "decontaminate gram join must broadcast"
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        entity_minhash,
+        incremental_candidate_edges,
+    )
+    from case_uco_ontology_map_spark.operators.dedup import (
+        hash_index,
+        incremental_exact_dedup,
+    )
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+    from case_uco_ontology_map_spark.operators.spandedup import (
+        duplicated_spans,
+    )
+
+    trip = spark.createDataFrame(
+        [("kb:a", "uco-core:hasFacet", "kb:b")],
+        "subj string, pred string, obj string",
+    )
+    bgp = bgp_query(
+        trip,
+        [
+            ("?rec", "uco-core:hasFacet", "?facet"),
+            ("?facet", "rdf:type", "uco-observable:ContentDataFacet"),
+            ("?facet", "uco-observable:hash", "?hash"),
+        ],
+        select=["rec", "facet", "hash"],
+    )
+    # BGP invariant: a connected conjunction never plans a cartesian
+    # product — every join is an equi-join on shared binding columns
+    bgp_plan = plan_of(bgp)
+    assert "Cartesian" not in bgp_plan, "bgp_query planned a cartesian join"
+
+    ents = docs.select(
+        F.col("doc_id").alias("entity_id"),
+        F.concat(F.col("source"), F.lit(" "), F.col("lang")).alias(
+            "entity_key"
+        ),
+    )
+    flagged = entity_minhash(ents).withColumn(
+        "_is_new", F.col("entity_id") % 5 == 0
+    )
+    incr_cands = incremental_candidate_edges(flagged)
+    # delta pairing stays JVM-only: no Python node may appear in the
+    # bucket-skip path (exists() is a catalyst higher-order function)
+    incr_plan = plan_of(incr_cands)
+    assert not re.findall(
+        r"ArrowEvalPython|PythonMapInArrow|MapInPandas|BatchEvalPython",
+        incr_plan,
+    ), "incremental_candidate_edges must not leave the JVM"
+
+    spans = duplicated_spans(docs, width=8)
+    span_plan = plan_of(spans)
+    assert not re.findall(
+        r"ArrowEvalPython|PythonMapInArrow|MapInPandas|BatchEvalPython",
+        span_plan,
+    ), "duplicated_spans must not leave the JVM"
+
+    corpus_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    incr_dedup = incremental_exact_dedup(batch_docs, hash_index(corpus_docs))
+
+    sections.update(
+        {
+            "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
+            "incremental_candidate_edges (all-prior buckets skipped pre-explode)": incr_cands,
+            "duplicated_spans (gram explode -> dup filter -> per-doc interval merge)": spans,
+            "incremental_exact_dedup (batch window + corpus index probe)": incr_dedup,
+        }
+    )
     lines = [
         "# PLANS — physical-plan review",
         "",
