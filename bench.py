@@ -277,6 +277,78 @@ def bench_queries(spark, sf_dir: str):
         q_canonicalize_hot.last_drops = drops
         return groups
 
+    incr_state = {}
+
+    def _incr_prior():
+        """Lazy untimed-at-steady-state setup for canonicalize_incr: the
+        PRIOR corpus is every diverse-shape entity except the v1 variants
+        of 1/16 of the docs (the 'yesterday's crawl' assignment, staged to
+        parquet like every other bench input); the DELTA is those held-out
+        variants (~n_docs/16/AMPLIFY entities). First repeat pays the
+        prior build; best-of-N then measures only the incremental fold."""
+        if "prior" in incr_state:
+            return
+        from case_uco_ontology_map_spark.operators.canonicalize import (
+            canonicalize_entities,
+        )
+
+        base_url = F.regexp_replace("url", r"\?c=\d+$", "")
+        base = F.hex(F.xxhash64(base_url))
+        key = F.concat(
+            F.lit("ent-"), base, F.lit("-v"),
+            F.regexp_extract("url", r"c=(\d+)", 1),
+        )
+        ents = corpus.select(
+            F.xxhash64("url").alias("entity_id"),
+            key.alias("entity_key"),
+            (
+                (F.pmod(F.xxhash64(base_url), F.lit(16)) == 0)
+                & (F.regexp_extract("url", r"c=(\d+)", 1) == "1")
+            ).alias("_delta"),
+        )
+        prior_dir = stage_dir.rstrip("/") + "-canon-prior"
+        delta_dir = stage_dir.rstrip("/") + "-canon-delta"
+        canonicalize_entities(
+            ents.filter(~F.col("_delta")).drop("_delta"),
+            jaccard_threshold=0.7, verify="estimate",
+        ).write.mode("overwrite").parquet(prior_dir)
+        ents.filter(F.col("_delta")).drop("_delta").write.mode(
+            "overwrite"
+        ).parquet(delta_dir)
+        incr_state["prior"] = spark.read.parquet(prior_dir)
+        incr_state["delta"] = spark.read.parquet(delta_dir)
+
+    def q_canonicalize_incr():
+        """Incremental canonicalization of a small delta against the prior
+        assignment (operators/canonicalize.canonicalize_incremental) — the
+        daily-increment path the north rule's resumable pipeline implies:
+        all-prior LSH buckets are skipped pre-explode, the exact verify
+        touches only new-touching candidates, CC runs on the ~1/16 of
+        components the delta actually touches, and untouched assignments
+        stream through. The group-count check is the same loud recall
+        guard as the full stages: the merged corpus must land on exactly
+        n_docs/AMPLIFY groups."""
+        from case_uco_ontology_map_spark.operators.canonicalize import (
+            canonicalize_incremental,
+        )
+
+        _incr_prior()
+        groups = (
+            canonicalize_incremental(
+                incr_state["prior"], incr_state["delta"],
+                jaccard_threshold=0.7,
+            )
+            .agg(F.countDistinct("canonical_id"))
+            .collect()[0][0]
+        )
+        expected = n_docs // AMPLIFY
+        if groups != expected:
+            raise RuntimeError(
+                f"incremental canonicalize produced {groups} groups, "
+                f"expected {expected} — delta fold-in recall regression"
+            )
+        return groups
+
     # ---- ANN serving path at bench scale (stress stages) ---------------
     # sf0.1 ships 2k dim-64 embeddings; amplify ×EMB_AMPLIFY (default 512
     # → 1.02M vectors) the same way the corpus is amplified: deterministic
@@ -499,6 +571,7 @@ def bench_queries(spark, sf_dir: str):
         "quality_score": q_quality,
         "canonicalize": q_canonicalize,
         "canonicalize_hot": q_canonicalize_hot,
+        "canonicalize_incr": q_canonicalize_incr,
         "ann_index_build": q_ann_index_build,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
