@@ -359,6 +359,98 @@ def _oracle_bgp_match() -> str:
     )
 
 
+def q_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``derivedFrom+`` property path: full transitive closure with
+    minimal hop counts over a provenance forest (every doc d>0 derivedFrom
+    doc (d-1) DIV 2 — a binary tree, depth ~log2 N, the re-crawl lineage
+    shape). Runs operators/graphquery.transitive_closure — semi-naive
+    frontier iteration, edges hash-partitioned once, one driver action
+    per round — against DuckDB's WITH RECURSIVE replay (closure_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        transitive_closure,
+    )
+
+    edges = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("src"))
+        .filter(F.col("src") > 0)
+        .withColumn("dst", F.expr("(src - 1) DIV 2"))
+    )
+    return (
+        transitive_closure(edges)
+        .select(
+            F.col("src").alias("page"),
+            F.col("dst").alias("ancestor"),
+            F.col("hops").cast("long").alias("hops"),
+        )
+        .orderBy("page", "ancestor")
+    )
+
+
+def _oracle_path_closure() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import closure_sql
+
+    return f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS subj, 'derivedFrom' AS pred,
+         CAST((doc_id - 1) // 2 AS BIGINT) AS obj
+  FROM documents WHERE doc_id > 0
+)
+SELECT src AS page, dst AS ancestor, hops
+FROM ({closure_sql('derivedFrom')}) c
+ORDER BY page, ancestor
+"""
+
+
+#: OPTIONAL/FILTER BGP over the emitted KG: every non-URLFacet facet of
+#: every record, with its hash where one exists (only ContentDataFacet
+#: carries uco-observable:hash — the OPTIONAL comes back NULL for the
+#: WebPageExtensionFacet rows, exercising left-join semantics end-to-end).
+_BGP_OPT_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?facet"),
+    ("?facet", "rdf:type", "?ftype"),
+]
+_BGP_OPT_OPTIONAL = [("?facet", "uco-observable:hash", "?hash")]
+_BGP_OPT_FILTERS = ["ftype <> 'uco-observable:URLFacet'"]
+_BGP_OPT_SELECT = ["rec", "facet", "ftype", "hash"]
+
+
+def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with OPTIONAL + FILTER (SPARQL left-join semantics) via the
+    generic compiler: required block joined greedily, the optional hash
+    pattern LEFT-joined (NULL where the facet type carries no hash), and
+    a portable filter string evaluated identically by Catalyst (F.expr)
+    and DuckDB. Structural-surrogate id space; oracle is bgp_sql with the
+    same patterns/optional/filters."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(
+        t,
+        _BGP_OPT_PATTERNS,
+        select=_BGP_OPT_SELECT,
+        optional=_BGP_OPT_OPTIONAL,
+        filters=_BGP_OPT_FILTERS,
+    ).orderBy("rec", "facet")
+
+
+def _oracle_bgp_optional() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_sql
+
+    inner = bgp_sql(
+        _BGP_OPT_PATTERNS,
+        select=_BGP_OPT_SELECT,
+        optional=_BGP_OPT_OPTIONAL,
+        filters=_BGP_OPT_FILTERS,
+    )
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) z ORDER BY rec, facet"
+    )
+
+
 def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triple emission incl. uuid5 IRIs (not SQL-expressible: uuid5 is
     SHA-1-based and DuckDB has no sha1) — rows-only driver check; exact
@@ -2524,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_structural": q_triples_structural,
         "graph_traverse": q_graph_traverse,
         "bgp_match": q_bgp_match,
+        "bgp_optional": q_bgp_optional,
+        "path_closure": q_path_closure,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -2583,6 +2677,8 @@ def oracle_sql() -> dict[str, str]:
         "triples_structural": _oracle_triples_structural(),
         "graph_traverse": _oracle_graph_traverse(),
         "bgp_match": _oracle_bgp_match(),
+        "bgp_optional": _oracle_bgp_optional(),
+        "path_closure": _oracle_path_closure(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

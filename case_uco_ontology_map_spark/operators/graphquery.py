@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 
 Pattern = Tuple[str, str, str]
 
+#: Predicate suffix marking a one-or-more property path (SPARQL ``p+``).
+_PATH_SUFFIX = "+"
+
 #: Selectivity weight of a CONSTANT in each triple position. Subjects are
 #: near-unique (one node id), objects split between IRIs (selective) and
 #: literals, predicates are the handful of ontology properties.
@@ -130,12 +133,122 @@ def join_order(patterns: Sequence[Pattern]) -> List[int]:
     return order
 
 
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: Optional[int] = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Reachability with minimal hop count: ``(src, dst, hops)`` for every
+    pair connected by a directed path, ``hops`` = shortest path length.
+    The engine behind SPARQL ``p+`` property paths (``rdfs:subClassOf+``,
+    provenance ``derivedFrom+`` chains).
+
+    Algorithm: semi-naive Datalog iteration (BSP). Round h joins the
+    FRONTIER (pairs first reached at hop h) against the edge frame, then
+    anti-joins the accumulated reach set so only never-seen pairs survive
+    into round h+1 — each pair is derived at its minimal hop count and
+    never re-derived, so the loop terminates on cyclic graphs too.
+
+    Scale shape: the edge frame is hash-partitioned on ``src`` ONCE and
+    persisted — every round's frontier join shuffles only the frontier
+    (which shrinks as the closure saturates), never the edges. One driver
+    action per round (``isEmpty`` on the new frontier) is inherent to
+    fixed-point iteration; lineage is truncated with ``localCheckpoint``
+    every ``checkpoint_every`` rounds so plan depth stays O(1) instead of
+    O(diameter). Rounds = graph diameter; for the doubling variant
+    (O(log d) rounds, but joins path×path and re-derives every pair
+    ~d/2 times) see PLANS.md — semi-naive wins when edges ≫ frontier,
+    which is every real provenance/hierarchy graph.
+    """
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .repartition(shuffle, "_es")
+        .persist()
+    )
+    known = (
+        e.select(F.col("_es").alias(src), F.col("_ed").alias(dst))
+        .withColumn("hops", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    frontier = known.select(src, dst)
+    h = 1
+    while max_hops is None or h < max_hops:
+        nxt = (
+            frontier.join(e, on=frontier[dst] == e["_es"])
+            .select(frontier[src].alias(src), F.col("_ed").alias(dst))
+            .distinct()
+        )
+        new = nxt.join(known.select(src, dst), on=[src, dst], how="left_anti")
+        h += 1
+        if checkpoint_every and (h % checkpoint_every) == 0:
+            new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        known = known.unionByName(new.withColumn("hops", F.lit(h)))
+        if checkpoint_every and (h % checkpoint_every) == 0:
+            known = known.localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return known
+
+
+def _is_path(term: str) -> bool:
+    return (
+        isinstance(term, str)
+        and term.endswith(_PATH_SUFFIX)
+        and not _is_var(term)
+        and len(term) > 1
+    )
+
+
+def _compile_path_pattern(
+    triples: DataFrame,
+    pattern: Pattern,
+    cols: Tuple[str, str, str],
+    max_hops: Optional[int],
+) -> DataFrame:
+    """``(s, p+, o)`` → transitive closure of predicate ``p``'s edge set,
+    with the subject/object terms applied as filters/bindings on the
+    closure frame exactly as constants/variables apply on a plain scan."""
+    s_col, p_col, o_col = cols
+    base = pattern[1][: -len(_PATH_SUFFIX)]
+    closure = transitive_closure(
+        triples.filter(F.col(p_col) == F.lit(base)).select(
+            F.col(s_col).alias("src"), F.col(o_col).alias("dst")
+        ),
+        max_hops=max_hops,
+    )
+    out = closure
+    position_of: Dict[str, str] = {}
+    for col, term in (("src", pattern[0]), ("dst", pattern[2])):
+        if _is_var(term):
+            v = _var(term)
+            if v in position_of:
+                out = out.filter(F.col(col) == F.col(position_of[v]))
+            else:
+                position_of[v] = col
+        else:
+            out = out.filter(F.col(col) == F.lit(term))
+    if not position_of:
+        return out.select(F.lit(1).alias("_ground")).limit(1)
+    return out.select(*[F.col(c).alias(v) for v, c in position_of.items()])
+
+
 def bgp_query(
     triples: DataFrame,
     patterns: Sequence[Pattern],
     select: Optional[Sequence[str]] = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
+    path_max_hops: Optional[int] = None,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
@@ -143,7 +256,17 @@ def bgp_query(
     """Conjunctive triple-pattern match → DataFrame of variable bindings.
 
     ``patterns``: ``[(s, p, o), ...]`` where a term starting with ``?`` is
-    a variable and anything else a constant. ``select``: output variable
+    a variable and anything else a constant. A constant predicate ending
+    in ``+`` is a one-or-more property path (SPARQL ``p+``): the pattern
+    matches via the transitive closure of that predicate's edge set
+    (``transitive_closure``), optionally bounded by ``path_max_hops``.
+    ``optional``: OPTIONAL patterns, left-joined after the required block
+    in written order — their new variables come back NULL where unmatched
+    (SPARQL OPTIONAL semantics; each must share ≥1 bound variable).
+    ``filters``: portable ANSI boolean expressions over binding columns
+    (e.g. ``"n > 3"``, ``"hash LIKE 'ab%'"``), applied after all joins —
+    the same strings run under Catalyst (``F.expr``) and in the DuckDB
+    oracle via ``bgp_sql(filters=...)``. ``select``: output variable
     names (no ``?``), default all variables in first-appearance order.
     ``distinct=False`` keeps SPARQL bag semantics.
 
@@ -162,7 +285,13 @@ def bgp_query(
         # degenerate explicit opt-in: join connected groups greedily and
         # cross the leftovers in written order
         order = list(range(len(patterns)))
-    compiled = [_compile_pattern(triples, p, cols) for p in patterns]
+
+    def _compile(p: Pattern) -> DataFrame:
+        if _is_path(p[1]):
+            return _compile_path_pattern(triples, p, cols, path_max_hops)
+        return _compile_pattern(triples, p, cols)
+
+    compiled = [_compile(p) for p in patterns]
     out = compiled[order[0]]
     bound = set(out.columns)
     for i in order[1:]:
@@ -170,8 +299,20 @@ def bgp_query(
         shared = sorted(bound & set(nxt.columns))
         out = out.join(nxt, on=shared) if shared else out.crossJoin(nxt)
         bound |= set(nxt.columns)
+    for p in optional:
+        nxt = _compile(p)
+        shared = sorted(bound & set(nxt.columns))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {p} shares no variable with the "
+                "required block — unscoped OPTIONAL is a cartesian product"
+            )
+        out = out.join(nxt, on=shared, how="left")
+        bound |= set(nxt.columns)
+    for f in filters:
+        out = out.filter(F.expr(f))
     all_vars: List[str] = []
-    for p in patterns:
+    for p in list(patterns) + list(optional):
         for v in pattern_vars(p):
             if v not in all_vars:
                 all_vars.append(v)
@@ -187,15 +328,30 @@ def bgp_sql(
     patterns: Sequence[Pattern],
     select: Optional[Sequence[str]] = None,
     distinct: bool = False,
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
     table: str = "g",
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
 ) -> str:
     """The same BGP as portable ANSI SQL over a triple table/CTE named
-    ``table`` — one aliased scan per pattern joined on shared variables.
+    ``table`` — one aliased scan per pattern joined on shared variables,
+    OPTIONAL patterns as LEFT JOINs, ``filters`` as an outer WHERE.
     Used by the contract oracle so DuckDB replays the identical semantics
-    (join ORDER does not affect the result set, only the plan)."""
+    (join ORDER does not affect the result set, only the plan).
+
+    Restrictions vs ``bgp_query`` (raise loudly): property paths (``p+``)
+    are not single-SELECT-expressible — use ``closure_sql`` for the
+    oracle side; each OPTIONAL pattern must take its shared variables
+    from the REQUIRED block and must not rebind a variable another
+    OPTIONAL already introduced."""
+    for p in list(patterns) + list(optional):
+        if _is_path(p[1]):
+            raise ValueError(
+                f"property path in {p}: not expressible as one SELECT — "
+                "use closure_sql() for the oracle"
+            )
     cols = (subj_col, pred_col, obj_col)
     aliases = [f"t{i}" for i in range(len(patterns))]
     where: List[str] = []
@@ -211,15 +367,111 @@ def bgp_sql(
                     binding[v] = q
             else:
                 where.append(f"{q} = '" + term.replace("'", "''") + "'")
-    all_vars: List[str] = []
+    req_vars: List[str] = []
     for p in patterns:
         for v in pattern_vars(p):
+            if v not in req_vars:
+                req_vars.append(v)
+    all_vars = list(req_vars)
+    frm = " CROSS JOIN ".join(f"{table} {a}" for a in aliases)
+    req_proj = ", ".join(f"{binding[v]} AS {v}" for v in req_vars)
+    req_sql = f"SELECT {req_proj} FROM {frm}"
+    if where:
+        req_sql += " WHERE " + " AND ".join(where)
+
+    if not optional and not filters:
+        keep = list(select) if select is not None else all_vars
+        proj = ", ".join(f"{binding[v]} AS {v}" for v in keep)
+        sql = f"SELECT {'DISTINCT ' if distinct else ''}{proj} FROM {frm}"
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        return sql
+
+    # OPTIONAL / FILTER form: required block as a derived table, one LEFT
+    # JOIN per optional pattern, filters in an outer wrapper (so they see
+    # the plain variable names, NULLs from unmatched OPTIONALs included).
+    var_source: Dict[str, str] = {v: "r" for v in req_vars}
+    joins: List[str] = []
+    for j, pat in enumerate(optional):
+        oal = f"o{j}"
+        sub_where: List[str] = []
+        sub_binding: Dict[str, str] = {}
+        for col, term in zip(cols, pat):
+            if _is_var(term):
+                v = _var(term)
+                if v in sub_binding:
+                    sub_where.append(f"{col} = {sub_binding[v]}")
+                else:
+                    sub_binding[v] = col
+            else:
+                sub_where.append(f"{col} = '" + term.replace("'", "''") + "'")
+        shared = [v for v in sub_binding if v in req_vars]
+        news = [v for v in sub_binding if v not in req_vars]
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat} shares no variable with the "
+                "required block (bgp_sql restriction)"
+            )
+        clash = [v for v in news if v in var_source]
+        if clash:
+            raise ValueError(
+                f"OPTIONAL pattern {pat} rebinds {clash} already bound by "
+                "another OPTIONAL (bgp_sql restriction)"
+            )
+        sub_proj = ", ".join(f"{c} AS {v}" for v, c in sub_binding.items())
+        sub = f"SELECT {sub_proj} FROM {table}"
+        if sub_where:
+            sub += " WHERE " + " AND ".join(sub_where)
+        on = " AND ".join(f"r.{v} = {oal}.{v}" for v in shared)
+        joins.append(f"LEFT JOIN ({sub}) {oal} ON {on}")
+        for v in news:
+            var_source[v] = oal
             if v not in all_vars:
                 all_vars.append(v)
     keep = list(select) if select is not None else all_vars
-    proj = ", ".join(f"{binding[v]} AS {v}" for v in keep)
-    frm = " CROSS JOIN ".join(f"{table} {a}" for a in aliases)
-    sql = f"SELECT {'DISTINCT ' if distinct else ''}{proj} FROM {frm}"
-    if where:
-        sql += " WHERE " + " AND ".join(where)
-    return sql
+    missing = [v for v in keep if v not in var_source]
+    if missing:
+        raise ValueError(f"select references unbound variables: {missing}")
+    proj = ", ".join(f"{var_source[v]}.{v} AS {v}" for v in keep)
+    body = f"SELECT {proj} FROM ({req_sql}) r " + " ".join(joins)
+    if filters:
+        cond = " AND ".join(f"({f})" for f in filters)
+        body = (
+            f"SELECT {'DISTINCT ' if distinct else ''}* "
+            f"FROM ({body}) q WHERE {cond}"
+        )
+    elif distinct:
+        body = f"SELECT DISTINCT * FROM ({body}) q"
+    return body
+
+
+def closure_sql(
+    pred: str,
+    max_hops: Optional[int] = None,
+    table: str = "g",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """Recursive-CTE replay of ``transitive_closure`` over one predicate's
+    edge set — the DuckDB oracle for ``p+`` paths. Returns a full query
+    ``(src, dst, hops)`` with ``hops`` = minimal path length; embed as a
+    CTE next to the triple-table CTE ``table``. Safe on cyclic graphs
+    only when ``max_hops`` is set (the UNION-dedup rows differ by hops);
+    the Spark operator needs no such bound — its anti-join dedups on
+    (src, dst) regardless of hops."""
+    p = pred.replace("'", "''")
+    bound = f" WHERE r.hops < {int(max_hops)}" if max_hops is not None else ""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT {subj_col} AS src, {obj_col} AS dst FROM {table}
+  WHERE {pred_col} = '{p}' GROUP BY 1, 2
+),
+reach(src, dst, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT r.src, e.dst, r.hops + 1 FROM reach r JOIN e ON r.dst = e.src{bound}
+)
+SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
+FROM reach GROUP BY src, dst
+"""

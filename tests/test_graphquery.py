@@ -1,5 +1,5 @@
 """BGP query compiler: semantics vs a DuckDB replay of bgp_sql, join-order
-heuristics, and error surfaces."""
+heuristics, error surfaces; property-path closure, OPTIONAL, FILTER."""
 
 import duckdb
 import pandas as pd
@@ -8,8 +8,10 @@ import pytest
 from case_uco_ontology_map_spark.operators.graphquery import (
     bgp_query,
     bgp_sql,
+    closure_sql,
     join_order,
     pattern_vars,
+    transitive_closure,
 )
 
 TRIPLES = [
@@ -137,6 +139,169 @@ def test_unbound_select_raises(triples):
 
 def test_pattern_vars_dedup():
     assert pattern_vars(("?x", "?p", "?x")) == ["x", "p"]
+
+
+def _closure_rows(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        (r.src, r.dst, r.hops)
+        for r in transitive_closure(df, **kw).collect()
+    }
+
+
+def test_transitive_closure_chain(spark):
+    got = _closure_rows(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+        ("a", "c", 2), ("b", "d", 2), ("a", "d", 3),
+    }
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    # 3-cycle: every node reaches every node (incl. itself) at min hops
+    got = _closure_rows(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert got == {
+        ("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+        ("a", "c", 2), ("b", "a", 2), ("c", "b", 2),
+        ("a", "a", 3), ("b", "b", 3), ("c", "c", 3),
+    }
+
+
+def test_transitive_closure_max_hops(spark):
+    got = _closure_rows(
+        spark, [("a", "b"), ("b", "c"), ("c", "d")], max_hops=2
+    )
+    assert got == {
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+        ("a", "c", 2), ("b", "d", 2),
+    }
+
+
+def test_transitive_closure_matches_duckdb_recursive_cte(spark):
+    # a small DAG with diamonds: min-hop semantics must agree with the
+    # recursive-CTE oracle generator used by the contract
+    edges = [
+        ("r", "a"), ("r", "b"), ("a", "c"), ("b", "c"),
+        ("c", "d"), ("a", "d"), ("d", "e"),
+    ]
+    trip = [(s, "derivedFrom", o) for s, o in edges] + [
+        ("x", "otherPred", "y")  # must be excluded by the predicate filter
+    ]
+    got = _closure_rows(
+        spark,
+        [(s, o) for s, p, o in trip if p == "derivedFrom"],
+    )
+    con = duckdb.connect()
+    con.register("g_src", pd.DataFrame(trip, columns=["subj", "pred", "obj"]))
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH g AS (SELECT * FROM g_src) SELECT src, dst, hops FROM ("
+            + closure_sql("derivedFrom")
+            + ") c"
+        ).fetchall()
+    }
+    assert got == want
+    assert ("r", "e", 3) in got and ("r", "c", 2) in got
+
+
+def test_path_pattern_in_bgp(spark):
+    trip = [
+        ("a", "derivedFrom", "b"),
+        ("b", "derivedFrom", "c"),
+        ("c", "rdf:type", "Root"),
+    ]
+    df = spark.createDataFrame(trip, "subj string, pred string, obj string")
+    # ?x derivedFrom+ ?anc . ?anc rdf:type Root  => every x whose ancestor
+    # chain reaches a Root-typed node
+    out = bgp_query(
+        df,
+        [("?x", "derivedFrom+", "?anc"), ("?anc", "rdf:type", "Root")],
+        select=["x", "anc"],
+    )
+    assert {tuple(r) for r in out.collect()} == {("a", "c"), ("b", "c")}
+    # constant endpoints filter the closure frame
+    out2 = bgp_query(df, [("a", "derivedFrom+", "?anc")], select=["anc"])
+    assert {r.anc for r in out2.collect()} == {"b", "c"}
+
+
+def test_bgp_sql_raises_on_path():
+    with pytest.raises(ValueError, match="closure_sql"):
+        bgp_sql([("?x", "derivedFrom+", "?y")])
+
+
+def test_optional_and_filter_match_duckdb(triples):
+    patterns = [
+        ("?rec", "uco-core:hasFacet", "?facet"),
+        ("?facet", "rdf:type", "?ftype"),
+    ]
+    optional = [("?facet", "uco-observable:hash", "?hash")]
+    sel = ["rec", "facet", "ftype", "hash"]
+    out = bgp_query(triples, patterns, select=sel, optional=optional)
+    rows = {tuple(r) for r in out.collect()}
+    # URLFacet f2 has no hash -> NULL binding survives (OPTIONAL semantics)
+    assert ("kb:rec1", "kb:f2", "uco-observable:URLFacet", None) in rows
+    assert ("kb:rec1", "kb:f1", "uco-observable:ContentDataFacet", "abc") in rows
+    con = duckdb.connect()
+    con.register("g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"]))
+    sql = bgp_sql(patterns, select=sel, optional=optional)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH g AS (SELECT * FROM g_src) " + sql
+        ).fetchall()
+    }
+    assert rows == want
+    # FILTER applies after the left join, NULLs behave identically
+    filt = ["hash IS NOT NULL"]
+    got_f = {
+        tuple(r)
+        for r in bgp_query(
+            triples, patterns, select=sel, optional=optional, filters=filt
+        ).collect()
+    }
+    sql_f = bgp_sql(patterns, select=sel, optional=optional, filters=filt)
+    want_f = {
+        tuple(r)
+        for r in con.execute(
+            "WITH g AS (SELECT * FROM g_src) " + sql_f
+        ).fetchall()
+    }
+    assert got_f == want_f
+    assert all(h is not None for *_, h in got_f)
+
+
+def test_optional_unshared_raises(triples):
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_query(
+            triples,
+            [("?rec", "uco-core:hasFacet", "?facet")],
+            optional=[("?other", "rdf:type", "?t")],
+        )
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_sql(
+            [("?rec", "uco-core:hasFacet", "?facet")],
+            optional=[("?other", "rdf:type", "?t")],
+        )
+
+
+def test_filter_on_required_matches_duckdb(triples):
+    patterns = [("?facet", "uco-observable:hash", "?hash")]
+    filt = ["hash LIKE 'a%'"]
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            triples, patterns, select=["facet", "hash"], filters=filt
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"]))
+    sql = bgp_sql(patterns, select=["facet", "hash"], filters=filt)
+    want = {
+        tuple(r)
+        for r in con.execute("WITH g AS (SELECT * FROM g_src) " + sql).fetchall()
+    }
+    assert got == want == {("kb:f1", "abc")}
 
 
 def test_random_bgp_matches_duckdb(triples):
