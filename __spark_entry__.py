@@ -404,6 +404,83 @@ ORDER BY page, ancestor
 """
 
 
+def _doc_graph(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, int]":
+    """Deterministic directed graph over doc ids for the graph-analytics
+    contract rows: the provenance-tree parent edge (d -> (d-1) DIV 2 for
+    d>0) plus a functional 'link' edge (d -> (7d+3) mod N) — varied
+    in-degrees, cycles, no dangling nodes, replayable by arithmetic in
+    both engines."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("d")
+    )
+    n = docs.count()
+    tree = docs.filter(F.col("d") > 0).select(
+        F.col("d").alias("src"), F.expr("(d - 1) DIV 2").alias("dst")
+    )
+    link = docs.select(
+        F.col("d").alias("src"),
+        F.pmod(F.col("d") * 7 + 3, F.lit(n)).cast("long").alias("dst"),
+    )
+    return tree.unionByName(link), n
+
+
+_DOC_GRAPH_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS src,
+       CAST((doc_id - 1) // 2 AS BIGINT) AS dst
+FROM documents WHERE doc_id > 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS src,
+       CAST((doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS BIGINT)
+       AS dst
+FROM documents
+"""
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree census over the doc graph — the 'which entities are
+    hubs' query every KG consumer starts with (operators/graphstats.
+    degree_stats: two map-side-combined groupBys + one full outer join)."""
+    from case_uco_ontology_map_spark.operators.graphstats import degree_stats
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return degree_stats(edges).orderBy("node")
+
+
+def _oracle_graph_degree() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import degree_sql
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL})\n"
+        f"SELECT * FROM ({degree_sql()}) z ORDER BY node"
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 rounds, d=0.85) over the doc graph — link-analysis
+    entity importance (operators/graphstats.pagerank: BSP power
+    iteration, per-round shuffles touch only the N-row rank frame).
+    Oracled against the unrolled-CTE replay (pagerank_sql); float drift
+    between the engines is ~1e-16, far inside the driver's 6-significant-
+    digit normalization."""
+    from case_uco_ontology_map_spark.operators.graphstats import pagerank
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return pagerank(edges, iterations=5, damping=0.85).orderBy("node")
+
+
+def _oracle_graph_pagerank() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import pagerank_sql
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL})\n"
+        "SELECT node, rank FROM ("
+        + pagerank_sql(iterations=5, damping=0.85)
+        + ") z ORDER BY node"
+    )
+
+
 #: OPTIONAL/FILTER BGP over the emitted KG: every non-URLFacet facet of
 #: every record, with its hash where one exists (only ContentDataFacet
 #: carries uco-observable:hash — the OPTIONAL comes back NULL for the
@@ -2618,6 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "path_closure": q_path_closure,
+        "graph_degree": q_graph_degree,
+        "graph_pagerank": q_graph_pagerank,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -2679,6 +2758,8 @@ def oracle_sql() -> dict[str, str]:
         "bgp_match": _oracle_bgp_match(),
         "bgp_optional": _oracle_bgp_optional(),
         "path_closure": _oracle_path_closure(),
+        "graph_degree": _oracle_graph_degree(),
+        "graph_pagerank": _oracle_graph_pagerank(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

@@ -1,0 +1,194 @@
+"""Graph analytics over the entity/provenance edge sets the KG emits —
+degree census and PageRank-style link analysis. (No reference counterpart
+as code: the reference hands its JSON-LD to downstream graph stores; these
+give a CASE/UCO consumer the standard "which nodes matter" queries
+natively on the Spark edge frames.)
+
+Scale shape: degree is one map-side-combined groupBy per direction joined
+on node id. PageRank is the canonical BSP iteration — the edge frame is
+hash-partitioned on ``src`` once and persisted, each round shuffles only
+the (node, rank) frame (N rows, not E), dangling mass is folded in via a
+1-row cross join (stays lazy — no per-round driver collect), and lineage
+is truncated per round with ``localCheckpoint`` so plan depth stays O(1)
+over any iteration count. Rounds are fixed (power iteration), so the
+whole loop is ~2 shuffles x iterations over N-row frames.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node ``(node, out_deg, in_deg)`` over a directed edge frame —
+    0 (not NULL) for directions a node lacks. Exact integers; two
+    map-side-combined aggregations and one full outer join on node id."""
+    out_d = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count("*").alias("out_deg"))
+    )
+    in_d = (
+        edges.groupBy(F.col(dst).alias("node"))
+        .agg(F.count("*").alias("in_deg"))
+    )
+    return (
+        out_d.join(in_d, on="node", how="full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def degree_sql(table: str = "e", src: str = "src", dst: str = "dst") -> str:
+    """ANSI replay of ``degree_stats`` over an edge table/CTE ``table``."""
+    return f"""
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg
+FROM (SELECT {src} AS node, CAST(count(*) AS BIGINT) AS out_deg
+      FROM {table} GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT {dst} AS node, CAST(count(*) AS BIGINT) AS in_deg
+      FROM {table} GROUP BY 1) i
+ON o.node = i.node
+"""
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank → ``(node, rank)``; ranks sum to 1.
+
+    Semantics (the classic formulation, so the unrolled-SQL oracle can
+    replay it exactly): nodes are every id appearing as ``src`` or
+    ``dst``; each round every node's rank splits evenly over its
+    out-edges; a DANGLING node's (no out-edges) rank is redistributed
+    uniformly over all nodes; then
+    ``rank' = (1-d)/N + d * (received + dangling_mass/N)``.
+
+    The dangling term rides along as a lazy 1-row aggregate cross-joined
+    onto the update — no driver action per round; the only per-round
+    action is the eager ``localCheckpoint`` that truncates lineage.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    )
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = e.repartition(shuffle, "_s").persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # one action up front; N is needed as a scalar
+    if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    with_deg = nodes.join(out_deg, on="node", how="left").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        rd = ranks.join(with_deg.select("node", "_deg"), on="node", how="left")
+        contrib = (
+            rd.join(e, on=rd["node"] == e["_s"])
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_recv"))
+        )
+        dangling = rd.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("_dm")
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_recv"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    with_deg.unpersist()
+    return ranks
+
+
+def pagerank_sql(
+    iterations: int = 10,
+    damping: float = 0.85,
+    table: str = "e",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Unrolled-CTE replay of ``pagerank`` (one CTE per round — standard
+    SQL forbids aggregation in a recursive term, so the oracle unrolls;
+    fine for the fixed iteration counts a contract query pins). Emits a
+    full query ``(node, rank)``; prepend the edge CTE ``table``."""
+    d = float(damping)
+    ctes: List[str] = [
+        f"nodes AS (SELECT {src} AS node FROM {table} "
+        f"UNION SELECT {dst} AS node FROM {table})",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        f"od AS (SELECT {src} AS node, CAST(count(*) AS DOUBLE) AS deg "
+        f"FROM {table} GROUP BY 1)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT nodes.node,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (
+             COALESCE(c.recv, 0.0)
+             + (SELECT COALESCE(SUM(p.rank), 0.0) FROM {prev} p
+                LEFT JOIN od ON p.node = od.node WHERE od.node IS NULL)
+               / (SELECT n FROM nn)
+           ) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT {table}.{dst} AS node, SUM(p.rank / od.deg) AS recv
+    FROM {table}
+    JOIN {prev} p ON {table}.{src} = p.node
+    JOIN od ON {table}.{src} = od.node
+    GROUP BY 1
+  ) c ON nodes.node = c.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iterations}"
+    )

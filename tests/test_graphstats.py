@@ -1,0 +1,91 @@
+"""Degree census and PageRank: invariants (mass conservation, dangling
+redistribution, uniform fixed point) and equality vs the unrolled-SQL
+oracle generators in DuckDB."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from case_uco_ontology_map_spark.operators.graphstats import (
+    degree_sql,
+    degree_stats,
+    pagerank,
+    pagerank_sql,
+)
+
+EDGES = [
+    # binary-tree parents plus a functional "pseudo-random" second edge:
+    # varied in-degrees, cycles through node 0, no dangling nodes
+    ("1", "0"), ("2", "0"), ("3", "1"), ("4", "1"), ("5", "2"),
+    ("0", "3"), ("1", "4"), ("2", "5"), ("3", "2"), ("4", "0"), ("5", "1"),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def _duck():
+    con = duckdb.connect()
+    con.register("e_src", pd.DataFrame(EDGES, columns=["src", "dst"]))
+    return con
+
+
+def test_degree_stats_matches_duckdb(edges):
+    got = {tuple(r) for r in degree_stats(edges).collect()}
+    con = _duck()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH e AS (SELECT * FROM e_src) " + degree_sql()
+        ).fetchall()
+    }
+    assert got == want
+    by_node = {n: (o, i) for n, o, i in got}
+    assert by_node["0"] == (1, 3)  # one out-edge (0->3), three parents-of
+    assert by_node["3"] == (2, 1)
+
+
+def test_degree_zero_not_null(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {tuple(r) for r in degree_stats(df).collect()}
+    assert got == {("a", 1, 0), ("b", 0, 1)}
+
+
+def test_pagerank_matches_unrolled_sql_oracle(edges):
+    got = pagerank(edges, iterations=5).collect()
+    con = _duck()
+    want = dict(
+        con.execute(
+            "WITH e AS (SELECT * FROM e_src) "
+            f"SELECT node, rank FROM ({pagerank_sql(iterations=5)}) z"
+        ).fetchall()
+    )
+    assert len(got) == len(want) == 6
+    for r in got:
+        assert r["rank"] == pytest.approx(want[r["node"]], abs=1e-12)
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    # "c" has no out-edges: its rank must be redistributed, total mass 1
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    # c receives from both a and b and loses nothing to specific targets
+    assert ranks["c"] == max(ranks.values())
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # a ring is rank-uniform at every iteration count
+    ring = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(ring, "src string, dst string")
+    ranks = [r["rank"] for r in pagerank(df, iterations=3).collect()]
+    assert all(r == pytest.approx(1.0 / 3, abs=1e-12) for r in ranks)
+
+
+def test_pagerank_zero_iterations_is_uniform(edges):
+    ranks = [r["rank"] for r in pagerank(edges, iterations=0).collect()]
+    assert all(r == pytest.approx(1.0 / 6, abs=1e-12) for r in ranks)
