@@ -67,6 +67,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Power-iteration PageRank → ``(node, rank)``; ranks sum to 1.
 
@@ -79,7 +80,9 @@ def pagerank(
 
     The dangling term rides along as a lazy 1-row aggregate cross-joined
     onto the update — no driver action per round; the only per-round
-    action is the eager ``localCheckpoint`` that truncates lineage.
+    action is the eager ``localCheckpoint`` that truncates lineage
+    (every ``checkpoint_every`` rounds; 0 disables, leaving the full
+    lazy join tree — used by plan assertions, not for deep iteration).
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -105,10 +108,10 @@ def pagerank(
         F.count("*").alias("_deg")
     )
     with_deg = nodes.join(out_deg, on="node", how="left").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
-        eager=True
-    )
-    for _ in range(iterations):
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    if checkpoint_every:
+        ranks = ranks.localCheckpoint(eager=True)
+    for it in range(iterations):
         rd = ranks.join(with_deg.select("node", "_deg"), on="node", how="left")
         contrib = (
             rd.join(e, on=rd["node"] == e["_s"])
@@ -139,8 +142,9 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_every and ((it + 1) % checkpoint_every) == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
     with_deg.unpersist()

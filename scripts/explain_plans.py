@@ -221,12 +221,49 @@ def main():
     batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
     incr_dedup = incremental_exact_dedup(batch_docs, hash_index(corpus_docs))
 
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        transitive_closure,
+    )
+    from case_uco_ontology_map_spark.operators.graphstats import pagerank
+
+    graph_edges = docs.select(
+        (F.col("doc_id") + 1).alias("src"),
+        F.expr("doc_id DIV 2").alias("dst"),
+    ).filter(F.col("src") > F.col("dst"))
+    # checkpoint_every=0 leaves the full lazy join tree visible so the
+    # assertions inspect the REAL per-round shape, not a checkpoint scan
+    closure = transitive_closure(graph_edges, max_hops=3, checkpoint_every=0)
+    closure_plan = plan_of(closure)
+    assert not re.findall(
+        r"ArrowEvalPython|PythonMapInArrow|MapInPandas|BatchEvalPython",
+        closure_plan,
+    ), "transitive_closure must not leave the JVM"
+    assert "Cartesian" not in closure_plan, (
+        "transitive_closure planned a cartesian join"
+    )
+
+    pr = pagerank(graph_edges, iterations=2, checkpoint_every=0)
+    pr_plan = plan_of(pr)
+    assert not re.findall(
+        r"ArrowEvalPython|PythonMapInArrow|MapInPandas|BatchEvalPython",
+        pr_plan,
+    ), "pagerank must not leave the JVM"
+    assert "CartesianProduct" not in pr_plan, (
+        "pagerank dangling-mass fold-in must broadcast the 1-row aggregate, "
+        "not plan a shuffled cartesian product"
+    )
+    assert "BroadcastNestedLoopJoin" in pr_plan or "BroadcastExchange" in (
+        pr_plan
+    ), "pagerank dangling scalar should ride a broadcast"
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
             "incremental_candidate_edges (all-prior buckets skipped pre-explode)": incr_cands,
             "duplicated_spans (gram explode -> dup filter -> per-doc interval merge)": spans,
             "incremental_exact_dedup (batch window + corpus index probe)": incr_dedup,
+            "transitive_closure round shape (frontier equi-join, JVM-only)": closure,
+            "pagerank round shape (rank-frame shuffles only; dangling via broadcast)": pr,
         }
     )
     lines = [
