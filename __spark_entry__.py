@@ -601,6 +601,48 @@ FROM documents ORDER BY doc_id
 """
 
 
+#: Deterministic hashed-classifier weights for the contract row (64
+#: buckets, milli-units, mixed sign) — shared by the Spark query and the
+#: DuckDB oracle so both replay the identical model.
+_CLF_WEIGHTS = [((b * 37 + 11) % 201) - 100 for b in range(64)]
+
+
+def q_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (fastText-style curation
+    gate): token → md5_60 bucket → integer milli-weight, exact integer
+    sum per doc, keep = mean weight ≥ threshold. Zero-shuffle Catalyst
+    higher-order fold (operators/textstats.classifier_score); the oracle
+    replays tokenize + bucket-join + SUM in DuckDB exactly — integer
+    arithmetic end-to-end, no float drift by construction."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.textstats import (
+        classifier_score,
+    )
+
+    return (
+        classifier_score(
+            _docs(spark, sf_dir),
+            _CLF_WEIGHTS,
+            bias_milli=7,
+            threshold_milli=5,
+            hash_mode="md5_60",
+        )
+        .select("doc_id", "n_tokens", "score_milli", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_classifier_filter() -> str:
+    from case_uco_ontology_map_spark.operators.textstats import classifier_sql
+
+    inner = classifier_sql(_CLF_WEIGHTS, bias_milli=7, threshold_milli=5)
+    return (
+        f"SELECT doc_id, n_tokens, score_milli, keep FROM ({inner}) z "
+        "ORDER BY doc_id"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from case_uco_ontology_map_spark.operators.textstats import lang_scores
 
@@ -2702,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_counts": q_doc_quality_counts,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
+        "classifier_filter": q_classifier_filter,
         "doc_fingerprints": q_doc_fingerprints,
         "repetition": q_repetition,
         # dedup
@@ -2764,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),
         "lang_id": _oracle_lang_id(),
+        "classifier_filter": _oracle_classifier_filter(),
         "doc_fingerprints": _oracle_doc_fingerprints(),
         "repetition": _oracle_repetition(),
         "exact_dedup": _oracle_exact_dedup(),

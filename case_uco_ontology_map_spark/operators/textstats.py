@@ -229,3 +229,105 @@ def repetition_features(
             F.round(F.col("_dlf"), 6).alias("dup_line_frac"),
         )
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights_milli: "list[int]",
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Hashing-trick linear quality classifier (the fastText-style gate
+    web-corpus curation runs per document): each token hashes into one of
+    ``len(weights_milli)`` buckets, the document's score is the sum of its
+    tokens' bucket weights plus a bias, and ``keep`` compares the MEAN
+    weight against a threshold. All weights are integer milli-units so
+    every engine computes the identical exact integer sum — no float
+    summation-order drift anywhere (the sigmoid/probability view is a
+    monotone function of score_milli; thresholding on the integer score
+    is equivalent and hash-stable).
+
+    Adds ``n_tokens`` (long), ``score_milli`` (long, = bias + Σ w[h(t) mod
+    D]), ``keep`` (boolean, score_milli ≥ threshold_milli · n_tokens).
+
+    Scale shape: zero shuffle — one Catalyst higher-order ``aggregate``
+    fold per row over the token array, weight lookup via ``element_at``
+    on a literal int array (keep D ≤ ~1024; past that, prefer an explode
+    + broadcast-join against a weight frame — same contract, one extra
+    doc-count shuffle with map-side partials). ``hash_mode='md5_60'``
+    replays bit-identically in ANSI engines (``classifier_sql``);
+    ``xxhash64`` is the production mode.
+    """
+    n_buckets = len(weights_milli)
+    if n_buckets == 0:
+        raise ValueError("weights_milli must be non-empty")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens_col(text)
+    from .dedup import content_hash64
+
+    warr = F.array(*[F.lit(int(w)) for w in weights_milli])
+
+    def _wt(t: Column) -> Column:
+        idx = F.pmod(content_hash64(t, hash_mode), F.lit(n_buckets))
+        return F.element_at(warr, (idx + F.lit(1)).cast("int")).cast("long")
+
+    score = F.aggregate(
+        toks,
+        F.lit(int(bias_milli)).cast("long"),
+        lambda acc, t: acc + _wt(t),
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("score_milli", score)
+        .withColumn(
+            "keep",
+            F.col("score_milli")
+            >= F.lit(int(threshold_milli)) * F.col("n_tokens"),
+        )
+    )
+
+
+def classifier_sql(
+    weights_milli: "list[int]",
+    bias_milli: int = 0,
+    threshold_milli: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> str:
+    """ANSI replay of ``classifier_score(hash_mode='md5_60')`` — tokens
+    unnest, join the weight VALUES list on the md5_60 bucket, exact
+    integer sum per document, LEFT JOIN back so zero-token docs score
+    bias_milli with n_tokens 0. Returns (id, n_tokens, score_milli,
+    keep); project/order in the caller."""
+    n_buckets = len(weights_milli)
+    vals = ", ".join(f"({b}, {int(w)})" for b, w in enumerate(weights_milli))
+    text = f"lower({text_col})" if lowercase else text_col
+    bias = int(bias_milli)
+    thr = int(threshold_milli)
+    return f"""
+WITH w(b, wt) AS (VALUES {vals}),
+tok AS (
+  SELECT {id_col},
+         unnest(list_filter(regexp_split_to_array({text}, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM {table}
+),
+scored AS (
+  SELECT {id_col}, CAST(SUM(w.wt) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok JOIN w
+    ON w.b = ('0x' || substr(md5(tok), 1, 15))::BIGINT % {n_buckets}
+  GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       COALESCE(sc.n, 0) AS n_tokens,
+       CAST({bias} + COALESCE(sc.s, 0) AS BIGINT) AS score_milli,
+       (CAST({bias} + COALESCE(sc.s, 0) AS BIGINT)
+        >= {thr} * COALESCE(sc.n, 0)) AS keep
+FROM {table} d LEFT JOIN scored sc ON d.{id_col} = sc.{id_col}
+"""

@@ -474,3 +474,69 @@ def test_write_ivf_index_arrow_serves_same_topk(spark, sf_dir, tmp_path):
         key=key,
     )
     assert a == b
+
+
+class TestClassifierScore:
+    def test_matches_duckdb_and_manual(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.textstats import (
+            classifier_score,
+            classifier_sql,
+        )
+
+        rows = [
+            (0, "Good clean prose here"),
+            (1, "spam spam spam spam spam"),
+            (2, ""),
+            (3, "  "),
+            (4, "MiXeD CaSe prose"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        weights = [((b * 37 + 11) % 201) - 100 for b in range(64)]
+        out = classifier_score(
+            df, weights, bias_milli=7, threshold_milli=5, hash_mode="md5_60"
+        ).select("doc_id", "n_tokens", "score_milli", "keep")
+        got = {tuple(r) for r in out.collect()}
+        con = duckdb.connect()
+        con.register("d_src", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        sql = classifier_sql(
+            weights, bias_milli=7, threshold_milli=5, table="d_src"
+        )
+        want = {tuple(r) for r in con.execute(sql).fetchall()}
+        assert got == want
+        by_id = {r[0]: r for r in got}
+        # zero-token docs: n=0, score=bias, keep = bias >= 0
+        assert by_id[2] == (2, 0, 7, True)
+        assert by_id[3] == (3, 0, 7, True)
+        # manual replay of doc 0 in pure Python
+        import hashlib
+
+        def md5_60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        toks = "good clean prose here".split()
+        exp = 7 + sum(weights[md5_60(t) % 64] for t in toks)
+        assert by_id[0][2] == exp
+
+    def test_lowercase_off_and_bucket_wrap(self, spark):
+        from case_uco_ontology_map_spark.operators.textstats import (
+            classifier_score,
+        )
+
+        df = spark.createDataFrame([(0, "A a")], "doc_id long, text string")
+        on = classifier_score(df, [10, -3], hash_mode="md5_60").collect()[0]
+        off = classifier_score(
+            df, [10, -3], hash_mode="md5_60", lowercase=False
+        ).collect()[0]
+        assert on["n_tokens"] == off["n_tokens"] == 2
+        # lowercased both tokens hash identically; raw case may differ
+        import hashlib
+
+        def md5_60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        w = [10, -3]
+        assert on["score_milli"] == 2 * w[md5_60("a") % 2]
+        assert off["score_milli"] == w[md5_60("A") % 2] + w[md5_60("a") % 2]
