@@ -349,6 +349,61 @@ def bench_queries(spark, sf_dir: str):
             )
         return groups
 
+    def q_graph_closure():
+        """Transitive closure (SPARQL derivedFrom+) over the provenance
+        forest on all n_docs nodes (heap-parent edges, depth ~log2 N) —
+        the iterative-fixed-point stress: ~17 semi-naive rounds at 80k
+        nodes, per-round shuffle only the shrinking frontier. Loud guard:
+        the deepest pair must sit at exactly floor(log2(n_docs)) hops
+        (heap depth), so a truncated iteration can't pass silently."""
+        import math
+
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            transitive_closure,
+        )
+
+        edges = (
+            spark.range(1, n_docs)
+            .select(
+                F.col("id").alias("src"),
+                F.expr("(id - 1) DIV 2").alias("dst"),
+            )
+        )
+        closure = transitive_closure(edges)
+        stats = closure.agg(
+            F.count("*").alias("pairs"), F.max("hops").alias("deepest")
+        ).collect()[0]
+        expected_depth = int(math.log2(n_docs))
+        if stats["deepest"] != expected_depth:
+            raise RuntimeError(
+                f"closure deepest hop {stats['deepest']} != heap depth "
+                f"{expected_depth} — iteration truncated"
+            )
+        q_graph_closure.last_pairs = stats["pairs"]
+        return stats["pairs"]
+
+    def q_graph_pagerank():
+        """PageRank (5 BSP rounds, d=0.85) over the doc graph (heap-parent
+        + functional link edge, 2N-1 edges, cycles, varied in-degree) —
+        the iterative-link-analysis stress. Guard: total rank mass must
+        stay 1 to 1e-6 (a dropped dangling term or lost node shows up as
+        mass leakage)."""
+        from case_uco_ontology_map_spark.operators.graphstats import pagerank
+
+        ids = spark.range(0, n_docs)
+        tree = ids.filter(F.col("id") > 0).select(
+            F.col("id").alias("src"), F.expr("(id - 1) DIV 2").alias("dst")
+        )
+        link = ids.select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") * 7 + 3, F.lit(n_docs)).alias("dst"),
+        )
+        ranks = pagerank(tree.unionByName(link), iterations=5)
+        mass = ranks.agg(F.sum("rank")).collect()[0][0]
+        if abs(mass - 1.0) > 1e-6:
+            raise RuntimeError(f"pagerank mass leaked: sum(rank)={mass}")
+        return mass
+
     # ---- ANN serving path at bench scale (stress stages) ---------------
     # sf0.1 ships 2k dim-64 embeddings; amplify ×EMB_AMPLIFY (default 512
     # → 1.02M vectors) the same way the corpus is amplified: deterministic
@@ -572,6 +627,8 @@ def bench_queries(spark, sf_dir: str):
         "canonicalize": q_canonicalize,
         "canonicalize_hot": q_canonicalize_hot,
         "canonicalize_incr": q_canonicalize_incr,
+        "graph_closure": q_graph_closure,
+        "graph_pagerank": q_graph_pagerank,
         "ann_index_build": q_ann_index_build,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
