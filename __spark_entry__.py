@@ -481,6 +481,61 @@ def _oracle_graph_pagerank() -> str:
     )
 
 
+def q_canonical_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-canonicalization graph rewrite (operators/triples.
+    rewrite_canonical): the doc link graph's node IRIs are rewritten
+    through a canonical assignment (here the arithmetic block-of-4
+    representative, standing in for canonicalize_entities' output so the
+    oracle replays the assignment exactly), aliases merge, literals are
+    untouched, and the distinct collapses now-identical assertions. The
+    mapping broadcasts (one row per non-canonical alias); the only
+    shuffle is the final distinct."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        rewrite_canonical,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    trip = edges.select(
+        F.concat(F.lit("doc:"), F.col("src")).alias("subj"),
+        F.lit("kb:linksTo").alias("pred"),
+        F.concat(F.lit("doc:"), F.col("dst")).alias("obj"),
+    )
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    mapping = docs.select(
+        F.concat(F.lit("doc:"), F.col("d")).alias("from_iri"),
+        F.concat(F.lit("doc:"), F.col("d") - F.pmod(F.col("d"), F.lit(4)))
+        .alias("to_iri"),
+    )
+    return rewrite_canonical(trip, mapping).orderBy("subj", "pred", "obj")
+
+
+def _oracle_canonical_rewrite() -> str:
+    return f"""
+WITH e AS ({_DOC_GRAPH_SQL}),
+t AS (
+  SELECT 'doc:' || CAST(src AS VARCHAR) AS subj,
+         'kb:linksTo' AS pred,
+         'doc:' || CAST(dst AS VARCHAR) AS obj
+  FROM e
+),
+map AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS from_iri,
+         'doc:' || CAST(doc_id - (doc_id % 4) AS VARCHAR) AS to_iri
+  FROM documents
+  WHERE doc_id % 4 <> 0
+)
+SELECT DISTINCT COALESCE(ms.to_iri, t.subj) AS subj,
+       t.pred,
+       COALESCE(mo.to_iri, t.obj) AS obj
+FROM t
+LEFT JOIN map ms ON t.subj = ms.from_iri
+LEFT JOIN map mo ON t.obj = mo.from_iri
+ORDER BY subj, pred, obj
+"""
+
+
 #: OPTIONAL/FILTER BGP over the emitted KG: every non-URLFacet facet of
 #: every record, with its hash where one exists (only ContentDataFacet
 #: carries uco-observable:hash — the OPTIONAL comes back NULL for the
@@ -2739,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
+        "canonical_rewrite": q_canonical_rewrite,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -2803,6 +2859,7 @@ def oracle_sql() -> dict[str, str]:
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),
         "graph_pagerank": _oracle_graph_pagerank(),
+        "canonical_rewrite": _oracle_canonical_rewrite(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

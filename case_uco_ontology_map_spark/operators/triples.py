@@ -279,3 +279,57 @@ def plan_manifest(
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def rewrite_canonical(
+    triples: DataFrame,
+    mapping: DataFrame,
+    from_col: str = "from_iri",
+    to_col: str = "to_iri",
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    obj_is_iri_col: "str | None" = None,
+    broadcast: bool = True,
+    distinct: bool = True,
+) -> DataFrame:
+    """Rewrite the triple graph through an entity-canonicalization
+    assignment — the KG-construction step AFTER canonicalize_entities:
+    every subject (and object, guarded by ``obj_is_iri_col`` when the
+    schema distinguishes literals) whose IRI appears in ``mapping`` is
+    replaced by its canonical IRI, merging the duplicate nodes into one;
+    ``distinct=True`` then collapses the now-identical triples (RDF graphs
+    are sets — two aliases asserting the same fact become one assertion).
+
+    Scale shape: the mapping is one row per NON-canonical alias — tiny
+    relative to the triple table (dup fraction × entities) — so both
+    rewrite joins broadcast by default and the only shuffle is the final
+    distinct (skip it via ``distinct=False`` when a downstream aggregate
+    dedups anyway). Identity rows are dropped from the mapping up front
+    so the broadcast carries only real rewrites. Literals are never
+    touched: without ``obj_is_iri_col`` the object join still only
+    rewrites exact IRI matches; with it, even a literal that collides
+    textually with an alias IRI is left alone.
+    """
+    m = (
+        mapping.select(
+            F.col(from_col).alias("_from"), F.col(to_col).alias("_to")
+        )
+        .filter(F.col("_from") != F.col("_to"))
+        .distinct()
+    )
+    ms = F.broadcast(m) if broadcast else m
+    out = (
+        triples.join(ms, triples[subj_col] == ms["_from"], "left")
+        .withColumn(subj_col, F.coalesce("_to", subj_col))
+        .drop("_from", "_to")
+    )
+    mo = F.broadcast(m) if broadcast else m
+    out = out.join(mo, out[obj_col] == mo["_from"], "left")
+    if obj_is_iri_col is not None:
+        new_obj = F.when(
+            F.col(obj_is_iri_col) & F.col("_to").isNotNull(), F.col("_to")
+        ).otherwise(F.col(obj_col))
+    else:
+        new_obj = F.coalesce("_to", F.col(obj_col))
+    out = out.withColumn(obj_col, new_obj).drop("_from", "_to")
+    return out.distinct() if distinct else out

@@ -540,3 +540,69 @@ class TestClassifierScore:
         w = [10, -3]
         assert on["score_milli"] == 2 * w[md5_60("a") % 2]
         assert off["score_milli"] == w[md5_60("A") % 2] + w[md5_60("a") % 2]
+
+
+class TestRewriteCanonical:
+    def test_rewrite_merges_and_collapses(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            rewrite_canonical,
+        )
+
+        trip = spark.createDataFrame(
+            [
+                ("kb:a1", "kb:linksTo", "kb:b", True),
+                ("kb:a2", "kb:linksTo", "kb:b", True),   # alias of a1
+                ("kb:b", "kb:linksTo", "kb:a2", True),
+                ("kb:a1", "kb:label", "kb:a2", False),   # literal that
+                # textually collides with an alias IRI: must NOT rewrite
+                ("kb:c", "kb:label", "plain", False),
+            ],
+            "subj string, pred string, obj string, obj_is_iri boolean",
+        )
+        mapping = spark.createDataFrame(
+            [("kb:a2", "kb:a1"), ("kb:c", "kb:c")],  # identity row dropped
+            "from_iri string, to_iri string",
+        )
+        out = rewrite_canonical(
+            trip, mapping, obj_is_iri_col="obj_is_iri"
+        )
+        rows = {tuple(r) for r in out.collect()}
+        assert rows == {
+            ("kb:a1", "kb:linksTo", "kb:b", True),   # two aliases -> one
+            ("kb:b", "kb:linksTo", "kb:a1", True),   # object rewritten
+            ("kb:a1", "kb:label", "kb:a2", False),   # literal untouched
+            ("kb:c", "kb:label", "plain", False),
+        }
+
+    def test_rewrite_without_iri_guard_rewrites_matching_objects(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            rewrite_canonical,
+        )
+
+        trip = spark.createDataFrame(
+            [("s", "p", "x"), ("x", "p", "y")], "subj string, pred string, obj string"
+        )
+        mapping = spark.createDataFrame(
+            [("x", "z")], "from_iri string, to_iri string"
+        )
+        rows = {
+            tuple(r)
+            for r in rewrite_canonical(trip, mapping).collect()
+        }
+        assert rows == {("s", "p", "z"), ("z", "p", "y")}
+
+    def test_rewrite_distinct_false_keeps_bag(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            rewrite_canonical,
+        )
+
+        trip = spark.createDataFrame(
+            [("a", "p", "o"), ("b", "p", "o")],
+            "subj string, pred string, obj string",
+        )
+        mapping = spark.createDataFrame(
+            [("b", "a")], "from_iri string, to_iri string"
+        )
+        out = rewrite_canonical(trip, mapping, distinct=False)
+        assert out.count() == 2
+        assert rewrite_canonical(trip, mapping).count() == 1
