@@ -698,6 +698,78 @@ def _oracle_classifier_filter() -> str:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.cap_per_key): at most
+    10 docs per source, priority = md5_60 hash gate of doc_id (a
+    deterministic reservoir — same kept set on any cluster/partitioning/
+    engine), ROW_NUMBER replayed in DuckDB over the identical gate."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.sampling import cap_per_key
+
+    return (
+        cap_per_key(
+            _docs(spark, sf_dir).select("doc_id", "source"),
+            ["source"],
+            10,
+            hash_key_col="doc_id",
+            salt="cap",
+            hash_mode="md5_60",
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+def _oracle_domain_cap() -> str:
+    from case_uco_ontology_map_spark.operators.sampling import SAMPLE_MOD
+
+    gate = (
+        _MD5_60.format(x="(doc_id::VARCHAR || chr(31) || 'cap')")
+        + f" % {SAMPLE_MOD}"
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {gate}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY source, doc_id
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/packing.chunk_documents):
+    128-token windows, 16-token overlap (stride 112), chunk text =
+    space-rejoined token slice — zero-shuffle per-row expressions; DuckDB
+    replays tokenize → window starts → list_slice exactly."""
+    from case_uco_ontology_map_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=128, overlap=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _oracle_doc_chunks() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+st AS (
+  SELECT doc_id, tk, len(tk) AS sz,
+         unnest(range(0, len(tk), 112)) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(s // 112 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(tk, s + 1, s + 128), ' ') AS chunk_text,
+       CAST(LEAST(128, sz - s) AS BIGINT) AS n_chunk_tokens
+FROM st ORDER BY doc_id, chunk_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from case_uco_ontology_map_spark.operators.textstats import lang_scores
 
@@ -2801,6 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
+        "domain_cap": q_domain_cap,
+        "doc_chunks": q_doc_chunks,
         "doc_fingerprints": q_doc_fingerprints,
         "repetition": q_repetition,
         # dedup
@@ -2865,6 +2939,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _oracle_token_counts(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
+        "domain_cap": _oracle_domain_cap(),
+        "doc_chunks": _oracle_doc_chunks(),
         "doc_fingerprints": _oracle_doc_fingerprints(),
         "repetition": _oracle_repetition(),
         "exact_dedup": _oracle_exact_dedup(),

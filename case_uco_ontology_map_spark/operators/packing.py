@@ -91,3 +91,58 @@ def pack_stats(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum(token_col).cast("long").alias("pack_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into fixed-size token-window chunks with
+    optional overlap — the context-window prep step between curation and
+    packing: ``(id, chunk_id, chunk_text, n_chunk_tokens)``, one row per
+    window of ``max_tokens`` whitespace tokens starting every
+    ``max_tokens - overlap`` tokens. Chunk text is the token slice
+    re-joined with single spaces (token-space chunking: original
+    whitespace is not preserved — by design, the SAME normalization the
+    packer and token counters see). Zero-token docs emit no chunks.
+
+    Scale shape: pure per-row expressions — tokenize once, a ``sequence``
+    of window starts, a ``transform`` slice per start, one ``posexplode``.
+    No shuffle, no Python; output rows ≈ input tokens / stride.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    from .textstats import tokens_col
+
+    step = max_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    sz = F.size(toks)
+    starts = F.when(
+        sz > 0, F.sequence(F.lit(0), sz - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_tk"),
+        sz.alias("_sz"),
+        starts.alias("_starts"),
+    )
+    return base.select(
+        id_col,
+        F.posexplode("_starts").alias("chunk_id", "_s"),
+        F.col("_tk"),
+        F.col("_sz"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice(F.col("_tk"), F.col("_s") + 1, max_tokens)
+        ).alias("chunk_text"),
+        F.least(F.lit(max_tokens), F.col("_sz") - F.col("_s"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )

@@ -129,3 +129,48 @@ def split_columns(
         lo, hi = hi, hi + int(frac * SAMPLE_MOD)
         expr = F.when((gate >= lo) & (gate < hi), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: "list[str]",
+    n: int,
+    order_cols: "list | None" = None,
+    hash_key_col: "str | None" = None,
+    salt: str = "",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-key cap — at most ``n`` rows per key group (the
+    per-domain document cap every web-corpus curation runs so flood
+    domains can't dominate the mix). Priority is an explicit total order
+    (``order_cols``) or, when omitted, the hash gate of ``hash_key_col``
+    (+``salt``) with the key itself as tie-break — i.e. a deterministic
+    reservoir: same (key, salt, n) keeps the same rows on any cluster,
+    partitioning, or engine, like every sampler in this module.
+
+    Scale shape: one shuffle on the key (window ROW_NUMBER ≤ n). A flood
+    domain routes to a single reducer — that is inherent to exact per-key
+    rank selection; when cap ≪ domain size, pre-thin with
+    ``deterministic_sample`` on the SAME gate (the kept top-n by gate
+    survives any gate-prefix prefilter that retains ≥ n rows per key) and
+    verify with a per-key count. AQE cannot skew-split windows.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if order_cols is None:
+        if hash_key_col is None:
+            raise ValueError("pass order_cols or hash_key_col")
+        order = [
+            _gate(F.col(hash_key_col), salt, hash_mode).asc(),
+            F.col(hash_key_col).asc(),
+        ]
+    else:
+        order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -402,3 +402,84 @@ def test_stratified_sample_rates(spark):
     rows = out.groupBy("s").agg(F.count("*").alias("n")).collect()
     got = {r.s: r.n for r in rows}
     assert got == {"a": 1500}  # full stratum kept, default-0 stratum dropped
+
+
+class TestCapPerKey:
+    def test_cap_explicit_order(self, spark):
+        from case_uco_ontology_map_spark.operators.sampling import cap_per_key
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(5)] + [("b", 9)],
+            "k string, v long",
+        )
+        out = cap_per_key(df, ["k"], 2, order_cols=["v"])
+        got = sorted((r.k, r.v) for r in out.collect())
+        assert got == [("a", 0), ("a", 1), ("b", 9)]
+
+    def test_cap_hash_order_deterministic_and_partition_invariant(self, spark):
+        from case_uco_ontology_map_spark.operators.sampling import cap_per_key
+
+        df = spark.createDataFrame(
+            [(f"k{i % 3}", i) for i in range(30)], "k string, id long"
+        )
+        a = sorted(
+            (r.k, r.id)
+            for r in cap_per_key(
+                df, ["k"], 4, hash_key_col="id", salt="s"
+            ).collect()
+        )
+        b = sorted(
+            (r.k, r.id)
+            for r in cap_per_key(
+                df.repartition(7), ["k"], 4, hash_key_col="id", salt="s"
+            ).collect()
+        )
+        assert a == b
+        assert len(a) == 12 and len({k for k, _ in a}) == 3
+
+    def test_cap_validates(self, spark):
+        import pytest as _pt
+
+        from case_uco_ontology_map_spark.operators.sampling import cap_per_key
+
+        df = spark.createDataFrame([("a", 1)], "k string, v long")
+        with _pt.raises(ValueError):
+            cap_per_key(df, ["k"], 0, order_cols=["v"])
+        with _pt.raises(ValueError):
+            cap_per_key(df, ["k"], 1)
+
+
+class TestChunkDocuments:
+    def test_chunks_with_overlap(self, spark):
+        from case_uco_ontology_map_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, ""), (3, "only")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, max_tokens=4, overlap=1)
+        rows = {
+            (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+            for r in out.collect()
+        }
+        # stride 3: starts 0, 3, 6
+        assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+        assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)
+        assert rows[(1, 2)] == ("t6", 1)
+        assert rows[(3, 0)] == ("only", 1)
+        assert (2, 0) not in rows and len(rows) == 4
+
+    def test_chunk_validates(self, spark):
+        import pytest as _pt
+
+        from case_uco_ontology_map_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            chunk_documents(df, max_tokens=0)
+        with _pt.raises(ValueError):
+            chunk_documents(df, max_tokens=4, overlap=4)
