@@ -481,6 +481,64 @@ def _oracle_graph_pagerank() -> str:
     )
 
 
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-candidate co-occurrence edges (operators/graphstats.
+    cooccurrence_edges) driven by a term stream (tokens ≥ 3 chars): per-doc distinct sorted terms capped at 8 (the
+    flood-doc guard, set BELOW real doc term counts so the cap semantics
+    are themselves hash-verified), pair expansion inside one row's array
+    (no self-join), corpus-wide pair counts ≥ 2. DuckDB replays
+    tokenize → distinct → ROW_NUMBER cap → self-join → HAVING."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        cooccurrence_edges,
+    )
+    from case_uco_ontology_map_spark.operators.textstats import tokens_col
+
+    terms = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id"),
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+    )
+    return (
+        cooccurrence_edges(
+            terms,
+            doc_col="doc_id",
+            entity_col="term",
+            min_count=2,
+            max_per_doc=8,
+        )
+        .orderBy("a", "b")
+    )
+
+
+def _oracle_cooccurrence() -> str:
+    return """
+WITH terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS t(term)
+  WHERE length(t.term) >= 3
+),
+capped AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+        FROM terms)
+  WHERE rn <= 8
+)
+SELECT x.term AS a, y.term AS b, CAST(count(*) AS BIGINT) AS n_docs
+FROM capped x JOIN capped y
+  ON x.doc_id = y.doc_id AND x.term < y.term
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY a, b
+"""
+
+
 def q_canonical_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-canonicalization graph rewrite (operators/triples.
     rewrite_canonical): the doc link graph's node IRIs are rewritten
@@ -2867,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
         "canonical_rewrite": q_canonical_rewrite,
+        "cooccurrence": q_cooccurrence,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -2934,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree": _oracle_graph_degree(),
         "graph_pagerank": _oracle_graph_pagerank(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
+        "cooccurrence": _oracle_cooccurrence(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

@@ -196,3 +196,72 @@ def pagerank_sql(
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iterations}"
     )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    doc_col: str = "url",
+    entity_col: str = "surface",
+    min_count: int = 1,
+    max_per_doc: int = None,
+    observation=None,
+) -> DataFrame:
+    """Relationship-candidate generation: an undirected co-occurrence
+    edge ``(a, b, n_docs)`` for every pair of entities appearing in the
+    same document (``a < b`` canonical orientation), counted across the
+    corpus and thresholded at ``min_count`` — the step between mention
+    detection and relationship emission in a KG build.
+
+    Scale shape: distinct → one groupBy(doc) collecting the SORTED
+    distinct entity list, pair expansion as a JVM higher-order
+    transform×slice flatten (no self-join — the quadratic blowup stays
+    inside one row's array, never crosses a shuffle), then one
+    map-side-combined pair count. A flood document (10k entities → 50M
+    pairs) is the hazard, so ``max_per_doc`` caps each doc's list (first
+    N in sorted order — deterministic) and, with an ``observation``
+    (``dedup.drop_observation``), reports (dropped docs, dropped
+    entities) as dropped_buckets/dropped_members — the same no-silent-cap
+    posture as every bucketed pair generator in this repo.
+    """
+    per_doc = (
+        df.select(F.col(doc_col).alias("_doc"), F.col(entity_col).alias("_e"))
+        .distinct()
+        .groupBy("_doc")
+        .agg(F.sort_array(F.collect_set("_e")).alias("_ents"))
+    )
+    if max_per_doc is not None:
+        if max_per_doc < 2:
+            raise ValueError("max_per_doc must be >= 2 (pairs need two)")
+        sz = F.size("_ents")
+        if observation is not None:
+            per_doc = per_doc.observe(
+                observation,
+                F.coalesce(
+                    F.sum(F.when(sz > max_per_doc, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(sz > max_per_doc, sz - max_per_doc)),
+                    F.lit(0),
+                ).alias("dropped_members"),
+            )
+        per_doc = per_doc.withColumn(
+            "_ents", F.slice("_ents", 1, max_per_doc)
+        )
+    ents = F.col("_ents")
+    pairs = F.flatten(
+        F.transform(
+            ents,
+            lambda x, i: F.transform(
+                F.slice(ents, i + F.lit(2), F.size(ents)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        per_doc.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_count)
+    )

@@ -89,3 +89,71 @@ def test_pagerank_uniform_on_cycle(spark):
 def test_pagerank_zero_iterations_is_uniform(edges):
     ranks = [r["rank"] for r in pagerank(edges, iterations=0).collect()]
     assert all(r == pytest.approx(1.0 / 6, abs=1e-12) for r in ranks)
+
+
+class TestCooccurrence:
+    def test_pairs_counts_and_threshold(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            cooccurrence_edges,
+        )
+
+        rows = [
+            ("d1", "apple"), ("d1", "banana"), ("d1", "cherry"),
+            ("d2", "apple"), ("d2", "banana"),
+            ("d3", "banana"), ("d3", "apple"),
+            ("d3", "apple"),  # duplicate mention: distinct-per-doc
+            ("d4", "solo"),
+        ]
+        df = spark.createDataFrame(rows, "url string, surface string")
+        got = {
+            (r.a, r.b): r.n_docs
+            for r in cooccurrence_edges(df).collect()
+        }
+        assert got == {
+            ("apple", "banana"): 3,
+            ("apple", "cherry"): 1,
+            ("banana", "cherry"): 1,
+        }
+        thr = {
+            (r.a, r.b)
+            for r in cooccurrence_edges(df, min_count=2).collect()
+        }
+        assert thr == {("apple", "banana")}
+
+    def test_cap_with_drop_accounting(self, spark):
+        from case_uco_ontology_map_spark.operators.dedup import (
+            drop_metrics,
+            drop_observation,
+        )
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            cooccurrence_edges,
+        )
+
+        rows = [("d1", f"e{i:02d}") for i in range(10)] + [
+            ("d2", "e00"), ("d2", "e01")
+        ]
+        df = spark.createDataFrame(rows, "url string, surface string")
+        obs = drop_observation()
+        out = cooccurrence_edges(
+            df, max_per_doc=3, observation=obs
+        )
+        got = {(r.a, r.b): r.n_docs for r in out.collect()}
+        # d1 capped to its first 3 sorted entities e00,e01,e02 -> 3 pairs
+        assert got == {
+            ("e00", "e01"): 2,
+            ("e00", "e02"): 1,
+            ("e01", "e02"): 1,
+        }
+        m = drop_metrics(obs)
+        assert m == {"dropped_buckets": 1, "dropped_members": 7}
+
+    def test_cap_validates(self, spark):
+        import pytest as _pt
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            cooccurrence_edges,
+        )
+
+        df = spark.createDataFrame([("d", "e")], "url string, surface string")
+        with _pt.raises(ValueError):
+            cooccurrence_edges(df, max_per_doc=1)
