@@ -481,6 +481,47 @@ def _oracle_graph_pagerank() -> str:
     )
 
 
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural same-as candidate mining (operators/graphstats.
+    neighbor_jaccard): node pairs of the doc graph sharing ≥ 2 undirected
+    neighbors, with exact integer common/degree counts and an IEEE-exact
+    jaccard (int/int double division is correctly rounded — bit-identical
+    across engines, no rounding fudge). Pair generation rides
+    cooccurrence_edges (in-row expansion); DuckDB replays adjacency →
+    self-join → HAVING → degree joins."""
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        neighbor_jaccard,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return neighbor_jaccard(edges, min_common=2).orderBy("a", "b")
+
+
+def _oracle_neighbor_jaccard() -> str:
+    return f"""
+WITH e AS ({_DOC_GRAPH_SQL}),
+und AS (
+  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+  UNION
+  SELECT dst AS u, src AS v FROM e WHERE src <> dst
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+pr AS (
+  SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS common
+  FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT pr.a, pr.b, pr.common, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(pr.common AS DOUBLE)
+       / CAST(da.deg + db.deg - pr.common AS DOUBLE) AS jaccard
+FROM pr
+JOIN deg da ON pr.a = da.node
+JOIN deg db ON pr.b = db.node
+ORDER BY a, b
+"""
+
+
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-candidate co-occurrence edges (operators/graphstats.
     cooccurrence_edges) driven by a term stream (tokens ≥ 3 chars): per-doc distinct sorted terms capped at 8 (the
@@ -2926,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
+        "neighbor_jaccard": q_neighbor_jaccard,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -2994,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _oracle_graph_pagerank(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
+        "neighbor_jaccard": _oracle_neighbor_jaccard(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

@@ -265,3 +265,68 @@ def cooccurrence_edges(
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_count)
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_neighbors: int = None,
+    observation=None,
+) -> DataFrame:
+    """Structural link prediction / same-as candidate mining: for every
+    node pair sharing ≥ ``min_common`` neighbors in the UNDIRECTED graph,
+    emit ``(a, b, common, deg_a, deg_b, jaccard)`` with
+    ``jaccard = common / (deg_a + deg_b - common)`` — the neighborhood
+    overlap score canonicalization reviewers use to propose merges the
+    text-similarity pass missed.
+
+    Exactness: common/deg are exact integers and IEEE-754 double division
+    is correctly rounded, so ``jaccard`` is bit-identical on any engine —
+    no rounding fudge needed for the DuckDB oracle.
+
+    Scale shape: pair generation is ``cooccurrence_edges`` over the
+    (center → neighbor) adjacency — the hub-node quadratic blowup stays
+    inside one row's sorted array, capped by ``max_neighbors`` with
+    observed drops (a 10k-degree hub would otherwise emit 50M candidate
+    pairs). Degrees come from one map-side-combined count joined twice;
+    both joins broadcast when the degree frame is small, AQE otherwise.
+    """
+    und = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col("_u") != F.col("_v"))
+    )
+    adj = und.unionByName(
+        und.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).distinct()
+    # adj: (center _u, neighbor _v); degree(x) = #rows with center = x
+    deg = adj.groupBy(F.col("_u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    pairs = cooccurrence_edges(
+        adj,
+        doc_col="_u",
+        entity_col="_v",
+        min_count=min_common,
+        max_per_doc=max_neighbors,
+        observation=observation,
+    ).withColumnRenamed("n_docs", "common")
+    return (
+        pairs.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), on="a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), on="b")
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -157,3 +157,44 @@ class TestCooccurrence:
         df = spark.createDataFrame([("d", "e")], "url string, surface string")
         with _pt.raises(ValueError):
             cooccurrence_edges(df, max_per_doc=1)
+
+
+class TestNeighborJaccard:
+    def test_hand_computed(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            neighbor_jaccard,
+        )
+
+        # square a-b-c-d-a plus diagonal hub e linked to a,b,c
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+            ("e", "a"), ("e", "b"), ("e", "c"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard)
+            for r in neighbor_jaccard(df).collect()
+        }
+        # a and c share neighbors {b, d, e}: deg(a)=3 (b,d,e), deg(c)=3
+        assert got[("a", "c")] == (3, 3, 3, 1.0)
+        # b and d share {a, c}; deg(b)=3 (a,c,e), deg(d)=2 (a,c)
+        assert got[("b", "d")] == (2, 3, 2, 2 / 3)
+        # a and b share {e}: jaccard 1/5
+        assert got[("a", "b")] == (1, 3, 3, 1 / 5)
+
+    def test_min_common_and_direction_blind(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            neighbor_jaccard,
+        )
+
+        # same graph, arrows flipped: undirected metric must not change
+        edges = [("b", "a"), ("c", "b"), ("d", "c"), ("a", "d"),
+                 ("a", "e"), ("b", "e"), ("c", "e")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r.a, r.b)
+            for r in neighbor_jaccard(df, min_common=2).collect()
+        }
+        # common-neighbor sets: (a,c)->{b,d,e}, (b,d)->{a,c},
+        # (b,e)->{a,c}, (d,e)->{a,c}; every other pair shares <= 1
+        assert got == {("a", "c"), ("b", "d"), ("b", "e"), ("d", "e")}
