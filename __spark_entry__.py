@@ -522,6 +522,50 @@ ORDER BY a, b
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle census + local clustering coefficient over the doc
+    graph (operators/graphstats.triangle_stats): wedge expansion stays
+    in-row (transform×slice flatten), one shuffled equi-join probes wedges
+    against the (a<b) edge set, and the coefficient is one IEEE-exact
+    double division of exact integers. DuckDB replays adjacency → wedge
+    self-join → edge probe → degree join."""
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        triangle_stats,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return triangle_stats(edges).orderBy("node")
+
+
+def _oracle_graph_triangles() -> str:
+    return f"""
+WITH e AS ({_DOC_GRAPH_SQL}),
+und AS (
+  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+  UNION
+  SELECT dst AS u, src AS v FROM e WHERE src <> dst
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+ue AS (SELECT u AS a, v AS b FROM und WHERE u < v),
+tri AS (
+  SELECT x.u AS node, CAST(count(*) AS BIGINT) AS triangles
+  FROM und x
+  JOIN und y ON x.u = y.u AND x.v < y.v
+  JOIN ue ON x.v = ue.a AND y.v = ue.b
+  GROUP BY 1
+)
+SELECT deg.node, deg.deg,
+       COALESCE(tri.triangles, CAST(0 AS BIGINT)) AS triangles,
+       CASE WHEN deg.deg < 2 THEN 0.0
+            ELSE CAST(2 * COALESCE(tri.triangles, 0) AS DOUBLE)
+                 / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+       END AS clustering
+FROM deg LEFT JOIN tri ON deg.node = tri.node
+ORDER BY deg.node
+"""
+
+
 def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relationship-candidate co-occurrence edges (operators/graphstats.
     cooccurrence_edges) driven by a term stream (tokens ≥ 3 chars): per-doc distinct sorted terms capped at 8 (the
@@ -2968,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "graph_triangles": q_graph_triangles,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -3037,6 +3082,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),
+        "graph_triangles": _oracle_graph_triangles(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

@@ -267,6 +267,105 @@ def cooccurrence_edges(
     )
 
 
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_neighbors: int = None,
+    observation=None,
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    UNDIRECTED simple graph: ``(node, deg, triangles, clustering)`` with
+    ``clustering = 2·T / (deg·(deg−1))`` (0.0 when deg < 2) — the
+    community-density census a KG consumer runs to find tightly-knit
+    entity clusters (and the input to "is this merge candidate embedded
+    in a clique" review heuristics).
+
+    Exactness: deg and T are exact integers; the coefficient is one
+    correctly-rounded IEEE double division of exact ints, so it is
+    bit-identical on any engine — no rounding fudge for the oracle.
+
+    Scale shape: the wedge expansion (all neighbor pairs per center)
+    rides the same in-row transform×slice flatten as
+    ``cooccurrence_edges`` — a hub's quadratic blowup never crosses a
+    shuffle and is capped by ``max_neighbors`` with observed drops
+    (degrees stay UNCAPPED — the cap bounds wedge candidates only, so a
+    capped run undercounts triangles but never misstates degree).
+    Wedges then semi-count against the (a<b) edge set in ONE shuffled
+    equi-join on the pair key; per-center counts are map-side combined.
+    """
+    und = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .filter(F.col("_u") != F.col("_v"))
+    )
+    adj = und.unionByName(
+        und.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).distinct()
+    deg = adj.groupBy(F.col("_u").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    # undirected edge set in canonical a<b orientation for the wedge probe
+    ue = adj.filter(F.col("_u") < F.col("_v")).select(
+        F.col("_u").alias("a"), F.col("_v").alias("b")
+    )
+    per_center = adj.groupBy("_u").agg(
+        F.sort_array(F.collect_set("_v")).alias("_nb")
+    )
+    if max_neighbors is not None:
+        if max_neighbors < 2:
+            raise ValueError("max_neighbors must be >= 2 (wedges need two)")
+        sz = F.size("_nb")
+        if observation is not None:
+            per_center = per_center.observe(
+                observation,
+                F.coalesce(
+                    F.sum(F.when(sz > max_neighbors, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("dropped_buckets"),
+                F.coalesce(
+                    F.sum(F.when(sz > max_neighbors, sz - max_neighbors)),
+                    F.lit(0),
+                ).alias("dropped_members"),
+            )
+        per_center = per_center.withColumn(
+            "_nb", F.slice("_nb", 1, max_neighbors)
+        )
+    nb = F.col("_nb")
+    wedges = F.flatten(
+        F.transform(
+            nb,
+            lambda x, i: F.transform(
+                F.slice(nb, i + F.lit(2), F.size(nb)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    tri = (
+        per_center.select(
+            F.col("_u").alias("node"), F.explode(wedges).alias("_w")
+        )
+        .select("node", F.col("_w.a").alias("a"), F.col("_w.b").alias("b"))
+        .join(ue, on=["a", "b"])
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(tri, on="node", how="left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                (F.lit(2) * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            )
+            .alias("clustering"),
+        )
+    )
+
+
 def neighbor_jaccard(
     edges: DataFrame,
     src: str = "src",

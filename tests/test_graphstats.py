@@ -159,6 +159,88 @@ class TestCooccurrence:
             cooccurrence_edges(df, max_per_doc=1)
 
 
+class TestTriangleStats:
+    def test_hand_computed(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            triangle_stats,
+        )
+
+        # square a-b-c-d-a plus hub e linked to a,b,c:
+        # triangles {a,b,e} and {b,c,e}
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+            ("e", "a"), ("e", "b"), ("e", "c"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: (r.deg, r.triangles, r.clustering)
+            for r in triangle_stats(df).collect()
+        }
+        assert got == {
+            "a": (3, 1, 1 / 3),
+            "b": (3, 2, 2 / 3),
+            "c": (3, 1, 1 / 3),
+            "d": (2, 0, 0.0),
+            "e": (3, 2, 2 / 3),
+        }
+        # global triangle count: sum of per-node counts / 3
+        assert sum(t for _, t, _ in got.values()) == 3 * 2
+
+    def test_direction_and_duplicate_blind(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            triangle_stats,
+        )
+
+        # same triangle given as duplicated, flipped, self-looped edges:
+        # undirected simple-graph semantics must dedupe all of it
+        edges = [
+            ("x", "y"), ("y", "x"), ("y", "z"), ("z", "x"),
+            ("x", "x"), ("y", "z"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: (r.deg, r.triangles, r.clustering)
+            for r in triangle_stats(df).collect()
+        }
+        assert got == {
+            "x": (2, 1, 1.0), "y": (2, 1, 1.0), "z": (2, 1, 1.0)
+        }
+
+    def test_cap_bounds_wedges_not_degree(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            triangle_stats,
+        )
+        from pyspark.sql import Observation
+
+        # star hub h with 6 leaves, leaves l0-l1 and l2-l3 connected:
+        # uncapped T(h)=2; cap=2 keeps only the first wedge (l0,l1)
+        edges = [("h", f"l{i}") for i in range(6)]
+        edges += [("l0", "l1"), ("l2", "l3")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        obs = Observation("drops")
+        got = {
+            r.node: (r.deg, r.triangles)
+            for r in triangle_stats(
+                df, max_neighbors=2, observation=obs
+            ).collect()
+        }
+        # degree of h stays the true 6 even though wedges were capped
+        assert got["h"] == (6, 1)
+        assert obs.get["dropped_buckets"] == 1
+        assert obs.get["dropped_members"] == 4
+
+    def test_cap_too_small_raises(self, spark):
+        import pytest as _pt
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            triangle_stats,
+        )
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with _pt.raises(ValueError):
+            triangle_stats(df, max_neighbors=1)
+
+
 class TestNeighborJaccard:
     def test_hand_computed(self, spark):
         from case_uco_ontology_map_spark.operators.graphstats import (
