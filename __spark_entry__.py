@@ -279,6 +279,56 @@ def _oracle_triples_structural() -> str:
     )
 
 
+def q_nt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples export of the full structural emission (operators/render.
+    ntriples_lines over the surrogate-id triple frame `triples_structural`
+    already hash-verifies): CURIE → absolute-IRI expansion through the
+    emitter prefix table, ECHAR literal escaping, ^^<datatype> tags — all
+    pure JVM string expressions, zero shuffle. DuckDB replays the same
+    string assembly with a prefix VALUES table + replace chain."""
+    from case_uco_ontology_map_spark.operators.render import ntriples_lines
+
+    return ntriples_lines(q_triples_structural(spark, sf_dir)).orderBy(
+        "line"
+    )
+
+
+def _oracle_nt_lines() -> str:
+    # expand(x): prefix lookup on the first ':' segment, passthrough when
+    # unknown; esc(x): ECHAR replace chain, backslash first
+    def expand(x: str) -> str:
+        return (
+            f"COALESCE((SELECT ns FROM pfx WHERE p = split_part({x}, ':', 1))"
+            f" || substr({x}, length(split_part({x}, ':', 1)) + 2), {x})"
+        )
+
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+pfx(p, ns) AS (VALUES
+  ('kb', 'http://example.org/kb/'),
+  ('rdf', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#'),
+  ('uco-core', 'https://ontology.unifiedcyberontology.org/uco/core/'),
+  ('uco-observable',
+   'https://ontology.unifiedcyberontology.org/uco/observable/'),
+  ('dfc-ext', 'https://www.w3.org/dfc-ext/'),
+  ('xsd', 'http://www.w3.org/2001/XMLSchema#'))
+SELECT '<' || {expand('subj')} || '> <' || {expand('pred')} || '> '
+       || CASE WHEN obj_is_iri THEN '<' || {expand('obj')} || '>'
+               ELSE '"' || {esc} || '"'
+                    || CASE WHEN obj_datatype IS NOT NULL
+                            THEN '^^<' || {expand('obj_datatype')} || '>'
+                            ELSE '' END
+          END
+       || ' .' AS line
+FROM t ORDER BY line
+"""
+
+
 def q_graph_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop SPARQL-style traversal over the emitted KG — the query a
     CASE/UCO consumer actually runs: ``?record uco-core:hasFacet ?facet .
@@ -3013,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
         "graph_triangles": q_graph_triangles,
+        "nt_lines": q_nt_lines,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -3083,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),
         "graph_triangles": _oracle_graph_triangles(),
+        "nt_lines": _oracle_nt_lines(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

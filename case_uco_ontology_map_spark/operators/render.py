@@ -102,3 +102,87 @@ def render_graph_document(
         for r in jsonld_nodes(triples).orderBy("subj").collect()
     ]
     return {"@context": dict(context or DEFAULT_CONTEXT), "@graph": nodes}
+
+
+# N-Triples prefix table: the JSON-LD context plus the uco-* prefix
+# spellings the emitter actually uses in triple rows (graph.py emits
+# "uco-core:hasFacet" / "uco-observable:URL"; the context names the same
+# namespaces "core" / "observable" — both spellings expand identically).
+NT_PREFIXES: Dict[str, str] = {
+    **DEFAULT_CONTEXT,
+    **{
+        f"uco-{k}": v
+        for k, v in DEFAULT_CONTEXT.items()
+        if v.startswith("https://ontology.unifiedcyberontology.org/uco/")
+    },
+}
+
+
+def _nt_escape(col: F.Column) -> F.Column:
+    """N-Triples string-literal escaping (W3C N-Triples §2.3 ECHAR set):
+    backslash first, then quote, LF, CR, TAB — each a literal two-char
+    escape sequence. Pure JVM replace chain."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return out
+
+
+def ntriples_lines(
+    triples: DataFrame,
+    prefixes: Optional[Dict[str, str]] = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: str = "obj_is_iri",
+    obj_datatype_col: str = "obj_datatype",
+) -> DataFrame:
+    """Triples table → one N-Triples line per row (``line: string``) — the
+    line-oriented W3C interchange format every web-scale RDF consumer
+    (and LOD dump) speaks, and the natural 100 TB export shape: unlike
+    Turtle/JSON-LD a row serializes independently of every other row, so
+    the sink is a narrow zero-shuffle projection writable straight to
+    text files (one shard per partition, cat-able into one dump).
+
+    CURIEs expand through ``prefixes`` (default: the JSON-LD context +
+    uco-* emitter spellings); unknown prefixes — including already-
+    absolute IRIs — pass through verbatim. Literals get the W3C ECHAR
+    escapes and an optional ``^^<datatype IRI>`` tag. All pure JVM string
+    expressions (whole-stage codegen; no UDF, no shuffle).
+    """
+    pfx = dict(prefixes or NT_PREFIXES)
+    pairs = []
+    for k, v in sorted(pfx.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    pfx_map = F.create_map(*pairs)
+
+    def expand(c: F.Column) -> F.Column:
+        prefix = F.substring_index(c, ":", 1)
+        ns = F.element_at(pfx_map, prefix)
+        local = F.substring(c, F.length(prefix) + F.lit(2), F.lit(2**30))
+        return F.coalesce(F.concat(ns, local), c)
+
+    s = F.col(subj_col)
+    p = F.col(pred_col)
+    o = F.col(obj_col)
+    dt = F.col(obj_datatype_col)
+    iri_obj = F.concat(F.lit("<"), expand(o), F.lit(">"))
+    lit_obj = F.concat(
+        F.lit('"'),
+        _nt_escape(o),
+        F.lit('"'),
+        F.when(
+            dt.isNotNull(),
+            F.concat(F.lit("^^<"), expand(dt), F.lit(">")),
+        ).otherwise(F.lit("")),
+    )
+    line = F.concat(
+        F.lit("<"), expand(s), F.lit("> "),
+        F.lit("<"), expand(p), F.lit("> "),
+        F.when(F.col(obj_is_iri_col), iri_obj).otherwise(lit_obj),
+        F.lit(" ."),
+    )
+    return triples.select(line.alias("line"))

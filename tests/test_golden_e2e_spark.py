@@ -263,3 +263,40 @@ def test_mention_detection_golden_rows(spark):
         ("doc:2", None, "hash", "Hash", 2),
         ("doc:3", None, "hash", "Hash", 2),
     ]
+
+
+def test_ntriples_lines(spark):
+    """N-Triples sink: CURIE expansion through the emitter prefix table,
+    W3C ECHAR literal escaping, datatype tags, absolute-IRI and
+    unknown-prefix passthrough — one line per triple row."""
+    from case_uco_ontology_map_spark.operators.render import ntriples_lines
+
+    rows = [
+        ("kb:url-1", "rdf:type", "uco-observable:URL", True, None),
+        ("kb:url-1", "uco-observable:fullValue",
+         'he said "hi"\\there\n\tend', False, None),
+        ("kb:url-1", "uco-observable:sizeInBytes", "42", False,
+         "xsd:integer"),
+        ("kb:url-1", "rdfs:seeAlso", "https://example.com/x", True, None),
+        ("mystery:z", "rdf:type", "mystery:T", True, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string",
+    )
+    lines = [r.line for r in ntriples_lines(df).collect()]
+    KB = "http://example.org/kb/"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    OBS = "https://ontology.unifiedcyberontology.org/uco/observable/"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    assert lines[0] == f"<{KB}url-1> <{RDF}type> <{OBS}URL> ."
+    assert lines[1] == (
+        f'<{KB}url-1> <{OBS}fullValue> '
+        '"he said \\"hi\\"\\\\there\\n\\tend" .'
+    )
+    assert lines[2] == f'<{KB}url-1> <{OBS}sizeInBytes> "42"^^<{XSD}integer> .'
+    # absolute IRI objects and unknown prefixes pass through verbatim
+    assert lines[3] == f"<{KB}url-1> <{RDFS}seeAlso> <https://example.com/x> ."
+    assert lines[4] == "<mystery:z> <{}type> <mystery:T> .".format(RDF)
