@@ -2310,6 +2310,57 @@ SELECT doc_id, {case} AS split FROM gated ORDER BY doc_id
 """
 
 
+_MIX_WEIGHTS = {"web": 0.9, "books": 0.3}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted training-mix assembly
+    (operators/sampling.mix_corpora): two disjoint sources carved from
+    documents (even doc_id → 'web' kept at 0.9, odd → 'books' kept at
+    0.3), each hash-gated with the source name folded into the salt so
+    the draws are independent; md5_60 mode so DuckDB replays both gates
+    bit-exactly. Reproducible on any cluster/partitioning — the property
+    a re-materialized ablation mix needs."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.sampling import mix_corpora
+
+    docs = _docs(spark, sf_dir)
+    web = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    books = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return mix_corpora(
+        [
+            ("web", web, _MIX_WEIGHTS["web"]),
+            ("books", books, _MIX_WEIGHTS["books"]),
+        ],
+        "doc_id",
+        salt="mix",
+        hash_mode="md5_60",
+    ).orderBy("doc_id")
+
+
+def _oracle_corpus_mix() -> str:
+    from case_uco_ontology_map_spark.operators.sampling import SAMPLE_MOD
+
+    arms = []
+    for parity, name in ((0, "web"), (1, "books")):
+        gate = (
+            _MD5_60.format(
+                x=f"(doc_id::VARCHAR || chr(31) || 'mix' || chr(31) || '{name}')"
+            )
+            + f" % {SAMPLE_MOD}"
+        )
+        thr = int(_MIX_WEIGHTS[name] * SAMPLE_MOD)
+        arms.append(
+            f"SELECT doc_id, '{name}' AS source FROM documents "
+            f"WHERE doc_id % 2 = {parity} AND {gate} < {thr}"
+        )
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(arms) +
+        "\n) ORDER BY doc_id"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum reproducible sampling
     (operators/sampling.stratified_sample): event_type → keep fraction,
@@ -3099,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "range_join_sessions": q_range_join_sessions,
         "hash_split": q_hash_split,
+        "corpus_mix": q_corpus_mix,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "url_normalize": q_url_normalize,
@@ -3166,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _oracle_asof_attribution(),
         "range_join_sessions": _oracle_range_join_sessions(),
         "hash_split": _oracle_hash_split(),
+        "corpus_mix": _oracle_corpus_mix(),
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
         "url_normalize": _oracle_url_normalize(),
