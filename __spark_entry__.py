@@ -1467,6 +1467,86 @@ ORDER BY a_id, b_id
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup removal chain a web corpus actually runs,
+    end-to-end under one oracle: MinHash-LSH candidate pairs (≥0.5
+    verified Jaccard, md5_60 mode) → connected components (alternating
+    star contraction) → per-cluster canonical representative (min doc_id)
+    and cluster size → a keep/drop verdict per document. Singleton docs
+    are their own cluster. DuckDB replays the full minhash chain as a
+    derived table, closes it with a recursive CTE, and re-derives the
+    same keep flags."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from case_uco_ontology_map_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.5, hash_mode="md5_60"
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comp = connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster"),
+        )
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        assigned.join(sizes, on="cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    # the full minhash-pair oracle runs as a derived table (its own WITH
+    # is legal inside a subquery), then a recursive min-reachable closure
+    pair_q = _oracle_minhash_lsh_pairs()
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT a_id, b_id FROM ({pair_q}) z),
+sym AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+  UNION SELECT a_id, a_id FROM pairs
+  UNION SELECT b_id, b_id FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assigned GROUP BY 1
+)
+SELECT a.doc_id, a.cluster, s.cluster_size,
+       a.doc_id = a.cluster AS keep
+FROM assigned a JOIN sizes s ON a.cluster = s.cluster
+ORDER BY a.doc_id
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming ≤ 3 via pigeonhole band join),
     md5_60 hash mode (60-bit simhash, 4×15-bit bands) so the DuckDB oracle
@@ -3133,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         # similarity
         "embedding_topk": q_embedding_topk,
@@ -3203,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _oracle_decontaminate(),
         "pii_scrub": _oracle_pii_scrub(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),
         "ivf_topk": _oracle_ivf_topk(),
