@@ -825,6 +825,27 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction (operators/textstats.tfidf_top_terms):
+    top-10 terms per source with exact (tf, df) integers and a reported
+    tf-idf double. Ranking is the exact integer dominance order
+    (tf DESC, df ASC, term) so the selected set is engine-stable even
+    where float scores are mathematically tied."""
+    from case_uco_ontology_map_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "source", k=10).orderBy(
+        "source", "rank"
+    )
+
+
+def _oracle_tfidf_terms() -> str:
+    from case_uco_ontology_map_spark.operators.textstats import tfidf_sql
+
+    return tfidf_sql("source", k=10) + " ORDER BY source, rank"
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -3199,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
         "token_counts": q_token_counts,
+        "tfidf_terms": q_tfidf_terms,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
         "domain_cap": q_domain_cap,
@@ -3271,6 +3293,7 @@ def oracle_sql() -> dict[str, str]:
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),
+        "tfidf_terms": _oracle_tfidf_terms(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
         "domain_cap": _oracle_domain_cap(),

@@ -331,3 +331,108 @@ SELECT d.{id_col},
         >= {thr} * COALESCE(sc.n, 0)) AS keep
 FROM {table} d LEFT JOIN scored sc ON d.{id_col} = sc.{id_col}
 """
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = 10,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Per-group keyword extraction: the top-``k`` terms of every group
+    (domain/source/language slice) with exact corpus statistics and a
+    tf-idf score — ``(group, term, tf, df, tfidf, rank)`` where ``tf`` is
+    the term's occurrence count inside the group, ``df`` the number of
+    DISTINCT documents corpus-wide containing it, and
+    ``tfidf = tf · ln(N_docs / df)``.
+
+    Determinism: ranking uses the EXACT integer dominance order
+    ``(tf DESC, df ASC, term ASC)`` — the order tf·ln(N/df) induces on
+    comparable pairs — never the float score, so the selected top-k SET
+    is bit-stable across engines (mathematically-tied scores like
+    2·ln(10) vs ln(100) round differently per libm; an exact-key rank
+    cannot flip). The float is reported, not ranked on, and hashes fine
+    at the driver's 6-sig-digit normalization.
+
+    Scale shape: one explode (lowercased whitespace tokens ≥
+    ``min_token_len`` chars) feeds two map-side-combined aggregations —
+    (group, term) occurrence counts and per-term distinct-doc counts (a
+    two-level agg, doc-distinct first, so no count-distinct shuffle
+    explosion) — joined on term (AQE; the df side is |vocab| rows), then
+    ONE window per group for the top-k. Term strings cross the shuffle
+    once per distinct (group, term) / (term, doc), not per occurrence.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(doc_col).alias("_doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"),
+                lambda t: F.length(t) >= min_token_len,
+            )
+        ).alias("term"),
+    )
+    n_docs = df.select(F.col(doc_col)).distinct().count()
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select("term", "_doc")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(dfreq, on="term").select(
+        F.col("grp").alias(group_col),
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_sql(
+    group_col: str,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k: int = 10,
+    min_token_len: int = 3,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of ``tfidf_top_terms`` over ``table``."""
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS grp, {doc_col} AS _doc, t.term
+  FROM {table},
+       unnest(list_filter(regexp_split_to_array(lower({text_col}), '\\s+'),
+                          x -> length(x) >= {min_token_len})) AS t(term)
+),
+tf AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT term, _doc FROM toks) GROUP BY 1),
+nd AS (SELECT CAST(count(DISTINCT {doc_col}) AS DOUBLE) AS n FROM {table}),
+scored AS (
+  SELECT tf.grp AS {group_col}, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * ln((SELECT n FROM nd) / CAST(dfreq.df AS DOUBLE)) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.grp
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+         AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+)
+SELECT * FROM scored WHERE rank <= {k}
+"""

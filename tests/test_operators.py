@@ -606,3 +606,52 @@ class TestRewriteCanonical:
         out = rewrite_canonical(trip, mapping, distinct=False)
         assert out.count() == 2
         assert rewrite_canonical(trip, mapping).count() == 1
+
+
+class TestTfidfTopTerms:
+    def test_hand_computed(self, spark):
+        import math
+
+        from case_uco_ontology_map_spark.operators.textstats import (
+            tfidf_top_terms,
+        )
+
+        rows = [
+            (0, "apple apple banana", "fruit"),
+            (1, "apple cherry", "fruit"),
+            (2, "stone stone stone", "rock"),
+            (3, "apple stone", "rock"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {
+            (r.source, r.term): (r.tf, r.df, r.tfidf, r.rank)
+            for r in tfidf_top_terms(df, "source", k=2).collect()
+        }
+        # fruit: apple tf=3 df=3; banana tf=1 df=1; cherry tf=1 df=1 —
+        # top-2 = apple then banana (df tie → term asc)
+        assert got[("fruit", "apple")] == (3, 3, 3 * math.log(4 / 3), 1)
+        assert got[("fruit", "banana")] == (1, 1, math.log(4.0), 2)
+        assert ("fruit", "cherry") not in got
+        # rock: stone tf=4 (3 in doc 2 + 1 in doc 3) df=2 rank 1;
+        # apple tf=1 df=3 rank 2
+        assert got[("rock", "stone")] == (4, 2, 4 * math.log(2.0), 1)
+        assert got[("rock", "apple")] == (1, 3, math.log(4 / 3), 2)
+
+    def test_min_token_len_and_k_guard(self, spark):
+        import pytest as _pt
+
+        from case_uco_ontology_map_spark.operators.textstats import (
+            tfidf_top_terms,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "aa bbb", "s")], "doc_id long, text string, source string"
+        )
+        terms = {
+            r.term for r in tfidf_top_terms(df, "source", k=5).collect()
+        }
+        assert terms == {"bbb"}  # 2-char token dropped
+        with _pt.raises(ValueError):
+            tfidf_top_terms(df, "source", k=0)
