@@ -776,6 +776,53 @@ def _oracle_bgp_optional() -> str:
     )
 
 
+_BGP_AGG_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?f"),
+    ("?f", "rdf:type", "?t"),
+]
+_BGP_AGG_AGGS = [
+    ("count(*)", "n_facets"),
+    ("count(DISTINCT rec)", "n_records"),
+]
+
+
+def q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregate over a BGP (operators/graphquery.bgp_aggregate):
+    facet census by type — GROUP BY the facet-type binding with portable
+    count(*) / count(DISTINCT rec) aggregate strings evaluated identically
+    by Catalyst and DuckDB; one map-side-combined aggregation over the
+    binding frame."""
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_aggregate,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_aggregate(
+        t,
+        _BGP_AGG_PATTERNS,
+        group_by=["t"],
+        aggs=_BGP_AGG_AGGS,
+        having=["n_facets >= 1"],
+    ).orderBy("t")
+
+
+def _oracle_bgp_aggregate() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_aggregate_sql,
+    )
+
+    inner = bgp_aggregate_sql(
+        _BGP_AGG_PATTERNS,
+        group_by=["t"],
+        aggs=_BGP_AGG_AGGS,
+        having=["n_facets >= 1"],
+    )
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) z ORDER BY t"
+    )
+
+
 def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triple emission incl. uuid5 IRIs (not SQL-expressible: uuid5 is
     SHA-1-based and DuckDB has no sha1) — rows-only driver check; exact
@@ -3208,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_traverse": q_graph_traverse,
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
+        "bgp_aggregate": q_bgp_aggregate,
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
@@ -3282,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_traverse": _oracle_graph_traverse(),
         "bgp_match": _oracle_bgp_match(),
         "bgp_optional": _oracle_bgp_optional(),
+        "bgp_aggregate": _oracle_bgp_aggregate(),
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),
         "graph_pagerank": _oracle_graph_pagerank(),

@@ -475,3 +475,88 @@ reach(src, dst, hops) AS (
 SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
 FROM reach GROUP BY src, dst
 """
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    group_by: Sequence[str],
+    aggs: Sequence["tuple[str, str]"],
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
+    having: Sequence[str] = (),
+    allow_cartesian: bool = False,
+    path_max_hops: Optional[int] = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL ``SELECT ?g (COUNT(...) AS n) ... GROUP BY ?g`` over a BGP:
+    the binding frame from ``bgp_query`` grouped by ``group_by`` variables
+    with portable aggregate expressions — ``aggs`` is
+    ``[(expr, alias), ...]`` where each expr is an ANSI aggregate over
+    binding columns (``"count(*)"``, ``"count(DISTINCT rec)"``,
+    ``"min(v)"``) that runs verbatim under Catalyst (``F.expr``) and in
+    the DuckDB oracle via ``bgp_aggregate_sql``. ``having``: portable
+    boolean expressions over the aggregate aliases.
+
+    Scale: the BGP join tree is unchanged (equi-joins, AQE); the GROUP BY
+    adds one map-side-combined aggregation on the grouping variables —
+    the standard "facet census by type" KG rollup runs as one extra
+    exchange over the binding frame, never a window.
+    """
+    if not group_by:
+        raise ValueError("group_by needs at least one binding variable")
+    if not aggs:
+        raise ValueError("aggs needs at least one (expr, alias) pair")
+    b = bgp_query(
+        triples,
+        patterns,
+        select=None,
+        optional=optional,
+        filters=filters,
+        allow_cartesian=allow_cartesian,
+        path_max_hops=path_max_hops,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+    out = b.groupBy(*[F.col(v) for v in group_by]).agg(
+        *[F.expr(e).alias(a) for e, a in aggs]
+    )
+    for h in having:
+        out = out.filter(F.expr(h))
+    return out
+
+
+def bgp_aggregate_sql(
+    patterns: Sequence[Pattern],
+    group_by: Sequence[str],
+    aggs: Sequence["tuple[str, str]"],
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
+    having: Sequence[str] = (),
+    table: str = "g",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """ANSI replay of ``bgp_aggregate``: the ``bgp_sql`` binding query as
+    a derived table wrapped in GROUP BY / HAVING. Same restrictions as
+    ``bgp_sql`` (no property paths; OPTIONAL scoping rules)."""
+    inner = bgp_sql(
+        patterns,
+        select=None,
+        optional=optional,
+        filters=filters,
+        table=table,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+    gb = ", ".join(group_by)
+    proj = ", ".join([gb] + [f"{e} AS {a}" for e, a in aggs])
+    sql = f"SELECT {proj} FROM ({inner}) b GROUP BY {gb}"
+    if having:
+        sql += " HAVING " + " AND ".join(f"({h})" for h in having)
+    return sql

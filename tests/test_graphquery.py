@@ -313,3 +313,71 @@ def test_random_bgp_matches_duckdb(triples):
     ]
     sel = ["rec", "facet", "p", "v"]
     _compare(bgp_query(triples, patterns, select=sel), patterns, sel)
+
+
+class TestBgpAggregate:
+    def test_facet_census(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_aggregate,
+            bgp_aggregate_sql,
+        )
+
+        patterns = [
+            ("?rec", "uco-core:hasFacet", "?f"),
+            ("?f", "rdf:type", "?t"),
+        ]
+        aggs = [("count(*)", "n_facets"), ("count(DISTINCT rec)", "n_records")]
+        got = {
+            (r.t, r.n_facets, r.n_records)
+            for r in bgp_aggregate(
+                triples, patterns, group_by=["t"], aggs=aggs
+            ).collect()
+        }
+        # f1 (rec1) + f3 (rec2) are ContentDataFacets; f2 (rec1) URLFacet
+        assert got == {
+            ("uco-observable:ContentDataFacet", 2, 2),
+            ("uco-observable:URLFacet", 1, 1),
+        }
+        # the SQL replay returns the identical rows
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_aggregate_sql(patterns, group_by=["t"], aggs=aggs)
+        want = {
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_having_filters_groups(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_aggregate,
+        )
+
+        patterns = [
+            ("?rec", "uco-core:hasFacet", "?f"),
+            ("?f", "rdf:type", "?t"),
+        ]
+        out = bgp_aggregate(
+            triples,
+            patterns,
+            group_by=["t"],
+            aggs=[("count(*)", "n")],
+            having=["n >= 2"],
+        ).collect()
+        assert [(r.t, r.n) for r in out] == [
+            ("uco-observable:ContentDataFacet", 2)
+        ]
+
+    def test_empty_args_raise(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_aggregate,
+        )
+
+        with pytest.raises(ValueError):
+            bgp_aggregate(triples, [("?a", "?p", "?b")], [], [("count(*)", "n")])
+        with pytest.raises(ValueError):
+            bgp_aggregate(triples, [("?a", "?p", "?b")], ["a"], [])
