@@ -776,6 +776,62 @@ def _oracle_bgp_optional() -> str:
     )
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (operators/negatives.negative_samples): every hasFacet edge of the
+    structural graph gets k=2 hash-ring object corruptions drawn from the
+    bucketed entity pool (broadcast representative map, lazy global-min
+    fallback), anti-joined against the true edge set. md5_60 mode; DuckDB
+    replays pool bucketing, probe arithmetic, fallback chain, and the
+    NOT EXISTS filter."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.negatives import (
+        negative_samples,
+    )
+
+    t = q_triples_structural(spark, sf_dir).filter(
+        F.col("pred") == "uco-core:hasFacet"
+    )
+    return negative_samples(
+        t, k=2, buckets=1024, salt="neg", hash_mode="md5_60"
+    ).orderBy("subj", "i", "obj")
+
+
+def _oracle_kg_negatives() -> str:
+    h = _MD5_60
+    probe = h.format(
+        x="(subj || chr(31) || pred || chr(31) || obj || chr(31) "
+        "|| i::VARCHAR || chr(31) || 'neg')"
+    )
+    node_b = h.format(x="node")
+    return f"""
+WITH t0 AS ({_oracle_triples_structural()}),
+t AS (SELECT subj, pred, obj FROM t0 WHERE pred = 'uco-core:hasFacet'),
+pool AS (SELECT subj AS node FROM t UNION SELECT obj FROM t),
+rep AS (SELECT {node_b} % 1024 AS bucket, MIN(node) AS rep
+        FROM pool GROUP BY 1),
+gmin AS (SELECT MIN(node) AS gmin FROM pool),
+probes AS (
+  SELECT subj, pred, obj, i, {probe} % 1024 AS p
+  FROM t CROSS JOIN range(1, 3) r(i)
+),
+drawn AS (
+  SELECT p.subj, p.pred, p.obj, p.i,
+         COALESCE(r1.rep, r2.rep, (SELECT gmin FROM gmin)) AS neg_obj
+  FROM probes p
+  LEFT JOIN rep r1 ON p.p = r1.bucket
+  LEFT JOIN rep r2 ON (p.p + 1) % 1024 = r2.bucket
+)
+SELECT d.subj, d.pred, d.obj, d.i, d.neg_obj FROM drawn d
+WHERE d.neg_obj <> d.obj
+  AND NOT EXISTS (SELECT 1 FROM t
+                  WHERE t.subj = d.subj AND t.pred = d.pred
+                    AND t.obj = d.neg_obj)
+ORDER BY subj, i, obj
+"""
+
+
 _BGP_AGG_PATTERNS = [
     ("?rec", "uco-core:hasFacet", "?f"),
     ("?f", "rdf:type", "?t"),
@@ -3256,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "bgp_aggregate": q_bgp_aggregate,
+        "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
@@ -3331,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_match": _oracle_bgp_match(),
         "bgp_optional": _oracle_bgp_optional(),
         "bgp_aggregate": _oracle_bgp_aggregate(),
+        "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),
         "graph_pagerank": _oracle_graph_pagerank(),

@@ -1,0 +1,70 @@
+"""Negative sampling for KG-embedding training: determinism, pool
+membership, accidental-positive filtering, IRI gating."""
+
+import pytest
+
+from case_uco_ontology_map_spark.operators.negatives import negative_samples
+
+TRIPLES = [
+    ("e1", "likes", "e2", True),
+    ("e2", "likes", "e3", True),
+    ("e3", "likes", "e1", True),
+    ("e1", "knows", "e4", True),
+    ("e4", "name", "Bob", False),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+
+
+def test_structural_properties(spark, triples):
+    out = negative_samples(
+        triples, k=3, buckets=8, salt="s", obj_is_iri_col="obj_is_iri"
+    ).collect()
+    true_edges = {(s, p, o) for s, p, o, iri in TRIPLES if iri}
+    pool = {x for s, p, o, iri in TRIPLES if iri for x in (s, o)}
+    assert out, "draw chain produced no negatives at all"
+    per_triple = {}
+    for r in out:
+        # corrupted object is a real entity, not the original, and the
+        # corrupted triple is not a true edge
+        assert r.neg_obj in pool
+        assert r.neg_obj != r.obj
+        assert (r.subj, r.pred, r.neg_obj) not in true_edges
+        assert 1 <= r.i <= 3
+        per_triple.setdefault((r.subj, r.pred, r.obj), set()).add(r.i)
+    # at most k negatives per positive, keyed by distinct draw index
+    assert all(len(v) <= 3 for v in per_triple.values())
+    # the literal-object row was never corrupted
+    assert ("e4", "name", "Bob") not in per_triple
+
+
+def test_deterministic_and_salt_sensitive(spark, triples):
+    a = set(map(tuple, negative_samples(
+        triples, k=2, buckets=8, salt="x", obj_is_iri_col="obj_is_iri"
+    ).collect()))
+    b = set(map(tuple, negative_samples(
+        triples, k=2, buckets=8, salt="x", obj_is_iri_col="obj_is_iri"
+    ).collect()))
+    assert a == b  # bit-identical re-materialization
+    c = set(map(tuple, negative_samples(
+        triples, k=2, buckets=8, salt="y", obj_is_iri_col="obj_is_iri"
+    ).collect()))
+    assert a != c  # independent draw under a different salt
+
+
+def test_md5_60_mode_and_guards(spark, triples):
+    out = negative_samples(
+        triples, k=1, buckets=4, hash_mode="md5_60",
+        obj_is_iri_col="obj_is_iri",
+    ).collect()
+    for r in out:
+        assert r.neg_obj != r.obj
+    with pytest.raises(ValueError):
+        negative_samples(triples, k=0)
+    with pytest.raises(ValueError):
+        negative_samples(triples, buckets=1)
