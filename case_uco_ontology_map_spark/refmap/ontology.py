@@ -292,6 +292,17 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                     dt_m = re.search(r"sh:datatype\s+(\S+)", block)
                     cls_m = re.search(r"sh:class\s+(\S+)", block)
                     nk_m = re.search(r"sh:nodeKind\s+sh:(\w+)", block)
+                    # sh:hasValue — required-member constraint: a quoted
+                    # literal (optionally ^^typed; we keep the lexical
+                    # form, matching the emitted obj column) or an IRI
+                    # term kept as its CURIE (e.g. rdf:nil). Only
+                    # top-level property blocks reach here; sh:or-nested
+                    # hasValue alternatives stay out of scope (COVERAGE.md)
+                    hv_m = re.search(
+                        r'sh:hasValue\s+(?:"((?:[^"\\]|\\.)*)"(?:\^\^\S+)?'
+                        r"|([^\s;\]]+))",
+                        block,
+                    )
                     shape[prop_local] = {
                         "datatype": dt_m.group(1).rstrip(";") if dt_m else None,
                         "class": (
@@ -301,6 +312,11 @@ def compile_dictionary(ttl_dir: str = DEFAULT_TTL_DIR) -> Dict[str, Any]:
                         "maxCount": _first_int(block, "sh:maxCount"),
                         "nodeKind": nk_m.group(1) if nk_m else None,
                         "isObjectProp": bool(cls_m) or (nk_m and nk_m.group(1) == "IRI"),
+                        "hasValue": (
+                            hv_m.group(1)
+                            if hv_m and hv_m.group(1) is not None
+                            else (hv_m.group(2) if hv_m else None)
+                        ),
                     }
                     # inline anonymous sh:in (e.g. core:objectStatus's
                     # closed Draft/Final/Deprecated list — no sh:severity

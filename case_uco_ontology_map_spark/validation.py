@@ -158,6 +158,45 @@ def check_min_count(triples: DataFrame, dictionary: Dict[str, Any]) -> DataFrame
     )
 
 
+def check_has_value(
+    triples: DataFrame, dictionary: Dict[str, Any]
+) -> DataFrame:
+    """SHACL sh:hasValue scoped by the subject's class: every subject
+    typed C must carry at least one assertion of the constrained property
+    whose object EQUALS the required value (e.g. every
+    observable:Observation needs core:name = "observe"; the four marking
+    classes need their fixed definitionType strings). Literal required
+    values compare against the emitted lexical form; IRI values (kept as
+    CURIEs by the compiler, e.g. rdf:nil) compare against IRI objects the
+    same way. typed-subjects ⨝ broadcast(shape rows), one anti-join
+    against matching assertions — same scale shape as check_min_count."""
+    rows = _shape_rows(dictionary, "hasValue")
+    if not rows:
+        return triples.limit(0).select(
+            "subj", F.lit("").alias("prop"), F.lit("").alias("required")
+        )
+    spark = triples.sparkSession
+    required = spark.createDataFrame(
+        rows, "cls string, prop string, required string"
+    )
+    expected = _subject_types(triples).join(F.broadcast(required), "cls")
+    hits = triples.select(
+        F.col("subj").alias("o_subj"),
+        _local(F.col("pred")).alias("o_prop"),
+        F.col("obj").alias("o_obj"),
+    )
+    return (
+        expected.join(
+            hits,
+            (expected["t_subj"] == hits["o_subj"])
+            & (expected["prop"] == hits["o_prop"])
+            & (expected["required"] == hits["o_obj"]),
+            "left_anti",
+        )
+        .select(F.col("t_subj").alias("subj"), "prop", "required")
+    )
+
+
 def check_node_kind(
     triples: DataFrame, dictionary: Dict[str, Any], strict: bool = False
 ) -> DataFrame:
@@ -410,6 +449,7 @@ def validate_all(
         out["node_kind"] = check_node_kind(triples, dictionary).count()
         out["object_class"] = check_object_class(triples, dictionary).count()
         out["datatypes"] = check_datatypes(triples, dictionary).count()
+        out["has_value"] = check_has_value(triples, dictionary).count()
         vocab = check_vocabulary(triples, dictionary).cache()
         out["vocabulary"] = vocab.filter(
             F.col("severity") == "Violation"

@@ -531,3 +531,40 @@ def test_object_class_conformance(spark):
     assert v[0]["subj"] == "kb:acct-2"
     assert v[0]["required_class"] == "UcoObject"
     assert v[0]["object_class"] == "ContentDataFacet"
+
+
+def test_has_value_required_member(spark):
+    """sh:hasValue (check_has_value): every observable:Observation must
+    assert core:name = "observe" (uco-observable.ttl Observation shape);
+    a conforming subject passes, a missing or wrong-valued name is
+    flagged, and other classes never match the rule."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    d = load_dictionary()
+    # the compiler extracted the five top-level hasValue slots
+    assert d["shapes"]["Observation"]["name"]["hasValue"] == "observe"
+    assert (
+        d["shapes"]["LicenseMarking"]["definitionType"]["hasValue"]
+        == "license"
+    )
+    rows = [
+        ("kb:o1", "rdf:type", "uco-observable:Observation", True, None, "r"),
+        ("kb:o1", "uco-core:name", "observe", False, None, "r"),
+        ("kb:o2", "rdf:type", "uco-observable:Observation", True, None, "r"),
+        ("kb:o2", "uco-core:name", "watch", False, None, "r"),
+        ("kb:o3", "rdf:type", "uco-observable:Observation", True, None, "r"),
+        # URL subjects are outside the shape's scope entirely
+        ("kb:u1", "rdf:type", "uco-observable:URL", True, None, "r"),
+        ("kb:u1", "uco-core:name", "not-observe", False, None, "r"),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string",
+    )
+    v = {
+        r["subj"]: r["required"]
+        for r in validation.check_has_value(triples, d).collect()
+    }
+    # o2 (wrong value) and o3 (missing) flagged; o1 and the URL pass
+    assert v == {"kb:o2": "observe", "kb:o3": "observe"}
