@@ -1671,6 +1671,51 @@ ORDER BY a.doc_id
 """
 
 
+def q_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality grade (operators/evalmetrics.
+    cluster_pair_metrics): pairwise P/R/F1 of the near-dup clustering
+    (dedup_clusters) against exact-duplicate gold groups (md5(text)).
+    Pair counts come from the contingency identities — three map-side
+    aggregations, exact BIGINTs via shift-halving, one double division
+    per ratio; DuckDB replays the whole thing including the upstream
+    minhash→CC chain."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.evalmetrics import (
+        cluster_pair_metrics,
+    )
+
+    pred = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    gold = _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("cluster")
+    )
+    return cluster_pair_metrics(pred, gold, id_col="doc_id")
+
+
+def _oracle_cluster_metrics() -> str:
+    pairs_fn = "CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT)"
+    return f"""
+WITH pr AS (SELECT doc_id, cluster FROM ({_oracle_dedup_clusters()}) z),
+gold AS (SELECT doc_id, md5(text) AS g FROM documents),
+j AS (SELECT pr.cluster AS p, gold.g FROM pr JOIN gold USING (doc_id)),
+tp AS (SELECT {pairs_fn} AS tp
+       FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM j GROUP BY p, g)),
+tpfp AS (SELECT {pairs_fn} AS tpfp
+         FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM j GROUP BY p)),
+tpfn AS (SELECT {pairs_fn} AS tpfn
+         FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM j GROUP BY g))
+SELECT tp, tpfp - tp AS fp, tpfn - tp AS fn,
+       CASE WHEN tpfp = 0 THEN 1.0
+            ELSE CAST(tp AS DOUBLE) / CAST(tpfp AS DOUBLE) END AS precision,
+       CASE WHEN tpfn = 0 THEN 1.0
+            ELSE CAST(tp AS DOUBLE) / CAST(tpfn AS DOUBLE) END AS recall,
+       CASE WHEN tpfp + tpfn = 0 THEN 1.0
+            ELSE CAST(2 * tp AS DOUBLE) / CAST(tpfp + tpfn AS DOUBLE)
+       END AS f1
+FROM tp CROSS JOIN tpfp CROSS JOIN tpfn
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming ≤ 3 via pigeonhole band join),
     md5_60 hash mode (60-bit simhash, 4×15-bit bands) so the DuckDB oracle
@@ -3341,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_metrics": q_cluster_metrics,
         "simhash_pairs": q_simhash_pairs,
         # similarity
         "embedding_topk": q_embedding_topk,
@@ -3415,6 +3461,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _oracle_pii_scrub(),
         "minhash_lsh_pairs": _oracle_minhash_lsh_pairs(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "cluster_metrics": _oracle_cluster_metrics(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),
         "ivf_topk": _oracle_ivf_topk(),
