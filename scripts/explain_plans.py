@@ -256,9 +256,102 @@ def main():
         pr_plan
     ), "pagerank dangling scalar should ride a broadcast"
 
+    # ---- round-4 session additions -----------------------------------
+    from case_uco_ontology_map_spark.operators.evalmetrics import (
+        cluster_pair_metrics,
+    )
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        neighbor_jaccard,
+        triangle_stats,
+    )
+    from case_uco_ontology_map_spark.operators.negatives import (
+        negative_samples,
+    )
+    from case_uco_ontology_map_spark.operators.render import ntriples_lines
+    from case_uco_ontology_map_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    _no_python = r"ArrowEvalPython|PythonMapInArrow|MapInPandas|BatchEvalPython"
+
+    tri = triangle_stats(graph_edges)
+    tri_plan = plan_of(tri)
+    assert not re.findall(_no_python, tri_plan), (
+        "triangle_stats must not leave the JVM"
+    )
+    assert "Cartesian" not in tri_plan, (
+        "triangle_stats wedge probe must be an equi-join on the pair key"
+    )
+
+    nj = neighbor_jaccard(graph_edges, min_common=2)
+    nj_plan = plan_of(nj)
+    assert not re.findall(_no_python, nj_plan), (
+        "neighbor_jaccard must not leave the JVM"
+    )
+    assert "Cartesian" not in nj_plan
+
+    # N-Triples serialization is a pure projection: ZERO Exchange, zero
+    # joins, no Python — one codegen'd string pipeline per partition
+    nt = ntriples_lines(
+        trip.withColumn("obj_is_iri", F.lit(True)).withColumn(
+            "obj_datatype", F.lit(None).cast("string")
+        )
+    )
+    nt_plan = plan_of(nt)
+    assert "Exchange" not in nt_plan, "ntriples_lines must not shuffle"
+    assert not re.findall(_no_python, nt_plan), (
+        "ntriples_lines must not leave the JVM"
+    )
+
+    negs = negative_samples(
+        trip.unionByName(
+            spark.createDataFrame(
+                [("kb:b", "uco-core:hasFacet", "kb:c")],
+                "subj string, pred string, obj string",
+            )
+        ),
+        k=2,
+        buckets=16,
+    )
+    neg_plan = plan_of(negs)
+    assert not re.findall(_no_python, neg_plan), (
+        "negative_samples must not leave the JVM"
+    )
+    assert "CartesianProduct" not in neg_plan, (
+        "negative_samples global-min fallback must broadcast"
+    )
+    assert neg_plan.count("BroadcastExchange") >= 2, (
+        "negative_samples rep-map probes must ride broadcasts"
+    )
+
+    tfidf = tfidf_top_terms(docs, "source", k=5)
+    tfidf_plan = plan_of(tfidf)
+    assert not re.findall(_no_python, tfidf_plan), (
+        "tfidf_top_terms must not leave the JVM"
+    )
+
+    cpm = cluster_pair_metrics(
+        docs.select("doc_id", F.col("source").alias("cluster")),
+        docs.select("doc_id", F.col("lang").alias("cluster")),
+        id_col="doc_id",
+    )
+    cpm_plan = plan_of(cpm)
+    assert not re.findall(_no_python, cpm_plan), (
+        "cluster_pair_metrics must not leave the JVM"
+    )
+    assert "CartesianProduct" not in cpm_plan, (
+        "cluster_pair_metrics 1-row combiners must broadcast"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
+            "triangle_stats (in-row wedge expansion + one pair-key equi-join)": tri,
+            "neighbor_jaccard (adjacency in-row pairs + two degree joins)": nj,
+            "ntriples_lines (pure projection: zero Exchange)": nt,
+            "negative_samples (broadcast rep-map probes + one anti-join)": negs,
+            "tfidf_top_terms (explode -> two map-side aggs -> one window)": tfidf,
+            "cluster_pair_metrics (contingency counts, no pair enumeration)": cpm,
             "incremental_candidate_edges (all-prior buckets skipped pre-explode)": incr_cands,
             "duplicated_spans (gram explode -> dup filter -> per-doc interval merge)": spans,
             "incremental_exact_dedup (batch window + corpus index probe)": incr_dedup,
