@@ -329,6 +329,44 @@ FROM t ORDER BY line
 """
 
 
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two KG versions (operators/triples.
+    diff_graphs): two deterministic overlapping slices of the structural
+    emission play 'yesterday' vs 'today'; the diff is two anti-joins on
+    the triple key + a union, tagged added/removed. DuckDB replays with
+    NOT EXISTS both ways."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import diff_graphs
+
+    t = q_triples_structural(spark, sf_dir)
+    h = F.substring(F.md5("url"), 1, 1)
+    old = t.filter(h <= "b")
+    new = t.filter(h >= "4")
+    return diff_graphs(old, new).orderBy("change", "subj", "pred", "obj")
+
+
+def _oracle_kg_diff() -> str:
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+o AS (SELECT DISTINCT subj, pred, obj FROM t
+      WHERE substr(md5(url), 1, 1) <= 'b'),
+n AS (SELECT DISTINCT subj, pred, obj FROM t
+      WHERE substr(md5(url), 1, 1) >= '4')
+SELECT * FROM (
+  SELECT n.subj, n.pred, n.obj, 'added' AS change FROM n
+  WHERE NOT EXISTS (SELECT 1 FROM o
+                    WHERE o.subj = n.subj AND o.pred = n.pred
+                      AND o.obj = n.obj)
+  UNION ALL
+  SELECT o.subj, o.pred, o.obj, 'removed' AS change FROM o
+  WHERE NOT EXISTS (SELECT 1 FROM n
+                    WHERE n.subj = o.subj AND n.pred = o.pred
+                      AND n.obj = o.obj)
+) ORDER BY change, subj, pred, obj
+"""
+
+
 def q_graph_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop SPARQL-style traversal over the emitted KG — the query a
     CASE/UCO consumer actually runs: ``?record uco-core:hasFacet ?facet .
@@ -3366,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "graph_triangles": q_graph_triangles,
         "nt_lines": q_nt_lines,
+        "kg_diff": q_kg_diff,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -3443,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_jaccard": _oracle_neighbor_jaccard(),
         "graph_triangles": _oracle_graph_triangles(),
         "nt_lines": _oracle_nt_lines(),
+        "kg_diff": _oracle_kg_diff(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

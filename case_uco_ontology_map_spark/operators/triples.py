@@ -333,3 +333,32 @@ def rewrite_canonical(
         new_obj = F.coalesce("_to", F.col(obj_col))
     out = out.withColumn(obj_col, new_obj).drop("_from", "_to")
     return out.distinct() if distinct else out
+
+
+def diff_graphs(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """Snapshot diff between two triple-graph versions → the rows that
+    changed, tagged ``change ∈ {'added', 'removed'}`` — what a KG
+    consumer audits between pipeline runs (and the minimal update set an
+    incremental downstream index needs). RDF graphs are SETS: rows are
+    compared on ``key_cols`` after DISTINCT, so assertion multiplicity
+    never produces phantom diffs.
+
+    Scale shape: two anti-joins on the key columns (each one shuffle,
+    AQE-managed — at 10^12 triples both sides bucket-partition on the
+    same key so the exchanges co-locate) and a union; no window, no
+    driver state. Output carries only ``key_cols`` + ``change``.
+    """
+    keys = list(key_cols)
+    o = old.select(*keys).distinct()
+    n = new.select(*keys).distinct()
+    added = n.join(o, on=keys, how="left_anti").withColumn(
+        "change", F.lit("added")
+    )
+    removed = o.join(n, on=keys, how="left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)

@@ -655,3 +655,36 @@ class TestTfidfTopTerms:
         assert terms == {"bbb"}  # 2-char token dropped
         with _pt.raises(ValueError):
             tfidf_top_terms(df, "source", k=0)
+
+
+class TestDiffGraphs:
+    def test_added_removed_and_set_semantics(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import diff_graphs
+
+        schema = "subj string, pred string, obj string"
+        old = spark.createDataFrame(
+            [
+                ("a", "p", "1"),
+                ("a", "p", "1"),  # duplicate assertion: set semantics
+                ("b", "p", "2"),
+            ],
+            schema,
+        )
+        new = spark.createDataFrame(
+            [("a", "p", "1"), ("c", "p", "3")], schema
+        )
+        got = {
+            (r.subj, r.pred, r.obj, r.change)
+            for r in diff_graphs(old, new).collect()
+        }
+        assert got == {
+            ("c", "p", "3", "added"),
+            ("b", "p", "2", "removed"),
+        }
+
+    def test_identical_graphs_empty_diff(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import diff_graphs
+
+        schema = "subj string, pred string, obj string"
+        g = spark.createDataFrame([("a", "p", "1")], schema)
+        assert diff_graphs(g, g).count() == 0
