@@ -24,6 +24,7 @@ def test_dictionary_shape_goldens():
     assert mft["mftFileID"] == {
         "datatype": "xsd:integer", "class": None, "minCount": None,
         "maxCount": 1, "nodeKind": "Literal", "isObjectProp": False,
+        "hasValue": None,
     }
     supers = d["classes"]["File"]["superclasses"]
     # closure order: direct parents first, then ancestors
