@@ -329,6 +329,60 @@ FROM t ORDER BY line
 """
 
 
+def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE / concise-bounded-description export
+    (operators/graphquery.describe_nodes): a deterministic seed subset of
+    record nodes pulls its full record+facet subgraph at hops=1 — one
+    frontier equi-join per hop, cycle-safe, min-hop per triple. DuckDB
+    replays both hops and the MIN(hop) collapse."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        describe_nodes,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    seeds = (
+        t.filter(
+            (F.col("pred") == "rdf:type")
+            & (F.col("obj") == "uco-observable:URL")
+            & (F.substring(F.md5("url"), 1, 1) <= "3")
+        )
+        .select(F.col("subj").alias("node"))
+        .distinct()
+    )
+    return describe_nodes(t, seeds, hops=1).orderBy(
+        "seed", "subj", "pred", "obj"
+    )
+
+
+def _oracle_kg_describe() -> str:
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+seeds AS (
+  SELECT DISTINCT subj AS seed FROM t
+  WHERE pred = 'rdf:type' AND obj = 'uco-observable:URL'
+    AND substr(md5(url), 1, 1) <= '3'
+),
+hop0 AS (
+  SELECT s.seed, t.subj, t.pred, t.obj, t.obj_is_iri, 0 AS hop
+  FROM seeds s JOIN t ON t.subj = s.seed
+),
+f1 AS (
+  SELECT DISTINCT seed, obj AS n FROM hop0
+  WHERE obj_is_iri AND obj <> seed
+),
+hop1 AS (
+  SELECT f1.seed, t.subj, t.pred, t.obj, t.obj_is_iri, 1 AS hop
+  FROM f1 JOIN t ON t.subj = f1.n
+)
+SELECT seed, subj, pred, obj, obj_is_iri, MIN(hop) AS hop
+FROM (SELECT * FROM hop0 UNION ALL SELECT * FROM hop1)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY seed, subj, pred, obj
+"""
+
+
 def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two KG versions (operators/triples.
     diff_graphs): two deterministic overlapping slices of the structural
@@ -3405,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "nt_lines": q_nt_lines,
         "kg_diff": q_kg_diff,
+        "kg_describe": q_kg_describe,
         "fenced_json_extract": q_fenced_json_extract,
         # text analysis
         "doc_quality_counts": q_doc_quality_counts,
@@ -3483,6 +3538,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _oracle_graph_triangles(),
         "nt_lines": _oracle_nt_lines(),
         "kg_diff": _oracle_kg_diff(),
+        "kg_describe": _oracle_kg_describe(),
         "fenced_json_extract": _oracle_fenced_json_extract(),
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),

@@ -560,3 +560,74 @@ def bgp_aggregate_sql(
     if having:
         sql += " HAVING " + " AND ".join(f"({h})" for h in having)
     return sql
+
+
+def describe_nodes(
+    triples: DataFrame,
+    seeds: DataFrame,
+    hops: int = 1,
+    seed_col: str = "node",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: Optional[str] = "obj_is_iri",
+) -> DataFrame:
+    """SPARQL DESCRIBE / concise-bounded-description export: every triple
+    whose subject is reachable from a seed node in ≤ ``hops`` forward
+    steps (seed triples = hop 0; each IRI object opens the next hop).
+    The standard "give me this record's subgraph" query — a CASE record
+    plus its facets at ``hops=1``, plus facet-referenced objects at 2.
+    Output: the triple columns + ``seed`` (which seed pulled the row in)
+    + ``hop``; a triple reachable from one seed at several depths
+    reports the MINIMUM hop (deterministic).
+
+    Scale shape: a bounded semi-naive expansion — each hop is ONE
+    equi-join of the (seed, frontier-node) frame against the triple
+    table's subject (both shuffle on the node key; the frontier is tiny
+    next to the graph and broadcasts under AQE), then the next frontier
+    is the hop's distinct IRI objects anti-joined against visited nodes
+    so cycles terminate early. ``hops`` is a hard bound; plan depth is
+    O(hops) with no checkpoint needed at typical describe depths (≤ 3).
+    """
+    if hops < 0:
+        raise ValueError("hops must be >= 0")
+    t = triples.select(
+        F.col(subj_col).alias("_s"),
+        F.col(pred_col).alias("_p"),
+        F.col(obj_col).alias("_o"),
+        (
+            F.col(obj_is_iri_col)
+            if obj_is_iri_col is not None
+            else F.lit(True)
+        ).alias("_iri"),
+    )
+    frontier = seeds.select(
+        F.col(seed_col).alias("seed"), F.col(seed_col).alias("_n")
+    ).distinct()
+    visited = frontier
+    out = None
+    for hop in range(hops + 1):
+        step = frontier.join(t, frontier["_n"] == t["_s"]).select(
+            "seed",
+            F.col("_s").alias(subj_col),
+            F.col("_p").alias(pred_col),
+            F.col("_o").alias(obj_col),
+            F.col("_iri").alias("obj_is_iri"),
+            F.lit(hop).alias("hop"),
+        )
+        out = step if out is None else out.unionByName(step)
+        if hop == hops:
+            break
+        nxt = (
+            step.filter(F.col("obj_is_iri"))
+            .select("seed", F.col(obj_col).alias("_n"))
+            .distinct()
+            .join(visited, on=["seed", "_n"], how="left_anti")
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    # a triple can enter via several paths/depths: keep the min hop
+    return (
+        out.groupBy("seed", subj_col, pred_col, obj_col, "obj_is_iri")
+        .agg(F.min("hop").alias("hop"))
+    )

@@ -381,3 +381,72 @@ class TestBgpAggregate:
             bgp_aggregate(triples, [("?a", "?p", "?b")], [], [("count(*)", "n")])
         with pytest.raises(ValueError):
             bgp_aggregate(triples, [("?a", "?p", "?b")], ["a"], [])
+
+
+class TestDescribeNodes:
+    DESCRIBE_TRIPLES = [
+        ("kb:r1", "uco-core:hasFacet", "kb:f1", True),
+        ("kb:r1", "rdf:type", "uco-observable:URL", True),
+        ("kb:f1", "rdf:type", "uco-observable:URLFacet", True),
+        ("kb:f1", "uco-observable:hash", "abc", False),
+        ("kb:f1", "drafting:ref", "kb:x1", True),
+        ("kb:x1", "rdf:type", "uco-observable:File", True),
+        ("kb:x1", "drafting:back", "kb:r1", True),  # cycle back to seed
+        ("kb:other", "rdf:type", "uco-observable:URL", True),
+    ]
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            self.DESCRIBE_TRIPLES,
+            "subj string, pred string, obj string, obj_is_iri boolean",
+        )
+
+    def test_hop_bound_and_min_hop(self, spark):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            describe_nodes,
+        )
+
+        t = self._frame(spark)
+        seeds = spark.createDataFrame([("kb:r1",)], "node string")
+        got1 = {
+            (r.subj, r.pred, r.obj, r.hop)
+            for r in describe_nodes(t, seeds, hops=1).collect()
+        }
+        # hop 0: r1's triples; hop 1: f1's triples (and the URL class
+        # IRI opens no triples); x1 is 2 hops out — excluded
+        assert got1 == {
+            ("kb:r1", "uco-core:hasFacet", "kb:f1", 0),
+            ("kb:r1", "rdf:type", "uco-observable:URL", 0),
+            ("kb:f1", "rdf:type", "uco-observable:URLFacet", 1),
+            ("kb:f1", "uco-observable:hash", "abc", 1),
+            ("kb:f1", "drafting:ref", "kb:x1", 1),
+        }
+        got2 = {
+            (r.subj, r.hop)
+            for r in describe_nodes(t, seeds, hops=2).collect()
+        }
+        # hops=2 adds x1's triples; the back-edge to the seed does NOT
+        # re-describe r1 at a deeper hop (visited set terminates cycles)
+        assert ("kb:x1", 2) in got2
+        assert ("kb:r1", 0) in got2 and ("kb:r1", 2) not in got2
+        # the unrelated node never appears
+        assert all(s != "kb:other" for s, _ in got2)
+
+    def test_multi_seed_and_guard(self, spark):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            describe_nodes,
+        )
+
+        t = self._frame(spark)
+        seeds = spark.createDataFrame(
+            [("kb:r1",), ("kb:other",)], "node string"
+        )
+        got = describe_nodes(t, seeds, hops=0).collect()
+        per_seed = {}
+        for r in got:
+            per_seed.setdefault(r.seed, set()).add(r.subj)
+        assert per_seed == {
+            "kb:r1": {"kb:r1"}, "kb:other": {"kb:other"}
+        }
+        with pytest.raises(ValueError):
+            describe_nodes(t, seeds, hops=-1)
