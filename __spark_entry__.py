@@ -2563,6 +2563,59 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist curation (functions/urls.blocklist_filter): urls
+    synthesized over two host families (tracker subdomains + co.uk
+    sites); the blocklist drops an entry's exact host AND every
+    subdomain via a map-side suffix explode meeting the broadcast list
+    in an equi-join. DuckDB replays with host = d OR host LIKE '%.d'
+    (provably equivalent to the suffix-chain join)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.urls import blocklist_filter
+
+    did = F.col("doc_id")
+    host = F.when(
+        did % 3 == 0,
+        F.concat(F.lit("ads.tracker"), (did % 4).cast("string"), F.lit(".net")),
+    ).otherwise(
+        F.concat(F.lit("site"), (did % 7).cast("string"), F.lit(".example.co.uk"))
+    )
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did.cast("string")).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("tracker1.net",), ("tracker2.net",), ("site4.example.co.uk",)],
+        "domain string",
+    )
+    return blocklist_filter(df, blocked).orderBy("doc_id")
+
+
+def _oracle_blocklist() -> str:
+    return """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'ads.tracker' || (doc_id % 4) || '.net'
+              ELSE 'site' || (doc_id % 7) || '.example.co.uk' END AS host
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, 'https://' || host || '/p/' || doc_id AS url, host
+  FROM raw
+),
+blocked(domain) AS (VALUES ('tracker1.net'), ('tracker2.net'),
+                           ('site4.example.co.uk'))
+SELECT doc_id, url FROM urls u
+WHERE NOT EXISTS (
+  SELECT 1 FROM blocked b
+  WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain
+)
+ORDER BY doc_id
+"""
+
+
 def _oracle_url_normalize() -> str:
     return r"""
 WITH raw AS (
@@ -3502,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "url_normalize": q_url_normalize,
+        "blocklist": q_blocklist,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
@@ -3577,6 +3631,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
         "url_normalize": _oracle_url_normalize(),
+        "blocklist": _oracle_blocklist(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),

@@ -26,7 +26,7 @@ set — a documented approximation, NOT a full public-suffix list.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid)(=.*)?$"
@@ -106,3 +106,59 @@ def url_normalize(url: Column) -> Column:
             F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
         )
     )
+
+
+def host_suffixes(host: Column, max_labels: int = 10) -> Column:
+    """All dot-suffixes of a host, longest first bounded at
+    ``max_labels``: ``a.b.c`` → ``[a.b.c, b.c, c]`` — the key set a
+    domain-blocklist join matches against (an entry blocks itself and
+    every subdomain). Pure JVM array expressions."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    ks = F.sequence(F.least(n, F.lit(max_labels)), F.lit(1), F.lit(-1))
+    return F.transform(
+        ks, lambda k: F.concat_ws(".", F.slice(labels, n - k + 1, k))
+    )
+
+
+def blocklist_hits(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Rows of ``df`` whose url host falls under a blocked domain
+    (UT1-style curation list semantics: an entry blocks the exact host
+    and every subdomain). Returns ``(url_col, matched_domain)`` distinct.
+
+    Scale shape: the suffix chain (≤ ~6 entries/host) explodes map-side
+    and meets the blocklist in a BROADCAST equi-join — blocklists are
+    10^4–10^6 rows, never the corpus — so no url ever crosses a shuffle
+    here; the distinct dedups hosts matching several entries."""
+    sfx = df.select(
+        F.col(url_col).alias("_url"),
+        F.explode(host_suffixes(url_host(F.col(url_col)))).alias("_sfx"),
+    )
+    b = F.broadcast(
+        blocked.select(F.col(domain_col).alias("_sfx")).distinct()
+    )
+    return (
+        sfx.join(b, on="_sfx")
+        .select(
+            F.col("_url").alias(url_col),
+            F.col("_sfx").alias("matched_domain"),
+        )
+        .distinct()
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop every row whose url host is the blocked domain or one of its
+    subdomains — one broadcast suffix join + one anti-join on the url."""
+    hits = blocklist_hits(df, blocked, url_col, domain_col).select(url_col)
+    return df.join(hits.distinct(), on=url_col, how="left_anti")

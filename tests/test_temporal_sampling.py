@@ -483,3 +483,42 @@ class TestChunkDocuments:
             chunk_documents(df, max_tokens=0)
         with _pt.raises(ValueError):
             chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    """Domain blocklist: an entry blocks its exact host and every
+    subdomain, never a sibling or a partial-label match."""
+    from case_uco_ontology_map_spark.functions.urls import (
+        blocklist_filter,
+        blocklist_hits,
+        host_suffixes,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "https://ads.tracker1.net/x"),       # subdomain of blocked
+        (1, "https://tracker1.net/y"),           # exact blocked host
+        (2, "https://nottracker1.net/z"),        # partial-label: SURVIVES
+        (3, "https://www.site4.example.co.uk/"), # exact blocked (www strip)
+        (4, "https://site5.example.co.uk/"),     # sibling: survives
+        (5, "https://deep.a.b.tracker1.net/q"),  # deep subdomain blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("tracker1.net",), ("site4.example.co.uk",)], "domain string"
+    )
+    kept = {r.doc_id for r in blocklist_filter(df, blocked).collect()}
+    assert kept == {2, 4}
+    hits = {
+        (r.url, r.matched_domain)
+        for r in blocklist_hits(df, blocked).collect()
+    }
+    assert ("https://ads.tracker1.net/x", "tracker1.net") in hits
+    assert ("https://www.site4.example.co.uk/", "site4.example.co.uk") in hits
+    # suffix chain sanity: longest-first, full chain
+    sfx = (
+        df.filter(F.col("doc_id") == 0)
+        .select(host_suffixes(F.lit("a.b.c")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sfx == ["a.b.c", "b.c", "c"]
