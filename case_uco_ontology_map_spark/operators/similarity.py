@@ -291,6 +291,30 @@ def write_ivf_index(
     return path
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    centroids: List[List[float]],
+    path: str,
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+    impl: str = "expr",
+) -> str:
+    """Incremental IVF maintenance: assign ONLY the delta batch to the
+    existing centroids and append its rows into the cell-partitioned
+    index — no retrain, no rewrite of the standing corpus (the daily
+    ingest path at 10^12 scale; retrain is a separate scheduled rebuild
+    when cell-occupancy drift warrants it). Same repartition-before-
+    partitionBy sink rule as the initial write; dynamic partition
+    overwrite is NOT used — append adds files inside each cell directory,
+    so probes see old + new vectors atomically per file listing."""
+    assigned = assign_cells(new_vectors, centroids, vec_col, impl=impl)
+    n_parts = max(len(centroids) * files_per_cell, 1)
+    assigned.repartition(n_parts, "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+    return path
+
+
 def ivf_topk_from_index(
     spark,
     index_path: str,

@@ -688,3 +688,44 @@ class TestDiffGraphs:
         schema = "subj string, pred string, obj string"
         g = spark.createDataFrame([("a", "p", "1")], schema)
         assert diff_graphs(g, g).count() == 0
+
+
+def test_append_to_ivf_index_serves_delta(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: an appended delta batch is served by
+    the SAME index path with no retrain/rewrite — the full-corpus result
+    equals an index written from scratch over old+new."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = similarity.centroids_kmeans(old, k=8, iterations=2)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            (F.col("vec_id") + 10000).alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    incr_path = str(tmp_path / "ivf_incr")
+    similarity.write_ivf_index(old, cents, incr_path)
+    similarity.append_to_ivf_index(delta, cents, incr_path)
+    full_path = str(tmp_path / "ivf_full")
+    similarity.write_ivf_index(emb, cents, full_path)
+    a = similarity.ivf_topk_from_index(
+        spark, incr_path, queries, cents, k=3, nprobe=4
+    )
+    b = similarity.ivf_topk_from_index(
+        spark, full_path, queries, cents, k=3, nprobe=4
+    )
+    key = lambda t: (t[0], t[3])
+    assert sorted(map(tuple, a.collect()), key=key) == sorted(
+        map(tuple, b.collect()), key=key
+    )
+    # delta vectors actually landed (a nearest-self query over a delta id)
+    dq = delta.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = similarity.ivf_topk_from_index(
+        spark, incr_path, dq, cents, k=1, nprobe=8
+    ).collect()[0]
+    assert top1["vec_id"] == top1["query_id"]
