@@ -2563,6 +2563,53 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding rollup (operators/similarity.
+    pool_embeddings): groups of 4 consecutive vectors play a chunked doc,
+    weighted mean by a deterministic token-count surrogate; per-dim
+    map-side partial sums, never a chunk list. Output posexploded to
+    (grp, dim, val, n_pooled) scalars so the value hash compares floats
+    at the driver's 6-sig-digit normalization."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = emb.select(
+        F.expr("vec_id DIV 4").alias("grp"),
+        "embedding",
+        (F.col("vec_id") % 3 + 1).cast("int").alias("n_tokens"),
+    )
+    pooled = pool_embeddings(df, ["grp"], weight_col="n_tokens")
+    return (
+        pooled.select(
+            "grp",
+            F.posexplode("embedding").alias("dim", "val"),
+            F.col("n_pooled"),
+        )
+        .select("grp", "dim", "val", "n_pooled")
+        .orderBy("grp", "dim")
+    )
+
+
+def _oracle_pool_embeddings() -> str:
+    return """
+WITH x AS (
+  SELECT vec_id // 4 AS grp,
+         CAST(vec_id % 3 + 1 AS DOUBLE) AS w,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT grp, CAST(dim AS INT) AS dim,
+       SUM(v * w) / SUM(w) AS val,
+       CAST(count(*) AS BIGINT) AS n_pooled
+FROM x GROUP BY grp, dim ORDER BY grp, dim
+"""
+
+
 def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist curation (functions/urls.blocklist_filter): urls
     synthesized over two host families (tracker subdomains + co.uk
@@ -3556,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "url_normalize": q_url_normalize,
         "blocklist": q_blocklist,
+        "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
         # canonicalization + mentions (north_star stages)
@@ -3632,6 +3680,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "url_normalize": _oracle_url_normalize(),
         "blocklist": _oracle_blocklist(),
+        "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),
         "connected_components": _oracle_connected_components(),

@@ -364,3 +364,65 @@ def ivf_topk_from_index(
     )
     cands = index.join(F.broadcast(probes), "cell")
     return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)
+
+
+def pool_embeddings(
+    df: DataFrame,
+    key_cols: "List[str] | tuple",
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Pool many vectors per key into one — the chunk→document embedding
+    rollup every retrieval corpus runs after context-window chunking
+    (doc_chunks): ``mean`` (optionally weighted by ``weight_col``, e.g.
+    chunk token counts) or ``sum``. → ``(key_cols..., embedding,
+    n_pooled)``.
+
+    Scale shape: posexplode to (key, dim, value) rows, ONE map-side-
+    combinable sum per (key, dim), then a bounded d-element assembly per
+    key — a 10^4-chunk document combines partially on every map task and
+    never materializes its chunk list anywhere (collect_list touches only
+    the d per-dim partials, d = the embedding width). Weighted mean
+    pre-scales map-side and divides summed vector by summed weight. All
+    JVM expressions; vectors under one key must share a width.
+    """
+    if mode not in ("mean", "sum"):
+        raise ValueError(f"mode must be mean|sum, got {mode!r}")
+    keys = list(key_cols)
+    v = F.col(vec_col)
+    if weight_col is not None:
+        w = F.col(weight_col).cast("double")
+        scaled = F.transform(v, lambda x: x.cast("double") * w)
+    else:
+        w = F.lit(1.0)
+        scaled = F.transform(v, lambda x: x.cast("double"))
+    exploded = df.select(
+        *keys, w.alias("_w"), F.posexplode(scaled).alias("dim", "_v")
+    )
+    per_dim = exploded.groupBy(*keys, "dim").agg(
+        F.sum("_v").alias("_vsum"),
+        F.sum("_w").alias("_wsum"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        per_dim.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("dim"), F.col("_vsum"), F.col("_wsum"))
+                )
+            ).alias("_dims"),
+            F.max("_n").alias("n_pooled"),
+        )
+        .select(
+            *keys,
+            F.transform(
+                F.col("_dims"),
+                lambda d: (
+                    d["_vsum"] if mode == "sum" else d["_vsum"] / d["_wsum"]
+                ),
+            ).alias(vec_col),
+            "n_pooled",
+        )
+    )

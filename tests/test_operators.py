@@ -729,3 +729,39 @@ def test_append_to_ivf_index_serves_delta(spark, sf_dir, tmp_path):
         spark, incr_path, dq, cents, k=1, nprobe=8
     ).collect()[0]
     assert top1["vec_id"] == top1["query_id"]
+
+
+class TestPoolEmbeddings:
+    def test_mean_and_sum(self, spark):
+        rows = [
+            ("d1", [1.0, 2.0], 1),
+            ("d1", [3.0, 4.0], 1),
+            ("d2", [5.0, 6.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc string, embedding array<double>, n_tokens int"
+        )
+        mean = {
+            r.doc: (r.embedding, r.n_pooled)
+            for r in similarity.pool_embeddings(df, ["doc"]).collect()
+        }
+        assert mean == {"d1": ([2.0, 3.0], 2), "d2": ([5.0, 6.0], 1)}
+        total = {
+            r.doc: r.embedding
+            for r in similarity.pool_embeddings(
+                df, ["doc"], mode="sum"
+            ).collect()
+        }
+        assert total == {"d1": [4.0, 6.0], "d2": [5.0, 6.0]}
+
+    def test_weighted_mean(self, spark):
+        rows = [("d1", [1.0, 0.0], 3), ("d1", [0.0, 1.0], 1)]
+        df = spark.createDataFrame(
+            rows, "doc string, embedding array<double>, n_tokens int"
+        )
+        got = similarity.pool_embeddings(
+            df, ["doc"], weight_col="n_tokens"
+        ).collect()[0]
+        assert got.embedding == [0.75, 0.25]
+        with pytest.raises(ValueError):
+            similarity.pool_embeddings(df, ["doc"], mode="median")
