@@ -110,8 +110,18 @@ def bench_queries(spark, sf_dir: str):
     # anyway (re-scanning GBs of deserialized UTF-16 strings is
     # memory-bandwidth-bound and flattens the 8→32 scaling curve, while
     # parquet decode is per-task CPU work that scales with cores).
-    stage_dir = tempfile.mkdtemp(prefix="kgbench-corpus-")
-    corpus.write.mode("overwrite").parquet(stage_dir)
+    shared = os.environ.get("SPARK_GRAFT_SHARED_STAGE")
+    if shared:
+        # pre-staged corpus reuse (the scaling harness): many concurrent
+        # measurement jobs read ONE staged parquet corpus instead of each
+        # writing its own copy — stage it once up front (bench.py
+        # --stage-corpus) so the concurrent readers never race a writer
+        stage_dir = os.path.join(shared, f"amp{AMPLIFY}")
+        if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+            corpus.write.mode("overwrite").parquet(stage_dir)
+    else:
+        stage_dir = tempfile.mkdtemp(prefix="kgbench-corpus-")
+        corpus.write.mode("overwrite").parquet(stage_dir)
     corpus = spark.read.parquet(stage_dir)
     n_docs = corpus.count()  # materialize once; not timed
     # Warm python workers (fork + pandas/pyarrow import per core) so timings
@@ -683,13 +693,27 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
     finally:
         spark.stop()
         if stage_dir:
-            for suffix in ("", "-triples-out", "-emb", "-ivf"):
+            suffixes = ("", "-triples-out", "-emb", "-ivf")
+            if os.environ.get("SPARK_GRAFT_SHARED_STAGE"):
+                suffixes = ("-triples-out", "-emb", "-ivf")  # keep the corpus
+            for suffix in suffixes:
                 shutil.rmtree(
                     stage_dir.rstrip("/") + suffix, ignore_errors=True
                 )
 
 
 def main():
+    if "--stage-corpus" in sys.argv:
+        # pre-stage the amplified corpus into SPARK_GRAFT_SHARED_STAGE so
+        # the scaling harness's concurrent jobs read one staged copy
+        # (run with the SAME SPARK_GRAFT_AMPLIFY the scaling jobs use)
+        spark = make_spark(CPUS)
+        try:
+            _, n_docs, _, _ = bench_queries(spark, SF_DIR)
+            print(json.dumps({"staged_docs": n_docs, "amplify": AMPLIFY}))
+        finally:
+            spark.stop()
+        return
     if "--scaling" in sys.argv:
         report_scaling()
         return
