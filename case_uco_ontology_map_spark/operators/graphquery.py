@@ -90,6 +90,9 @@ def _compile_pattern(
                 out = out.filter(F.col(col) == F.col(position_of[v]))
             else:
                 position_of[v] = col
+        elif col == cols[1] and _is_alternation(term):
+            # SPARQL alternation (p1|p2): predicate matches any listed IRI
+            out = out.filter(F.col(col).isin(*term.split("|")))
         else:
             out = out.filter(F.col(col) == F.lit(term))
     if not position_of:
@@ -199,11 +202,27 @@ def transitive_closure(
 
 
 def _is_path(term: str) -> bool:
-    return (
+    is_p = (
         isinstance(term, str)
         and term.endswith(_PATH_SUFFIX)
         and not _is_var(term)
         and len(term) > 1
+    )
+    if is_p and "|" in term:
+        raise ValueError(
+            f"predicate {term!r} mixes alternation (|) with a property "
+            "path (+) — compose them as separate patterns instead"
+        )
+    return is_p
+
+
+def _is_alternation(term: str) -> bool:
+    """Constant predicate of the SPARQL alternation form ``p1|p2|...``."""
+    return (
+        isinstance(term, str)
+        and "|" in term
+        and not _is_var(term)
+        and all(part for part in term.split("|"))
     )
 
 
@@ -260,6 +279,9 @@ def bgp_query(
     in ``+`` is a one-or-more property path (SPARQL ``p+``): the pattern
     matches via the transitive closure of that predicate's edge set
     (``transitive_closure``), optionally bounded by ``path_max_hops``.
+    A constant predicate of the form ``p1|p2`` is a SPARQL alternation —
+    the pattern matches any of the listed predicates (one isin filter;
+    mixing ``|`` with ``+`` raises).
     ``optional``: OPTIONAL patterns, left-joined after the required block
     in written order — their new variables come back NULL where unmatched
     (SPARQL OPTIONAL semantics; each must share ≥1 bound variable).
@@ -365,6 +387,11 @@ def bgp_sql(
                     where.append(f"{q} = {binding[v]}")
                 else:
                     binding[v] = q
+            elif col == pred_col and _is_alternation(term):
+                opts = ", ".join(
+                    "'" + p.replace("'", "''") + "'" for p in term.split("|")
+                )
+                where.append(f"{q} IN ({opts})")
             else:
                 where.append(f"{q} = '" + term.replace("'", "''") + "'")
     req_vars: List[str] = []
@@ -403,6 +430,11 @@ def bgp_sql(
                     sub_where.append(f"{col} = {sub_binding[v]}")
                 else:
                     sub_binding[v] = col
+            elif col == pred_col and _is_alternation(term):
+                opts = ", ".join(
+                    "'" + p.replace("'", "''") + "'" for p in term.split("|")
+                )
+                sub_where.append(f"{col} IN ({opts})")
             else:
                 sub_where.append(f"{col} = '" + term.replace("'", "''") + "'")
         shared = [v for v in sub_binding if v in req_vars]

@@ -450,3 +450,40 @@ class TestDescribeNodes:
         }
         with pytest.raises(ValueError):
             describe_nodes(t, seeds, hops=-1)
+
+
+class TestAlternation:
+    def test_alternation_matches_duckdb(self, triples):
+        patterns = [("?s", "uco-observable:hash|uco-observable:fullValue", "?v")]
+        sel = ["s", "v"]
+        got = {
+            tuple(r) for r in bgp_query(triples, patterns, select=sel).collect()
+        }
+        assert got == {
+            ("kb:f1", "abc"), ("kb:f3", "def"), ("kb:f2", "http://x/"),
+        }
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(patterns, select=sel)
+        want = {
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_alternation_in_optional_and_path_mix_raises(self, triples):
+        req = [("?rec", "rdf:type", "uco-observable:URL")]
+        opt = [("?rec", "uco-core:hasFacet|uco-core:sameAs", "?f")]
+        got = {
+            (r.rec, r.f)
+            for r in bgp_query(triples, req, optional=opt).collect()
+        }
+        assert got == {
+            ("kb:rec1", "kb:f1"), ("kb:rec1", "kb:f2"), ("kb:rec2", "kb:f3"),
+        }
+        with pytest.raises(ValueError):
+            bgp_query(triples, [("?a", "p|q+", "?b")])
