@@ -971,6 +971,44 @@ def _oracle_bgp_aggregate() -> str:
     )
 
 
+_CONSTRUCT_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?f"),
+    ("?f", "rdf:type", "?t"),
+]
+_CONSTRUCT_TEMPLATE = [
+    ("?rec", "drafting:hasFacetType", "?t"),
+    ("?rec", "rdf:type", "drafting:Enriched"),
+]
+
+
+def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (operators/graphquery.bgp_construct): the
+    record→facet-type inference shortcut materialized as new triples —
+    one binding frame, one projection per template row, set-collapse.
+    DuckDB replays via bgp_construct_sql (binding query inlined per arm,
+    UNION for RDF-set semantics)."""
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_construct,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_construct(
+        t, _CONSTRUCT_PATTERNS, _CONSTRUCT_TEMPLATE
+    ).orderBy("subj", "pred", "obj")
+
+
+def _oracle_bgp_construct() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_construct_sql,
+    )
+
+    inner = bgp_construct_sql(_CONSTRUCT_PATTERNS, _CONSTRUCT_TEMPLATE)
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) z ORDER BY subj, pred, obj"
+    )
+
+
 def q_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full triple emission incl. uuid5 IRIs (not SQL-expressible: uuid5 is
     SHA-1-based and DuckDB has no sha1) — rows-only driver check; exact
@@ -3549,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "bgp_aggregate": q_bgp_aggregate,
+        "bgp_construct": q_bgp_construct,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
@@ -3630,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_match": _oracle_bgp_match(),
         "bgp_optional": _oracle_bgp_optional(),
         "bgp_aggregate": _oracle_bgp_aggregate(),
+        "bgp_construct": _oracle_bgp_construct(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),

@@ -663,3 +663,114 @@ def describe_nodes(
         out.groupBy("seed", subj_col, pred_col, obj_col, "obj_is_iri")
         .agg(F.min("hop").alias("hop"))
     )
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    template: Sequence[Pattern],
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+    path_max_hops: Optional[int] = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL CONSTRUCT: every BGP match instantiates each ``template``
+    triple pattern (terms are ``?vars`` bound by the match or constants)
+    → a new ``(subj, pred, obj)`` graph. Template rows touching an
+    unbound variable (NULL from an unmatched OPTIONAL) are dropped, and
+    the default ``distinct=True`` collapses duplicates — both per the
+    SPARQL CONSTRUCT spec (the result is an RDF graph, a set).
+
+    The KG-rewriting workhorse: materialized inference shortcuts
+    (record→facet-type edges), schema migration, graph projection.
+
+    Scale shape: the binding frame is computed ONCE; each template row
+    is a projection over it unioned together (narrow — no extra joins),
+    so cost = the BGP + one shuffle for the final distinct (skippable
+    via ``distinct=False`` when a downstream set-collapse runs anyway).
+    """
+    if not template:
+        raise ValueError("template needs at least one (s, p, o) pattern")
+    b = bgp_query(
+        triples,
+        patterns,
+        select=None,
+        optional=optional,
+        filters=filters,
+        allow_cartesian=allow_cartesian,
+        path_max_hops=path_max_hops,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+    bound = set(b.columns)
+
+    def term(t: str):
+        if _is_var(t):
+            v = _var(t)
+            if v not in bound:
+                raise ValueError(f"template references unbound variable ?{v}")
+            return F.col(v)
+        return F.lit(t)
+
+    out = None
+    for s, p, o in template:
+        row = b.select(
+            term(s).alias("subj"), term(p).alias("pred"), term(o).alias("obj")
+        ).filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.distinct() if distinct else out
+
+
+def bgp_construct_sql(
+    patterns: Sequence[Pattern],
+    template: Sequence[Pattern],
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
+    distinct: bool = True,
+    table: str = "g",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """ANSI replay of ``bgp_construct``: the binding query as a derived
+    table, one SELECT per template row, UNION (set) / UNION ALL (bag)."""
+    inner = bgp_sql(
+        patterns,
+        select=None,
+        optional=optional,
+        filters=filters,
+        table=table,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+
+    def term(t: str) -> str:
+        if _is_var(t):
+            return _var(t)
+        return "'" + t.replace("'", "''") + "'"
+
+    # the binding query inlines as a derived table per arm (no CTE of our
+    # own — callers prepend their triple-table CTE, and WITH cannot nest
+    # at the same level)
+    arms = []
+    for s, p, o in template:
+        null_guards = [
+            f"{_var(t)} IS NOT NULL" for t in (s, p, o) if _is_var(t)
+        ]
+        w = (" WHERE " + " AND ".join(null_guards)) if null_guards else ""
+        arms.append(
+            f"SELECT {term(s)} AS subj, {term(p)} AS pred, "
+            f"{term(o)} AS obj FROM ({inner}) b{w}"
+        )
+    glue = "\nUNION\n" if distinct else "\nUNION ALL\n"
+    return glue.join(arms)

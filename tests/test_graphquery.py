@@ -487,3 +487,68 @@ class TestAlternation:
         }
         with pytest.raises(ValueError):
             bgp_query(triples, [("?a", "p|q+", "?b")])
+
+
+class TestBgpConstruct:
+    def test_template_instantiation_matches_duckdb(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_construct,
+            bgp_construct_sql,
+        )
+
+        patterns = [
+            ("?rec", "uco-core:hasFacet", "?f"),
+            ("?f", "rdf:type", "?t"),
+        ]
+        template = [
+            ("?rec", "drafting:hasFacetType", "?t"),
+            ("?rec", "rdf:type", "drafting:Enriched"),
+        ]
+        got = {
+            tuple(r)
+            for r in bgp_construct(triples, patterns, template).collect()
+        }
+        # rec1 has two facet types; the constant row dedups per record
+        assert got == {
+            ("kb:rec1", "drafting:hasFacetType", "uco-observable:ContentDataFacet"),
+            ("kb:rec1", "drafting:hasFacetType", "uco-observable:URLFacet"),
+            ("kb:rec2", "drafting:hasFacetType", "uco-observable:ContentDataFacet"),
+            ("kb:rec1", "rdf:type", "drafting:Enriched"),
+            ("kb:rec2", "rdf:type", "drafting:Enriched"),
+        }
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_construct_sql(patterns, template)
+        want = {
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_optional_null_rows_dropped_and_guards(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_construct,
+        )
+
+        patterns = [("?rec", "uco-core:hasFacet", "?f")]
+        optional = [("?f", "uco-observable:hash", "?h")]
+        # f2 has no hash → its template row would carry NULL → dropped
+        got = {
+            tuple(r)
+            for r in bgp_construct(
+                triples, patterns, [("?f", "drafting:hashCopy", "?h")],
+                optional=optional,
+            ).collect()
+        }
+        assert got == {
+            ("kb:f1", "drafting:hashCopy", "abc"),
+            ("kb:f3", "drafting:hashCopy", "def"),
+        }
+        with pytest.raises(ValueError):
+            bgp_construct(triples, patterns, [])
+        with pytest.raises(ValueError):
+            bgp_construct(triples, patterns, [("?nope", "p", "?f")])
