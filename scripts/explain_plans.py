@@ -330,6 +330,46 @@ def main():
         "tfidf_top_terms must not leave the JVM"
     )
 
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_construct,
+        describe_nodes,
+    )
+    from case_uco_ontology_map_spark.operators.triples import diff_graphs
+
+    two_edge = trip.unionByName(
+        spark.createDataFrame(
+            [("kb:b", "rdf:type", "uco-observable:URLFacet")],
+            "subj string, pred string, obj string",
+        )
+    )
+    cons = bgp_construct(
+        two_edge,
+        [("?r", "uco-core:hasFacet", "?f"), ("?f", "rdf:type", "?t")],
+        [("?r", "drafting:hasFacetType", "?t")],
+    )
+    cons_plan = plan_of(cons)
+    assert not re.findall(_no_python, cons_plan), (
+        "bgp_construct must not leave the JVM"
+    )
+    assert "Cartesian" not in cons_plan
+
+    desc = describe_nodes(
+        two_edge.withColumn("obj_is_iri", F.lit(True)),
+        spark.createDataFrame([("kb:a",)], "node string"),
+        hops=1,
+    )
+    desc_plan = plan_of(desc)
+    assert not re.findall(_no_python, desc_plan), (
+        "describe_nodes must not leave the JVM"
+    )
+    assert "Cartesian" not in desc_plan
+
+    dif = diff_graphs(trip, two_edge)
+    dif_plan = plan_of(dif)
+    assert not re.findall(_no_python, dif_plan), (
+        "diff_graphs must not leave the JVM"
+    )
+
     cpm = cluster_pair_metrics(
         docs.select("doc_id", F.col("source").alias("cluster")),
         docs.select("doc_id", F.col("lang").alias("cluster")),
@@ -352,6 +392,9 @@ def main():
             "negative_samples (broadcast rep-map probes + one anti-join)": negs,
             "tfidf_top_terms (explode -> two map-side aggs -> one window)": tfidf,
             "cluster_pair_metrics (contingency counts, no pair enumeration)": cpm,
+            "bgp_construct (one binding frame, per-template projections)": cons,
+            "describe_nodes (bounded frontier expansion, hops=1)": desc,
+            "diff_graphs (two co-partitioned anti-joins)": dif,
             "incremental_candidate_edges (all-prior buckets skipped pre-explode)": incr_cands,
             "duplicated_spans (gram explode -> dup filter -> per-doc interval merge)": spans,
             "incremental_exact_dedup (batch window + corpus index probe)": incr_dedup,
