@@ -186,3 +186,29 @@ def ntriples_lines(
         F.lit(" ."),
     )
     return triples.select(line.alias("line"))
+
+
+def write_ntriples(
+    triples: DataFrame,
+    path: str,
+    shards: Optional[int] = None,
+    compression: Optional[str] = "gzip",
+    prefixes: Optional[Dict[str, str]] = None,
+) -> str:
+    """Materialize the graph as sharded N-Triples text files — the LOD-
+    dump export format (one independent line per triple, so shards
+    concatenate into one valid dump). ``shards`` controls output file
+    count via one round-robin repartition (size for ~100 MB-1 GB
+    compressed per shard at 100 TB); default gzip since N-Triples text
+    compresses ~10×. Serialization itself is the zero-shuffle
+    ``ntriples_lines`` projection."""
+    lines = ntriples_lines(triples, prefixes=prefixes)
+    if shards is not None:
+        if shards < 1:
+            raise ValueError("shards must be >= 1")
+        lines = lines.repartition(shards)
+    writer = lines.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+    return path

@@ -300,3 +300,31 @@ def test_ntriples_lines(spark):
     # absolute IRI objects and unknown prefixes pass through verbatim
     assert lines[3] == f"<{KB}url-1> <{RDFS}seeAlso> <https://example.com/x> ."
     assert lines[4] == "<mystery:z> <{}type> <mystery:T> .".format(RDF)
+
+
+def test_write_ntriples_roundtrip(spark, tmp_path):
+    """Sharded N-Triples sink: gzip text shards concatenate into the same
+    line set ntriples_lines produces."""
+    from case_uco_ontology_map_spark.operators.render import (
+        ntriples_lines,
+        write_ntriples,
+    )
+
+    rows = [
+        ("kb:a", "rdf:type", "uco-observable:URL", True, None),
+        ("kb:a", "uco-observable:fullValue", "v1", False, None),
+        ("kb:b", "uco-observable:sizeInBytes", "9", False, "xsd:integer"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string",
+    )
+    out = str(tmp_path / "dump")
+    write_ntriples(df, out, shards=2)
+    back = {r.value for r in spark.read.text(out).collect()}
+    want = {r.line for r in ntriples_lines(df).collect()}
+    assert back == want and len(back) == 3
+    import glob
+
+    assert len(glob.glob(out + "/part-*.txt.gz")) == 2
