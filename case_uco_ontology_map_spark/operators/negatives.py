@@ -41,16 +41,23 @@ def negative_samples(
     pred_col: str = "pred",
     obj_col: str = "obj",
     obj_is_iri_col: "str | None" = None,
+    corrupt: str = "object",
 ) -> DataFrame:
-    """→ ``(subj, pred, obj, i, neg_obj)``: ``k`` deterministic
-    object-corruptions per input triple, filtered against the true edge
-    set (no accidental positives, never the original object). Rows whose
-    draw chain lands back on the original object are dropped, so a
-    triple can yield < k negatives — the trainer's usual contract.
+    """→ ``(subj, pred, obj, i, neg_obj)`` (or ``neg_subj`` with
+    ``corrupt="subject"``): ``k`` deterministic corruptions per input
+    triple, filtered against the true edge set (no accidental
+    positives, never the original term). Rows whose draw chain lands
+    back on the original term are dropped, so a triple can yield < k
+    negatives — the trainer's usual contract. TransE-style training
+    corrupts both sides: call once per mode (the subject mode folds a
+    marker into the salt, so its draws are independent of the object
+    mode's at the same salt).
 
     When ``obj_is_iri_col`` is given, only IRI-object rows are corrupted
     and only IRI objects join the entity pool (literals are not
     entities)."""
+    if corrupt not in ("object", "subject"):
+        raise ValueError(f"corrupt must be object|subject, got {corrupt!r}")
     if k < 1:
         raise ValueError("k must be >= 1")
     if buckets < 2:
@@ -76,6 +83,7 @@ def negative_samples(
     ).agg(F.min("node").alias("rep"))
     gmin = pool.agg(F.min("node").alias("gmin"))
 
+    eff_salt = salt if corrupt == "object" else salt + "\x1fsubj"
     probes = t.select(
         "subj", "pred", "obj",
         F.explode(F.sequence(F.lit(1), F.lit(k))).alias("i"),
@@ -85,7 +93,7 @@ def negative_samples(
             content_hash64(
                 F.concat_ws(
                     "\x1f", "subj", "pred", "obj",
-                    F.col("i").cast("string"), F.lit(salt),
+                    F.col("i").cast("string"), F.lit(eff_salt),
                 ),
                 hash_mode,
             ),
@@ -94,6 +102,8 @@ def negative_samples(
     )
     r1 = F.broadcast(rep.select(F.col("bucket").alias("_p"), F.col("rep").alias("_r1")))
     r2 = F.broadcast(rep.select(F.col("bucket").alias("_p2"), F.col("rep").alias("_r2")))
+    neg_col = "neg_obj" if corrupt == "object" else "neg_subj"
+    orig_col = "obj" if corrupt == "object" else "subj"
     drawn = (
         probes.join(r1, on="_p", how="left")
         .withColumn("_p2", F.pmod(F.col("_p") + 1, F.lit(buckets)))
@@ -101,14 +111,18 @@ def negative_samples(
         .crossJoin(F.broadcast(gmin))
         .select(
             "subj", "pred", "obj", "i",
-            F.coalesce("_r1", "_r2", "gmin").alias("neg_obj"),
+            F.coalesce("_r1", "_r2", "gmin").alias(neg_col),
         )
-        .filter(F.col("neg_obj") != F.col("obj"))
+        .filter(F.col(neg_col) != F.col(orig_col))
     )
-    return drawn.join(
-        t.select(
+    if corrupt == "object":
+        true_side = t.select(
             F.col("subj"), F.col("pred"), F.col("obj").alias("neg_obj")
-        ),
-        on=["subj", "pred", "neg_obj"],
-        how="left_anti",
-    )
+        )
+        keys = ["subj", "pred", "neg_obj"]
+    else:
+        true_side = t.select(
+            F.col("subj").alias("neg_subj"), F.col("pred"), F.col("obj")
+        )
+        keys = ["neg_subj", "pred", "obj"]
+    return drawn.join(true_side, on=keys, how="left_anti")

@@ -68,3 +68,33 @@ def test_md5_60_mode_and_guards(spark, triples):
         negative_samples(triples, k=0)
     with pytest.raises(ValueError):
         negative_samples(triples, buckets=1)
+
+
+def test_subject_corruption_mode(spark, triples):
+    out = negative_samples(
+        triples, k=2, buckets=8, salt="s", obj_is_iri_col="obj_is_iri",
+        corrupt="subject",
+    ).collect()
+    true_edges = {(s, p, o) for s, p, o, iri in TRIPLES if iri}
+    pool = {x for s, p, o, iri in TRIPLES if iri for x in (s, o)}
+    assert out
+    for r in out:
+        assert r.neg_subj in pool
+        assert r.neg_subj != r.subj
+        assert (r.neg_subj, r.pred, r.obj) not in true_edges
+    # subject draws are independent of object draws at the same salt:
+    # the drawn nodes per (triple, i) differ somewhere
+    objs = {
+        (r.subj, r.pred, r.obj, r.i): r.neg_obj
+        for r in negative_samples(
+            triples, k=2, buckets=8, salt="s",
+            obj_is_iri_col="obj_is_iri",
+        ).collect()
+    }
+    subjs = {
+        (r.subj, r.pred, r.obj, r.i): r.neg_subj for r in out
+    }
+    common = set(objs) & set(subjs)
+    assert any(objs[k] != subjs[k] for k in common)
+    with pytest.raises(ValueError):
+        negative_samples(triples, corrupt="both")
