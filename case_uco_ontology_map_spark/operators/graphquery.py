@@ -464,16 +464,21 @@ def bgp_sql(
     missing = [v for v in keep if v not in var_source]
     if missing:
         raise ValueError(f"select references unbound variables: {missing}")
-    proj = ", ".join(f"{var_source[v]}.{v} AS {v}" for v in keep)
-    body = f"SELECT {proj} FROM ({req_sql}) r " + " ".join(joins)
+    # project ALL variables into the filter scope (bgp_query filters the
+    # full binding frame BEFORE the select projection — a filter may
+    # reference a variable the caller does not select), then project
+    # ``keep`` outside
+    inner_proj = ", ".join(f"{var_source[v]}.{v} AS {v}" for v in all_vars)
+    body = f"SELECT {inner_proj} FROM ({req_sql}) r " + " ".join(joins)
     if filters:
         cond = " AND ".join(f"({f})" for f in filters)
+        body = f"SELECT * FROM ({body}) q WHERE {cond}"
+    if keep != all_vars or distinct:
         body = (
-            f"SELECT {'DISTINCT ' if distinct else ''}* "
-            f"FROM ({body}) q WHERE {cond}"
+            f"SELECT {'DISTINCT ' if distinct else ''}"
+            + ", ".join(keep)
+            + f" FROM ({body}) z"
         )
-    elif distinct:
-        body = f"SELECT DISTINCT * FROM ({body}) q"
     return body
 
 
@@ -774,3 +779,31 @@ def bgp_construct_sql(
         )
     glue = "\nUNION\n" if distinct else "\nUNION ALL\n"
     return glue.join(arms)
+
+
+def values_filter(
+    variables: Sequence[str], rows: Sequence[Sequence[str]]
+) -> str:
+    """SPARQL VALUES over variables the BGP already binds, compiled to a
+    portable row-value IN predicate — pass the returned string through
+    ``bgp_query(filters=[...])`` / ``bgp_sql(filters=[...])``; Catalyst
+    and DuckDB evaluate the identical text (probed: both support
+    ``(a, b) IN (('x','y'), ...)``). SPARQL's unbound-var (UNDEF) form
+    is out of scope — every listed variable must be required-bound."""
+    if not variables or not rows:
+        raise ValueError("values_filter needs variables and rows")
+    for r in rows:
+        if len(r) != len(variables):
+            raise ValueError(
+                f"VALUES row {r!r} arity != variables {list(variables)!r}"
+            )
+
+    def q(v: str) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    if len(variables) == 1:
+        opts = ", ".join(q(r[0]) for r in rows)
+        return f"{variables[0]} IN ({opts})"
+    cols = "(" + ", ".join(variables) + ")"
+    tuples = ", ".join("(" + ", ".join(q(v) for v in r) + ")" for r in rows)
+    return f"{cols} IN ({tuples})"

@@ -552,3 +552,54 @@ class TestBgpConstruct:
             bgp_construct(triples, patterns, [])
         with pytest.raises(ValueError):
             bgp_construct(triples, patterns, [("?nope", "p", "?f")])
+
+
+class TestValuesFilter:
+    def test_values_matches_duckdb(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            values_filter,
+        )
+
+        patterns = [
+            ("?rec", "uco-core:hasFacet", "?f"),
+            ("?f", "rdf:type", "?t"),
+        ]
+        vf = values_filter(
+            ["rec", "t"],
+            [
+                ("kb:rec1", "uco-observable:URLFacet"),
+                ("kb:rec2", "uco-observable:ContentDataFacet"),
+            ],
+        )
+        got = {
+            tuple(r)
+            for r in bgp_query(
+                triples, patterns, select=["rec", "f"], filters=[vf]
+            ).collect()
+        }
+        assert got == {("kb:rec1", "kb:f2"), ("kb:rec2", "kb:f3")}
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(patterns, select=["rec", "f"], filters=[vf])
+        want = {
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_single_var_and_guards(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            values_filter,
+        )
+
+        assert values_filter(["t"], [("a'b",), ("c",)]) == (
+            "t IN ('a''b', 'c')"
+        )
+        with pytest.raises(ValueError):
+            values_filter([], [("a",)])
+        with pytest.raises(ValueError):
+            values_filter(["a", "b"], [("x",)])
