@@ -267,6 +267,7 @@ def bgp_query(
     allow_cartesian: bool = False,
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
+    minus: Sequence[Pattern] = (),
     path_max_hops: Optional[int] = None,
     subj_col: str = "subj",
     pred_col: str = "pred",
@@ -288,7 +289,10 @@ def bgp_query(
     ``filters``: portable ANSI boolean expressions over binding columns
     (e.g. ``"n > 3"``, ``"hash LIKE 'ab%'"``), applied after all joins —
     the same strings run under Catalyst (``F.expr``) and in the DuckDB
-    oracle via ``bgp_sql(filters=...)``. ``select``: output variable
+    oracle via ``bgp_sql(filters=...)``. ``minus``: SPARQL negation
+    (FILTER NOT EXISTS) — bindings matching any of these patterns are
+    dropped via an anti-join on shared variables; variables a MINUS
+    pattern newly introduces are existential. ``select``: output variable
     names (no ``?``), default all variables in first-appearance order.
     ``distinct=False`` keeps SPARQL bag semantics.
 
@@ -331,6 +335,22 @@ def bgp_query(
             )
         out = out.join(nxt, on=shared, how="left")
         bound |= set(nxt.columns)
+    for p in minus:
+        # SPARQL negation (FILTER NOT EXISTS / MINUS on shared vars):
+        # drop every binding for which the pattern matches — one
+        # anti-join on the shared variables. New variables a MINUS
+        # pattern introduces are existential (never projected).
+        nxt = _compile(p)
+        shared = sorted(bound & set(nxt.columns))
+        if not shared:
+            raise ValueError(
+                f"MINUS pattern {p} shares no variable with the bound "
+                "block — unscoped negation would drop everything or "
+                "nothing"
+            )
+        out = out.join(
+            nxt.select(*shared).distinct(), on=shared, how="left_anti"
+        )
     for f in filters:
         out = out.filter(F.expr(f))
     all_vars: List[str] = []
@@ -352,6 +372,7 @@ def bgp_sql(
     distinct: bool = False,
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
+    minus: Sequence[Pattern] = (),
     table: str = "g",
     subj_col: str = "subj",
     pred_col: str = "pred",
@@ -406,7 +427,7 @@ def bgp_sql(
     if where:
         req_sql += " WHERE " + " AND ".join(where)
 
-    if not optional and not filters:
+    if not optional and not filters and not minus:
         keep = list(select) if select is not None else all_vars
         proj = ", ".join(f"{binding[v]} AS {v}" for v in keep)
         sql = f"SELECT {'DISTINCT ' if distinct else ''}{proj} FROM {frm}"
@@ -470,9 +491,41 @@ def bgp_sql(
     # ``keep`` outside
     inner_proj = ", ".join(f"{var_source[v]}.{v} AS {v}" for v in all_vars)
     body = f"SELECT {inner_proj} FROM ({req_sql}) r " + " ".join(joins)
-    if filters:
-        cond = " AND ".join(f"({f})" for f in filters)
-        body = f"SELECT * FROM ({body}) q WHERE {cond}"
+    conds = [f"({f})" for f in filters]
+    for j, pat in enumerate(minus):
+        mal = f"m{j}"
+        mconds: List[str] = []
+        m_binding: Dict[str, str] = {}
+        shared_any = False
+        for col, term in zip(cols, pat):
+            if _is_var(term):
+                v = _var(term)
+                if v in m_binding:
+                    mconds.append(f"{mal}.{col} = {mal}.{m_binding[v]}")
+                elif v in all_vars:
+                    mconds.append(f"{mal}.{col} = q.{v}")
+                    m_binding[v] = col
+                    shared_any = True
+                else:
+                    m_binding[v] = col  # existential: unconstrained
+            elif col == pred_col and _is_alternation(term):
+                opts = ", ".join(
+                    "'" + x.replace("'", "''") + "'" for x in term.split("|")
+                )
+                mconds.append(f"{mal}.{col} IN ({opts})")
+            else:
+                mconds.append(
+                    f"{mal}.{col} = '" + term.replace("'", "''") + "'"
+                )
+        if not shared_any:
+            raise ValueError(
+                f"MINUS pattern {pat} shares no variable with the bound "
+                "block (bgp_sql restriction, matching bgp_query)"
+            )
+        mw = (" WHERE " + " AND ".join(mconds)) if mconds else ""
+        conds.append(f"NOT EXISTS (SELECT 1 FROM {table} {mal}{mw})")
+    if conds:
+        body = f"SELECT * FROM ({body}) q WHERE " + " AND ".join(conds)
     if keep != all_vars or distinct:
         body = (
             f"SELECT {'DISTINCT ' if distinct else ''}"

@@ -603,3 +603,52 @@ class TestValuesFilter:
             values_filter([], [("a",)])
         with pytest.raises(ValueError):
             values_filter(["a", "b"], [("x",)])
+
+
+class TestMinus:
+    def test_negation_matches_duckdb(self, triples):
+        # records that have a facet but NO ContentDataFacet-typed facet
+        patterns = [("?rec", "uco-core:hasFacet", "?f")]
+        minus = [
+            ("?rec", "uco-core:hasFacet", "?g"),
+            # NB: each MINUS pattern applies independently; this single
+            # pattern pairs with a second constraint below instead
+        ]
+        # one MINUS pattern with an existential var typed CDF
+        minus = [("?f", "rdf:type", "uco-observable:ContentDataFacet")]
+        got = {
+            tuple(r)
+            for r in bgp_query(
+                triples, patterns, select=["rec", "f"], minus=minus
+            ).collect()
+        }
+        # f1 (rec1) and f3 (rec2) are ContentDataFacets → dropped;
+        # rec1's f2 (URLFacet) survives
+        assert got == {("kb:rec1", "kb:f2")}
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(patterns, select=["rec", "f"], minus=minus)
+        want = {
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_minus_with_existential_var_and_guard(self, triples):
+        # drop every record that has ANY facet carrying a hash (the hash
+        # value itself is existential — never projected)
+        patterns = [("?rec", "rdf:type", "uco-observable:URL")]
+        minus = [("?rec", "uco-core:hasFacet", "?anyf")]
+        got = {
+            r.rec
+            for r in bgp_query(triples, patterns, minus=minus).collect()
+        }
+        assert got == set()  # both records have facets
+        with pytest.raises(ValueError):
+            bgp_query(triples, patterns, minus=[("?x", "p", "?y")])
+        with pytest.raises(ValueError):
+            bgp_sql(patterns, minus=[("?x", "p", "?y")])
