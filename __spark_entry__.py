@@ -971,6 +971,52 @@ def _oracle_bgp_aggregate() -> str:
     )
 
 
+_BGP_NEG_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?f"),
+    ("?f", "rdf:type", "?t"),
+]
+_BGP_NEG_MINUS = [("?f", "uco-observable:hash", "?h")]
+
+
+def q_bgp_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negation + VALUES (operators/graphquery): facets that carry
+    NO hash property (MINUS → anti-join, the hash var existential),
+    restricted by a VALUES row-value IN over (bound) facet types — both
+    features compiled to text DuckDB evaluates identically."""
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_query,
+        values_filter,
+    )
+
+    vf = values_filter(
+        ["t"],
+        [("uco-observable:URLFacet",),
+         ("uco-observable:WebPageExtensionFacet",)],
+    )
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(
+        t, _BGP_NEG_PATTERNS, minus=_BGP_NEG_MINUS, filters=[vf]
+    ).orderBy("rec", "f")
+
+
+def _oracle_bgp_negation() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_sql,
+        values_filter,
+    )
+
+    vf = values_filter(
+        ["t"],
+        [("uco-observable:URLFacet",),
+         ("uco-observable:WebPageExtensionFacet",)],
+    )
+    inner = bgp_sql(_BGP_NEG_PATTERNS, minus=_BGP_NEG_MINUS, filters=[vf])
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) z ORDER BY rec, f"
+    )
+
+
 _CONSTRUCT_PATTERNS = [
     ("?rec", "uco-core:hasFacet", "?f"),
     ("?f", "rdf:type", "?t"),
@@ -3588,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "bgp_aggregate": q_bgp_aggregate,
         "bgp_construct": q_bgp_construct,
+        "bgp_negation": q_bgp_negation,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
@@ -3670,6 +3717,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_optional": _oracle_bgp_optional(),
         "bgp_aggregate": _oracle_bgp_aggregate(),
         "bgp_construct": _oracle_bgp_construct(),
+        "bgp_negation": _oracle_bgp_negation(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),
