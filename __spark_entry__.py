@@ -1017,6 +1017,42 @@ def _oracle_bgp_negation() -> str:
     )
 
 
+#: Inverse-path BGP: start from the typed facet and walk BACK to its
+#: record through ``^hasFacet`` (SPARQL inverse path), then read the
+#: record's own type — the navigation direction a consumer uses when the
+#: facet (not the record) is the search hit.
+_BGP_INV_PATTERNS = [
+    ("?f", "rdf:type", "uco-observable:ContentDataFacet"),
+    ("?f", "^uco-core:hasFacet", "?rec"),
+    ("?rec", "rdf:type", "?rtype"),
+]
+_BGP_INV_SELECT = ["rec", "f", "rtype"]
+
+
+def q_bgp_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL inverse path ``^p`` (operators/graphquery): ``(s, ^p, o)``
+    normalizes to ``(o, p, s)`` before compilation, so the facet→record
+    walk reuses the plain equi-join machinery (no second scan shape, no
+    directionality in the physical plan). Oracle is bgp_sql over the same
+    patterns — the identical normalization emits the identical SQL."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(
+        t, _BGP_INV_PATTERNS, select=_BGP_INV_SELECT
+    ).orderBy("rec", "f")
+
+
+def _oracle_bgp_inverse() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_sql
+
+    inner = bgp_sql(_BGP_INV_PATTERNS, select=_BGP_INV_SELECT)
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) z ORDER BY rec, f"
+    )
+
+
 _CONSTRUCT_PATTERNS = [
     ("?rec", "uco-core:hasFacet", "?f"),
     ("?f", "rdf:type", "?t"),
@@ -3635,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_aggregate": q_bgp_aggregate,
         "bgp_construct": q_bgp_construct,
         "bgp_negation": q_bgp_negation,
+        "bgp_inverse": q_bgp_inverse,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
@@ -3718,6 +3755,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_aggregate": _oracle_bgp_aggregate(),
         "bgp_construct": _oracle_bgp_construct(),
         "bgp_negation": _oracle_bgp_negation(),
+        "bgp_inverse": _oracle_bgp_inverse(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),

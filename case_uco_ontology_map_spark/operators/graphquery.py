@@ -216,6 +216,35 @@ def _is_path(term: str) -> bool:
     return is_p
 
 
+def _normalize_inverse(pattern: Pattern) -> Pattern:
+    """SPARQL inverse path ``^p``: ``(s, ^p, o)`` ≡ ``(o, p, s)`` — strip
+    the caret and swap the subject/object terms, so every downstream
+    compile path (plain, alternation, ``p+`` closure) handles inverses
+    for free. Composes: ``^p+`` is the inverse transitive closure
+    (``^(p+) ≡ (^p)+`` — the closure of the reversed edge set).
+
+    Mixing ``^`` with alternation in one predicate raises: SPARQL
+    precedence makes ``^p1|p2`` mean ``(^p1)|p2``, which a single
+    subject/object swap cannot express — write two patterns (or a
+    same-direction alternation) instead of guessing."""
+    s, pred, o = pattern
+    if (
+        isinstance(pred, str)
+        and pred.startswith("^")
+        and not _is_var(pred)
+        and len(pred) > 1
+    ):
+        if "|" in pred:
+            raise ValueError(
+                f"predicate {pred!r} mixes inverse (^) with alternation "
+                "(|) — SPARQL parses '^p1|p2' as '(^p1)|p2', which one "
+                "subject/object swap cannot express; use separate "
+                "patterns"
+            )
+        return (o, pred[1:], s)
+    return pattern
+
+
 def _is_alternation(term: str) -> bool:
     """Constant predicate of the SPARQL alternation form ``p1|p2|...``."""
     return (
@@ -282,7 +311,10 @@ def bgp_query(
     (``transitive_closure``), optionally bounded by ``path_max_hops``.
     A constant predicate of the form ``p1|p2`` is a SPARQL alternation —
     the pattern matches any of the listed predicates (one isin filter;
-    mixing ``|`` with ``+`` raises).
+    mixing ``|`` with ``+`` raises). A constant predicate starting with
+    ``^`` is a SPARQL inverse path: the subject/object roles swap before
+    compilation (``^p+`` is the inverse closure; ``^`` with ``|``
+    raises — SPARQL precedence makes that ``(^p1)|p2``).
     ``optional``: OPTIONAL patterns, left-joined after the required block
     in written order — their new variables come back NULL where unmatched
     (SPARQL OPTIONAL semantics; each must share ≥1 bound variable).
@@ -313,6 +345,7 @@ def bgp_query(
         order = list(range(len(patterns)))
 
     def _compile(p: Pattern) -> DataFrame:
+        p = _normalize_inverse(p)
         if _is_path(p[1]):
             return _compile_path_pattern(triples, p, cols, path_max_hops)
         return _compile_pattern(triples, p, cols)
@@ -389,7 +422,10 @@ def bgp_sql(
     oracle side; each OPTIONAL pattern must take its shared variables
     from the REQUIRED block and must not rebind a variable another
     OPTIONAL already introduced."""
-    for p in list(patterns) + list(optional):
+    patterns = [_normalize_inverse(p) for p in patterns]
+    optional = [_normalize_inverse(p) for p in optional]
+    minus = [_normalize_inverse(p) for p in minus]
+    for p in list(patterns) + list(optional) + list(minus):
         if _is_path(p[1]):
             raise ValueError(
                 f"property path in {p}: not expressible as one SELECT — "

@@ -652,3 +652,102 @@ class TestMinus:
             bgp_query(triples, patterns, minus=[("?x", "p", "?y")])
         with pytest.raises(ValueError):
             bgp_sql(patterns, minus=[("?x", "p", "?y")])
+
+
+class TestInversePath:
+    def test_inverse_equals_swapped_forward(self, triples):
+        # (?f, ^hasFacet, ?rec) ≡ (?rec, hasFacet, ?f)
+        inv = bgp_query(
+            triples,
+            [("?f", "^uco-core:hasFacet", "?rec")],
+            select=["rec", "f"],
+        )
+        fwd = bgp_query(
+            triples,
+            [("?rec", "uco-core:hasFacet", "?f")],
+            select=["rec", "f"],
+        )
+        got = sorted(tuple(r) for r in inv.collect())
+        assert got == sorted(tuple(r) for r in fwd.collect())
+        # and the SQL oracle agrees (bgp_sql normalizes identically)
+        _compare(inv, [("?f", "^uco-core:hasFacet", "?rec")], ["rec", "f"])
+
+    def test_inverse_in_two_hop_join(self, triples):
+        # typed facet joined back to its record through the inverse edge
+        patterns = [
+            ("?f", "rdf:type", "uco-observable:ContentDataFacet"),
+            ("?f", "^uco-core:hasFacet", "?rec"),
+        ]
+        got = {
+            tuple(r)
+            for r in bgp_query(
+                triples, patterns, select=["rec", "f"]
+            ).collect()
+        }
+        assert got == {("kb:rec1", "kb:f1"), ("kb:rec2", "kb:f3")}
+        _compare(
+            bgp_query(triples, patterns, select=["rec", "f"]),
+            patterns,
+            ["rec", "f"],
+        )
+
+    def test_inverse_transitive_closure(self, spark):
+        rows = [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "a")]
+        g = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        # (?x, ^p+, 'a'): everything reachable FROM a via p
+        got = {
+            r.x
+            for r in bgp_query(g, [("?x", "^p+", "a")], select=["x"]).collect()
+        }
+        assert got == {"b", "c"}
+        # (?x, ^p+, 'c'): nothing reaches out of c
+        assert (
+            bgp_query(g, [("?x", "^p+", "c")], select=["x"]).count() == 0
+        )
+
+    def test_inverse_in_optional_and_minus(self, triples):
+        # OPTIONAL through an inverse edge: every facet, with its record
+        # where one exists
+        patterns = [("?f", "rdf:type", "?t")]
+        optional = [("?f", "^uco-core:hasFacet", "?rec")]
+        df = bgp_query(
+            triples, patterns, select=["f", "t", "rec"], optional=optional
+        )
+        got = {tuple(r) for r in df.collect()}
+        # records themselves are typed too and have no inverse edge → NULL
+        assert ("kb:rec1", "uco-observable:URL", None) in got
+        assert (
+            "kb:f1",
+            "uco-observable:ContentDataFacet",
+            "kb:rec1",
+        ) in got
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(patterns, select=["f", "t", "rec"], optional=optional)
+        want = {
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
+        # MINUS through an inverse edge: facets NOT attached to rec1
+        minus = [("?f", "^uco-core:hasFacet", "kb:rec1")]
+        got_m = {
+            r.f
+            for r in bgp_query(
+                triples,
+                [("?f", "rdf:type", "?t")],
+                select=["f"],
+                minus=minus,
+            ).collect()
+        }
+        assert "kb:f1" not in got_m and "kb:f3" in got_m
+
+    def test_inverse_alternation_mix_raises(self, triples):
+        with pytest.raises(ValueError, match="inverse"):
+            bgp_query(triples, [("?s", "^p1|p2", "?o")])
+        with pytest.raises(ValueError, match="inverse"):
+            bgp_sql([("?s", "^p1|p2", "?o")])
