@@ -546,6 +546,89 @@ ORDER BY page, ancestor
 """
 
 
+def q_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``derivedFrom*`` (zero-or-more path) through the generic BGP
+    compiler: the provenance-forest closure PLUS the zero-length rows —
+    both ends are distinct variables, so per SPARQL every term of the
+    graph matches itself (all subjects ∪ objects), and a 1-hop row never
+    shadows its hops-0 twin (min-hop collapse inside
+    _compile_path_pattern). DuckDB replays via path_sql('derivedFrom','*')
+    — recursive CTE ∪ universe zero rows."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    g = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") > 0)
+        .select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("derivedFrom").alias("pred"),
+            F.concat(
+                F.lit("doc:"),
+                F.expr("CAST((doc_id - 1) DIV 2 AS STRING)"),
+            ).alias("obj"),
+        )
+    )
+    return bgp_query(
+        g, [("?page", "derivedFrom*", "?anc")], select=["page", "anc"]
+    ).orderBy("page", "anc")
+
+
+def _oracle_path_star() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import path_sql
+
+    return f"""
+WITH g AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj,
+         'derivedFrom' AS pred,
+         'doc:' || CAST((doc_id - 1) // 2 AS VARCHAR) AS obj
+  FROM documents WHERE doc_id > 0
+)
+SELECT src AS page, dst AS anc
+FROM ({path_sql('derivedFrom', '*')}) c
+ORDER BY page, anc
+"""
+
+
+#: Sequence path + negated property set in one BGP: the record's
+#: facet-type reach via ``hasFacet/rdf:type`` (expanded into an internal-
+#: variable chain by BOTH engines) joined with every non-type edge of the
+#: record (``!rdf:type`` — negated set).
+_BGP_SEQ_PATTERNS = [
+    ("?rec", "uco-core:hasFacet/rdf:type", "?ftype"),
+    ("?rec", "!rdf:type", "?f"),
+]
+_BGP_SEQ_SELECT = ["rec", "ftype", "f"]
+
+
+def q_bgp_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL sequence path (``p1/p2``) + negated property set
+    (``!p``): the sequence expands into a chain of patterns over internal
+    variables shared verbatim by bgp_query and bgp_sql (so the oracle
+    replays the identical join tree), and the negated set compiles to one
+    NOT-IN predicate scan. Bag semantics: each record's facets × facet
+    types."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(
+        t, _BGP_SEQ_PATTERNS, select=_BGP_SEQ_SELECT
+    ).orderBy("rec", "ftype", "f")
+
+
+def _oracle_bgp_sequence() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_sql
+
+    inner = bgp_sql(_BGP_SEQ_PATTERNS, select=_BGP_SEQ_SELECT)
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n{inner}\n"
+        "ORDER BY rec, ftype, f"
+    )
+
+
 def _doc_graph(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, int]":
     """Deterministic directed graph over doc ids for the graph-analytics
     contract rows: the provenance-tree parent edge (d -> (d-1) DIV 2 for
@@ -3672,6 +3755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_construct": q_bgp_construct,
         "bgp_negation": q_bgp_negation,
         "bgp_inverse": q_bgp_inverse,
+        "bgp_sequence": q_bgp_sequence,
+        "path_star": q_path_star,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
@@ -3756,6 +3841,8 @@ def oracle_sql() -> dict[str, str]:
         "bgp_construct": _oracle_bgp_construct(),
         "bgp_negation": _oracle_bgp_negation(),
         "bgp_inverse": _oracle_bgp_inverse(),
+        "bgp_sequence": _oracle_bgp_sequence(),
+        "path_star": _oracle_path_star(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),

@@ -42,6 +42,10 @@ Pattern = Tuple[str, str, str]
 #: Predicate suffix marking a one-or-more property path (SPARQL ``p+``).
 _PATH_SUFFIX = "+"
 
+#: All SPARQL path-modifier suffixes: one-or-more / zero-or-more /
+#: zero-or-one.
+_PATH_MODS = ("+", "*", "?")
+
 #: Selectivity weight of a CONSTANT in each triple position. Subjects are
 #: near-unique (one node id), objects split between IRIs (selective) and
 #: literals, predicates are the handful of ontology properties.
@@ -90,6 +94,10 @@ def _compile_pattern(
                 out = out.filter(F.col(col) == F.col(position_of[v]))
             else:
                 position_of[v] = col
+        elif col == cols[1] and _is_negated_set(term):
+            # SPARQL negated property set (!p1|p2 ≙ !(p1|p2)): any
+            # predicate NOT in the listed set
+            out = out.filter(~F.col(col).isin(*term[1:].split("|")))
         elif col == cols[1] and _is_alternation(term):
             # SPARQL alternation (p1|p2): predicate matches any listed IRI
             out = out.filter(F.col(col).isin(*term.split("|")))
@@ -204,16 +212,92 @@ def transitive_closure(
 def _is_path(term: str) -> bool:
     is_p = (
         isinstance(term, str)
-        and term.endswith(_PATH_SUFFIX)
+        and term.endswith(_PATH_MODS)
         and not _is_var(term)
         and len(term) > 1
     )
     if is_p and "|" in term:
         raise ValueError(
             f"predicate {term!r} mixes alternation (|) with a property "
-            "path (+) — compose them as separate patterns instead"
+            "path modifier — compose them as separate patterns instead"
+        )
+    if is_p and term.startswith("!"):
+        raise ValueError(
+            f"predicate {term!r} mixes a negated property set (!) with a "
+            "path modifier — unsupported; compose as separate patterns"
         )
     return is_p
+
+
+def _path_parts(term: str) -> Tuple[str, str]:
+    """``p+``/``p*``/``p?`` → ``(p, mod)``."""
+    return term[:-1], term[-1]
+
+
+def _is_negated_set(term: str) -> bool:
+    """Constant predicate of the SPARQL negated-property-set form
+    ``!p`` / ``!p1|p2`` (written for ``!(p1|p2)`` — ``|`` inside a ``!``
+    set always means the set form in SPARQL grammar)."""
+    ok = (
+        isinstance(term, str)
+        and term.startswith("!")
+        and len(term) > 1
+        and not _is_var(term)
+    )
+    if ok and any(c in term for c in ("^", "/", "+", "*", "?")):
+        raise ValueError(
+            f"predicate {term!r} mixes a negated property set (!) with "
+            "inverse/sequence/modifier syntax — only forward IRI sets "
+            "(!p or !p1|p2) are supported; compose anything else as "
+            "separate patterns"
+        )
+    if ok and not all(p for p in term[1:].split("|")):
+        raise ValueError(f"empty IRI in negated property set {term!r}")
+    return ok
+
+
+def _is_sequence(term: str) -> bool:
+    """Constant predicate of the SPARQL sequence-path form ``p1/p2/...``.
+    Elements may carry ``^`` inverse and ``+``/``*``/``?`` modifiers
+    (SPARQL precedence: modifiers and ``^`` bind tighter than ``/``).
+    ``|`` inside a sequence raises — ``a|b/c`` parses as ``a|(b/c)``,
+    which one pattern expansion cannot express."""
+    if not isinstance(term, str) or _is_var(term) or "/" not in term:
+        return False
+    # IRIs in this engine are CURIEs (prefix:local) — a '/' can only be
+    # path syntax. Full http:// IRIs would need quoting; unsupported.
+    if "|" in term:
+        raise ValueError(
+            f"predicate {term!r} mixes alternation (|) with a sequence "
+            "path (/) — SPARQL parses 'a|b/c' as 'a|(b/c)'; write "
+            "separate patterns instead"
+        )
+    if not all(p for p in term.split("/")):
+        raise ValueError(f"empty element in sequence path {term!r}")
+    return True
+
+
+def _expand_sequences(
+    patterns: Sequence[Pattern], tag: str = "seq"
+) -> List[Pattern]:
+    """Rewrite every sequence-path pattern ``(s, a/b/c, o)`` into the
+    chain ``(s, a, ?__tagI_0), (?__tagI_0, b, ?__tagI_1),
+    (?__tagI_1, c, o)`` with deterministic internal variables (``__``
+    prefix — never part of the default projection). Both engines expand
+    identically, so the SQL oracle replays the same join chain."""
+    out: List[Pattern] = []
+    for i, p in enumerate(patterns):
+        s, pred, o = p
+        if isinstance(pred, str) and not _is_var(pred) and _is_sequence(pred):
+            elems = pred.split("/")
+            cur = s
+            for j, e in enumerate(elems):
+                nxt = o if j == len(elems) - 1 else f"?__{tag}{i}_{j}"
+                out.append((cur, e, nxt))
+                cur = nxt
+        else:
+            out.append(p)
+    return out
 
 
 def _normalize_inverse(pattern: Pattern) -> Pattern:
@@ -263,16 +347,54 @@ def _compile_path_pattern(
 ) -> DataFrame:
     """``(s, p+, o)`` → transitive closure of predicate ``p``'s edge set,
     with the subject/object terms applied as filters/bindings on the
-    closure frame exactly as constants/variables apply on a plain scan."""
+    closure frame exactly as constants/variables apply on a plain scan.
+    ``p*`` adds the zero-length rows (SPARQL semantics: a ground end term
+    matches itself; two distinct variables match every term of the graph
+    — all subjects and objects); ``p?`` is the direct edge set plus the
+    same zero-length rows, no closure iteration at all."""
     s_col, p_col, o_col = cols
-    base = pattern[1][: -len(_PATH_SUFFIX)]
-    closure = transitive_closure(
-        triples.filter(F.col(p_col) == F.lit(base)).select(
-            F.col(s_col).alias("src"), F.col(o_col).alias("dst")
-        ),
-        max_hops=max_hops,
+    base, mod = _path_parts(pattern[1])
+    edges = triples.filter(F.col(p_col) == F.lit(base)).select(
+        F.col(s_col).alias("src"), F.col(o_col).alias("dst")
     )
-    out = closure
+    if mod == "?":
+        paths = edges.distinct().withColumn("hops", F.lit(1))
+    else:
+        paths = transitive_closure(edges, max_hops=max_hops)
+    if mod in ("*", "?"):
+        s_term, o_term = pattern[0], pattern[2]
+        ground = next(
+            (t for t in (s_term, o_term) if not _is_var(t)), None
+        )
+        if ground is not None:
+            # ZeroLengthPath(term X, _) = {X → X} (graph membership not
+            # required by the spec)
+            zero = triples.sparkSession.range(1).select(
+                F.lit(ground).alias("src"),
+                F.lit(ground).alias("dst"),
+                F.lit(0).alias("hops"),
+            )
+        else:
+            # both ends variable: every term of the graph matches itself
+            zero = (
+                triples.select(F.col(s_col).alias("t"))
+                .unionByName(triples.select(F.col(o_col).alias("t")))
+                .distinct()
+                .select(
+                    F.col("t").alias("src"),
+                    F.col("t").alias("dst"),
+                    F.lit(0).alias("hops"),
+                )
+            )
+        # a 1-hop self-loop must not shadow its hops=0 zero-length row
+        # in `?`/`*` mode where both exist — SPARQL path results are
+        # node pairs, so collapse to the minimal hop count
+        paths = (
+            paths.unionByName(zero)
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+        )
+    out = paths
     position_of: Dict[str, str] = {}
     for col, term in (("src", pattern[0]), ("dst", pattern[2])):
         if _is_var(term):
@@ -311,10 +433,18 @@ def bgp_query(
     (``transitive_closure``), optionally bounded by ``path_max_hops``.
     A constant predicate of the form ``p1|p2`` is a SPARQL alternation —
     the pattern matches any of the listed predicates (one isin filter;
-    mixing ``|`` with ``+`` raises). A constant predicate starting with
-    ``^`` is a SPARQL inverse path: the subject/object roles swap before
-    compilation (``^p+`` is the inverse closure; ``^`` with ``|``
-    raises — SPARQL precedence makes that ``(^p1)|p2``).
+    mixing ``|`` with a path modifier raises). A constant predicate
+    starting with ``^`` is a SPARQL inverse path: the subject/object
+    roles swap before compilation (``^p+`` is the inverse closure; ``^``
+    with ``|`` raises — SPARQL precedence makes that ``(^p1)|p2``).
+    ``p*`` / ``p?`` are the zero-or-more / zero-or-one paths (closure or
+    direct edges plus zero-length rows per SPARQL: a ground end matches
+    itself, two distinct variables match every graph term). ``!p1|p2``
+    is the negated property set ``!(p1|p2)`` — any predicate NOT listed.
+    ``a/b/c`` is a sequence path, expanded into a chain of patterns over
+    internal ``__``-prefixed variables (elements may carry ``^`` and
+    modifiers — SPARQL precedence binds those tighter than ``/``;
+    sequences are required-block only).
     ``optional``: OPTIONAL patterns, left-joined after the required block
     in written order — their new variables come back NULL where unmatched
     (SPARQL OPTIONAL semantics; each must share ≥1 bound variable).
@@ -335,14 +465,23 @@ def bgp_query(
     unless ``allow_cartesian=True``.
     """
     cols = (subj_col, pred_col, obj_col)
+    for p in list(optional) + list(minus):
+        if not _is_var(p[1]) and _is_sequence(p[1]):
+            raise ValueError(
+                f"sequence path in OPTIONAL/MINUS pattern {p}: group "
+                "semantics (all-or-nothing match) are not what per-"
+                "pattern left/anti joins express — join the chain in the "
+                "required block or pre-materialize it"
+            )
+    expanded = _expand_sequences(patterns)
     try:
-        order = join_order(patterns)
+        order = join_order(expanded)
     except ValueError:
         if not allow_cartesian:
             raise
         # degenerate explicit opt-in: join connected groups greedily and
         # cross the leftovers in written order
-        order = list(range(len(patterns)))
+        order = list(range(len(expanded)))
 
     def _compile(p: Pattern) -> DataFrame:
         p = _normalize_inverse(p)
@@ -350,7 +489,7 @@ def bgp_query(
             return _compile_path_pattern(triples, p, cols, path_max_hops)
         return _compile_pattern(triples, p, cols)
 
-    compiled = [_compile(p) for p in patterns]
+    compiled = [_compile(p) for p in expanded]
     out = compiled[order[0]]
     bound = set(out.columns)
     for i in order[1:]:
@@ -422,14 +561,20 @@ def bgp_sql(
     oracle side; each OPTIONAL pattern must take its shared variables
     from the REQUIRED block and must not rebind a variable another
     OPTIONAL already introduced."""
-    patterns = [_normalize_inverse(p) for p in patterns]
+    for p in list(optional) + list(minus):
+        if not _is_var(p[1]) and _is_sequence(p[1]):
+            raise ValueError(
+                f"sequence path in OPTIONAL/MINUS pattern {p} "
+                "(bgp_sql restriction, matching bgp_query)"
+            )
+    patterns = [_normalize_inverse(p) for p in _expand_sequences(patterns)]
     optional = [_normalize_inverse(p) for p in optional]
     minus = [_normalize_inverse(p) for p in minus]
     for p in list(patterns) + list(optional) + list(minus):
         if _is_path(p[1]):
             raise ValueError(
                 f"property path in {p}: not expressible as one SELECT — "
-                "use closure_sql() for the oracle"
+                "use closure_sql()/path_sql() for the oracle"
             )
     cols = (subj_col, pred_col, obj_col)
     aliases = [f"t{i}" for i in range(len(patterns))]
@@ -444,6 +589,12 @@ def bgp_sql(
                     where.append(f"{q} = {binding[v]}")
                 else:
                     binding[v] = q
+            elif col == pred_col and _is_negated_set(term):
+                opts = ", ".join(
+                    "'" + p.replace("'", "''") + "'"
+                    for p in term[1:].split("|")
+                )
+                where.append(f"{q} NOT IN ({opts})")
             elif col == pred_col and _is_alternation(term):
                 opts = ", ".join(
                     "'" + p.replace("'", "''") + "'" for p in term.split("|")
@@ -454,7 +605,8 @@ def bgp_sql(
     req_vars: List[str] = []
     for p in patterns:
         for v in pattern_vars(p):
-            if v not in req_vars:
+            # internal sequence-expansion vars join but never project
+            if v not in req_vars and not v.startswith("__"):
                 req_vars.append(v)
     all_vars = list(req_vars)
     frm = " CROSS JOIN ".join(f"{table} {a}" for a in aliases)
@@ -487,6 +639,12 @@ def bgp_sql(
                     sub_where.append(f"{col} = {sub_binding[v]}")
                 else:
                     sub_binding[v] = col
+            elif col == pred_col and _is_negated_set(term):
+                opts = ", ".join(
+                    "'" + p.replace("'", "''") + "'"
+                    for p in term[1:].split("|")
+                )
+                sub_where.append(f"{col} NOT IN ({opts})")
             elif col == pred_col and _is_alternation(term):
                 opts = ", ".join(
                     "'" + p.replace("'", "''") + "'" for p in term.split("|")
@@ -544,6 +702,12 @@ def bgp_sql(
                     shared_any = True
                 else:
                     m_binding[v] = col  # existential: unconstrained
+            elif col == pred_col and _is_negated_set(term):
+                opts = ", ".join(
+                    "'" + x.replace("'", "''") + "'"
+                    for x in term[1:].split("|")
+                )
+                mconds.append(f"{mal}.{col} NOT IN ({opts})")
             elif col == pred_col and _is_alternation(term):
                 opts = ", ".join(
                     "'" + x.replace("'", "''") + "'" for x in term.split("|")
@@ -601,6 +765,67 @@ reach(src, dst, hops) AS (
 SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops
 FROM reach GROUP BY src, dst
 """
+
+
+def path_sql(
+    pred: str,
+    mod: str = "+",
+    zero_term: Optional[str] = None,
+    max_hops: Optional[int] = None,
+    table: str = "g",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """DuckDB replay of one modified property path as a full query
+    ``(src, dst, hops)``: ``+`` delegates to ``closure_sql``; ``*`` adds
+    the zero-length rows; ``?`` is the direct edge set plus zero-length
+    rows (no recursion). Zero-length semantics mirror
+    ``_compile_path_pattern``: pass ``zero_term`` when the pattern has a
+    ground end (that term matches itself — SPARQL does not require graph
+    membership); leave it None for the two-distinct-variables form
+    (every subject/object of the graph matches itself)."""
+    if mod == "+":
+        return closure_sql(
+            pred,
+            max_hops=max_hops,
+            table=table,
+            subj_col=subj_col,
+            pred_col=pred_col,
+            obj_col=obj_col,
+        )
+    if mod not in ("*", "?"):
+        raise ValueError(f"unknown path modifier {mod!r}")
+    if zero_term is not None:
+        t = zero_term.replace("'", "''")
+        zero = f"SELECT '{t}' AS src, '{t}' AS dst, 0 AS hops"
+    else:
+        zero = (
+            f"SELECT t AS src, t AS dst, 0 AS hops FROM "
+            f"(SELECT {subj_col} AS t FROM {table} "
+            f"UNION SELECT {obj_col} FROM {table}) n"
+        )
+    p = pred.replace("'", "''")
+    if mod == "?":
+        one = (
+            f"SELECT {subj_col} AS src, {obj_col} AS dst, 1 AS hops "
+            f"FROM {table} WHERE {pred_col} = '{p}' GROUP BY 1, 2"
+        )
+        body = f"{one} UNION ALL {zero}"
+    else:
+        plus = closure_sql(
+            pred,
+            max_hops=max_hops,
+            table=table,
+            subj_col=subj_col,
+            pred_col=pred_col,
+            obj_col=obj_col,
+        )
+        body = f"SELECT * FROM ({plus}) c UNION ALL {zero}"
+    return (
+        "SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS hops FROM "
+        f"({body}) u GROUP BY src, dst"
+    )
 
 
 def bgp_aggregate(

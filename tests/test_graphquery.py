@@ -751,3 +751,238 @@ class TestInversePath:
             bgp_query(triples, [("?s", "^p1|p2", "?o")])
         with pytest.raises(ValueError, match="inverse"):
             bgp_sql([("?s", "^p1|p2", "?o")])
+
+
+class TestSequencePath:
+    def test_sequence_equals_manual_chain(self, triples):
+        # rec --hasFacet/rdf:type--> facet type, one sequence predicate
+        seq = bgp_query(
+            triples,
+            [("?rec", "uco-core:hasFacet/rdf:type", "?ftype")],
+            select=["rec", "ftype"],
+        )
+        manual = bgp_query(
+            triples,
+            [
+                ("?rec", "uco-core:hasFacet", "?f"),
+                ("?f", "rdf:type", "?ftype"),
+            ],
+            select=["rec", "ftype"],
+        )
+        assert sorted(map(tuple, seq.collect())) == sorted(
+            map(tuple, manual.collect())
+        )
+        # internal vars never leak into the default projection
+        all_cols = bgp_query(
+            triples, [("?rec", "uco-core:hasFacet/rdf:type", "?ftype")]
+        ).columns
+        assert all_cols == ["rec", "ftype"]
+        _compare(
+            seq,
+            [("?rec", "uco-core:hasFacet/rdf:type", "?ftype")],
+            ["rec", "ftype"],
+        )
+
+    def test_sequence_with_inverse_element(self, triples):
+        # facet --^hasFacet/rdf:type--> its record's type
+        pats = [("?f", "^uco-core:hasFacet/rdf:type", "?rtype")]
+        got = {
+            tuple(r)
+            for r in bgp_query(
+                triples, pats, select=["f", "rtype"]
+            ).collect()
+        }
+        assert got == {
+            ("kb:f1", "uco-observable:URL"),
+            ("kb:f2", "uco-observable:URL"),
+            ("kb:f3", "uco-observable:URL"),
+        }
+        _compare(bgp_query(triples, pats, select=["f", "rtype"]), pats,
+                 ["f", "rtype"])
+
+    def test_sequence_joins_with_other_patterns(self, triples):
+        pats = [
+            ("?rec", "uco-core:hasFacet/uco-observable:hash", "?h"),
+            ("?rec", "rdf:type", "?rt"),
+        ]
+        got = {
+            tuple(r)
+            for r in bgp_query(triples, pats, select=["rec", "h"]).collect()
+        }
+        assert got == {("kb:rec1", "abc"), ("kb:rec2", "def")}
+        _compare(bgp_query(triples, pats, select=["rec", "h"]), pats,
+                 ["rec", "h"])
+
+    def test_sequence_guards(self, triples):
+        with pytest.raises(ValueError, match="alternation"):
+            bgp_query(triples, [("?s", "a|b/c", "?o")])
+        with pytest.raises(ValueError, match="empty element"):
+            bgp_query(triples, [("?s", "a//b", "?o")])
+        with pytest.raises(ValueError, match="OPTIONAL/MINUS"):
+            bgp_query(
+                triples,
+                [("?s", "rdf:type", "?t")],
+                optional=[("?s", "a/b", "?o")],
+            )
+        with pytest.raises(ValueError, match="OPTIONAL/MINUS"):
+            bgp_sql(
+                [("?s", "rdf:type", "?t")],
+                minus=[("?s", "a/b", "?o")],
+            )
+
+
+class TestStarOptionalPaths:
+    @pytest.fixture(scope="class")
+    def chain(self, spark):
+        rows = [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+
+    def test_star_from_ground(self, chain):
+        got = {
+            r.o
+            for r in bgp_query(chain, [("a", "p*", "?o")], select=["o"])
+            .collect()
+        }
+        assert got == {"a", "b", "c"}  # zero-length includes a itself
+
+    def test_star_ground_not_in_graph(self, chain):
+        # SPARQL ZeroLengthPath(term X, ?v) = {v -> X} regardless of
+        # graph membership
+        got = {
+            r.o
+            for r in bgp_query(chain, [("zz", "p*", "?o")], select=["o"])
+            .collect()
+        }
+        assert got == {"zz"}
+
+    def test_star_both_vars_matches_duckdb(self, chain):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            path_sql,
+        )
+
+        df = bgp_query(chain, [("?s", "p*", "?o")], select=["s", "o"])
+        got = sorted(map(tuple, df.collect()))
+        con = duckdb.connect()
+        con.register(
+            "g_src",
+            pd.DataFrame(
+                [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")],
+                columns=["subj", "pred", "obj"],
+            ),
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    "WITH g AS (SELECT * FROM g_src) SELECT src, dst FROM ("
+                    + path_sql("p", "*")
+                    + ") z"
+                ).fetchall(),
+            )
+        )
+        assert got == want
+        # universe zero-length rows: every term of the graph, incl. q's
+        assert ("y", "y") in set(got) and ("x", "x") in set(got)
+
+    def test_zero_or_one(self, chain):
+        got = {
+            r.o
+            for r in bgp_query(chain, [("a", "p?", "?o")], select=["o"])
+            .collect()
+        }
+        assert got == {"a", "b"}  # no closure beyond one hop
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            path_sql,
+        )
+
+        con = duckdb.connect()
+        con.register(
+            "g_src",
+            pd.DataFrame(
+                [("a", "p", "b"), ("b", "p", "c"), ("x", "q", "y")],
+                columns=["subj", "pred", "obj"],
+            ),
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) SELECT dst FROM ("
+                + path_sql("p", "?", zero_term="a")
+                + ") z WHERE src = 'a'"
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_self_loop_min_hop_zero(self, spark):
+        g = spark.createDataFrame(
+            [("n", "p", "n")], "subj string, pred string, obj string"
+        )
+        # self-loop node: (n, n) appears once, at hops 0 (zero-length
+        # beats the 1-hop loop after the min-hop collapse)
+        rows = bgp_query(g, [("?s", "p*", "?o")], select=["s", "o"]).collect()
+        assert len(rows) == 1 and tuple(rows[0]) == ("n", "n")
+
+    def test_inverse_star_composes(self, chain):
+        # (?x, ^p*, c): c reaches x through reversed edges ∪ zero-length
+        got = {
+            r.x
+            for r in bgp_query(chain, [("?x", "^p*", "a")], select=["x"])
+            .collect()
+        }
+        assert got == {"a", "b", "c"}
+
+
+class TestNegatedPropertySet:
+    def test_negated_set_matches_duckdb(self, triples):
+        pats = [("?f", "!rdf:type", "?v")]
+        got = {
+            tuple(r)
+            for r in bgp_query(triples, pats, select=["f", "v"]).collect()
+        }
+        # every non-type edge in the graph
+        assert ("kb:f1", "abc") in got
+        assert all(
+            not (a == "kb:f1" and b == "uco-observable:ContentDataFacet")
+            for a, b in got
+        )
+        _compare(bgp_query(triples, pats, select=["f", "v"]), pats,
+                 ["f", "v"])
+
+    def test_negated_multi_and_in_minus(self, triples):
+        pats = [("kb:rec1", "!rdf:type|uco-core:sameAs", "?o")]
+        got = {
+            r.o for r in bgp_query(triples, pats, select=["o"]).collect()
+        }
+        assert got == {"kb:f1", "kb:f2"}  # only hasFacet edges survive
+        _compare(bgp_query(triples, pats, select=["o"]), pats, ["o"])
+        # negated set inside MINUS: drop subjects having any non-type edge
+        req = [("?s", "rdf:type", "?t")]
+        minus = [("?s", "!rdf:type", "?x")]
+        got_m = {
+            r.s
+            for r in bgp_query(triples, req, select=["s"], minus=minus)
+            .collect()
+        }
+        assert "kb:rec1" not in got_m  # has hasFacet edges
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(req, select=["s"], minus=minus)
+        want = {
+            r[0]
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got_m == want
+
+    def test_negated_set_guards(self, triples):
+        with pytest.raises(ValueError, match="negated property set"):
+            bgp_query(triples, [("?s", "!^p", "?o")])
+        with pytest.raises(ValueError, match="negated property set"):
+            bgp_query(triples, [("?s", "!p+", "?o")])
+        with pytest.raises(ValueError, match="empty IRI"):
+            bgp_query(triples, [("?s", "!p|", "?o")])
