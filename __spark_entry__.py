@@ -706,6 +706,35 @@ def _oracle_graph_pagerank() -> str:
     )
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graphstats.label_propagation):
+    4 rounds of synchronous label propagation over the doc graph —
+    undirected votes + a self-vote (damps the bipartite 2-cycle),
+    smallest-label tie-break, argmax as groupBy-max + semi-join +
+    groupBy-min (no window — hub votes partial-aggregate map-side).
+    Exact integer/string arithmetic end-to-end; DuckDB replays the
+    unrolled CTE chain (label_propagation_sql)."""
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        label_propagation,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return label_propagation(edges, iterations=4).orderBy("node")
+
+
+def _oracle_graph_communities() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        label_propagation_sql,
+    )
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL})\n"
+        "SELECT node, label FROM ("
+        + label_propagation_sql(iterations=4)
+        + ") z ORDER BY node"
+    )
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural same-as candidate mining (operators/graphstats.
     neighbor_jaccard): node pairs of the doc graph sharing ≥ 2 undirected
@@ -3761,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
+        "graph_communities": q_graph_communities,
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -3847,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),
         "graph_pagerank": _oracle_graph_pagerank(),
+        "graph_communities": _oracle_graph_communities(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),

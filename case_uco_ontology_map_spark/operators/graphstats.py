@@ -429,3 +429,127 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Synchronous label-propagation community detection →
+    ``(node, label)`` after a FIXED number of rounds.
+
+    Semantics pinned for determinism (and SQL replayability): the graph
+    is undirected (each edge votes both ways) with self-loops dropped;
+    every node starts labeled with its own id; each round EVERY node
+    simultaneously adopts the most frequent label among its neighbors
+    PLUS one vote for its own current label (the self-vote damps the
+    synchronous 2-cycle oscillation bipartite structures otherwise
+    exhibit), ties broken by the smallest label (string order). Fixed
+    rounds, not convergence — callers pick the round budget (≈ graph
+    diameter is plenty).
+
+    Scale shape: the undirected edge frame is hash-partitioned on its
+    probe side once and persisted; each round is (1) one equi-join of
+    edges against the N-row label frame, (2) a map-side-combined
+    (node, label) count, (3) the argmax as groupBy-max + semi-join +
+    groupBy-min — NO window function, so a hub node's votes partial-
+    aggregate map-side instead of sorting into one task (same skew
+    rationale as connected components). Per-round shuffles touch N-row
+    frames; lineage is truncated with ``localCheckpoint``.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    )
+    e = (
+        und.unionByName(
+            und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .repartition(shuffle, "_b")
+        .persist()
+    )
+    nodes = e.select(F.col("_a").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    if checkpoint_every:
+        labels = labels.localCheckpoint(eager=True)
+    for it in range(iterations):
+        nbr = e.join(labels, on=e["_b"] == labels["node"]).select(
+            F.col("_a").alias("node"), "label"
+        )
+        votes = (
+            nbr.unionByName(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        top = votes.groupBy("node").agg(F.max("_c").alias("_mc"))
+        picked = (
+            votes.join(top, on="node")
+            .where(F.col("_c") == F.col("_mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # isolated nodes cannot exist here (nodes come from the edge
+        # frame), but a COALESCE keeps the invariant explicit if the
+        # caller ever unions extra nodes in
+        labels = (
+            labels.select("node", F.col("label").alias("_prev"))
+            .join(picked, on="node", how="left")
+            .select(
+                "node", F.coalesce("label", F.col("_prev")).alias("label")
+            )
+        )
+        if checkpoint_every and ((it + 1) % checkpoint_every) == 0:
+            labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return labels
+
+
+def label_propagation_sql(
+    iterations: int = 5,
+    table: str = "e",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Unrolled-CTE replay of ``label_propagation`` (one CTE chain per
+    round — aggregation is illegal in a recursive term, and the round
+    count is fixed anyway). Emits a full query ``(node, label)``;
+    prepend the edge CTE ``table``."""
+    ctes: List[str] = [
+        f"""u AS (
+  SELECT {src} AS a, {dst} AS b FROM {table} WHERE {src} <> {dst}
+  UNION
+  SELECT {dst} AS a, {src} AS b FROM {table} WHERE {src} <> {dst}
+)""",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM u)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        votes = f"""SELECT s.node, s.label, count(*) AS c FROM (
+      SELECT u.a AS node, p.label FROM u JOIN {prev} p ON u.b = p.node
+      UNION ALL SELECT node, label FROM {prev}
+    ) s GROUP BY 1, 2"""
+        ctes.append(
+            f"""{cur} AS (
+  SELECT c.node, MIN(c.label) AS label
+  FROM ({votes}) c
+  JOIN (
+    SELECT node, MAX(c) AS mc FROM ({votes}) v GROUP BY 1
+  ) m ON c.node = m.node AND c.c = m.mc
+  GROUP BY c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iterations}"
+    )

@@ -280,3 +280,80 @@ class TestNeighborJaccard:
         # common-neighbor sets: (a,c)->{b,d,e}, (b,d)->{a,c},
         # (b,e)->{a,c}, (d,e)->{a,c}; every other pair shares <= 1
         assert got == {("a", "c"), ("b", "d"), ("b", "e"), ("d", "e")}
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            label_propagation,
+        )
+
+        # two triangles joined by one bridge edge: LPA should settle each
+        # triangle on its minimal member label
+        rows = [
+            ("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"),
+            ("c", "x"),
+        ]
+        g = spark.createDataFrame(rows, "src string, dst string")
+        got = {
+            (r.node, r.label)
+            for r in label_propagation(g, iterations=4).collect()
+        }
+        communities = {}
+        for node, label in got:
+            communities.setdefault(label, set()).add(node)
+        assert {frozenset(v) for v in communities.values()} == {
+            frozenset({"a", "b", "c"}),
+            frozenset({"x", "y", "z"}),
+        }
+
+    def test_matches_unrolled_sql_oracle(self, edges):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            label_propagation,
+            label_propagation_sql,
+        )
+
+        for iters in (0, 1, 3):
+            got = sorted(
+                map(tuple, label_propagation(edges, iterations=iters)
+                    .collect())
+            )
+            con = _duck()
+            # splice the edge CTE ahead of the generated WITH chain
+            sql = ("WITH e AS (SELECT * FROM e_src), "
+                   + label_propagation_sql(iterations=iters)[len("WITH "):])
+            want = sorted(map(tuple, con.execute(sql).fetchall()))
+            assert got == want, f"iteration count {iters}"
+
+    def test_self_loops_dropped_and_determinism(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            label_propagation,
+        )
+
+        g = spark.createDataFrame(
+            [("n", "n"), ("n", "m"), ("p", "q")], "src string, dst string"
+        )
+        out1 = sorted(map(tuple, label_propagation(g, 3).collect()))
+        out2 = sorted(
+            map(
+                tuple,
+                label_propagation(
+                    g.repartition(7), 3, checkpoint_every=0
+                ).collect(),
+            )
+        )
+        assert out1 == out2  # partitioning/checkpoint-invariant
+        labels = dict(out1)
+        # the self-vote breaks the 2-node synchronous oscillation: both
+        # pairs converge on their minimal member
+        assert labels["n"] == labels["m"] == "m"
+        assert labels["p"] == labels["q"] == "p"
+
+    def test_negative_iterations_raise(self, edges):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            label_propagation,
+        )
+
+        with pytest.raises(ValueError):
+            label_propagation(edges, iterations=-1)
