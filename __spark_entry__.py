@@ -1273,6 +1273,29 @@ def _oracle_tfidf_terms() -> str:
     return tfidf_sql("source", k=10) + " ORDER BY source, rank"
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency scoring (operators/textstats.
+    bigram_lm_scores): add-one-smoothed P(w2|w1) statistics trained on
+    the corpus itself, each doc scored by mean bigram log-probability —
+    the external-model-free perplexity gate. One in-row pair explode,
+    occurrence collapse before the joins, broadcast left-hand totals
+    (the Zipf hot key never shuffles). Integer counts exact; the float
+    ln/avg drifts ~1e-15, inside the driver's 6-digit normalization."""
+    from case_uco_ontology_map_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _oracle_lm_score() -> str:
+    from case_uco_ontology_map_spark.operators.textstats import bigram_lm_sql
+
+    return (
+        "SELECT * FROM (" + bigram_lm_sql() + ") z ORDER BY doc_id"
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -3803,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_counts": q_doc_quality_counts,
         "token_counts": q_token_counts,
         "tfidf_terms": q_tfidf_terms,
+        "lm_score": q_lm_score,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
         "domain_cap": q_domain_cap,
@@ -3889,6 +3913,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_counts": _oracle_doc_quality_counts(),
         "token_counts": _oracle_token_counts(),
         "tfidf_terms": _oracle_tfidf_terms(),
+        "lm_score": _oracle_lm_score(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
         "domain_cap": _oracle_domain_cap(),

@@ -436,3 +436,119 @@ scored AS (
 )
 SELECT * FROM scored WHERE rank <= {k}
 """
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring → the perplexity-style
+    fluency gate of a curation pipeline, with no external model: train
+    add-one-smoothed bigram statistics ON the corpus itself, then score
+    every document by its mean bigram log-probability —
+    ``(doc_id, n_bigrams, avg_logp)`` where
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c_left(w1) + V)``, ``c_left(w1)`` the
+    count of ``w1`` as a bigram left-hand side and ``V`` the corpus
+    vocabulary size. Low ``avg_logp`` = improbable word transitions
+    (boilerplate soup, mangled extractions); a real pipeline thresholds
+    on it like any quality score. Documents with < 2 tokens produce no
+    bigram and are absent from the output (callers union them back with
+    whatever default their gate wants).
+
+    Determinism: counts are exact integers in both engines; the only
+    floats are one ``ln`` per DISTINCT (doc, bigram) and one sum/divide
+    per doc — drift ~1e-15 relative, far inside the driver's 6-sig-digit
+    hash normalization (same argument as pagerank/tfidf).
+
+    Scale shape: ONE explode of in-row zipped token pairs (order
+    preserved; the quadratic never leaves the row), occurrences collapsed
+    to per-doc bigram types BEFORE any join, then two equi-joins: bigram
+    counts on (w1, w2) — AQE handles the Zipf skew — and left-hand
+    totals on w1, which is |vocab|-sized and explicitly broadcast (the
+    'the'-key hot join never shuffles).
+    """
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(
+        F.col(doc_col).alias("_doc"), tokens_col(text).alias("_t")
+    )
+    pairs = toks.filter(F.size("_t") >= 2).select(
+        "_doc",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("w1"),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select("_doc", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    # per-doc bigram types with multiplicity: the expensive joins below
+    # see one row per distinct (doc, w1, w2), not one per occurrence
+    db = pairs.groupBy("_doc", "w1", "w2").agg(F.count("*").alias("m"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cl = pairs.groupBy("w1").agg(F.count("*").alias("cl"))
+    vocab_n = (
+        toks.select(F.explode("_t").alias("w")).distinct()
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    scored = (
+        db.join(c2, on=["w1", "w2"])
+        .join(F.broadcast(cl), on="w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "_doc",
+            "m",
+            (
+                F.col("m").cast("double")
+                * F.log(
+                    (F.col("c2").cast("double") + F.lit(1.0))
+                    / (F.col("cl").cast("double") + F.col("v"))
+                )
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(F.col("_doc").alias(doc_col)).agg(
+        F.sum("m").alias("n_bigrams"),
+        (F.sum("_lp") / F.sum("m").cast("double")).alias("avg_logp"),
+    )
+
+
+def bigram_lm_sql(
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    lowercase: bool = True,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of ``bigram_lm_scores`` over ``table``."""
+    text = f"lower({text_col})" if lowercase else text_col
+    return f"""
+WITH toks AS (
+  SELECT {doc_col} AS _doc,
+         list_filter(regexp_split_to_array({text}, '\\s+'), x -> x <> '')
+           AS t
+  FROM {table}
+),
+pairs AS (
+  SELECT _doc, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+db AS (SELECT _doc, w1, w2, CAST(count(*) AS BIGINT) AS m
+       FROM pairs GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM pairs GROUP BY 1, 2),
+cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM pairs GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)),
+scored AS (
+  SELECT db._doc, db.m,
+         CAST(db.m AS DOUBLE)
+         * ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+              / (CAST(cl.cl AS DOUBLE) + (SELECT v FROM v))) AS lp
+  FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+  JOIN cl ON db.w1 = cl.w1
+)
+SELECT _doc AS {doc_col}, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       SUM(lp) / CAST(SUM(m) AS DOUBLE) AS avg_logp
+FROM scored GROUP BY 1
+"""

@@ -765,3 +765,90 @@ class TestPoolEmbeddings:
         assert got.embedding == [0.75, 0.25]
         with pytest.raises(ValueError):
             similarity.pool_embeddings(df, ["doc"], mode="median")
+
+
+class TestBigramLM:
+    ROWS = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "colorless green ideas sleep furiously"),
+        (3, "the the the the"),
+        (4, "single"),
+        (5, ""),
+    ]
+
+    def test_hand_computed_and_membership(self, spark):
+        import math
+
+        from case_uco_ontology_map_spark.operators.textstats import (
+            bigram_lm_scores,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_logp)
+            for r in bigram_lm_scores(df).collect()
+        }
+        # docs 4 (<2 tokens) and 5 (empty) produce no bigrams
+        assert set(got) == {0, 1, 2, 3}
+        assert got[0][0] == 5 and got[3][0] == 3
+        # doc 3: bigram (the,the) c2=3; cl(the)=3+2+2... left-hand
+        # occurrences of 'the': doc0 has (the,cat),(the,mat);
+        # doc1 (the,cat),(the,hat); doc3 (the,the)x3 → cl=7
+        # V = distinct tokens across corpus
+        vocab = {
+            t
+            for _, text in self.ROWS
+            for t in text.split()
+        }
+        v = float(len(vocab))
+        expected = math.log((3 + 1) / (7 + v))
+        assert abs(got[3][1] - expected) < 1e-12
+        # fluent repeated doc scores higher than the unique-word doc
+        assert got[0][1] > got[2][1]
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.textstats import (
+            bigram_lm_scores,
+            bigram_lm_sql,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.n_bigrams, round(r.avg_logp, 10))
+            for r in bigram_lm_scores(df).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text"]),
+        )
+        want = sorted(
+            (int(a), int(b), round(c, 10))
+            for a, b, c in con.execute(bigram_lm_sql()).fetchall()
+        )
+        assert got == want
+
+    def test_case_sensitivity_toggle(self, spark):
+        from case_uco_ontology_map_spark.operators.textstats import (
+            bigram_lm_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "The cat"), (1, "the cat"), (2, "the cat")],
+            "doc_id long, text string",
+        )
+        lower = {
+            r.doc_id: r.avg_logp
+            for r in bigram_lm_scores(df, lowercase=True).collect()
+        }
+        assert lower[0] == lower[1] == lower[2]  # case-folded: one bigram
+        raw = {
+            r.doc_id: r.avg_logp
+            for r in bigram_lm_scores(df, lowercase=False).collect()
+        }
+        # raw: (The,cat) is rarer than (the,cat) → lower probability
+        assert raw[0] < raw[1] == raw[2]
