@@ -980,6 +980,42 @@ def _oracle_bgp_optional() -> str:
     )
 
 
+#: Solution modifiers: ORDER BY over selected bindings + LIMIT/OFFSET
+#: paging. The order reaches the unique facet id, so the page is a total-
+#: order slice — deterministic across engines by construction (the
+#: compiler REFUSES limit without order_by for exactly this reason).
+_BGP_MOD_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?f"),
+    ("?f", "rdf:type", "?t"),
+]
+_BGP_MOD_KW = dict(
+    select=["t", "rec", "f"],
+    order_by=["t", "rec DESC", "f"],
+    limit=40,
+    offset=7,
+)
+
+
+def q_bgp_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers (ORDER BY / LIMIT / OFFSET) through the
+    BGP compiler: a paged, mixed-direction ordering over the binding
+    frame, sliced identically by Catalyst (orderBy → offset → limit —
+    a global sort the optimizer turns into TakeOrderedAndProject) and
+    DuckDB (ORDER BY ... LIMIT ... OFFSET). The order reaches the unique
+    facet id so the page is deterministic."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(t, _BGP_MOD_PATTERNS, **_BGP_MOD_KW)
+
+
+def _oracle_bgp_modifiers() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_sql
+
+    inner = bgp_sql(_BGP_MOD_PATTERNS, **_BGP_MOD_KW)
+    return f"WITH g AS ({_oracle_triples_structural()})\n{inner}"
+
+
 def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for KG-embedding training
     (operators/negatives.negative_samples): every hasFacet edge of the
@@ -3808,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_negation": q_bgp_negation,
         "bgp_inverse": q_bgp_inverse,
         "bgp_sequence": q_bgp_sequence,
+        "bgp_modifiers": q_bgp_modifiers,
         "path_star": q_path_star,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
@@ -3896,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_negation": _oracle_bgp_negation(),
         "bgp_inverse": _oracle_bgp_inverse(),
         "bgp_sequence": _oracle_bgp_sequence(),
+        "bgp_modifiers": _oracle_bgp_modifiers(),
         "path_star": _oracle_path_star(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),

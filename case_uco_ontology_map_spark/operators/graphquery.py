@@ -419,6 +419,9 @@ def bgp_query(
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
     minus: Sequence[Pattern] = (),
+    order_by: Sequence[str] = (),
+    limit: Optional[int] = None,
+    offset: int = 0,
     path_max_hops: Optional[int] = None,
     subj_col: str = "subj",
     pred_col: str = "pred",
@@ -456,7 +459,12 @@ def bgp_query(
     dropped via an anti-join on shared variables; variables a MINUS
     pattern newly introduces are existential. ``select``: output variable
     names (no ``?``), default all variables in first-appearance order.
-    ``distinct=False`` keeps SPARQL bag semantics.
+    ``distinct=False`` keeps SPARQL bag semantics. Solution modifiers:
+    ``order_by`` takes ``"var"`` / ``"var DESC"`` entries over SELECTED
+    variables; ``limit``/``offset`` slice the ordered solutions. A
+    ``limit`` (or ``offset``) without a TOTAL order is nondeterministic
+    across engines, so it raises unless ``order_by`` is given — pass an
+    order that reaches a unique key if you want stable hashes.
 
     Scale: each pattern is one filtered scan of the (bucket-partitioned)
     triple table; the join tree is equi-joins on binding columns in
@@ -535,7 +543,38 @@ def bgp_query(
     if missing:
         raise ValueError(f"select references unbound variables: {missing}")
     out = out.select(*keep)
-    return out.distinct() if distinct else out
+    if distinct:
+        out = out.distinct()
+    if (limit is not None or offset) and not order_by:
+        raise ValueError(
+            "limit/offset without order_by is nondeterministic — give a "
+            "total order (append a unique variable)"
+        )
+    if order_by:
+        out = out.orderBy(*[_order_col(o, keep) for o in order_by])
+    if offset:
+        out = out.offset(int(offset))
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
+
+
+def _order_col(spec: str, keep: Sequence[str]):
+    """``"var"`` / ``"var ASC"`` / ``"var DESC"`` → ordered Column over a
+    SELECTED variable (ordering by a dropped binding raises — SQL could,
+    but the two engines must sort the same frame)."""
+    parts = spec.split()
+    if not parts or len(parts) > 2:
+        raise ValueError(f"bad order_by entry {spec!r}")
+    v = parts[0]
+    d = parts[1].upper() if len(parts) == 2 else "ASC"
+    if d not in ("ASC", "DESC"):
+        raise ValueError(f"bad order direction in {spec!r}")
+    if v not in keep:
+        raise ValueError(
+            f"order_by variable {v!r} is not in the selected columns"
+        )
+    return F.col(v).desc() if d == "DESC" else F.col(v).asc()
 
 
 def bgp_sql(
@@ -545,6 +584,9 @@ def bgp_sql(
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
     minus: Sequence[Pattern] = (),
+    order_by: Sequence[str] = (),
+    limit: Optional[int] = None,
+    offset: int = 0,
     table: str = "g",
     subj_col: str = "subj",
     pred_col: str = "pred",
@@ -621,7 +663,7 @@ def bgp_sql(
         sql = f"SELECT {'DISTINCT ' if distinct else ''}{proj} FROM {frm}"
         if where:
             sql += " WHERE " + " AND ".join(where)
-        return sql
+        return sql + _modifier_sql(order_by, limit, offset, keep)
 
     # OPTIONAL / FILTER form: required block as a derived table, one LEFT
     # JOIN per optional pattern, filters in an outer wrapper (so they see
@@ -732,7 +774,45 @@ def bgp_sql(
             + ", ".join(keep)
             + f" FROM ({body}) z"
         )
-    return body
+    return body + _modifier_sql(order_by, limit, offset, keep)
+
+
+def _modifier_sql(
+    order_by: Sequence[str],
+    limit: Optional[int],
+    offset: int,
+    keep: Sequence[str],
+) -> str:
+    """ORDER BY / LIMIT / OFFSET suffix, validated exactly like
+    ``bgp_query`` (same guards → same errors on both engines)."""
+    if (limit is not None or offset) and not order_by:
+        raise ValueError(
+            "limit/offset without order_by is nondeterministic — give a "
+            "total order (append a unique variable)"
+        )
+    parts: List[str] = []
+    if order_by:
+        cols = []
+        for spec in order_by:
+            toks = spec.split()
+            if not toks or len(toks) > 2:
+                raise ValueError(f"bad order_by entry {spec!r}")
+            v = toks[0]
+            d = toks[1].upper() if len(toks) == 2 else "ASC"
+            if d not in ("ASC", "DESC"):
+                raise ValueError(f"bad order direction in {spec!r}")
+            if v not in keep:
+                raise ValueError(
+                    f"order_by variable {v!r} is not in the selected "
+                    "columns"
+                )
+            cols.append(f"{v} {d}")
+        parts.append("ORDER BY " + ", ".join(cols))
+    if limit is not None:
+        parts.append(f"LIMIT {int(limit)}")
+    if offset:
+        parts.append(f"OFFSET {int(offset)}")
+    return (" " + " ".join(parts)) if parts else ""
 
 
 def closure_sql(

@@ -986,3 +986,83 @@ class TestNegatedPropertySet:
             bgp_query(triples, [("?s", "!p+", "?o")])
         with pytest.raises(ValueError, match="empty IRI"):
             bgp_query(triples, [("?s", "!p|", "?o")])
+
+
+class TestSolutionModifiers:
+    def test_order_limit_offset_match_duckdb(self, triples):
+        pats = [("?rec", "uco-core:hasFacet", "?f")]
+        df = bgp_query(
+            triples,
+            pats,
+            select=["rec", "f"],
+            order_by=["rec DESC", "f"],
+            limit=2,
+            offset=1,
+        )
+        got = [tuple(r) for r in df.collect()]
+        assert got == [("kb:rec1", "kb:f1"), ("kb:rec1", "kb:f2")]
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(
+            pats,
+            select=["rec", "f"],
+            order_by=["rec DESC", "f"],
+            limit=2,
+            offset=1,
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_modifiers_on_wrapped_form(self, triples):
+        # filters force the wrapped (derived-table) SQL form
+        pats = [("?rec", "uco-core:hasFacet", "?f")]
+        df = bgp_query(
+            triples,
+            pats,
+            select=["rec", "f"],
+            filters=["f <> 'kb:f2'"],
+            order_by=["f"],
+            limit=1,
+        )
+        got = [tuple(r) for r in df.collect()]
+        assert got == [("kb:rec1", "kb:f1")]
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(
+            pats,
+            select=["rec", "f"],
+            filters=["f <> 'kb:f2'"],
+            order_by=["f"],
+            limit=1,
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_guards(self, triples):
+        pats = [("?rec", "uco-core:hasFacet", "?f")]
+        with pytest.raises(ValueError, match="nondeterministic"):
+            bgp_query(triples, pats, limit=3)
+        with pytest.raises(ValueError, match="nondeterministic"):
+            bgp_sql(pats, offset=3)
+        with pytest.raises(ValueError, match="not in the selected"):
+            bgp_query(
+                triples, pats, select=["rec"], order_by=["f"], limit=1
+            )
+        with pytest.raises(ValueError, match="not in the selected"):
+            bgp_sql(pats, select=["rec"], order_by=["f"], limit=1)
+        with pytest.raises(ValueError, match="order direction"):
+            bgp_query(triples, pats, order_by=["rec SIDEWAYS"])
