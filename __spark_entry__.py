@@ -980,6 +980,40 @@ def _oracle_bgp_optional() -> str:
     )
 
 
+#: FILTER EXISTS: keep only facets carrying a hash property — the hash
+#: value itself existential (semi-join; multiplicity of the outer
+#: bindings never changes).
+_BGP_EX_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?f"),
+    ("?f", "rdf:type", "?t"),
+]
+_BGP_EX_EXISTS = [("?f", "uco-observable:hash", "?h")]
+
+
+def q_bgp_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS (operators/graphquery.bgp_query(exists=)):
+    the positive existential — one LEFT SEMI join on the shared facet
+    variable, so outer multiplicity is preserved and the matched hash
+    stays unprojected. DuckDB replays as a correlated EXISTS subquery
+    (bgp_sql)."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(
+        t, _BGP_EX_PATTERNS, exists=_BGP_EX_EXISTS
+    ).orderBy("rec", "f")
+
+
+def _oracle_bgp_exists() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_sql
+
+    inner = bgp_sql(_BGP_EX_PATTERNS, exists=_BGP_EX_EXISTS)
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) zz ORDER BY rec, f"
+    )
+
+
 #: Solution modifiers: ORDER BY over selected bindings + LIMIT/OFFSET
 #: paging. The order reaches the unique facet id, so the page is a total-
 #: order slice — deterministic across engines by construction (the
@@ -3845,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_inverse": q_bgp_inverse,
         "bgp_sequence": q_bgp_sequence,
         "bgp_modifiers": q_bgp_modifiers,
+        "bgp_exists": q_bgp_exists,
         "path_star": q_path_star,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
@@ -3934,6 +3969,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_inverse": _oracle_bgp_inverse(),
         "bgp_sequence": _oracle_bgp_sequence(),
         "bgp_modifiers": _oracle_bgp_modifiers(),
+        "bgp_exists": _oracle_bgp_exists(),
         "path_star": _oracle_path_star(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),

@@ -419,6 +419,7 @@ def bgp_query(
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
     minus: Sequence[Pattern] = (),
+    exists: Sequence[Pattern] = (),
     order_by: Sequence[str] = (),
     limit: Optional[int] = None,
     offset: int = 0,
@@ -457,7 +458,9 @@ def bgp_query(
     oracle via ``bgp_sql(filters=...)``. ``minus``: SPARQL negation
     (FILTER NOT EXISTS) — bindings matching any of these patterns are
     dropped via an anti-join on shared variables; variables a MINUS
-    pattern newly introduces are existential. ``select``: output variable
+    pattern newly introduces are existential. ``exists``: SPARQL FILTER
+    EXISTS — the positive twin, a semi-join keeping only bindings the
+    pattern matches. ``select``: output variable
     names (no ``?``), default all variables in first-appearance order.
     ``distinct=False`` keeps SPARQL bag semantics. Solution modifiers:
     ``order_by`` takes ``"var"`` / ``"var DESC"`` entries over SELECTED
@@ -473,7 +476,7 @@ def bgp_query(
     unless ``allow_cartesian=True``.
     """
     cols = (subj_col, pred_col, obj_col)
-    for p in list(optional) + list(minus):
+    for p in list(optional) + list(minus) + list(exists):
         if not _is_var(p[1]) and _is_sequence(p[1]):
             raise ValueError(
                 f"sequence path in OPTIONAL/MINUS pattern {p}: group "
@@ -531,6 +534,21 @@ def bgp_query(
         out = out.join(
             nxt.select(*shared).distinct(), on=shared, how="left_anti"
         )
+    for p in exists:
+        # SPARQL FILTER EXISTS — the positive twin of MINUS: keep only
+        # bindings for which the pattern matches, one semi-join on the
+        # shared variables; new variables stay existential.
+        nxt = _compile(p)
+        shared = sorted(bound & set(nxt.columns))
+        if not shared:
+            raise ValueError(
+                f"EXISTS pattern {p} shares no variable with the bound "
+                "block — unscoped EXISTS would keep everything or "
+                "nothing"
+            )
+        out = out.join(
+            nxt.select(*shared).distinct(), on=shared, how="left_semi"
+        )
     for f in filters:
         out = out.filter(F.expr(f))
     all_vars: List[str] = []
@@ -584,6 +602,7 @@ def bgp_sql(
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
     minus: Sequence[Pattern] = (),
+    exists: Sequence[Pattern] = (),
     order_by: Sequence[str] = (),
     limit: Optional[int] = None,
     offset: int = 0,
@@ -603,7 +622,7 @@ def bgp_sql(
     oracle side; each OPTIONAL pattern must take its shared variables
     from the REQUIRED block and must not rebind a variable another
     OPTIONAL already introduced."""
-    for p in list(optional) + list(minus):
+    for p in list(optional) + list(minus) + list(exists):
         if not _is_var(p[1]) and _is_sequence(p[1]):
             raise ValueError(
                 f"sequence path in OPTIONAL/MINUS pattern {p} "
@@ -612,7 +631,8 @@ def bgp_sql(
     patterns = [_normalize_inverse(p) for p in _expand_sequences(patterns)]
     optional = [_normalize_inverse(p) for p in optional]
     minus = [_normalize_inverse(p) for p in minus]
-    for p in list(patterns) + list(optional) + list(minus):
+    exists = [_normalize_inverse(p) for p in exists]
+    for p in list(patterns) + list(optional) + list(minus) + list(exists):
         if _is_path(p[1]):
             raise ValueError(
                 f"property path in {p}: not expressible as one SELECT — "
@@ -657,7 +677,7 @@ def bgp_sql(
     if where:
         req_sql += " WHERE " + " AND ".join(where)
 
-    if not optional and not filters and not minus:
+    if not optional and not filters and not minus and not exists:
         keep = list(select) if select is not None else all_vars
         proj = ", ".join(f"{binding[v]} AS {v}" for v in keep)
         sql = f"SELECT {'DISTINCT ' if distinct else ''}{proj} FROM {frm}"
@@ -728,44 +748,51 @@ def bgp_sql(
     inner_proj = ", ".join(f"{var_source[v]}.{v} AS {v}" for v in all_vars)
     body = f"SELECT {inner_proj} FROM ({req_sql}) r " + " ".join(joins)
     conds = [f"({f})" for f in filters]
-    for j, pat in enumerate(minus):
-        mal = f"m{j}"
-        mconds: List[str] = []
-        m_binding: Dict[str, str] = {}
-        shared_any = False
-        for col, term in zip(cols, pat):
-            if _is_var(term):
-                v = _var(term)
-                if v in m_binding:
-                    mconds.append(f"{mal}.{col} = {mal}.{m_binding[v]}")
-                elif v in all_vars:
-                    mconds.append(f"{mal}.{col} = q.{v}")
-                    m_binding[v] = col
-                    shared_any = True
+    for kind, plist, kw in (
+        ("MINUS", minus, "NOT EXISTS"),
+        ("EXISTS", exists, "EXISTS"),
+    ):
+        for j, pat in enumerate(plist):
+            mal = f"{'m' if kind == 'MINUS' else 'x'}{j}"
+            mconds: List[str] = []
+            m_binding: Dict[str, str] = {}
+            shared_any = False
+            for col, term in zip(cols, pat):
+                if _is_var(term):
+                    v = _var(term)
+                    if v in m_binding:
+                        mconds.append(
+                            f"{mal}.{col} = {mal}.{m_binding[v]}"
+                        )
+                    elif v in all_vars:
+                        mconds.append(f"{mal}.{col} = q.{v}")
+                        m_binding[v] = col
+                        shared_any = True
+                    else:
+                        m_binding[v] = col  # existential: unconstrained
+                elif col == pred_col and _is_negated_set(term):
+                    opts = ", ".join(
+                        "'" + x.replace("'", "''") + "'"
+                        for x in term[1:].split("|")
+                    )
+                    mconds.append(f"{mal}.{col} NOT IN ({opts})")
+                elif col == pred_col and _is_alternation(term):
+                    opts = ", ".join(
+                        "'" + x.replace("'", "''") + "'"
+                        for x in term.split("|")
+                    )
+                    mconds.append(f"{mal}.{col} IN ({opts})")
                 else:
-                    m_binding[v] = col  # existential: unconstrained
-            elif col == pred_col and _is_negated_set(term):
-                opts = ", ".join(
-                    "'" + x.replace("'", "''") + "'"
-                    for x in term[1:].split("|")
+                    mconds.append(
+                        f"{mal}.{col} = '" + term.replace("'", "''") + "'"
+                    )
+            if not shared_any:
+                raise ValueError(
+                    f"{kind} pattern {pat} shares no variable with the "
+                    "bound block (bgp_sql restriction, matching bgp_query)"
                 )
-                mconds.append(f"{mal}.{col} NOT IN ({opts})")
-            elif col == pred_col and _is_alternation(term):
-                opts = ", ".join(
-                    "'" + x.replace("'", "''") + "'" for x in term.split("|")
-                )
-                mconds.append(f"{mal}.{col} IN ({opts})")
-            else:
-                mconds.append(
-                    f"{mal}.{col} = '" + term.replace("'", "''") + "'"
-                )
-        if not shared_any:
-            raise ValueError(
-                f"MINUS pattern {pat} shares no variable with the bound "
-                "block (bgp_sql restriction, matching bgp_query)"
-            )
-        mw = (" WHERE " + " AND ".join(mconds)) if mconds else ""
-        conds.append(f"NOT EXISTS (SELECT 1 FROM {table} {mal}{mw})")
+            mw = (" WHERE " + " AND ".join(mconds)) if mconds else ""
+            conds.append(f"{kw} (SELECT 1 FROM {table} {mal}{mw})")
     if conds:
         body = f"SELECT * FROM ({body}) q WHERE " + " AND ".join(conds)
     if keep != all_vars or distinct:

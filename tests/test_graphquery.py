@@ -1066,3 +1066,72 @@ class TestSolutionModifiers:
             bgp_sql(pats, select=["rec"], order_by=["f"], limit=1)
         with pytest.raises(ValueError, match="order direction"):
             bgp_query(triples, pats, order_by=["rec SIDEWAYS"])
+
+
+class TestExists:
+    def test_exists_matches_duckdb(self, triples):
+        # records that DO have a ContentDataFacet-typed facet (positive
+        # existential — the f/g vars existential, never projected)
+        req = [("?rec", "rdf:type", "uco-observable:URL")]
+        ex = [
+            ("?rec", "uco-core:hasFacet", "?g"),
+        ]
+        got = {
+            r.rec
+            for r in bgp_query(triples, req, select=["rec"], exists=ex)
+            .collect()
+        }
+        assert got == {"kb:rec1", "kb:rec2"}
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(req, select=["rec"], exists=ex)
+        want = {
+            r[0]
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_exists_no_multiplicity_change(self, triples):
+        # EXISTS must not duplicate bindings (semi-join, not inner):
+        # rec1 has TWO facets but stays one row
+        req = [("?rec", "rdf:type", "uco-observable:URL")]
+        ex = [("?rec", "uco-core:hasFacet", "?any")]
+        rows = bgp_query(triples, req, select=["rec"], exists=ex).collect()
+        assert sorted(r.rec for r in rows) == ["kb:rec1", "kb:rec2"]
+
+    def test_exists_with_minus_and_guard(self, triples):
+        # combined: has a facet (EXISTS) but no hash-carrying one (MINUS)
+        req = [("?rec", "rdf:type", "uco-observable:URL")]
+        ex = [("?rec", "uco-core:hasFacet", "?f")]
+        mi = [
+            ("?rec", "uco-core:hasFacet", "?h"),
+            # single-pattern MINUS below instead (compiler takes one
+            # pattern per entry)
+        ]
+        mi = [("?f2", "uco-observable:hash", "?v")]
+        with pytest.raises(ValueError, match="unscoped|shares no"):
+            bgp_query(triples, req, exists=[("?x", "p", "?y")])
+        with pytest.raises(ValueError, match="shares no"):
+            bgp_sql(req, exists=[("?x", "p", "?y")])
+        got = {
+            r.rec
+            for r in bgp_query(
+                triples, req, select=["rec"], exists=ex
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(req, select=["rec"], exists=ex)
+        want = {
+            r[0]
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        }
+        assert got == want
