@@ -383,9 +383,82 @@ def main():
         "cluster_pair_metrics 1-row combiners must broadcast"
     )
 
+    # ---- round-4 session-5 additions ---------------------------------
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        label_propagation,
+    )
+    from case_uco_ontology_map_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+
+    lpa = label_propagation(graph_edges, iterations=2, checkpoint_every=0)
+    lpa_plan = plan_of(lpa)
+    assert not re.findall(_no_python, lpa_plan), (
+        "label_propagation must not leave the JVM"
+    )
+    assert "CartesianProduct" not in lpa_plan, (
+        "label_propagation planned a cartesian join"
+    )
+    assert "window" not in lpa_plan.lower(), (
+        "label_propagation argmax must stay groupBy-shaped (window would "
+        "sort a hub's votes into one task)"
+    )
+
+    blm = bigram_lm_scores(docs)
+    blm_plan = plan_of(blm)
+    assert not re.findall(_no_python, blm_plan), (
+        "bigram_lm_scores must not leave the JVM"
+    )
+    assert "CartesianProduct" not in blm_plan, (
+        "bigram_lm_scores scalars/left-hand totals must broadcast"
+    )
+    assert "BroadcastExchange" in blm_plan, (
+        "bigram_lm_scores left-hand totals should ride a broadcast"
+    )
+
+    bgp_ex = bgp_query(
+        trip,
+        [("?rec", "uco-core:hasFacet", "?facet")],
+        exists=[("?facet", "uco-observable:hash", "?h")],
+    )
+    ex_plan = plan_of(bgp_ex)
+    assert "LeftSemi" in ex_plan, (
+        "FILTER EXISTS must plan a left-semi join (no multiplicity change)"
+    )
+
+    bgp_mod = bgp_query(
+        trip,
+        [("?rec", "uco-core:hasFacet", "?facet")],
+        select=["rec", "facet"],
+        order_by=["rec", "facet"],
+        limit=25,
+        offset=5,
+    )
+    mod_plan = plan_of(bgp_mod)
+    assert "TakeOrderedAndProject" in mod_plan, (
+        "ORDER BY + LIMIT should plan TakeOrderedAndProject (top-k per "
+        "partition + single merge), not a global sort"
+    )
+
+    star = bgp_query(
+        trip.limit(2000),
+        [("?a", "uco-core:hasFacet*", "?b")],
+        select=["a", "b"],
+        path_max_hops=2,
+    )
+    star_plan = plan_of(star)
+    assert not re.findall(_no_python, star_plan), (
+        "p* path compilation must not leave the JVM"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
+            "label_propagation round shape (vote count -> groupBy argmax, window-free)": lpa,
+            "bigram_lm_scores (in-row pair explode; broadcast LH totals + vocab scalar)": blm,
+            "bgp exists= (left-semi join, multiplicity preserved)": bgp_ex,
+            "bgp order_by+limit (TakeOrderedAndProject, not global sort)": bgp_mod,
+            "p* path (closure  zero-length union, min-hop collapse)": star,
             "triangle_stats (in-row wedge expansion + one pair-key equi-join)": tri,
             "neighbor_jaccard (adjacency in-row pairs + two degree joins)": nj,
             "ntriples_lines (pure projection: zero Exchange)": nt,
