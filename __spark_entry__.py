@@ -735,6 +735,37 @@ def _oracle_graph_communities() -> str:
     )
 
 
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus for KG-embedding training
+    (operators/graphstats.random_walks): 2 hash-driven walks of length 4
+    from every node of the doc graph — next hop = sorted-neighbor-array
+    pick by md5_60(start‖walk‖step‖node‖salt) mod degree, so the corpus
+    is a pure function of the graph (partitioning/retry/engine
+    invariant). One adjacency build + 4 frontier equi-joins; DuckDB
+    replays the unrolled CTE chain bit-exactly."""
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        random_walks,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return random_walks(
+        edges, walks_per_node=2, length=4, hash_mode="md5_60"
+    ).orderBy("start", "walk", "step", "node")
+
+
+def _oracle_kg_walks() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        random_walks_sql,
+    )
+
+    inner = random_walks_sql(walks_per_node=2, length=4)
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        + inner[len("WITH "):]
+        + "\nORDER BY start, walk, step, node"
+    )
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural same-as candidate mining (operators/graphstats.
     neighbor_jaccard): node pairs of the doc graph sharing ≥ 2 undirected
@@ -3886,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
         "graph_communities": q_graph_communities,
+        "kg_walks": q_kg_walks,
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -3976,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree": _oracle_graph_degree(),
         "graph_pagerank": _oracle_graph_pagerank(),
         "graph_communities": _oracle_graph_communities(),
+        "kg_walks": _oracle_kg_walks(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),

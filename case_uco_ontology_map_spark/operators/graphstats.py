@@ -553,3 +553,153 @@ def label_propagation_sql(
         + ",\n".join(ctes)
         + f"\nSELECT node, label FROM l{iterations}"
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 4,
+    salt: str = "walk",
+    hash_mode: str = "xxhash64",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation for KG/graph-embedding
+    training — hash-driven, not RNG-driven, for the same reason the
+    samplers are (operators/sampling.py): a walk must be a pure function
+    of its key so shards regenerate identically across cluster sizes,
+    retries, and engines. Returns long format
+    ``(start, walk, step, node)`` — ``walks_per_node`` walks from EVERY
+    node, steps ``0..length``, a walk ending early at a dead end (no
+    out-edges).
+
+    Step rule: from node ``c`` at step ``s`` of walk ``(start, w)``, the
+    next node is ``nbrs[H(start‖w‖s‖c‖salt) mod deg]`` over the SORTED
+    distinct out-neighbor array — ``md5_60`` mode replays bit-exactly in
+    DuckDB (``random_walks_sql``), ``xxhash64`` is the production mode.
+
+    Scale shape: adjacency is built once — one groupBy collecting each
+    node's sorted neighbor array — hash-partitioned on node id and
+    persisted; each of the ``length`` rounds is ONE equi-join of the
+    (N·walks_per_node)-row frontier against it, with the pick an in-row
+    ``element_at`` (no per-neighbor explosion, no shuffle of neighbor
+    lists); lineage truncates via ``localCheckpoint``. A hub's array is
+    as long as its out-degree — the same bound its adjacency already
+    costs anywhere else; cap out-degree upstream if hubs are degenerate.
+    """
+    from .dedup import content_hash64
+
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+    )
+    adj = (
+        e.groupBy(F.col("_s").alias("_anode"))
+        .agg(F.sort_array(F.collect_set("_d")).alias("_nbrs"))
+        .repartition(shuffle, "_anode")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("_w"),
+        F.col("node"),
+    ).select(
+        "start",
+        F.col("_w").cast("long").alias("walk"),
+        F.lit(0).cast("long").alias("step"),
+        "node",
+    )
+    parts = [frontier]
+    for s in range(1, length + 1):
+        h = content_hash64(
+            F.concat_ws(
+                "\x1f",
+                F.col("start").cast("string"),
+                F.col("walk").cast("string"),
+                F.lit(str(s)),
+                F.col("node").cast("string"),
+                F.lit(salt),
+            ),
+            hash_mode,
+        )
+        nxt = (
+            frontier.join(adj, on=frontier["node"] == adj["_anode"])
+            .select(
+                "start",
+                "walk",
+                F.lit(s).cast("long").alias("step"),
+                F.element_at(
+                    "_nbrs",
+                    (F.pmod(h, F.size("_nbrs")) + F.lit(1)).cast("int"),
+                ).alias("node"),
+            )
+        )
+        if checkpoint_every and (s % checkpoint_every) == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        parts.append(nxt)
+        frontier = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def random_walks_sql(
+    walks_per_node: int = 2,
+    length: int = 4,
+    salt: str = "walk",
+    table: str = "e",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Unrolled-CTE DuckDB replay of ``random_walks`` in md5_60 mode —
+    one CTE per step (the pick depends on the previous step's node, and
+    the round count is fixed). Emits ``(start, walk, step, node)``."""
+    q = salt.replace("'", "''")
+    ctes: List[str] = [
+        f"""u AS (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM {table}
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+)""",
+        "adj AS (SELECT s, list_sort(list(DISTINCT d)) AS nbrs "
+        "FROM u GROUP BY 1)",
+        "nodes AS (SELECT s AS node FROM u UNION SELECT d FROM u)",
+        f"""w0 AS (
+  SELECT node AS start, CAST(r.w AS BIGINT) AS walk,
+         CAST(0 AS BIGINT) AS step, node
+  FROM nodes CROSS JOIN range(0, {int(walks_per_node)}) r(w)
+)""",
+    ]
+    for s in range(1, length + 1):
+        key = (
+            f"(CAST(p.start AS VARCHAR) || chr(31) || "
+            f"CAST(p.walk AS VARCHAR) || chr(31) || '{s}' || chr(31) || "
+            f"CAST(p.node AS VARCHAR) || chr(31) || '{q}')"
+        )
+        h = f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+        ctes.append(
+            f"""w{s} AS (
+  SELECT p.start, p.walk, CAST({s} AS BIGINT) AS step,
+         a.nbrs[CAST(({h} % len(a.nbrs)) + 1 AS INT)] AS node
+  FROM w{s - 1} p JOIN adj a ON p.node = a.s
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{s}" for s in range(0, length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union

@@ -357,3 +357,79 @@ class TestLabelPropagation:
 
         with pytest.raises(ValueError):
             label_propagation(edges, iterations=-1)
+
+
+class TestRandomWalks:
+    def test_shape_and_step_rule(self, spark):
+        import hashlib
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            random_walks,
+        )
+
+        rows = [("a", "b"), ("a", "c"), ("b", "c")]
+        g = spark.createDataFrame(rows, "src string, dst string")
+        out = random_walks(
+            g, walks_per_node=2, length=3, hash_mode="md5_60"
+        ).collect()
+        byw = {}
+        for r in out:
+            byw.setdefault((r.start, r.walk), {})[r.step] = r.node
+        # every node starts 2 walks; step 0 is the start itself
+        assert set(byw) == {(n, w) for n in "abc" for w in (0, 1)}
+        for (n, w), steps in byw.items():
+            assert steps[0] == n
+        # c is a dead end: its walks stop at step 0
+        assert set(byw[("c", 0)]) == {0}
+        # replay the hash pick in Python for one step of walk (a, 0):
+        # from 'a' at step 1, nbrs = [b, c]
+        key = "a\x1f0\x1f1\x1fa\x1fwalk".encode()
+        h = int(hashlib.md5(key).hexdigest()[:15], 16)
+        assert byw[("a", 0)][1] == ["b", "c"][h % 2]
+
+    def test_matches_duckdb_oracle(self, edges):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            random_walks,
+            random_walks_sql,
+        )
+
+        got = sorted(
+            map(
+                tuple,
+                random_walks(
+                    edges, walks_per_node=2, length=4, hash_mode="md5_60"
+                ).collect(),
+            )
+        )
+        con = _duck()
+        sql = (
+            "WITH e AS (SELECT * FROM e_src), "
+            + random_walks_sql(walks_per_node=2, length=4)[len("WITH "):]
+        )
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want
+
+    def test_determinism_and_guards(self, edges):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            random_walks,
+        )
+
+        a = sorted(map(tuple, random_walks(edges, 1, 2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                random_walks(
+                    edges.repartition(5), 1, 2, checkpoint_every=0
+                ).collect(),
+            )
+        )
+        assert a == b  # partitioning/checkpoint invariant
+        # independent salts draw different walks somewhere
+        c = sorted(map(tuple, random_walks(edges, 1, 2, salt="w2").collect()))
+        assert a != c
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            random_walks(edges, walks_per_node=0)
+        with _pt.raises(ValueError):
+            random_walks(edges, length=-1)
