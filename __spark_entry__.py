@@ -1045,6 +1045,83 @@ def _oracle_bgp_exists() -> str:
     )
 
 
+#: BIND: computed bindings over the full binding scope, sequentially
+#: (the second references the first), selectable and orderable.
+_BGP_BIND_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?f"),
+    ("?f", "rdf:type", "?t"),
+]
+_BGP_BIND = [
+    ("upper(t)", "t_up"),
+    ("concat(rec, '#', t_up)", "tag"),
+]
+
+
+def q_bgp_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND (operators/graphquery.bgp_query(bind=)): portable
+    expression strings evaluated sequentially after the where block —
+    the same text runs under Catalyst F.expr and DuckDB (one nested
+    wrapper per bind on the SQL side so later binds see earlier
+    aliases). Rebinding a variable raises on both engines."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_query(t, _BGP_BIND_PATTERNS, bind=_BGP_BIND).orderBy(
+        "rec", "f", "t"
+    )
+
+
+def _oracle_bgp_bind() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_sql
+
+    inner = bgp_sql(_BGP_BIND_PATTERNS, bind=_BGP_BIND)
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) zb ORDER BY rec, f, t"
+    )
+
+
+#: UNION: two group patterns over DIFFERENT variable domains — the union
+#: domain is their union, a variable a branch does not bind comes back
+#: NULL (SPARQL unbound).
+_BGP_UNION_BLOCKS = [
+    {
+        "patterns": [
+            ("?rec", "uco-core:hasFacet", "?f"),
+            ("?f", "uco-observable:hash", "?h"),
+        ]
+    },
+    {
+        "patterns": [("?rec", "rdf:type", "?t")],
+        "bind": [("lower(t)", "lt")],
+    },
+]
+
+
+def q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION (operators/graphquery.bgp_union): bag union of two
+    branch join trees over the union variable domain — branch-missing
+    variables NULL, column order first-appearance. The Spark union is a
+    metadata-only concatenation (no exchange); DuckDB replays with
+    NULL-projected UNION ALL branches (bgp_union_sql)."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_union
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_union(t, _BGP_UNION_BLOCKS).orderBy("rec", "f", "t")
+
+
+def _oracle_bgp_union() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        bgp_union_sql,
+    )
+
+    inner = bgp_union_sql(_BGP_UNION_BLOCKS)
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        f"SELECT * FROM ({inner}) zu2 ORDER BY rec, f, t"
+    )
+
+
 #: Solution modifiers: ORDER BY over selected bindings + LIMIT/OFFSET
 #: paging. The order reaches the unique facet id, so the page is a total-
 #: order slice — deterministic across engines by construction (the
@@ -3911,6 +3988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_sequence": q_bgp_sequence,
         "bgp_modifiers": q_bgp_modifiers,
         "bgp_exists": q_bgp_exists,
+        "bgp_bind": q_bgp_bind,
+        "bgp_union": q_bgp_union,
         "path_star": q_path_star,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
@@ -4002,6 +4081,8 @@ def oracle_sql() -> dict[str, str]:
         "bgp_sequence": _oracle_bgp_sequence(),
         "bgp_modifiers": _oracle_bgp_modifiers(),
         "bgp_exists": _oracle_bgp_exists(),
+        "bgp_bind": _oracle_bgp_bind(),
+        "bgp_union": _oracle_bgp_union(),
         "path_star": _oracle_path_star(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),

@@ -420,6 +420,7 @@ def bgp_query(
     filters: Sequence[str] = (),
     minus: Sequence[Pattern] = (),
     exists: Sequence[Pattern] = (),
+    bind: Sequence[Tuple[str, str]] = (),
     order_by: Sequence[str] = (),
     limit: Optional[int] = None,
     offset: int = 0,
@@ -460,7 +461,11 @@ def bgp_query(
     dropped via an anti-join on shared variables; variables a MINUS
     pattern newly introduces are existential. ``exists``: SPARQL FILTER
     EXISTS — the positive twin, a semi-join keeping only bindings the
-    pattern matches. ``select``: output variable
+    pattern matches. ``bind``: SPARQL BIND as ``[(expr, alias), ...]``
+    portable expression strings evaluated after the where block over the
+    full binding scope (sequentially — a bind may reference an earlier
+    alias; rebinding a variable raises); aliases join the default
+    projection and are selectable/orderable. ``select``: output variable
     names (no ``?``), default all variables in first-appearance order.
     ``distinct=False`` keeps SPARQL bag semantics. Solution modifiers:
     ``order_by`` takes ``"var"`` / ``"var DESC"`` entries over SELECTED
@@ -556,6 +561,16 @@ def bgp_query(
         for v in pattern_vars(p):
             if v not in all_vars:
                 all_vars.append(v)
+    for expr, alias in bind:
+        # SPARQL BIND (scoped here: after the where block, before the
+        # projection — a bind may reference any binding or earlier bind,
+        # and may be selected/ordered like a variable). Rebinding raises,
+        # matching SPARQL's in-scope restriction.
+        if alias in bound:
+            raise ValueError(f"BIND alias {alias!r} rebinds a variable")
+        out = out.withColumn(alias, F.expr(expr))
+        bound.add(alias)
+        all_vars.append(alias)
     keep = list(select) if select is not None else all_vars
     missing = [v for v in keep if v not in bound]
     if missing:
@@ -603,6 +618,7 @@ def bgp_sql(
     filters: Sequence[str] = (),
     minus: Sequence[Pattern] = (),
     exists: Sequence[Pattern] = (),
+    bind: Sequence[Tuple[str, str]] = (),
     order_by: Sequence[str] = (),
     limit: Optional[int] = None,
     offset: int = 0,
@@ -677,7 +693,8 @@ def bgp_sql(
     if where:
         req_sql += " WHERE " + " AND ".join(where)
 
-    if not optional and not filters and not minus and not exists:
+    if (not optional and not filters and not minus and not exists
+            and not bind):
         keep = list(select) if select is not None else all_vars
         proj = ", ".join(f"{binding[v]} AS {v}" for v in keep)
         sql = f"SELECT {'DISTINCT ' if distinct else ''}{proj} FROM {frm}"
@@ -737,8 +754,19 @@ def bgp_sql(
             var_source[v] = oal
             if v not in all_vars:
                 all_vars.append(v)
-    keep = list(select) if select is not None else all_vars
-    missing = [v for v in keep if v not in var_source]
+    bind_aliases: List[str] = []
+    for expr, alias in bind:
+        # matches bgp_query: binds evaluate AFTER filters/negation over
+        # the full binding scope, then become selectable/orderable
+        if alias in var_source or alias in bind_aliases:
+            raise ValueError(f"BIND alias {alias!r} rebinds a variable")
+        bind_aliases.append(alias)
+    keep = (
+        list(select) if select is not None else all_vars + bind_aliases
+    )
+    missing = [
+        v for v in keep if v not in var_source and v not in bind_aliases
+    ]
     if missing:
         raise ValueError(f"select references unbound variables: {missing}")
     # project ALL variables into the filter scope (bgp_query filters the
@@ -795,7 +823,11 @@ def bgp_sql(
             conds.append(f"{kw} (SELECT 1 FROM {table} {mal}{mw})")
     if conds:
         body = f"SELECT * FROM ({body}) q WHERE " + " AND ".join(conds)
-    if keep != all_vars or distinct:
+    for i, (e, a) in enumerate(bind):
+        # one wrapper per bind so a later bind can reference an earlier
+        # alias, exactly like bgp_query's sequential withColumn
+        body = f"SELECT *, {e} AS {a} FROM ({body}) b{i}"
+    if keep != all_vars + bind_aliases or distinct:
         body = (
             f"SELECT {'DISTINCT ' if distinct else ''}"
             + ", ".join(keep)
@@ -1228,3 +1260,113 @@ def values_filter(
     cols = "(" + ", ".join(variables) + ")"
     tuples = ", ".join("(" + ", ".join(q(v) for v in r) + ")" for r in rows)
     return f"{cols} IN ({tuples})"
+
+
+def _block_vars(block: Dict) -> List[str]:
+    """The output variables a bgp_query/bgp_sql call with these kwargs
+    produces (default projection): pattern + OPTIONAL variables in
+    first-appearance order, then BIND aliases."""
+    vs: List[str] = []
+    for p in list(block.get("patterns", ())) + list(block.get("optional", ())):
+        for v in pattern_vars(p):
+            if v not in vs:
+                vs.append(v)
+    for _, alias in block.get("bind", ()):
+        vs.append(alias)
+    return vs
+
+
+_UNION_BLOCK_KEYS = {
+    "patterns", "optional", "filters", "minus", "exists", "bind",
+    "allow_cartesian", "path_max_hops",
+}
+
+
+def _check_union_blocks(blocks: Sequence[Dict]) -> None:
+    if len(blocks) < 2:
+        raise ValueError("bgp_union needs at least two blocks")
+    for b in blocks:
+        bad = set(b) - _UNION_BLOCK_KEYS
+        if bad:
+            raise ValueError(
+                f"union block carries {sorted(bad)} — select/distinct/"
+                "order/limit are union-level, not per-block"
+            )
+        if not b.get("patterns"):
+            raise ValueError("every union block needs patterns")
+
+
+def bgp_union(
+    triples: DataFrame,
+    blocks: Sequence[Dict],
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL UNION: alternation of group graph patterns. ``blocks`` is a
+    sequence of ``bgp_query`` kwarg dicts (``patterns`` required;
+    ``optional``/``filters``/``minus``/``exists``/``bind`` allowed —
+    solution modifiers live at the union level). Solutions are the BAG
+    union over the union of the blocks' variable domains; a variable a
+    branch does not bind comes back NULL (unbound), exactly SPARQL's
+    semantics. Column order: first appearance across blocks.
+
+    Scale: each branch is an independent join tree; the union is a
+    zero-shuffle concatenation (Spark unions are metadata-only — no
+    exchange until something downstream needs one)."""
+    _check_union_blocks(blocks)
+    cols_kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col)
+    out = None
+    for b in blocks:
+        f = bgp_query(triples, **{**cols_kw, **b})
+        out = f if out is None else out.unionByName(
+            f, allowMissingColumns=True
+        )
+    if select is not None:
+        out = out.select(*select)
+    return out.distinct() if distinct else out
+
+
+def bgp_union_sql(
+    blocks: Sequence[Dict],
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    table: str = "g",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """ANSI replay of ``bgp_union``: one ``bgp_sql`` derived table per
+    block, each projected onto the union variable domain (NULL for the
+    variables a branch does not bind), concatenated with UNION ALL (bag
+    semantics; ``distinct`` wraps a DISTINCT)."""
+    _check_union_blocks(blocks)
+    union_vars: List[str] = []
+    per_block_vars: List[List[str]] = []
+    for b in blocks:
+        vs = _block_vars(b)
+        per_block_vars.append(vs)
+        for v in vs:
+            if v not in union_vars:
+                union_vars.append(v)
+    cols_kw = dict(
+        table=table, subj_col=subj_col, pred_col=pred_col, obj_col=obj_col
+    )
+    branches = []
+    for i, (b, vs) in enumerate(zip(blocks, per_block_vars)):
+        inner = bgp_sql(**{**cols_kw, **b})
+        proj = ", ".join(
+            (v if v in vs else f"NULL AS {v}") for v in union_vars
+        )
+        branches.append(f"SELECT {proj} FROM ({inner}) u{i}")
+    body = " UNION ALL ".join(branches)
+    keep = list(select) if select is not None else union_vars
+    if keep != union_vars or distinct:
+        body = (
+            f"SELECT {'DISTINCT ' if distinct else ''}"
+            + ", ".join(keep)
+            + f" FROM ({body}) zu"
+        )
+    return body

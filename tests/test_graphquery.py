@@ -1135,3 +1135,159 @@ class TestExists:
             ).fetchall()
         }
         assert got == want
+
+
+class TestBind:
+    def test_bind_matches_duckdb(self, triples):
+        pats = [
+            ("?rec", "uco-core:hasFacet", "?f"),
+            ("?f", "rdf:type", "?t"),
+        ]
+        bind = [
+            ("upper(t)", "t_up"),
+            ("concat(rec, '#', t_up)", "tag"),  # references earlier bind
+        ]
+        df = bgp_query(triples, pats, bind=bind)
+        assert df.columns == ["rec", "f", "t", "t_up", "tag"]
+        got = sorted(map(tuple, df.collect()))
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(pats, bind=bind)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    "WITH g AS (SELECT * FROM g_src) " + sql
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_bind_select_order_and_filter_scope(self, triples):
+        pats = [("?rec", "uco-core:hasFacet", "?f")]
+        # bind selectable + orderable; filters CANNOT see binds (they
+        # evaluate before) — pinned by the guard below
+        df = bgp_query(
+            triples,
+            pats,
+            bind=[("length(f)", "flen")],
+            select=["rec", "flen"],
+            order_by=["flen", "rec"],
+            limit=2,
+        )
+        got = [tuple(r) for r in df.collect()]
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_sql(
+            pats,
+            bind=[("length(f)", "flen")],
+            select=["rec", "flen"],
+            order_by=["flen", "rec"],
+            limit=2,
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + sql
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_rebind_raises(self, triples):
+        pats = [("?rec", "uco-core:hasFacet", "?f")]
+        with pytest.raises(ValueError, match="rebinds"):
+            bgp_query(triples, pats, bind=[("upper(f)", "rec")])
+        with pytest.raises(ValueError, match="rebinds"):
+            bgp_sql(pats, bind=[("upper(f)", "rec")])
+
+
+class TestUnion:
+    def test_union_null_domain_matches_duckdb(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_union,
+            bgp_union_sql,
+        )
+
+        blocks = [
+            # facets with a hash (binds h)
+            {
+                "patterns": [
+                    ("?rec", "uco-core:hasFacet", "?f"),
+                    ("?f", "uco-observable:hash", "?h"),
+                ]
+            },
+            # records themselves (binds t, not f/h)
+            {"patterns": [("?rec", "rdf:type", "?t")]},
+        ]
+        df = bgp_union(triples, blocks)
+        assert df.columns == ["rec", "f", "h", "t"]
+        got = sorted(
+            map(tuple, df.collect()),
+            key=lambda r: tuple("" if x is None else x for x in r),
+        )
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_union_sql(blocks)
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    "WITH g AS (SELECT * FROM g_src) " + sql
+                ).fetchall(),
+            ),
+            key=lambda r: tuple("" if x is None else x for x in r),
+        )
+        assert got == want
+        # branch-missing vars are NULL
+        assert any(r[3] is None for r in got) and any(
+            r[1] is None for r in got
+        )
+
+    def test_union_block_features_and_guards(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_union,
+            bgp_union_sql,
+        )
+
+        blocks = [
+            {
+                "patterns": [("?rec", "uco-core:hasFacet", "?f")],
+                "minus": [("?f", "uco-observable:hash", "?x")],
+            },
+            {
+                "patterns": [("?rec", "rdf:type", "?t")],
+                "bind": [("lower(t)", "lt")],
+            },
+        ]
+        df = bgp_union(triples, blocks, select=["rec", "f", "lt"])
+        got = sorted(
+            map(tuple, df.collect()),
+            key=lambda r: tuple("" if x is None else x for x in r),
+        )
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        sql = bgp_union_sql(blocks, select=["rec", "f", "lt"])
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    "WITH g AS (SELECT * FROM g_src) " + sql
+                ).fetchall(),
+            ),
+            key=lambda r: tuple("" if x is None else x for x in r),
+        )
+        assert got == want
+        with pytest.raises(ValueError, match="at least two"):
+            bgp_union(triples, blocks[:1])
+        with pytest.raises(ValueError, match="union-level"):
+            bgp_union_sql(
+                [{"patterns": blocks[0]["patterns"], "limit": 3}, blocks[1]]
+            )
