@@ -1122,6 +1122,36 @@ def _oracle_bgp_union() -> str:
     )
 
 
+#: ASK: the 4th SPARQL query form. Two sub-questions folded into one
+#: 2-row result via UNION of the two 1-row ASK frames is NOT done here —
+#: one row per query form keeps the CollectLimit short-circuit visible.
+_BGP_ASK_PATTERNS = [
+    ("?rec", "uco-core:hasFacet", "?f"),
+    ("?f", "rdf:type", "uco-observable:ContentDataFacet"),
+]
+_BGP_ASK_MINUS = [("?f", "uco-observable:hash", "?h")]
+
+
+def q_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (operators/graphquery.bgp_ask): is there any
+    ContentDataFacet WITHOUT a hash? (No — the emission always pairs
+    them, and the negative answer proves MINUS composes under ASK.)
+    The group is cut with limit(1) before aggregation so Catalyst's
+    CollectLimit short-circuits at the first match; DuckDB replays as
+    EXISTS over the bgp_sql body."""
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_ask
+
+    t = q_triples_structural(spark, sf_dir)
+    return bgp_ask(t, _BGP_ASK_PATTERNS, minus=_BGP_ASK_MINUS)
+
+
+def _oracle_bgp_ask() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_ask_sql
+
+    inner = bgp_ask_sql(_BGP_ASK_PATTERNS, minus=_BGP_ASK_MINUS)
+    return f"WITH g AS ({_oracle_triples_structural()})\n{inner}"
+
+
 #: Solution modifiers: ORDER BY over selected bindings + LIMIT/OFFSET
 #: paging. The order reaches the unique facet id, so the page is a total-
 #: order slice — deterministic across engines by construction (the
@@ -3990,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_exists": q_bgp_exists,
         "bgp_bind": q_bgp_bind,
         "bgp_union": q_bgp_union,
+        "bgp_ask": q_bgp_ask,
         "path_star": q_path_star,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
@@ -4083,6 +4114,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_exists": _oracle_bgp_exists(),
         "bgp_bind": _oracle_bgp_bind(),
         "bgp_union": _oracle_bgp_union(),
+        "bgp_ask": _oracle_bgp_ask(),
         "path_star": _oracle_path_star(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),

@@ -1370,3 +1370,71 @@ def bgp_union_sql(
             + f" FROM ({body}) zu"
         )
     return body
+
+
+def bgp_ask(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
+    minus: Sequence[Pattern] = (),
+    exists: Sequence[Pattern] = (),
+    allow_cartesian: bool = False,
+    path_max_hops: Optional[int] = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL ASK — the fourth query form (SELECT/CONSTRUCT/DESCRIBE are
+    elsewhere in this module): does the pattern group match at all?
+    Returns a ONE-row frame ``(matched boolean)`` so the answer composes
+    with the contract/driver machinery like any result set.
+
+    Scale: the group compiles exactly like ``bgp_query`` and is cut with
+    ``limit(1)`` BEFORE aggregation — Catalyst plans a CollectLimit that
+    short-circuits scanning once any partition yields a row, so an ASK
+    against a 100 TB triple table stops at the first match."""
+    b = bgp_query(
+        triples,
+        patterns,
+        optional=optional,
+        filters=filters,
+        minus=minus,
+        exists=exists,
+        allow_cartesian=allow_cartesian,
+        path_max_hops=path_max_hops,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+    return (
+        b.limit(1)
+        .agg(F.count("*").alias("_n"))
+        .select((F.col("_n") > 0).alias("matched"))
+    )
+
+
+def bgp_ask_sql(
+    patterns: Sequence[Pattern],
+    optional: Sequence[Pattern] = (),
+    filters: Sequence[str] = (),
+    minus: Sequence[Pattern] = (),
+    exists: Sequence[Pattern] = (),
+    table: str = "g",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """ANSI replay of ``bgp_ask``: EXISTS over the bgp_sql body."""
+    inner = bgp_sql(
+        patterns,
+        optional=optional,
+        filters=filters,
+        minus=minus,
+        exists=exists,
+        table=table,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+    )
+    return f"SELECT EXISTS (SELECT 1 FROM ({inner}) a) AS matched"

@@ -1291,3 +1291,32 @@ class TestUnion:
             bgp_union_sql(
                 [{"patterns": blocks[0]["patterns"], "limit": 3}, blocks[1]]
             )
+
+
+class TestAsk:
+    def test_ask_true_false_and_oracle(self, triples):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            bgp_ask,
+            bgp_ask_sql,
+        )
+
+        yes = [("?r", "uco-core:hasFacet", "?f")]
+        no = [("?r", "uco-core:noSuchPredicate", "?f")]
+        con = duckdb.connect()
+        con.register(
+            "g_src", pd.DataFrame(TRIPLES, columns=["subj", "pred", "obj"])
+        )
+        for pats, expect in ((yes, True), (no, False)):
+            got = bgp_ask(triples, pats).collect()
+            assert len(got) == 1 and got[0].matched is expect
+            want = con.execute(
+                "WITH g AS (SELECT * FROM g_src) " + bgp_ask_sql(pats)
+            ).fetchone()[0]
+            assert want is expect
+        # with negation: is there any URL record WITHOUT a facet? (no)
+        got = bgp_ask(
+            triples,
+            [("?r", "rdf:type", "uco-observable:URL")],
+            minus=[("?r", "uco-core:hasFacet", "?f")],
+        ).collect()
+        assert got[0].matched is False
