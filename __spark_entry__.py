@@ -766,6 +766,44 @@ def _oracle_kg_walks() -> str:
     )
 
 
+def q_gnn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling (operators/graphstats.
+    neighbor_sample): 2 layers of fanout (3, 2) from the doc-graph nodes
+    divisible by 7 — per-node top-k by md5_60(u‖v‖layer‖salt) with ties
+    to the smaller neighbor, picked IN-ROW (decorate → array_sort →
+    slice before the explode, so a hub ships fanout rows, not degree).
+    DuckDB replays with per-layer ROW_NUMBER CTEs."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        neighbor_sample,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 7 == 0)
+        .distinct()
+    )
+    return neighbor_sample(
+        edges, seeds=seeds, fanouts=(3, 2), hash_mode="md5_60"
+    ).orderBy("layer", "u", "v")
+
+
+def _oracle_gnn_sample() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        neighbor_sample_sql,
+    )
+
+    seeds_sql = "SELECT DISTINCT s AS node FROM u WHERE s % 7 = 0"
+    inner = neighbor_sample_sql(seeds_sql, fanouts=(3, 2))
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        + inner[len("WITH "):]
+        + "\nORDER BY layer, u, v"
+    )
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural same-as candidate mining (operators/graphstats.
     neighbor_jaccard): node pairs of the doc graph sharing ≥ 2 undirected
@@ -4028,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_communities": q_graph_communities,
         "kg_walks": q_kg_walks,
+        "gnn_sample": q_gnn_sample,
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -4122,6 +4161,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _oracle_graph_pagerank(),
         "graph_communities": _oracle_graph_communities(),
         "kg_walks": _oracle_kg_walks(),
+        "gnn_sample": _oracle_gnn_sample(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),

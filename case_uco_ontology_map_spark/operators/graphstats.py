@@ -16,7 +16,7 @@ whole loop is ~2 shuffles x iterations over N-row frames.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -703,3 +703,133 @@ def random_walks_sql(
         f"SELECT * FROM w{s}" for s in range(0, length + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: Optional[DataFrame] = None,
+    fanouts: Sequence[int] = (10, 5),
+    salt: str = "gnn",
+    hash_mode: str = "xxhash64",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-style layered neighbor sampling for GNN minibatch
+    training — deterministic (hash-ranked, not RNG) like ``random_walks``
+    and for the same reason: a minibatch's sampled subgraph must be a
+    pure function of (graph, seeds, salt) so epochs regenerate
+    identically across cluster sizes and engines. Returns the sampled
+    edge frame ``(layer, u, v)``: layer ``l`` (1-based) holds up to
+    ``fanouts[l-1]`` out-edges per frontier node ``u``, ranked by
+    ``H(u‖v‖l‖salt)`` with ties to the smaller neighbor id; layer
+    ``l``'s distinct targets become layer ``l+1``'s frontier.
+
+    Scale shape: the pick is IN-ROW — each frontier node's neighbor
+    array is hash-decorated with a Catalyst higher-order ``transform``,
+    ``array_sort``-ed, and ``slice``-d to the fanout BEFORE the explode,
+    so a hub contributes ``fanout`` rows to the shuffle, not ``degree``
+    (no window, no per-neighbor row explosion). One adjacency build,
+    one frontier equi-join per layer.
+    """
+    from .dedup import content_hash64
+
+    for k in fanouts:
+        if k < 1:
+            raise ValueError("every fanout must be >= 1")
+    if not fanouts:
+        raise ValueError("fanouts must be non-empty")
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+    )
+    adj = (
+        e.groupBy(F.col("_s").alias("_anode"))
+        .agg(F.sort_array(F.collect_set("_d")).alias("_nbrs"))
+        .repartition(shuffle, "_anode")
+        .persist()
+    )
+    if seeds is None:
+        frontier = e.select(F.col("_s").alias("node")).unionByName(
+            e.select(F.col("_d").alias("node"))
+        ).distinct()
+    else:
+        frontier = seeds.select(F.col(seeds.columns[0]).alias("node"))
+    parts = []
+    for li, k in enumerate(fanouts, start=1):
+        joined = frontier.join(adj, on=frontier["node"] == adj["_anode"])
+        decorated = F.transform(
+            F.col("_nbrs"),
+            lambda v: F.struct(
+                content_hash64(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("node").cast("string"),
+                        v.cast("string"),
+                        F.lit(str(li)),
+                        F.lit(salt),
+                    ),
+                    hash_mode,
+                ).alias("h"),
+                v.alias("v"),
+            ),
+        )
+        samp = joined.select(
+            F.lit(li).cast("long").alias("layer"),
+            F.col("node").alias("u"),
+            F.explode(
+                F.slice(F.array_sort(decorated), 1, int(k))
+            ).alias("_p"),
+        ).select("layer", "u", F.col("_p.v").alias("v"))
+        parts.append(samp)
+        frontier = samp.select(F.col("v").alias("node")).distinct()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def neighbor_sample_sql(
+    seeds_sql: str,
+    fanouts: Sequence[int] = (10, 5),
+    salt: str = "gnn",
+    table: str = "e",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB replay of ``neighbor_sample`` in md5_60 mode:
+    ``seeds_sql`` is a query producing one column ``node`` (pass e.g.
+    ``"SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e"``
+    for the all-nodes default). The per-node top-k is a ROW_NUMBER over
+    (hash, neighbor) — same order the engine's in-row sort uses."""
+    q = salt.replace("'", "''")
+    ctes: List[str] = [
+        f"""u AS (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM {table}
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+)""",
+        f"f0 AS ({seeds_sql})",
+    ]
+    sels: List[str] = []
+    for li, k in enumerate(fanouts, start=1):
+        key = (
+            f"(CAST(f.node AS VARCHAR) || chr(31) || "
+            f"CAST(u.d AS VARCHAR) || chr(31) || '{li}' || chr(31) || "
+            f"'{q}')"
+        )
+        h = f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+        ctes.append(
+            f"""s{li} AS (
+  SELECT layer, u, v FROM (
+    SELECT CAST({li} AS BIGINT) AS layer, f.node AS u, u.d AS v,
+           ROW_NUMBER() OVER (PARTITION BY f.node
+                              ORDER BY {h}, u.d) AS rk
+    FROM f{li - 1} f JOIN u ON f.node = u.s
+  ) r WHERE rk <= {int(k)}
+)"""
+        )
+        ctes.append(f"f{li} AS (SELECT DISTINCT v AS node FROM s{li})")
+        sels.append(f"SELECT * FROM s{li}")
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)

@@ -433,3 +433,78 @@ class TestRandomWalks:
             random_walks(edges, walks_per_node=0)
         with _pt.raises(ValueError):
             random_walks(edges, length=-1)
+
+
+class TestNeighborSample:
+    def test_fanout_cap_and_python_replay(self, spark):
+        import hashlib
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            neighbor_sample,
+        )
+
+        # hub h with 6 neighbors; fanout 3 must pick exactly the 3
+        # hash-smallest
+        rows = [("h", f"n{i}") for i in range(6)]
+        g = spark.createDataFrame(rows, "src string, dst string")
+        seeds = spark.createDataFrame([("h",)], "node string")
+        out = neighbor_sample(
+            g, seeds=seeds, fanouts=(3,), hash_mode="md5_60"
+        ).collect()
+        assert len(out) == 3 and all(
+            r.layer == 1 and r.u == "h" for r in out
+        )
+
+        def h(u, v, li):
+            key = f"{u}\x1f{v}\x1f{li}\x1fgnn".encode()
+            return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+        expect = sorted((h("h", f"n{i}", 1), f"n{i}") for i in range(6))[:3]
+        assert sorted(r.v for r in out) == sorted(v for _, v in expect)
+
+    def test_layers_and_duckdb_oracle(self, edges):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            neighbor_sample,
+            neighbor_sample_sql,
+        )
+
+        got = sorted(
+            map(
+                tuple,
+                neighbor_sample(
+                    edges, fanouts=(2, 1), hash_mode="md5_60"
+                ).collect(),
+            )
+        )
+        con = _duck()
+        seeds_sql = (
+            "SELECT DISTINCT s AS node FROM u UNION SELECT d FROM u"
+        )
+        sql = (
+            "WITH e AS (SELECT * FROM e_src), "
+            + neighbor_sample_sql(seeds_sql, fanouts=(2, 1))[len("WITH "):]
+        )
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want
+        layers = {r[0] for r in got}
+        assert layers == {1, 2}
+
+    def test_determinism_and_guards(self, edges):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            neighbor_sample,
+        )
+
+        a = sorted(map(tuple, neighbor_sample(edges, fanouts=(2,)).collect()))
+        b = sorted(
+            map(
+                tuple,
+                neighbor_sample(edges.repartition(9), fanouts=(2,)).collect(),
+            )
+        )
+        assert a == b
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            neighbor_sample(edges, fanouts=())
+        with _pt.raises(ValueError):
+            neighbor_sample(edges, fanouts=(0,))
