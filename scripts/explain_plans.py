@@ -451,9 +451,43 @@ def main():
         "p* path compilation must not leave the JVM"
     )
 
+    from case_uco_ontology_map_spark.operators.graphquery import bgp_ask
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        neighbor_sample,
+        random_walks,
+    )
+
+    walks = random_walks(
+        graph_edges, walks_per_node=1, length=2, checkpoint_every=0
+    )
+    walks_plan = plan_of(walks)
+    assert not re.findall(_no_python, walks_plan), (
+        "random_walks must not leave the JVM"
+    )
+    assert "CartesianProduct" not in walks_plan
+
+    samp = neighbor_sample(graph_edges, fanouts=(3,))
+    samp_plan = plan_of(samp)
+    assert not re.findall(_no_python, samp_plan), (
+        "neighbor_sample must not leave the JVM"
+    )
+    assert "Window" not in samp_plan, (
+        "neighbor_sample top-k must stay in-row (array_sort+slice), "
+        "never a window"
+    )
+
+    ask = bgp_ask(trip, [("?r", "uco-core:hasFacet", "?f")])
+    ask_plan = plan_of(ask)
+    assert "CollectLimit" in ask_plan or "LocalLimit" in ask_plan, (
+        "bgp_ask must short-circuit through a limit before aggregating"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
+            "random_walks round shape (adjacency equi-join + in-row element_at)": walks,
+            "neighbor_sample (in-row decorate/sort/slice; window-free top-k)": samp,
+            "bgp_ask (CollectLimit short-circuit before aggregation)": ask,
             "label_propagation round shape (vote count -> groupBy argmax, window-free)": lpa,
             "bigram_lm_scores (in-row pair explode; broadcast LH totals + vocab scalar)": blm,
             "bgp exists= (left-semi join, multiplicity preserved)": bgp_ex,
