@@ -3215,6 +3215,45 @@ _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.05}
 _STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataloader sharding (operators/sampling.
+    shard_assignment): shard = key-hash bucket, within-shard order = an
+    independent hash of the same key (the global-shuffle order a
+    training run streams) — pure functions of the key, so every epoch /
+    retry / cluster size regenerates identical shards. md5_60 so DuckDB
+    replays both hashes bit-exactly. The write layout
+    (write_training_shards: repartition-on-shard before partitionBy, one
+    sorted file per shard) is pinned by pytest — filesystem ops have no
+    SQL surface."""
+    from case_uco_ontology_map_spark.operators.sampling import (
+        shard_assignment,
+    )
+
+    return (
+        shard_assignment(
+            _docs(spark, sf_dir), "doc_id", 8, hash_mode="md5_60"
+        )
+        .select("doc_id", "shard", "shard_order")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_shard_assign() -> str:
+    from case_uco_ontology_map_spark.operators.sampling import SAMPLE_MOD
+
+    bucket = _MD5_60.format(
+        x="(doc_id::VARCHAR || chr(31) || 'shard')"
+    )
+    order = _MD5_60.format(
+        x="(doc_id::VARCHAR || chr(31) || 'shard' || chr(31) || 'order')"
+    )
+    return f"""
+SELECT doc_id, {bucket} % 8 AS shard,
+       {order} % {SAMPLE_MOD} AS shard_order
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
     (operators/sampling.split_columns): hash-gated range carving, identical
@@ -4113,6 +4152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "range_join_sessions": q_range_join_sessions,
         "hash_split": q_hash_split,
+        "shard_assign": q_shard_assign,
         "corpus_mix": q_corpus_mix,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -4204,6 +4244,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _oracle_asof_attribution(),
         "range_join_sessions": _oracle_range_join_sessions(),
         "hash_split": _oracle_hash_split(),
+        "shard_assign": _oracle_shard_assign(),
         "corpus_mix": _oracle_corpus_mix(),
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),

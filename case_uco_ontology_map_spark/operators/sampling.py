@@ -174,3 +174,54 @@ def cap_per_key(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    key_col: str,
+    shards: int,
+    salt: str = "shard",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic dataloader sharding: add ``shard`` (0..shards-1) and
+    ``shard_order`` columns — shard = key-hash bucket, within-shard order
+    = an independent hash of the same key (the "global shuffle" order a
+    training run reads in). Both are pure functions of the key: every
+    epoch, retry, and cluster size regenerates the identical shards in
+    the identical order, which RNG-shuffled writes cannot promise.
+    All JVM expressions, zero shuffle until a writer repartitions."""
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    key = F.col(key_col)
+    return df.withColumn(
+        "shard", hash_bucket(key, shards, salt, hash_mode)
+    ).withColumn(
+        "shard_order", _gate(key, salt + "\x1forder", hash_mode)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    shards: int,
+    salt: str = "shard",
+    hash_mode: str = "xxhash64",
+) -> None:
+    """Materialize ``shard_assignment`` as one parquet directory per
+    shard (``shard=N/``), each dir ONE file sorted by ``shard_order`` —
+    the layout a dataloader streams: pick your shard, read in file
+    order, done; no shuffling at read time.
+
+    Sink shape (the repo-wide sink rule): ``repartition(shards, shard)``
+    BEFORE ``partitionBy`` so each output dir is written by exactly one
+    task — no small-file explosion, and ``sortWithinPartitions`` makes
+    the file order the shard order."""
+    out = shard_assignment(df, key_col, shards, salt, hash_mode)
+    (
+        out.repartition(shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_order", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -522,3 +522,78 @@ def test_blocklist_filter_suffix_semantics(spark):
         .collect()[0]["s"]
     )
     assert sfx == ["a.b.c", "b.c", "c"]
+
+
+class TestTrainingShards:
+    def test_assignment_deterministic_and_balanced(self, spark):
+        from case_uco_ontology_map_spark.operators.sampling import (
+            shard_assignment,
+        )
+
+        df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+        a = {
+            r.k: (r.shard, r.shard_order)
+            for r in shard_assignment(df, "k", 8).collect()
+        }
+        b = {
+            r.k: (r.shard, r.shard_order)
+            for r in shard_assignment(
+                df.repartition(13), "k", 8
+            ).collect()
+        }
+        assert a == b  # partitioning-invariant
+        sizes = {}
+        for s, _ in a.values():
+            sizes[s] = sizes.get(s, 0) + 1
+        assert set(sizes) == set(range(8))
+        assert max(sizes.values()) < 2 * min(sizes.values())
+
+    def test_write_layout_and_order(self, spark, tmp_path):
+        import os
+
+        from case_uco_ontology_map_spark.operators.sampling import (
+            shard_assignment,
+            write_training_shards,
+        )
+
+        df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+        out = str(tmp_path / "shards")
+        write_training_shards(df, out, "k", 4)
+        dirs = sorted(
+            d for d in os.listdir(out) if d.startswith("shard=")
+        )
+        assert dirs == [f"shard={i}" for i in range(4)]
+        total = 0
+        for d in dirs:
+            files = [
+                f
+                for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d} must hold exactly one file"
+            got = spark.read.parquet(os.path.join(out, d)).collect()
+            total += len(got)
+            # file order IS the shard order (read back without sorting)
+            orders = [r.shard_order for r in got]
+            assert orders == sorted(orders)
+        assert total == 500
+        # round-trip: the written assignment matches the formula
+        back = spark.read.parquet(out)
+        want = {
+            (r.k, r.shard)
+            for r in shard_assignment(df, "k", 4).select(
+                "k", "shard"
+            ).collect()
+        }
+        assert {(r.k, int(r.shard)) for r in back.collect()} == want
+
+    def test_guard(self, spark):
+        from case_uco_ontology_map_spark.operators.sampling import (
+            shard_assignment,
+        )
+
+        df = spark.range(3).select(F.col("id").cast("string").alias("k"))
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            shard_assignment(df, "k", 0)
