@@ -1160,6 +1160,42 @@ def _oracle_bgp_union() -> str:
     )
 
 
+#: A real SPARQL text query — parsed, compiled, and oracled through the
+#: text front end (operators/sparql.py). Exercises triples with ';'
+#: abbreviation, OPTIONAL, FILTER, ORDER BY/LIMIT in one string.
+_SPARQL_TEXT = """
+PREFIX uco-core: <https://ontology.unifiedcyberontology.org/uco/core/>
+SELECT ?rec ?f ?t ?h WHERE {
+  ?rec uco-core:hasFacet ?f .
+  ?f a ?t .
+  OPTIONAL { ?f uco-observable:hash ?h }
+  FILTER (?t != "uco-observable:URLFacet")
+}
+ORDER BY ?rec ?f ?t LIMIT 600
+"""
+
+
+def q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text front end (operators/sparql.py): the query string a
+    reference user would paste, tokenized and compiled onto the same
+    bgp_query machinery — parsing adds zero runtime cost; the plan is
+    identical to the programmatic call. DuckDB replays via
+    sparql_to_sql (the parsed spec rendered through bgp_sql)."""
+    from case_uco_ontology_map_spark.operators.sparql import sparql_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return sparql_query(t, _SPARQL_TEXT)
+
+
+def _oracle_sparql_text() -> str:
+    from case_uco_ontology_map_spark.operators.sparql import sparql_to_sql
+
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        + sparql_to_sql(_SPARQL_TEXT)
+    )
+
+
 #: ASK: the 4th SPARQL query form. Two sub-questions folded into one
 #: 2-row result via UNION of the two 1-row ASK frames is NOT done here —
 #: one row per query form keeps the CollectLimit short-circuit visible.
@@ -4098,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_bind": q_bgp_bind,
         "bgp_union": q_bgp_union,
         "bgp_ask": q_bgp_ask,
+        "sparql_text": q_sparql_text,
         "path_star": q_path_star,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
@@ -4194,6 +4231,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_bind": _oracle_bgp_bind(),
         "bgp_union": _oracle_bgp_union(),
         "bgp_ask": _oracle_bgp_ask(),
+        "sparql_text": _oracle_sparql_text(),
         "path_star": _oracle_path_star(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),

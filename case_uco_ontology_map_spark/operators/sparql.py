@@ -1,0 +1,551 @@
+"""SPARQL text front end for the BGP compiler — parse a SPARQL query
+string (the subset ``operators/graphquery.py`` executes) into the
+compiler's kwargs and run it on the Spark triple table.
+
+The reference emits JSON-LD for downstream SPARQL stores; its users write
+SPARQL text. This module closes that gap: the four query forms (SELECT /
+ASK / CONSTRUCT / DESCRIBE) over one WHERE group with triple patterns
+(``;``/``,`` abbreviations), property paths (``^ / | + * ?`` and ``!``
+negated sets), OPTIONAL, FILTER (portable expression subset), FILTER
+[NOT] EXISTS, MINUS, BIND, VALUES, UNION (top-level alternation of
+groups), DISTINCT, ORDER BY / LIMIT / OFFSET.
+
+Terms: prefixed names stay in CURIE space verbatim (the triple tables
+store CURIEs); ``<full-iri>`` terms are kept with the brackets stripped;
+``"literal"`` (optionally ``^^dt`` / ``@lang``, both dropped — the obj
+column stores the lexical form); numeric literals keep their lexical
+form. PREFIX declarations are accepted and recorded but not expanded —
+they document the CURIE space, they do not rewrite it (matching how the
+engine's emitter addresses nodes). BASE, named graphs, subqueries,
+aggregates-in-text, and property functions are out of scope and raise.
+
+FILTER/BIND expressions pass through as the compiler's portable strings
+after a conservative token rewrite (``?var``→``var``, ``&&``→AND,
+``||``→OR, ``!``→NOT except ``!=``) — anything the two engines would
+disagree on (REGEX, STR, LANG, ...) raises with the function name.
+
+Scale: this is a front end; the plan is whatever ``bgp_query`` builds —
+parsing adds zero runtime cost to the query itself.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+
+from .graphquery import (
+    bgp_ask,
+    bgp_query,
+    bgp_sql,
+    bgp_union,
+    bgp_union_sql,
+    values_filter,
+)
+
+Pattern = Tuple[str, str, str]
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<string>"(?:[^"\\]|\\.)*"(?:\^\^\S+|@[A-Za-z\-]+)?
+       |'(?:[^'\\]|\\.)*'(?:\^\^\S+|@[A-Za-z\-]+)?)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<var>\?[A-Za-z_][\w]*)
+  | (?P<punct>\{|\}|\(|\)|\.(?!\d)|;|,)
+  | (?P<word>[^\s{}(),;]+)
+    """,
+    re.VERBOSE,
+)
+
+_UNSUPPORTED_FUNCS = (
+    "regex", "str", "lang", "datatype", "bound", "sameterm", "isiri",
+    "isliteral", "isblank", "bnode", "iri", "uri", "strlen", "substr",
+    "contains", "strstarts", "strends", "now", "rand", "uuid", "struuid",
+    "md5", "sha1", "sha256", "encode_for_uri", "langmatches",
+)
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> List[str]:
+    # strip comments (outside strings: a # begins a comment — SPARQL has
+    # no # inside unquoted tokens we support except prefixed names,
+    # which never contain '#'; full IRIs with fragments stay safe
+    # because we only strip # when it follows whitespace or line start)
+    text = re.sub(r"(?m)(?:^|(?<=\s))#[^\n]*", " ", text)
+    toks: List[str] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        between = text[pos:m.start()]
+        if between.strip():
+            raise SparqlSyntaxError(f"cannot tokenize {between.strip()!r}")
+        pos = m.end()
+        tok = m.group(0)
+        # a word greedily captures a trailing '.' ("?t." / "rdf:type.");
+        # SPARQL local names cannot END with '.', so splitting one
+        # trailing dot back out is always safe
+        if (
+            m.lastgroup in ("word", "var")
+            and tok.endswith(".")
+            and len(tok) > 1
+        ):
+            toks.append(tok[:-1])
+            toks.append(".")
+        else:
+            toks.append(tok)
+    if text[pos:].strip():
+        raise SparqlSyntaxError(f"cannot tokenize {text[pos:].strip()!r}")
+    return toks
+
+
+def _term(tok: str, pred: bool = False) -> str:
+    """SPARQL term token → compiler term string. ``a`` means rdf:type in
+    PREDICATE position only (elsewhere it is a legal local name)."""
+    if tok.startswith("?"):
+        return tok
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    if tok[0] in "\"'":
+        end = _literal_end(tok)
+        body = tok[1:end]
+        return re.sub(r"\\(.)", r"\1", body)
+    if pred and tok == "a":
+        return "rdf:type"
+    return tok
+
+
+def _literal_end(tok: str) -> int:
+    q = tok[0]
+    i = 1
+    while i < len(tok):
+        if tok[i] == "\\":
+            i += 2
+            continue
+        if tok[i] == q:
+            return i
+        i += 1
+    raise SparqlSyntaxError(f"unterminated literal {tok!r}")
+
+
+class _Parser:
+    def __init__(self, toks: List[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> Optional[str]:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        return t is not None and t.upper() == word
+
+    def take(self) -> str:
+        if self.i >= len(self.toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.take()
+        if t.upper() != tok.upper():
+            raise SparqlSyntaxError(f"expected {tok!r}, got {t!r}")
+
+    # ---- groups -------------------------------------------------------
+
+    def parse_group(self) -> Dict:
+        """One ``{ ... }`` group → bgp_query kwargs dict — or, for the
+        standard union form ``{ {A} UNION {B} ...}``, a
+        ``{"__union__": [blocks]}`` marker (a braced single group
+        without UNION collapses to the group itself)."""
+        self.expect("{")
+        if self.kw("{"):
+            branches = [self.parse_group()]
+            while self.kw("UNION"):
+                self.take()
+                branches.append(self.parse_group())
+            self.expect("}")
+            if len(branches) == 1:
+                return branches[0]
+            for b in branches:
+                if "__union__" in b:
+                    raise SparqlSyntaxError("nested UNION is not supported")
+            return {"__union__": branches}
+        out: Dict = {
+            "patterns": [], "optional": [], "filters": [], "minus": [],
+            "exists": [], "bind": [],
+        }
+        while not self.kw("}"):
+            u = self.peek().upper() if self.peek() else ""
+            if u == "OPTIONAL":
+                self.take()
+                sub = self.parse_group()
+                self._merge_simple(sub, out, "optional")
+            elif u == "MINUS":
+                self.take()
+                sub = self.parse_group()
+                self._merge_simple(sub, out, "minus")
+            elif u == "FILTER":
+                self.take()
+                nxt = self.peek().upper() if self.peek() else ""
+                if nxt == "EXISTS":
+                    self.take()
+                    sub = self.parse_group()
+                    self._merge_simple(sub, out, "exists")
+                elif nxt == "NOT":
+                    self.take()
+                    self.expect("EXISTS")
+                    sub = self.parse_group()
+                    self._merge_simple(sub, out, "minus")
+                elif self.kw("("):
+                    out["filters"].append(self._parse_expr_parens())
+                else:
+                    # FILTER func(args) — constraint as a direct call
+                    fname = self.take()
+                    if fname.lower() in _UNSUPPORTED_FUNCS:
+                        raise SparqlSyntaxError(
+                            f"function {fname.upper()}() is not in the "
+                            "portable expression subset"
+                        )
+                    inner = self._parse_expr_parens()
+                    out["filters"].append(f"{fname} ( {inner} )")
+            elif u == "BIND":
+                self.take()
+                self.expect("(")
+                depth, toks = 1, []
+                while depth:
+                    t = self.take()
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    toks.append(t)
+                # split on trailing AS ?alias
+                if len(toks) < 2 or toks[-2].upper() != "AS":
+                    raise SparqlSyntaxError("BIND needs (expr AS ?alias)")
+                alias = toks[-1]
+                if not alias.startswith("?"):
+                    raise SparqlSyntaxError("BIND alias must be a variable")
+                expr = self._rewrite_expr(toks[:-2])
+                out["bind"].append((expr, alias[1:]))
+            elif u == "VALUES":
+                self.take()
+                out["filters"].append(self._parse_values())
+            elif u == "{":
+                raise SparqlSyntaxError(
+                    "group blocks may only open a UNION alternation "
+                    "(as the FIRST member of their enclosing group)"
+                )
+            else:
+                self._parse_triples_block(out["patterns"])
+        self.expect("}")
+        return out
+
+    def _merge_simple(self, sub: Dict, out: Dict, key: str) -> None:
+        if "__union__" in sub:
+            raise SparqlSyntaxError(
+                f"UNION inside {key.upper()} is not supported"
+            )
+        for extra in ("optional", "minus", "exists", "bind", "filters"):
+            if sub[extra]:
+                raise SparqlSyntaxError(
+                    f"{key.upper()} groups must contain only triple "
+                    f"patterns (found {extra})"
+                )
+        out[key].extend(sub["patterns"])
+
+    def _parse_triples_block(self, into: List[Pattern]) -> None:
+        s = _term(self.take())
+        while True:
+            p = _term(self.take(), pred=True)
+            while True:
+                o = _term(self.take())
+                into.append((s, p, o))
+                if self.kw(","):
+                    self.take()
+                    continue
+                break
+            if self.kw(";"):
+                self.take()
+                # tolerate trailing ; before . or }
+                if self.kw(".") or self.kw("}"):
+                    break
+                continue
+            break
+        if self.kw("."):
+            self.take()
+
+    # ---- expressions --------------------------------------------------
+
+    def _parse_expr_parens(self) -> str:
+        self.expect("(")
+        depth, toks = 1, []
+        while depth:
+            t = self.take()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            toks.append(t)
+        return self._rewrite_expr(toks)
+
+    def _rewrite_expr(self, toks: List[str]) -> str:
+        parts: List[str] = []
+        for t in toks:
+            low = t.lower().rstrip("(")
+            if low in _UNSUPPORTED_FUNCS and t.endswith("("):
+                raise SparqlSyntaxError(
+                    f"function {low.upper()}() is not in the portable "
+                    "expression subset"
+                )
+            if t.startswith("?"):
+                parts.append(t[1:])
+            elif t == "&&":
+                parts.append("AND")
+            elif t == "||":
+                parts.append("OR")
+            elif t == "!":
+                parts.append("NOT")
+            elif t[0] in "\"'":
+                body = t[1:_literal_end(t)]
+                parts.append("'" + body.replace("'", "''") + "'")
+            else:
+                if low in _UNSUPPORTED_FUNCS:
+                    raise SparqlSyntaxError(
+                        f"function {low.upper()} is not in the portable "
+                        "expression subset"
+                    )
+                parts.append(t)
+        return " ".join(parts)
+
+    def _parse_values(self) -> str:
+        # VALUES ?v { ... }  |  VALUES (?a ?b) { (..) (..) }
+        if self.kw("("):
+            self.take()
+            names = []
+            while not self.kw(")"):
+                v = self.take()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("VALUES vars must be ?vars")
+                names.append(v[1:])
+            self.take()
+            self.expect("{")
+            rows = []
+            while self.kw("("):
+                self.take()
+                row = []
+                while not self.kw(")"):
+                    row.append(_term(self.take()))
+                self.take()
+                if len(row) != len(names):
+                    raise SparqlSyntaxError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+            self.expect("}")
+            return values_filter(names, rows)
+        v = self.take()
+        if not v.startswith("?"):
+            raise SparqlSyntaxError("VALUES vars must be ?vars")
+        self.expect("{")
+        rows = []
+        while not self.kw("}"):
+            rows.append((_term(self.take()),))
+        self.expect("}")
+        return values_filter([v[1:]], rows)
+
+
+def parse_sparql(text: str) -> Dict:
+    """Parse a SPARQL query string → a spec dict:
+    ``{"form": "select"|"ask", "blocks": [group_kwargs, ...],
+    "select": [...]|None, "distinct": bool, "order_by": [...],
+    "limit": int|None, "offset": int}`` — ``blocks`` has one entry per
+    top-level UNION branch (one entry = plain group). CONSTRUCT/DESCRIBE
+    text forms are intentionally NOT parsed here — their template/seed
+    surfaces are richer than text; use ``bgp_construct``/
+    ``describe_nodes`` programmatically (documented restriction)."""
+    p = _Parser(_tokenize(text))
+    # PREFIX declarations: accepted, recorded, not expanded
+    prefixes: Dict[str, str] = {}
+    while p.kw("PREFIX"):
+        p.take()
+        name = p.take()
+        iri = p.take()
+        prefixes[name.rstrip(":")] = _term(iri)
+    if p.kw("BASE"):
+        raise SparqlSyntaxError("BASE is not supported (CURIE space)")
+    form_tok = p.take().upper()
+    if form_tok not in ("SELECT", "ASK"):
+        raise SparqlSyntaxError(
+            f"query form {form_tok} is not text-parsed — use the "
+            "programmatic API (bgp_construct / describe_nodes)"
+        )
+    spec: Dict = {
+        "form": form_tok.lower(), "prefixes": prefixes, "distinct": False,
+        "select": None, "order_by": [], "limit": None, "offset": 0,
+    }
+    if form_tok == "SELECT":
+        if p.kw("DISTINCT"):
+            p.take()
+            spec["distinct"] = True
+        if p.kw("*"):
+            p.take()
+        else:
+            sel = []
+            while p.peek() and p.peek().startswith("?"):
+                sel.append(p.take()[1:])
+            if not sel:
+                raise SparqlSyntaxError("SELECT needs * or ?vars")
+            spec["select"] = sel
+    if p.kw("WHERE"):
+        p.take()
+    # union either as WHERE { {A} UNION {B} } (standard) or the braces-
+    # elided top-level form { A } UNION { B }
+    g = p.parse_group()
+    if "__union__" in g:
+        blocks = list(g["__union__"])
+    else:
+        blocks = [g]
+    while p.kw("UNION"):
+        p.take()
+        nxt = p.parse_group()
+        if "__union__" in nxt:
+            raise SparqlSyntaxError("nested UNION is not supported")
+        blocks.append(nxt)
+    spec["blocks"] = blocks
+    # solution modifiers
+    while p.peek() is not None:
+        u = p.take().upper()
+        if u == "ORDER":
+            p.expect("BY")
+            while p.peek() and (
+                p.peek().startswith("?")
+                or p.peek().upper() in ("ASC(", "DESC(", "ASC", "DESC")
+            ):
+                t = p.take()
+                if t.upper() in ("ASC", "DESC"):
+                    p.expect("(")
+                    v = p.take()
+                    p.expect(")")
+                    spec["order_by"].append(f"{v[1:]} {t.upper()}")
+                else:
+                    spec["order_by"].append(t[1:])
+        elif u == "LIMIT":
+            spec["limit"] = int(p.take())
+        elif u == "OFFSET":
+            spec["offset"] = int(p.take())
+        else:
+            raise SparqlSyntaxError(f"unexpected trailing token {u!r}")
+    return spec
+
+
+def _block_kwargs(b: Dict) -> Dict:
+    return {
+        k: v
+        for k, v in b.items()
+        if k in ("patterns", "optional", "filters", "minus", "exists",
+                 "bind")
+        and v
+    }
+
+
+def sparql_query(
+    triples: DataFrame,
+    text: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Execute a SPARQL SELECT/ASK text query against a triple frame via
+    the BGP compiler. The plan is exactly what the programmatic API
+    builds — the text front end adds nothing at runtime."""
+    spec = parse_sparql(text)
+    cols = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col)
+    if spec["form"] == "ask":
+        if len(spec["blocks"]) != 1:
+            raise SparqlSyntaxError("ASK over UNION is not supported")
+        b = spec["blocks"][0]
+        if b["bind"]:
+            raise SparqlSyntaxError("ASK with BIND is not supported")
+        return bgp_ask(
+            triples,
+            b["patterns"],
+            optional=b["optional"],
+            filters=b["filters"],
+            minus=b["minus"],
+            exists=b["exists"],
+            **cols,
+        )
+    if len(spec["blocks"]) == 1:
+        return bgp_query(
+            triples,
+            select=spec["select"],
+            distinct=spec["distinct"],
+            order_by=spec["order_by"],
+            limit=spec["limit"],
+            offset=spec["offset"],
+            **_block_kwargs(spec["blocks"][0]),
+            **cols,
+        )
+    if spec["order_by"] or spec["limit"] is not None or spec["offset"]:
+        raise SparqlSyntaxError(
+            "modifiers over UNION are not supported — order/limit the "
+            "returned frame"
+        )
+    return bgp_union(
+        triples,
+        [_block_kwargs(b) for b in spec["blocks"]],
+        select=spec["select"],
+        distinct=spec["distinct"],
+        **cols,
+    )
+
+
+def sparql_to_sql(
+    text: str,
+    table: str = "g",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """The same parsed query as portable ANSI SQL (bgp_sql /
+    bgp_union_sql) — the oracle twin of ``sparql_query``. ASK text
+    compiles through ``bgp_ask_sql``."""
+    from .graphquery import bgp_ask_sql
+
+    spec = parse_sparql(text)
+    cols = dict(
+        table=table, subj_col=subj_col, pred_col=pred_col, obj_col=obj_col
+    )
+    if spec["form"] == "ask":
+        b = spec["blocks"][0]
+        return bgp_ask_sql(
+            b["patterns"],
+            optional=b["optional"],
+            filters=b["filters"],
+            minus=b["minus"],
+            exists=b["exists"],
+            **cols,
+        )
+    if len(spec["blocks"]) == 1:
+        return bgp_sql(
+            select=spec["select"],
+            distinct=spec["distinct"],
+            order_by=spec["order_by"],
+            limit=spec["limit"],
+            offset=spec["offset"],
+            **_block_kwargs(spec["blocks"][0]),
+            **cols,
+        )
+    return bgp_union_sql(
+        [_block_kwargs(b) for b in spec["blocks"]],
+        select=spec["select"],
+        distinct=spec["distinct"],
+        **cols,
+    )
