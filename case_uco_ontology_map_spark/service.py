@@ -365,6 +365,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"detail": "Not Found"})
 
     def do_POST(self) -> None:  # noqa: N802
+        if self.path == "/sparql":
+            self._do_sparql()
+            return
         if self.path != "/invoke-streaming":
             self._json(404, {"detail": "Not Found"})
             return
@@ -444,6 +447,66 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.flush()
         self.close_connection = True
 
+    def _do_sparql(self) -> None:
+        """POST /sparql — run a SPARQL text query (operators/sparql.py
+        subset) against a triple parquet table and return JSON bindings.
+        Body: ``{"query": "...", "triples_path": "...", "max_rows": N}``
+        (``triples_path`` may be preconfigured server-side). Results are
+        capped at ``max_rows`` (default 1000, server-bounded) with a
+        ``truncated`` flag — a query surface must never collect an
+        unbounded binding frame onto the driver."""
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self.close_connection = True
+            self._json(422, {"detail": "invalid Content-Length"})
+            return
+        if length > self.server.max_body_bytes:
+            self.close_connection = True
+            self._json(413, {"detail": "request body too large"})
+            return
+        try:
+            body = json.loads(self.rfile.read(length))
+            if not isinstance(body, dict) or not body.get("query"):
+                raise ValueError("query is required")
+        except (ValueError, json.JSONDecodeError) as exc:
+            self._json(422, {"detail": f"invalid request body: {exc}"})
+            return
+        path = body.get("triples_path") or self.server.triples_path
+        if not path:
+            self._json(
+                422,
+                {"detail": "triples_path is required (no server default)"},
+            )
+            return
+        cap = min(
+            int(body.get("max_rows") or 1000), self.server.max_query_rows
+        )
+        try:
+            from .operators.sparql import SparqlSyntaxError, sparql_query
+
+            try:
+                df = sparql_query(
+                    self.server.spark.read.parquet(path), body["query"]
+                )
+            except SparqlSyntaxError as exc:
+                self._json(422, {"detail": f"SPARQL syntax: {exc}"})
+                return
+            rows = df.limit(cap + 1).collect()
+            truncated = len(rows) > cap
+            rows = rows[:cap]
+            self._json(
+                200,
+                {
+                    "columns": df.columns,
+                    "rows": [list(r) for r in rows],
+                    "row_count": len(rows),
+                    "truncated": truncated,
+                },
+            )
+        except Exception as exc:  # noqa: BLE001 — surface as 500 JSON
+            self._json(500, {"detail": str(exc)})
+
 
 def serve(
     spark,
@@ -451,16 +514,22 @@ def serve(
     port: int = 0,
     sessions_dir: Optional[str] = None,
     max_body_bytes: int = 10 * 1024 * 1024,
+    triples_path: Optional[str] = None,
+    max_query_rows: int = 10000,
 ) -> ThreadingHTTPServer:
     """Bind the service and return the (not yet serving) server. Callers run
     ``server.serve_forever()`` — tests in a daemon thread, the CLI script in
     the main thread. ``port=0`` binds an ephemeral port
     (``server.server_address[1]``). Requests with bodies over
-    ``max_body_bytes`` are rejected 413 before the body is read."""
+    ``max_body_bytes`` are rejected 413 before the body is read.
+    ``triples_path``: default parquet table for POST /sparql;
+    ``max_query_rows`` bounds what /sparql will collect to the driver."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.spark = spark
     server.sessions_dir = sessions_dir or os.path.join(
         os.getcwd(), "sessions"
     )
     server.max_body_bytes = max_body_bytes
+    server.triples_path = triples_path
+    server.max_query_rows = max_query_rows
     return server

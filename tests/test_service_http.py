@@ -336,3 +336,62 @@ def test_generate_session_id_shape():
         "../../x", now=datetime(2026, 8, 17, 12, 0, 0), unique="x"
     )
     assert "/" not in evil and ".." not in evil
+
+
+def test_sparql_endpoint(server, spark, tmp_path):
+    rows = [
+        ("kb:r1", "uco-core:hasFacet", "kb:f1"),
+        ("kb:f1", "rdf:type", "uco-observable:ContentDataFacet"),
+        ("kb:f1", "uco-observable:hash", "abc"),
+    ]
+    path = str(tmp_path / "triples.parquet")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    ).write.parquet(path)
+    q = """SELECT ?rec ?h WHERE {
+      ?rec uco-core:hasFacet ?f .
+      ?f uco-observable:hash ?h . }"""
+    status, data = _request(
+        server,
+        "POST",
+        "/sparql",
+        body=json.dumps({"query": q, "triples_path": path}),
+    )
+    assert status == 200
+    out = json.loads(data)
+    assert out["columns"] == ["rec", "h"]
+    assert out["rows"] == [["kb:r1", "abc"]]
+    assert out["truncated"] is False
+    # row cap → truncated flag
+    status, data = _request(
+        server,
+        "POST",
+        "/sparql",
+        body=json.dumps(
+            {
+                "query": "SELECT * WHERE { ?s ?p ?o }",
+                "triples_path": path,
+                "max_rows": 2,
+            }
+        ),
+    )
+    out = json.loads(data)
+    assert status == 200 and out["row_count"] == 2 and out["truncated"]
+    # syntax error → 422 naming the problem
+    status, data = _request(
+        server,
+        "POST",
+        "/sparql",
+        body=json.dumps(
+            {
+                "query": 'SELECT * WHERE { ?s ?p ?o FILTER regex(?o, "x") }',
+                "triples_path": path,
+            }
+        ),
+    )
+    assert status == 422 and b"REGEX" in data
+    # missing triples path (no server default) → 422
+    status, _ = _request(
+        server, "POST", "/sparql", body=json.dumps({"query": "ASK { ?s ?p ?o }"})
+    )
+    assert status == 422
