@@ -264,8 +264,12 @@ def _is_sequence(term: str) -> bool:
     which one pattern expansion cannot express."""
     if not isinstance(term, str) or _is_var(term) or "/" not in term:
         return False
-    # IRIs in this engine are CURIEs (prefix:local) — a '/' can only be
-    # path syntax. Full http:// IRIs would need quoting; unsupported.
+    if "://" in term:
+        # a FULL IRI predicate (http://...) — its slashes are not path
+        # syntax; match it literally
+        return False
+    # Otherwise IRIs in this engine are CURIEs (prefix:local) — a '/'
+    # can only be path syntax.
     if "|" in term:
         raise ValueError(
             f"predicate {term!r} mixes alternation (|) with a sequence "

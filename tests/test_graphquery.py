@@ -1320,3 +1320,15 @@ class TestAsk:
             minus=[("?r", "uco-core:hasFacet", "?f")],
         ).collect()
         assert got[0].matched is False
+
+
+def test_full_iri_predicate_not_a_sequence(spark):
+    # slashes in a full-IRI predicate are NOT path syntax
+    g = spark.createDataFrame(
+        [("s", "https://example.org/ns/p", "o")],
+        "subj string, pred string, obj string",
+    )
+    got = bgp_query(
+        g, [("?s", "https://example.org/ns/p", "?o")], select=["s", "o"]
+    ).collect()
+    assert [tuple(r) for r in got] == [("s", "o")]
