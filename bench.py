@@ -414,6 +414,34 @@ def bench_queries(spark, sf_dir: str):
             raise RuntimeError(f"pagerank mass leaked: sum(rank)={mass}")
         return mass
 
+    def q_graph_walks():
+        """Random-walk corpus generation (DeepWalk, hash-driven) over the
+        doc graph — 2 walks × 8 steps from every node, xxhash64
+        production mode: 8 frontier equi-joins against the persisted
+        adjacency. Guard: every node must start exactly 2 walks (step-0
+        census), so a dropped frontier can't pass silently."""
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            random_walks,
+        )
+
+        ids = spark.range(0, n_docs)
+        tree = ids.filter(F.col("id") > 0).select(
+            F.col("id").alias("src"), F.expr("(id - 1) DIV 2").alias("dst")
+        )
+        link = ids.select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") * 7 + 3, F.lit(n_docs)).alias("dst"),
+        )
+        walks = random_walks(
+            tree.unionByName(link), walks_per_node=2, length=8
+        )
+        starts = walks.filter(F.col("step") == 0).count()
+        if starts != 2 * n_docs:
+            raise RuntimeError(
+                f"walk starts {starts} != 2*{n_docs} — frontier dropped"
+            )
+        return starts
+
     # ---- ANN serving path at bench scale (stress stages) ---------------
     # sf0.1 ships 2k dim-64 embeddings; amplify ×EMB_AMPLIFY (default 512
     # → 1.02M vectors) the same way the corpus is amplified: deterministic
@@ -639,6 +667,7 @@ def bench_queries(spark, sf_dir: str):
         "canonicalize_incr": q_canonicalize_incr,
         "graph_closure": q_graph_closure,
         "graph_pagerank": q_graph_pagerank,
+        "graph_walks": q_graph_walks,
         "ann_index_build": q_ann_index_build,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
