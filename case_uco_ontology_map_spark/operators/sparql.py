@@ -363,13 +363,14 @@ class _Parser:
 
 def parse_sparql(text: str) -> Dict:
     """Parse a SPARQL query string → a spec dict:
-    ``{"form": "select"|"ask", "blocks": [group_kwargs, ...],
-    "select": [...]|None, "distinct": bool, "order_by": [...],
-    "limit": int|None, "offset": int}`` — ``blocks`` has one entry per
-    top-level UNION branch (one entry = plain group). CONSTRUCT/DESCRIBE
-    text forms are intentionally NOT parsed here — their template/seed
-    surfaces are richer than text; use ``bgp_construct``/
-    ``describe_nodes`` programmatically (documented restriction)."""
+    ``{"form": "select"|"ask"|"construct"|"describe",
+    "blocks": [group_kwargs, ...], "select": [...]|None,
+    "distinct": bool, "order_by": [...], "limit": int|None,
+    "offset": int, "template": [...]|None, "seeds": [...]|None}`` —
+    ``blocks`` has one entry per UNION branch (one entry = plain
+    group); ``template`` holds CONSTRUCT's triple patterns; ``seeds``
+    holds DESCRIBE's ground terms (variable DESCRIBE is out of the text
+    subset)."""
     p = _Parser(_tokenize(text))
     # PREFIX declarations: accepted, recorded, not expanded
     prefixes: Dict[str, str] = {}
@@ -381,15 +382,35 @@ def parse_sparql(text: str) -> Dict:
     if p.kw("BASE"):
         raise SparqlSyntaxError("BASE is not supported (CURIE space)")
     form_tok = p.take().upper()
-    if form_tok not in ("SELECT", "ASK"):
-        raise SparqlSyntaxError(
-            f"query form {form_tok} is not text-parsed — use the "
-            "programmatic API (bgp_construct / describe_nodes)"
-        )
+    if form_tok not in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE"):
+        raise SparqlSyntaxError(f"unknown query form {form_tok}")
     spec: Dict = {
         "form": form_tok.lower(), "prefixes": prefixes, "distinct": False,
         "select": None, "order_by": [], "limit": None, "offset": 0,
+        "template": None, "seeds": None,
     }
+    if form_tok == "DESCRIBE":
+        seeds = []
+        while p.peek() is not None:
+            seeds.append(_term(p.take()))
+        if not seeds or any(t.startswith("?") for t in seeds):
+            raise SparqlSyntaxError(
+                "DESCRIBE takes ground terms only (variable DESCRIBE "
+                "needs a WHERE binding — out of the text subset)"
+            )
+        spec["seeds"] = seeds
+        spec["blocks"] = []
+        return spec
+    if form_tok == "CONSTRUCT":
+        tpl_group = p.parse_group()
+        if "__union__" in tpl_group or any(
+            tpl_group[k]
+            for k in ("optional", "minus", "exists", "bind", "filters")
+        ):
+            raise SparqlSyntaxError(
+                "CONSTRUCT template must contain only triple patterns"
+            )
+        spec["template"] = tpl_group["patterns"]
     if form_tok == "SELECT":
         if p.kw("DISTINCT"):
             p.take()
@@ -462,11 +483,41 @@ def sparql_query(
     pred_col: str = "pred",
     obj_col: str = "obj",
 ) -> DataFrame:
-    """Execute a SPARQL SELECT/ASK text query against a triple frame via
-    the BGP compiler. The plan is exactly what the programmatic API
-    builds — the text front end adds nothing at runtime."""
+    """Execute a SPARQL text query (all four forms) against a triple
+    frame via the BGP compiler. The plan is exactly what the
+    programmatic API builds — the text front end adds nothing at
+    runtime. DESCRIBE returns the bounded subgraph (hops=1; use
+    ``describe_nodes`` directly for deeper bounds); CONSTRUCT returns
+    the instantiated ``(subj, pred, obj)`` graph."""
     spec = parse_sparql(text)
     cols = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col)
+    if spec["form"] == "describe":
+        from .graphquery import describe_nodes
+
+        seeds = triples.sparkSession.createDataFrame(
+            [(s,) for s in spec["seeds"]], "node string"
+        )
+        return describe_nodes(
+            triples, seeds, hops=1, obj_is_iri_col=None, **cols
+        )
+    if spec["form"] == "construct":
+        from .graphquery import bgp_construct
+
+        b = spec["blocks"][0]
+        if len(spec["blocks"]) != 1 or b["minus"] or b["exists"] or b["bind"]:
+            raise SparqlSyntaxError(
+                "CONSTRUCT WHERE supports one group with triples/"
+                "OPTIONAL/FILTER (programmatic bgp_construct has the "
+                "same surface)"
+            )
+        return bgp_construct(
+            triples,
+            b["patterns"],
+            spec["template"],
+            optional=b["optional"],
+            filters=b["filters"],
+            **cols,
+        )
     if spec["form"] == "ask":
         if len(spec["blocks"]) != 1:
             raise SparqlSyntaxError("ASK over UNION is not supported")
@@ -516,13 +567,31 @@ def sparql_to_sql(
 ) -> str:
     """The same parsed query as portable ANSI SQL (bgp_sql /
     bgp_union_sql) — the oracle twin of ``sparql_query``. ASK text
-    compiles through ``bgp_ask_sql``."""
+    compiles through ``bgp_ask_sql``, CONSTRUCT through
+    ``bgp_construct_sql``; DESCRIBE is iterative (bounded frontier) and
+    has no single-SELECT form — it raises here."""
     from .graphquery import bgp_ask_sql
 
     spec = parse_sparql(text)
     cols = dict(
         table=table, subj_col=subj_col, pred_col=pred_col, obj_col=obj_col
     )
+    if spec["form"] == "describe":
+        raise SparqlSyntaxError(
+            "DESCRIBE has no single-SELECT SQL form (bounded frontier "
+            "iteration) — compare against describe_nodes directly"
+        )
+    if spec["form"] == "construct":
+        from .graphquery import bgp_construct_sql
+
+        b = spec["blocks"][0]
+        return bgp_construct_sql(
+            b["patterns"],
+            spec["template"],
+            optional=b["optional"],
+            filters=b["filters"],
+            **cols,
+        )
     if spec["form"] == "ask":
         b = spec["blocks"][0]
         return bgp_ask_sql(

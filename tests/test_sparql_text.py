@@ -134,8 +134,8 @@ class TestParse:
             parse_sparql(
                 'SELECT * WHERE { ?s ?p ?o FILTER regex(?o, "x") }'
             )
-        with pytest.raises(SparqlSyntaxError, match="not text-parsed"):
-            parse_sparql("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+        spec_c = parse_sparql("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+        assert spec_c["form"] == "construct" and spec_c["template"]
         # a braced single group collapses to the group itself
         spec1 = parse_sparql("SELECT * WHERE { { ?s ?p ?o } }")
         assert spec1["blocks"][0]["patterns"] == [("?s", "?p", "?o")]
@@ -149,3 +149,34 @@ class TestParse:
         # 'a' maps to rdf:type only as predicate
         spec = parse_sparql("SELECT * WHERE { a a a . }")
         assert spec["blocks"][0]["patterns"] == [("a", "rdf:type", "a")]
+
+
+class TestConstructDescribeText:
+    def test_construct_text_matches_duckdb(self, triples):
+        q = """
+        CONSTRUCT { ?rec drafting:hasFacetType ?t .
+                    ?rec a drafting:Enriched . }
+        WHERE { ?rec uco-core:hasFacet ?f .
+                ?f a ?t . }
+        """
+        got = sorted(map(tuple, sparql_query(triples, q).collect()))
+        want = sorted(map(tuple, _duck_run(sparql_to_sql(q))))
+        assert got == want
+        assert ("kb:rec1", "rdf:type", "drafting:Enriched") in got
+
+    def test_describe_text(self, triples, spark):
+        got = sparql_query(triples, "DESCRIBE kb:rec1").collect()
+        subs = {r.subj for r in got}
+        # rec1 plus its facets at hop 1
+        assert "kb:rec1" in subs and "kb:f1" in subs
+        with pytest.raises(SparqlSyntaxError, match="ground terms"):
+            sparql_query(triples, "DESCRIBE ?x")
+        with pytest.raises(SparqlSyntaxError, match="no single-SELECT"):
+            sparql_to_sql("DESCRIBE kb:rec1")
+
+    def test_construct_guards(self, triples):
+        with pytest.raises(SparqlSyntaxError, match="only triple"):
+            parse_sparql(
+                "CONSTRUCT { ?s ?p ?o . FILTER (?s != 'x') } "
+                "WHERE { ?s ?p ?o }"
+            )
