@@ -1196,6 +1196,38 @@ def _oracle_sparql_text() -> str:
     )
 
 
+#: SPARQL aggregate form as pasted text: the facet census by type with
+#: COUNT(*) / COUNT(DISTINCT) / HAVING / ORDER BY in one string.
+_SPARQL_AGG_TEXT = """
+SELECT ?t (COUNT(*) AS ?n_facets) (COUNT(DISTINCT ?rec) AS ?n_records)
+WHERE { ?rec uco-core:hasFacet ?f .
+        ?f a ?t . }
+GROUP BY ?t
+HAVING (?n_facets >= 1)
+ORDER BY ?t
+"""
+
+
+def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregate text form (operators/sparql.py → bgp_aggregate):
+    GROUP BY / HAVING / aggregate SELECT items parsed from the pasted
+    string; one map-side-combined aggregation over the binding frame.
+    Oracle: the identical parse rendered through bgp_aggregate_sql."""
+    from case_uco_ontology_map_spark.operators.sparql import sparql_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return sparql_query(t, _SPARQL_AGG_TEXT)
+
+
+def _oracle_sparql_agg() -> str:
+    from case_uco_ontology_map_spark.operators.sparql import sparql_to_sql
+
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        + sparql_to_sql(_SPARQL_AGG_TEXT)
+    )
+
+
 #: ASK: the 4th SPARQL query form. Two sub-questions folded into one
 #: 2-row result via UNION of the two 1-row ASK frames is NOT done here —
 #: one row per query form keeps the CollectLimit short-circuit visible.
@@ -4135,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_union": q_bgp_union,
         "bgp_ask": q_bgp_ask,
         "sparql_text": q_sparql_text,
+        "sparql_agg": q_sparql_agg,
         "path_star": q_path_star,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
@@ -4232,6 +4265,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_union": _oracle_bgp_union(),
         "bgp_ask": _oracle_bgp_ask(),
         "sparql_text": _oracle_sparql_text(),
+        "sparql_agg": _oracle_sparql_agg(),
         "path_star": _oracle_path_star(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),

@@ -8,7 +8,9 @@ ASK / CONSTRUCT / DESCRIBE) over one WHERE group with triple patterns
 (``;``/``,`` abbreviations), property paths (``^ / | + * ?`` and ``!``
 negated sets), OPTIONAL, FILTER (portable expression subset), FILTER
 [NOT] EXISTS, MINUS, BIND, VALUES, UNION (top-level alternation of
-groups), DISTINCT, ORDER BY / LIMIT / OFFSET.
+groups), DISTINCT, ORDER BY / LIMIT / OFFSET, and the aggregate form
+(``SELECT ?g (COUNT(*) AS ?n) ... GROUP BY ?g HAVING (...)`` →
+``bgp_aggregate``; output column order is GROUP BY vars then aliases).
 
 Terms: prefixed names stay in CURIE space verbatim (the triple tables
 store CURIEs); ``<full-iri>`` terms are kept with the brackets stripped;
@@ -16,8 +18,8 @@ store CURIEs); ``<full-iri>`` terms are kept with the brackets stripped;
 column stores the lexical form); numeric literals keep their lexical
 form. PREFIX declarations are accepted and recorded but not expanded —
 they document the CURIE space, they do not rewrite it (matching how the
-engine's emitter addresses nodes). BASE, named graphs, subqueries,
-aggregates-in-text, and property functions are out of scope and raise.
+engine's emitter addresses nodes). BASE, named graphs, subqueries, and
+property functions are out of scope and raise.
 
 FILTER/BIND expressions pass through as the compiler's portable strings
 after a conservative token rewrite (``?var``→``var``, ``&&``→AND,
@@ -388,6 +390,7 @@ def parse_sparql(text: str) -> Dict:
         "form": form_tok.lower(), "prefixes": prefixes, "distinct": False,
         "select": None, "order_by": [], "limit": None, "offset": 0,
         "template": None, "seeds": None,
+        "aggs": [], "group_by": [], "having": [],
     }
     if form_tok == "DESCRIBE":
         seeds = []
@@ -419,11 +422,49 @@ def parse_sparql(text: str) -> Dict:
             p.take()
         else:
             sel = []
-            while p.peek() and p.peek().startswith("?"):
-                sel.append(p.take()[1:])
-            if not sel:
+            aggs = []
+            while p.peek() and (
+                p.peek().startswith("?") or p.peek() == "("
+            ):
+                if p.peek().startswith("?"):
+                    sel.append(p.take()[1:])
+                    continue
+                # (AGG([DISTINCT] ?v|*) AS ?alias)
+                p.take()  # (
+                fn = p.take().upper()
+                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                    raise SparqlSyntaxError(
+                        f"aggregate {fn} is not supported "
+                        "(COUNT/SUM/MIN/MAX/AVG)"
+                    )
+                p.expect("(")
+                distinct_kw = ""
+                if p.kw("DISTINCT"):
+                    p.take()
+                    distinct_kw = "DISTINCT "
+                arg = p.take()
+                if arg == "*":
+                    if fn != "COUNT" or distinct_kw:
+                        raise SparqlSyntaxError("only COUNT(*) takes *")
+                    expr = "count(*)"
+                elif arg.startswith("?"):
+                    expr = f"{fn.lower()}({distinct_kw}{arg[1:]})"
+                else:
+                    raise SparqlSyntaxError(
+                        f"aggregate argument must be ?var or *, got {arg!r}"
+                    )
+                p.expect(")")
+                p.expect("AS")
+                alias = p.take()
+                if not alias.startswith("?"):
+                    raise SparqlSyntaxError("aggregate alias must be ?var")
+                p.expect(")")
+                aggs.append((expr, alias[1:]))
+            if not sel and not aggs:
                 raise SparqlSyntaxError("SELECT needs * or ?vars")
             spec["select"] = sel
+            if aggs:
+                spec["aggs"] = aggs
     if p.kw("WHERE"):
         p.take()
     # union either as WHERE { {A} UNION {B} } (standard) or the braces-
@@ -440,10 +481,18 @@ def parse_sparql(text: str) -> Dict:
             raise SparqlSyntaxError("nested UNION is not supported")
         blocks.append(nxt)
     spec["blocks"] = blocks
-    # solution modifiers
+    # solution modifiers (+ GROUP BY / HAVING for aggregate form)
     while p.peek() is not None:
         u = p.take().upper()
-        if u == "ORDER":
+        if u == "GROUP":
+            p.expect("BY")
+            while p.peek() and p.peek().startswith("?"):
+                spec["group_by"].append(p.take()[1:])
+            if not spec["group_by"]:
+                raise SparqlSyntaxError("GROUP BY needs ?vars")
+        elif u == "HAVING":
+            spec["having"].append(p._parse_expr_parens())
+        elif u == "ORDER":
             p.expect("BY")
             while p.peek() and (
                 p.peek().startswith("?")
@@ -464,6 +513,36 @@ def parse_sparql(text: str) -> Dict:
         else:
             raise SparqlSyntaxError(f"unexpected trailing token {u!r}")
     return spec
+
+
+def _check_agg_spec(spec: Dict) -> None:
+    """SPARQL aggregate-form restrictions (loud, shared by both
+    engines): one group; projected plain variables must all be grouped;
+    aggregates and GROUP BY go together; MINUS/EXISTS/BIND inside the
+    aggregate form are not supported (bgp_aggregate's surface)."""
+    if not spec["aggs"]:
+        raise SparqlSyntaxError("GROUP BY/HAVING need an aggregate SELECT")
+    if not spec["group_by"]:
+        raise SparqlSyntaxError(
+            "aggregate SELECT needs GROUP BY (ungrouped aggregates are "
+            "not in the subset)"
+        )
+    if len(spec["blocks"]) != 1:
+        raise SparqlSyntaxError("aggregates over UNION are not supported")
+    b = spec["blocks"][0]
+    if b["minus"] or b["exists"] or b["bind"]:
+        raise SparqlSyntaxError(
+            "MINUS/EXISTS/BIND inside the aggregate form are not "
+            "supported"
+        )
+    plain = spec["select"] or []
+    bad = [v for v in plain if v not in spec["group_by"]]
+    if bad:
+        raise SparqlSyntaxError(
+            f"projected variables {bad} are not in GROUP BY"
+        )
+    if spec["distinct"]:
+        raise SparqlSyntaxError("DISTINCT with aggregates is redundant")
 
 
 def _block_kwargs(b: Dict) -> Dict:
@@ -533,6 +612,40 @@ def sparql_query(
             exists=b["exists"],
             **cols,
         )
+    if spec["aggs"] or spec["group_by"] or spec["having"]:
+        from pyspark.sql import functions as _F
+
+        from .graphquery import bgp_aggregate
+
+        _check_agg_spec(spec)
+        b = spec["blocks"][0]
+        df = bgp_aggregate(
+            triples,
+            b["patterns"],
+            group_by=spec["group_by"],
+            aggs=spec["aggs"],
+            optional=b["optional"],
+            filters=b["filters"],
+            having=spec["having"],
+            **cols,
+        )
+        if spec["order_by"]:
+            def _oc(sp):
+                ps = sp.split()
+                c = _F.col(ps[0])
+                return c.desc() if len(ps) == 2 and ps[1] == "DESC" else (
+                    c.asc()
+                )
+            df = df.orderBy(*[_oc(o) for o in spec["order_by"]])
+        elif spec["limit"] is not None or spec["offset"]:
+            raise SparqlSyntaxError(
+                "limit/offset without ORDER BY is nondeterministic"
+            )
+        if spec["offset"]:
+            df = df.offset(int(spec["offset"]))
+        if spec["limit"] is not None:
+            df = df.limit(int(spec["limit"]))
+        return df
     if len(spec["blocks"]) == 1:
         return bgp_query(
             triples,
@@ -602,6 +715,39 @@ def sparql_to_sql(
             exists=b["exists"],
             **cols,
         )
+    if spec["aggs"] or spec["group_by"] or spec["having"]:
+        from .graphquery import bgp_aggregate_sql
+
+        _check_agg_spec(spec)
+        b = spec["blocks"][0]
+        sql = bgp_aggregate_sql(
+            b["patterns"],
+            group_by=spec["group_by"],
+            aggs=spec["aggs"],
+            optional=b["optional"],
+            filters=b["filters"],
+            having=spec["having"],
+            **cols,
+        )
+        suffix = []
+        if spec["order_by"]:
+            suffix.append(
+                "ORDER BY " + ", ".join(
+                    o if len(o.split()) == 2 else f"{o} ASC"
+                    for o in spec["order_by"]
+                )
+            )
+        elif spec["limit"] is not None or spec["offset"]:
+            raise SparqlSyntaxError(
+                "limit/offset without ORDER BY is nondeterministic"
+            )
+        if spec["limit"] is not None:
+            suffix.append(f"LIMIT {int(spec['limit'])}")
+        if spec["offset"]:
+            suffix.append(f"OFFSET {int(spec['offset'])}")
+        if suffix:
+            sql = f"SELECT * FROM ({sql}) za " + " ".join(suffix)
+        return sql
     if len(spec["blocks"]) == 1:
         return bgp_sql(
             select=spec["select"],

@@ -180,3 +180,38 @@ class TestConstructDescribeText:
                 "CONSTRUCT { ?s ?p ?o . FILTER (?s != 'x') } "
                 "WHERE { ?s ?p ?o }"
             )
+
+
+class TestAggregateText:
+    def test_group_count_having_matches_duckdb(self, triples):
+        q = """
+        SELECT ?t (COUNT(*) AS ?n) (COUNT(DISTINCT ?rec) AS ?nrec)
+        WHERE { ?rec uco-core:hasFacet ?f .
+                ?f a ?t . }
+        GROUP BY ?t
+        HAVING (?n >= 1)
+        ORDER BY ?t
+        """
+        got = _both(triples, q)
+        assert got == [
+            ("uco-observable:ContentDataFacet", 2, 2),
+            ("uco-observable:URLFacet", 1, 1),
+        ]
+
+    def test_agg_limit_and_guards(self, triples):
+        q = """SELECT ?t (COUNT(*) AS ?n) WHERE { ?f a ?t }
+               GROUP BY ?t ORDER BY DESC(?n) ?t LIMIT 1"""
+        got = _both(triples, q)
+        assert got[0][1] == 2  # the commonest type wins
+        with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
+            parse_sparql_and_run = sparql_to_sql(
+                "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+            )
+        with pytest.raises(SparqlSyntaxError, match="not in GROUP BY"):
+            sparql_to_sql(
+                "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
+            )
+        with pytest.raises(SparqlSyntaxError, match="aggregate"):
+            parse_sparql(
+                "SELECT (MEDIAN(?x) AS ?m) WHERE { ?s ?p ?x } GROUP BY ?s"
+            )
