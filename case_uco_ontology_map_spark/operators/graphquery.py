@@ -978,6 +978,8 @@ def bgp_aggregate(
     aggs: Sequence["tuple[str, str]"],
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
+    minus: Sequence[Pattern] = (),
+    exists: Sequence[Pattern] = (),
     having: Sequence[str] = (),
     allow_cartesian: bool = False,
     path_max_hops: Optional[int] = None,
@@ -1009,6 +1011,8 @@ def bgp_aggregate(
         select=None,
         optional=optional,
         filters=filters,
+        minus=minus,
+        exists=exists,
         allow_cartesian=allow_cartesian,
         path_max_hops=path_max_hops,
         subj_col=subj_col,
@@ -1029,6 +1033,8 @@ def bgp_aggregate_sql(
     aggs: Sequence["tuple[str, str]"],
     optional: Sequence[Pattern] = (),
     filters: Sequence[str] = (),
+    minus: Sequence[Pattern] = (),
+    exists: Sequence[Pattern] = (),
     having: Sequence[str] = (),
     table: str = "g",
     subj_col: str = "subj",
@@ -1043,6 +1049,8 @@ def bgp_aggregate_sql(
         select=None,
         optional=optional,
         filters=filters,
+        minus=minus,
+        exists=exists,
         table=table,
         subj_col=subj_col,
         pred_col=pred_col,

@@ -530,10 +530,9 @@ def _check_agg_spec(spec: Dict) -> None:
     if len(spec["blocks"]) != 1:
         raise SparqlSyntaxError("aggregates over UNION are not supported")
     b = spec["blocks"][0]
-    if b["minus"] or b["exists"] or b["bind"]:
+    if b["bind"]:
         raise SparqlSyntaxError(
-            "MINUS/EXISTS/BIND inside the aggregate form are not "
-            "supported"
+            "BIND inside the aggregate form is not supported"
         )
     plain = spec["select"] or []
     bad = [v for v in plain if v not in spec["group_by"]]
@@ -626,6 +625,8 @@ def sparql_query(
             aggs=spec["aggs"],
             optional=b["optional"],
             filters=b["filters"],
+            minus=b["minus"],
+            exists=b["exists"],
             having=spec["having"],
             **cols,
         )
@@ -726,6 +727,8 @@ def sparql_to_sql(
             aggs=spec["aggs"],
             optional=b["optional"],
             filters=b["filters"],
+            minus=b["minus"],
+            exists=b["exists"],
             having=spec["having"],
             **cols,
         )

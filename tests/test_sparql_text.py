@@ -215,3 +215,18 @@ class TestAggregateText:
             parse_sparql(
                 "SELECT (MEDIAN(?x) AS ?m) WHERE { ?s ?p ?x } GROUP BY ?s"
             )
+
+
+def test_aggregate_with_minus_matches_duckdb(triples):
+    # census of facet types, excluding hash-carrying facets via MINUS
+    q = """
+    SELECT ?t (COUNT(*) AS ?n) WHERE {
+      ?f a ?t .
+      MINUS { ?f uco-observable:hash ?h }
+    } GROUP BY ?t ORDER BY ?t
+    """
+    got = _both(triples, q)
+    # f2 (URLFacet, no hash) and the two URL records survive
+    assert ("uco-observable:URLFacet", 1) in got
+    assert ("uco-observable:URL", 2) in got
+    assert all(t != "uco-observable:ContentDataFacet" or n == 0 for t, n in got)
