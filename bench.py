@@ -656,6 +656,37 @@ def bench_queries(spark, sf_dir: str):
         )
         return spark.read.parquet(out).count()
 
+    def q_sparql_query():
+        """Consumer-side SPARQL at bench scale: a pasted text query
+        (2-hop BGP + OPTIONAL + FILTER) over the MATERIALIZED
+        bucket-partitioned triple table q_materialize wrote — measures
+        the query engine's join tree on the real serving layout, pruned
+        scans included. Guard: every corpus record must come back
+        exactly once in the record census."""
+        from case_uco_ontology_map_spark.operators.sparql import (
+            sparql_query,
+        )
+
+        out = stage_dir.rstrip("/") + "-triples-out"
+        if not os.path.isdir(out):
+            q_materialize()  # stage ordering guard: needs the sink
+        t = spark.read.parquet(out)
+        q = """
+        SELECT ?rec (COUNT(*) AS ?n_facets)
+               (COUNT(DISTINCT ?t) AS ?n_types)
+        WHERE { ?rec a uco-observable:URL .
+                ?rec uco-core:hasFacet ?f .
+                ?f a ?t . }
+        GROUP BY ?rec
+        """
+        n = sparql_query(t, q).count()
+        expected = n_docs  # one record node per doc
+        if n != expected:
+            raise RuntimeError(
+                f"sparql record census {n} != {expected} docs"
+            )
+        return n
+
     return stage_dir, n_docs, {
         "extract_text": q_extract,
         "kg_triples": q_triples,
@@ -668,6 +699,7 @@ def bench_queries(spark, sf_dir: str):
         "graph_closure": q_graph_closure,
         "graph_pagerank": q_graph_pagerank,
         "graph_walks": q_graph_walks,
+        "sparql_query": q_sparql_query,
         "ann_index_build": q_ann_index_build,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
