@@ -1587,6 +1587,28 @@ def _oracle_tfidf_terms() -> str:
     return tfidf_sql("source", k=10) + " ORDER BY source, rank"
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite heuristic gate (operators/textstats.
+    gopher_rules): word-count bounds, mean word length, symbol-soup
+    ratio, bullet-line fraction, alphabetic-word fraction — one
+    JVM-expression scan, zero shuffle, and every threshold compared via
+    INTEGER cross-multiplication so the kept set is bit-identical on
+    both engines (boundary docs can't flip on float rounding)."""
+    from case_uco_ontology_map_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    return gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _oracle_gopher_quality() -> str:
+    from case_uco_ontology_map_spark.operators.textstats import gopher_sql
+
+    return (
+        "SELECT * FROM (" + gopher_sql() + ") z ORDER BY doc_id"
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM fluency scoring (operators/textstats.
     bigram_lm_scores): add-one-smoothed P(w2|w1) statistics trained on
@@ -4189,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "tfidf_terms": q_tfidf_terms,
         "lm_score": q_lm_score,
+        "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
         "domain_cap": q_domain_cap,
@@ -4286,6 +4309,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _oracle_token_counts(),
         "tfidf_terms": _oracle_tfidf_terms(),
         "lm_score": _oracle_lm_score(),
+        "gopher_quality": _oracle_gopher_quality(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
         "domain_cap": _oracle_domain_cap(),

@@ -552,3 +552,140 @@ SELECT _doc AS {doc_col}, CAST(SUM(m) AS BIGINT) AS n_bigrams,
        SUM(lp) / CAST(SUM(m) AS DOUBLE) AS avg_logp
 FROM scored GROUP BY 1
 """
+
+
+#: Gopher-style composite quality thresholds as EXACT RATIONALS
+#: ``(numerator, denominator)`` — every keep comparison below runs in
+#: integer cross-multiplication, so the gate decision is bit-identical
+#: across engines (a float ``>= 0.8`` threshold can flip on the docs
+#: that land exactly on it).
+GOPHER_DEFAULTS = {
+    "min_words": 5,
+    "max_words": 100000,
+    "min_mean_word_len": (3, 1),      # >= 3.0
+    "max_mean_word_len": (12, 1),     # <= 12.0
+    "max_symbol_ratio": (1, 10),      # '#'/'...' per word < 0.1
+    "max_bullet_line_frac": (9, 10),  # < 0.9 of lines are bullets
+    "min_alpha_word_frac": (4, 5),    # >= 0.8 words contain a letter
+}
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    thresholds: dict = None,
+) -> DataFrame:
+    """Gopher/C4-style composite heuristic quality gate — the classic
+    webtext curation rule set as one JVM-expression pass:
+    ``(doc_id, n_words, n_word_chars, n_symbols, n_bullet_lines,
+    n_lines, n_alpha_words, keep)``.
+
+    Features (exact integers): whitespace word count; total word
+    characters (mean word length = chars/words); '#' and '...'
+    occurrences (the symbol-soup signal); bullet lines (-, *, •
+    prefixes after indent); words containing at least one ASCII letter.
+    ``keep`` applies every threshold via INTEGER cross-multiplication
+    (``alpha/words >= 4/5`` runs as ``5*alpha >= 4*words``) — no float
+    ever decides a document's fate, so the kept set is bit-identical in
+    any engine (``gopher_sql`` is the DuckDB twin).
+
+    Scale: pure column expressions over one scan — no shuffle, no UDF;
+    the gate composes with the other filters before any expensive
+    operator runs (cheapest-first curation ordering).
+    """
+    t = thresholds or GOPHER_DEFAULTS
+    text = F.col(text_col)
+    words = tokens_col(text)
+    n_words = F.size(words).cast("long")
+    n_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = (
+        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    out = df.select(
+        F.col(doc_col),
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_symbols.alias("n_symbols"),
+        n_bullet_lines.alias("n_bullet_lines"),
+        n_lines.alias("n_lines"),
+        n_alpha_words.alias("n_alpha_words"),
+    )
+    mwl_lo_n, mwl_lo_d = t["min_mean_word_len"]
+    mwl_hi_n, mwl_hi_d = t["max_mean_word_len"]
+    sym_n, sym_d = t["max_symbol_ratio"]
+    bul_n, bul_d = t["max_bullet_line_frac"]
+    alp_n, alp_d = t["min_alpha_word_frac"]
+    w = F.col("n_words")
+    keep = (
+        (w >= F.lit(int(t["min_words"])))
+        & (w <= F.lit(int(t["max_words"])))
+        # chars/words >= lo  ≡  lo_d*chars >= lo_n*words
+        & (F.lit(mwl_lo_d) * F.col("n_word_chars") >= F.lit(mwl_lo_n) * w)
+        & (F.lit(mwl_hi_d) * F.col("n_word_chars") <= F.lit(mwl_hi_n) * w)
+        & (F.lit(sym_d) * F.col("n_symbols") < F.lit(sym_n) * w)
+        & (
+            F.lit(bul_d) * F.col("n_bullet_lines")
+            < F.lit(bul_n) * F.col("n_lines")
+        )
+        & (F.lit(alp_d) * F.col("n_alpha_words") >= F.lit(alp_n) * w)
+    )
+    return out.withColumn("keep", keep)
+
+
+def gopher_sql(
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    thresholds: dict = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of ``gopher_rules`` — identical integer
+    cross-multiplied gate."""
+    t = thresholds or GOPHER_DEFAULTS
+    mwl_lo_n, mwl_lo_d = t["min_mean_word_len"]
+    mwl_hi_n, mwl_hi_d = t["max_mean_word_len"]
+    sym_n, sym_d = t["max_symbol_ratio"]
+    bul_n, bul_d = t["max_bullet_line_frac"]
+    alp_n, alp_d = t["min_alpha_word_frac"]
+    return f"""
+WITH feats AS (
+  SELECT {doc_col},
+    CAST(len(list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(
+        list_filter(regexp_split_to_array({text_col}, '\\s+'),
+                    x -> x <> ''),
+        x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+    CAST(len(regexp_extract_all({text_col}, '#'))
+         + len(regexp_extract_all({text_col}, '\\.\\.\\.')) AS BIGINT)
+      AS n_symbols,
+    CAST(len(list_filter(regexp_split_to_array({text_col}, '\n'),
+        x -> regexp_matches(x, '^\\s*[-*•]'))) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(regexp_split_to_array({text_col}, '\n')) AS BIGINT)
+      AS n_lines,
+    CAST(len(list_filter(regexp_split_to_array({text_col}, '\\s+'),
+        x -> x <> '' AND regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+      AS n_alpha_words
+  FROM {table}
+)
+SELECT *,
+  (n_words >= {int(t["min_words"])}
+   AND n_words <= {int(t["max_words"])}
+   AND {mwl_lo_d} * n_word_chars >= {mwl_lo_n} * n_words
+   AND {mwl_hi_d} * n_word_chars <= {mwl_hi_n} * n_words
+   AND {sym_d} * n_symbols < {sym_n} * n_words
+   AND {bul_d} * n_bullet_lines < {bul_n} * n_lines
+   AND {alp_d} * n_alpha_words >= {alp_n} * n_words) AS keep
+FROM feats
+"""

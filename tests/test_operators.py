@@ -852,3 +852,60 @@ class TestBigramLM:
         }
         # raw: (The,cat) is rarer than (the,cat) → lower probability
         assert raw[0] < raw[1] == raw[2]
+
+
+class TestGopherRules:
+    ROWS = [
+        (0, "The quick brown fox jumps over the lazy dog near town"),
+        (1, "a b c"),                       # too few words
+        (2, "# # # ... # words here soup five six"),  # symbol soup
+        (3, "- alpha beta gamma delta\n- alpha beta gamma delta\n"
+            "- alpha beta gamma delta\n"
+            "the quick brown fox jumps over lazy dogs again today"),
+        (4, "0 1 2 3 4 5 6 7 8 9 10"),      # no alphabetic words
+    ]
+
+    def test_gate_and_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.textstats import (
+            gopher_rules,
+            gopher_sql,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {r.doc_id: r for r in gopher_rules(df).collect()}
+        assert got[0].keep is True
+        assert got[1].keep is False  # min_words
+        assert got[2].keep is False  # symbol ratio
+        assert got[4].keep is False  # alpha fraction
+        # bullet doc: 3 bullet lines of 4 (0.75 < 0.9), alpha fraction
+        # 22/25 (dashes count as words but not alpha words) -> survives
+        assert got[3].keep is True and got[3].n_bullet_lines == 3
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text"]),
+        )
+        want = {
+            int(r[0]): tuple(r) for r in con.execute(gopher_sql()).fetchall()
+        }
+        for d, r in got.items():
+            assert tuple(r) == want[d], f"doc {d}"
+
+    def test_integer_threshold_edges(self, spark):
+        # exactly ON the 0.8 alpha-fraction boundary: 4 alpha / 5 words
+        # must KEEP (>= is inclusive and integer-exact)
+        from case_uco_ontology_map_spark.operators.textstats import (
+            GOPHER_DEFAULTS,
+            gopher_rules,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta 12345")],
+            "doc_id long, text string",
+        )
+        t = dict(GOPHER_DEFAULTS, min_words=1)
+        r = gopher_rules(df, thresholds=t).collect()[0]
+        assert r.n_alpha_words == 4 and r.n_words == 5 and r.keep is True
