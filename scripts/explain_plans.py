@@ -404,6 +404,17 @@ def main():
         "sort a hub's votes into one task)"
     )
 
+    from case_uco_ontology_map_spark.operators.textstats import gopher_rules
+
+    gop = gopher_rules(docs)
+    gop_plan = plan_of(gop)
+    assert "Exchange" not in gop_plan, (
+        "gopher_rules must be a zero-shuffle single scan"
+    )
+    assert not re.findall(_no_python, gop_plan), (
+        "gopher_rules must not leave the JVM"
+    )
+
     blm = bigram_lm_scores(docs)
     blm_plan = plan_of(blm)
     assert not re.findall(_no_python, blm_plan), (
@@ -490,6 +501,7 @@ def main():
             "bgp_ask (CollectLimit short-circuit before aggregation)": ask,
             "label_propagation round shape (vote count -> groupBy argmax, window-free)": lpa,
             "bigram_lm_scores (in-row pair explode; broadcast LH totals + vocab scalar)": blm,
+            "gopher_rules (zero-shuffle integer-exact quality gate)": gop,
             "bgp exists= (left-semi join, multiplicity preserved)": bgp_ex,
             "bgp order_by+limit (TakeOrderedAndProject, not global sort)": bgp_mod,
             "p* path (closure  zero-length union, min-hop collapse)": star,
