@@ -1587,6 +1587,35 @@ def _oracle_tfidf_terms() -> str:
     return tfidf_sql("source", k=10) + " ORDER BY source, rank"
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup (operators/dedup.
+    paragraph_dedup): blank-line split, whitespace-normalized md5_60
+    paragraph hashes, corpus-wide first-occurrence marking via ONE
+    groupBy-min (no window — the hottest boilerplate hash partial-
+    aggregates map-side); paragraph strings never cross the shuffle.
+    The C4-style rule that fires on recurring boilerplate even when
+    whole documents differ."""
+    from case_uco_ontology_map_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    return paragraph_dedup(
+        _docs(spark, sf_dir), hash_mode="md5_60"
+    ).orderBy("doc_id", "para_idx")
+
+
+def _oracle_paragraph_dedup() -> str:
+    from case_uco_ontology_map_spark.operators.dedup import (
+        paragraph_dedup_sql,
+    )
+
+    return (
+        "SELECT * FROM ("
+        + paragraph_dedup_sql()
+        + ") z ORDER BY doc_id, para_idx"
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style composite heuristic gate (operators/textstats.
     gopher_rules): word-count bounds, mean word length, symbol-soup
@@ -4212,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "lm_score": q_lm_score,
         "gopher_quality": q_gopher_quality,
+        "paragraph_dedup": q_paragraph_dedup,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
         "domain_cap": q_domain_cap,
@@ -4310,6 +4340,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _oracle_tfidf_terms(),
         "lm_score": _oracle_lm_score(),
         "gopher_quality": _oracle_gopher_quality(),
+        "paragraph_dedup": _oracle_paragraph_dedup(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
         "domain_cap": _oracle_domain_cap(),

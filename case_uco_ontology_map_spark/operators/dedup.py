@@ -877,3 +877,101 @@ def incremental_exact_dedup(
             ).alias("is_canonical"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_chars: int = 1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup — the C4-style rule that fires
+    far more often on webtext than whole-document dedup (boilerplate
+    paragraphs recur across pages whose documents differ): split every
+    doc on blank lines, hash each normalized paragraph, and mark every
+    occurrence after the corpus-wide FIRST as a duplicate. Returns one
+    row per paragraph occurrence:
+    ``(doc_id, para_idx, para_hash, n_occurrences, is_first)`` — a
+    curation pass drops ``NOT is_first`` rows (or whole docs above a
+    duplicate-paragraph fraction).
+
+    Semantics pinned for determinism: paragraphs split on ``\\n\\s*\\n``
+    (one-or-more blank lines), whitespace-normalized (collapse runs,
+    trim) before hashing, paragraphs shorter than ``min_chars`` after
+    normalization are ignored; "first" = smallest ``(doc_id, para_idx)``
+    corpus-wide, engine-portable via one groupBy-min (no window — the
+    hottest boilerplate hash partial-aggregates map-side).
+
+    Scale: one explode (posexplode keeps the in-doc index), one
+    groupBy on the 64-bit hash, one equi-join back. Paragraph STRINGS
+    never cross the shuffle — only their hashes do.
+    """
+    paras = df.select(
+        F.col(doc_col).alias("_doc"),
+        F.posexplode(
+            F.split(F.col(text_col), r"\n\s*\n")
+        ).alias("para_idx", "_p"),
+    ).select(
+        "_doc",
+        "para_idx",
+        F.trim(F.regexp_replace("_p", r"\s+", " ")).alias("_norm"),
+    ).filter(F.length("_norm") >= int(min_chars))
+    hashed = paras.select(
+        "_doc",
+        "para_idx",
+        content_hash64(F.col("_norm"), hash_mode).alias("para_hash"),
+    )
+    stats = hashed.groupBy("para_hash").agg(
+        F.count("*").alias("n_occurrences"),
+        F.min(F.struct("_doc", "para_idx")).alias("_first"),
+    )
+    return (
+        hashed.join(stats, on="para_hash")
+        .select(
+            F.col("_doc").alias(doc_col),
+            "para_idx",
+            "para_hash",
+            "n_occurrences",
+            (
+                (F.col("_doc") == F.col("_first._doc"))
+                & (F.col("para_idx") == F.col("_first.para_idx"))
+            ).alias("is_first"),
+        )
+    )
+
+
+def paragraph_dedup_sql(
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_chars: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of ``paragraph_dedup`` in md5_60 mode."""
+    h = "('0x' || substr(md5(norm), 1, 15))::BIGINT"
+    return f"""
+WITH split AS (
+  SELECT {doc_col} AS doc,
+         regexp_split_to_array({text_col}, '\\n\\s*\\n') AS arr
+  FROM {table}
+),
+paras AS (
+  SELECT doc, CAST(r.i - 1 AS INT) AS para_idx,
+         trim(regexp_replace(arr[CAST(r.i AS INT)], '\\s+', ' ', 'g'))
+           AS norm
+  FROM split, unnest(range(1, len(arr) + 1)) AS r(i)
+),
+hashed AS (
+  SELECT doc, para_idx, {h} AS para_hash
+  FROM paras WHERE length(norm) >= {int(min_chars)}
+),
+stats AS (
+  SELECT para_hash, CAST(count(*) AS BIGINT) AS n_occurrences,
+         MIN(struct_pack(doc := doc, para_idx := para_idx)) AS first_occ
+  FROM hashed GROUP BY 1
+)
+SELECT h.doc AS {doc_col}, h.para_idx, h.para_hash, s.n_occurrences,
+       (h.doc = s.first_occ.doc AND h.para_idx = s.first_occ.para_idx)
+         AS is_first
+FROM hashed h JOIN stats s ON h.para_hash = s.para_hash
+"""

@@ -909,3 +909,62 @@ class TestGopherRules:
         t = dict(GOPHER_DEFAULTS, min_words=1)
         r = gopher_rules(df, thresholds=t).collect()[0]
         assert r.n_alpha_words == 4 and r.n_words == 5 and r.keep is True
+
+
+class TestParagraphDedup:
+    ROWS = [
+        (0, "shared footer text\n\nunique alpha body"),
+        (1, "shared footer text\n \n unique beta body"),
+        (2, "unique gamma body\n\n\nshared   footer\ttext"),
+        (3, "x"),
+    ]
+
+    def test_first_wins_and_duckdb(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.dedup import (
+            paragraph_dedup,
+            paragraph_dedup_sql,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        out = paragraph_dedup(df, hash_mode="md5_60").collect()
+        rows = {(r.doc_id, r.para_idx): r for r in out}
+        # whitespace-normalized "shared footer text" appears in docs
+        # 0, 1, 2 — only (0, 0) is first
+        shared = [
+            r for r in out if r.n_occurrences == 3
+        ]
+        assert len(shared) == 3
+        firsts = [(r.doc_id, r.para_idx) for r in shared if r.is_first]
+        assert firsts == [(0, 0)]
+        # unique paragraphs are their own firsts
+        assert rows[(0, 1)].is_first and rows[(0, 1)].n_occurrences == 1
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text"]),
+        )
+        want = sorted(
+            map(tuple, con.execute(paragraph_dedup_sql()).fetchall())
+        )
+        got = sorted(map(tuple, out))
+        assert got == want
+
+    def test_min_chars_and_partition_invariance(self, spark):
+        from case_uco_ontology_map_spark.operators.dedup import (
+            paragraph_dedup,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        a = sorted(map(tuple, paragraph_dedup(df, min_chars=2).collect()))
+        # the 1-char doc 3 paragraph is dropped
+        assert all(r[0] != 3 for r in a)
+        b = sorted(
+            map(
+                tuple,
+                paragraph_dedup(df.repartition(7), min_chars=2).collect(),
+            )
+        )
+        assert a == b
