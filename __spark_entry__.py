@@ -1587,6 +1587,34 @@ def _oracle_tfidf_terms() -> str:
     return tfidf_sql("source", k=10) + " ORDER BY source, rank"
 
 
+def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples import (operators/render.read_ntriples): the full
+    structural emission exported to N-Triples lines and parsed BACK —
+    one regexp per line, ECHAR unescape via an order-safe placeholder
+    swap, longest-namespace-first CURIE contraction, strict raise on any
+    malformed line. The oracle is the round-trip identity: the parsed
+    frame must hash-equal the original triple SELECT, so any parsing
+    defect (escape order, datatype tag, prefix priority) breaks the
+    hash."""
+    from case_uco_ontology_map_spark.operators.render import (
+        ntriples_lines,
+        read_ntriples,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return read_ntriples(ntriples_lines(t)).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+def _oracle_nt_roundtrip() -> str:
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM t "
+        "ORDER BY subj, pred, obj"
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granularity exact dedup (operators/dedup.
     paragraph_dedup): blank-line split, whitespace-normalized md5_60
@@ -4242,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "gopher_quality": q_gopher_quality,
         "paragraph_dedup": q_paragraph_dedup,
+        "nt_roundtrip": q_nt_roundtrip,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
         "domain_cap": q_domain_cap,
@@ -4341,6 +4370,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _oracle_lm_score(),
         "gopher_quality": _oracle_gopher_quality(),
         "paragraph_dedup": _oracle_paragraph_dedup(),
+        "nt_roundtrip": _oracle_nt_roundtrip(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
         "domain_cap": _oracle_domain_cap(),

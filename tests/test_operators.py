@@ -968,3 +968,66 @@ class TestParagraphDedup:
             )
         )
         assert a == b
+
+
+class TestReadNtriples:
+    def test_roundtrip_identity(self, spark):
+        from case_uco_ontology_map_spark.operators.render import (
+            ntriples_lines,
+            read_ntriples,
+        )
+
+        rows = [
+            ("kb:r1", "uco-core:hasFacet", "kb:f1", True, None),
+            ("kb:f1", "rdf:type", "uco-observable:ContentDataFacet",
+             True, None),
+            ("kb:f1", "uco-observable:sizeInBytes", "157", False,
+             "xsd:integer"),
+            ("kb:f1", "uco-core:description",
+             'line1\nline2\t"quoted" back\\slash', False, None),
+        ]
+        t = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_iri boolean,"
+            " obj_datatype string",
+        )
+        back = read_ntriples(ntriples_lines(t))
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(map(tuple, t.collect()))
+        assert got == want  # byte-exact round trip incl. escapes
+
+    def test_comment_blank_and_malformed(self, spark):
+        from case_uco_ontology_map_spark.operators.render import (
+            read_ntriples,
+        )
+
+        ok = spark.createDataFrame(
+            [("# a comment",), ("",),
+             ("<http://x/s> <http://x/p> \"v\" .",)],
+            "line string",
+        )
+        out = read_ntriples(ok, prefixes={}).collect()
+        assert len(out) == 1 and out[0].obj == "v" and not out[0].obj_is_iri
+        bad = spark.createDataFrame(
+            [("<http://x/s> <http://x/p> unquoted .",)], "line string"
+        )
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="malformed N-Triples"):
+            read_ntriples(bad).collect()
+
+    def test_longest_namespace_wins(self, spark):
+        from case_uco_ontology_map_spark.operators.render import (
+            read_ntriples,
+        )
+
+        lines = spark.createDataFrame(
+            [("<http://x/ns/deep/a> <http://x/ns/p> <http://x/ns/deep/b>"
+              " .",)],
+            "line string",
+        )
+        out = read_ntriples(
+            lines,
+            prefixes={"short": "http://x/ns/", "deep": "http://x/ns/deep/"},
+        ).collect()[0]
+        assert out.subj == "deep:a" and out.pred == "short:p"
