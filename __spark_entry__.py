@@ -1587,6 +1587,23 @@ def _oracle_tfidf_terms() -> str:
     return tfidf_sql("source", k=10) + " ORDER BY source, rank"
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis (operators/skew.key_skew_report): top-8 hottest
+    sources with exact counts, share doubles, and the exact dominance
+    rank — the measurement half of every salting/cap decision; one
+    map-side-combined groupBy + TakeOrderedAndProject, the k-row window
+    runs post-limit on a single tiny task."""
+    from case_uco_ontology_map_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_docs(spark, sf_dir), "source", k=8)
+
+
+def _oracle_key_skew() -> str:
+    from case_uco_ontology_map_spark.operators.skew import key_skew_sql
+
+    return key_skew_sql("source", 8)
+
+
 def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Triples import (operators/render.read_ntriples): the full
     structural emission exported to N-Triples lines and parsed BACK —
@@ -4271,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "paragraph_dedup": q_paragraph_dedup,
         "nt_roundtrip": q_nt_roundtrip,
+        "key_skew": q_key_skew,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
         "domain_cap": q_domain_cap,
@@ -4371,6 +4389,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _oracle_gopher_quality(),
         "paragraph_dedup": _oracle_paragraph_dedup(),
         "nt_roundtrip": _oracle_nt_roundtrip(),
+        "key_skew": _oracle_key_skew(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
         "domain_cap": _oracle_domain_cap(),

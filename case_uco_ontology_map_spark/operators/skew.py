@@ -122,3 +122,63 @@ def host_distribution(
         .orderBy(F.desc("pages"))
         .limit(top)
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Skew diagnosis — the measurement HALF of every salting/cap
+    decision in this repo: the top-``k`` hottest keys of a column with
+    exact counts and their share of the table —
+    ``(key, n, share, rank)``. Run it BEFORE picking a salt factor or a
+    bucket cap (the caps in dedup/cooccurrence/canonicalize all want the
+    observed hot-key mass, not a guess).
+
+    Determinism: rank = exact dominance order (n DESC, key ASC) — never
+    the float share; computed as orderBy+limit (TakeOrderedAndProject:
+    per-partition top-k then one merge — no global sort, no window).
+    ``share`` = n/total as a reported double (6-digit hash-safe).
+
+    Scale: one map-side-combined groupBy on the key + a broadcast 1-row
+    total; the k-row result is driver-safe by construction.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    total = df.select(F.count("*").cast("double").alias("_total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(int(k))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("_total")).alias("share"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    # the window runs over AT MOST k rows (post-limit) — single tiny task
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def key_skew_sql(key_col: str, k: int = 20, table: str = "documents") -> str:
+    """DuckDB replay of ``key_skew_report``."""
+    return f"""
+WITH c AS (
+  SELECT {key_col} AS key, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM {table}),
+top AS (
+  SELECT key, n FROM c ORDER BY n DESC, key ASC LIMIT {int(k)}
+)
+SELECT key, n, CAST(n AS DOUBLE) / (SELECT total FROM t) AS share,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS INT) AS rank
+FROM top
+"""

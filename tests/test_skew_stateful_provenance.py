@@ -143,3 +143,36 @@ def test_provenance_check(spark, sf_dir):
     rows = bad2.collect()
     assert len(rows) == 1 and rows[0]["obj"] == "10.1.2.3"
     corpus.unpersist()
+
+
+class TestKeySkewReport:
+    def test_report_matches_duckdb_and_cut(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.skew import (
+            key_skew_report,
+            key_skew_sql,
+        )
+
+        rows = (
+            [("hot",)] * 50 + [("warm",)] * 30 + [("aaa",)] * 10
+            + [("bbb",)] * 10 + [("cold",)] * 1
+        )
+        df = spark.createDataFrame(rows, "k string")
+        got = [tuple(r) for r in key_skew_report(df, "k", k=3).collect()]
+        # boundary tie aaa/bbb at n=10 → key ASC cuts deterministically
+        assert [(r[0], r[1], r[3]) for r in got] == [
+            ("hot", 50, 1), ("warm", 30, 2), ("aaa", 10, 3)
+        ]
+        assert abs(got[0][2] - 50 / 101) < 1e-12
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["k"]))
+        want = [tuple(r) for r in con.execute(key_skew_sql("k", 3)).fetchall()]
+        assert [
+            (a, b, round(c, 10), d) for a, b, c, d in got
+        ] == [(a, b, round(c, 10), d) for a, b, c, d in want]
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            key_skew_report(df, "k", k=0)
