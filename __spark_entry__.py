@@ -1587,6 +1587,37 @@ def _oracle_tfidf_terms() -> str:
     return tfidf_sql("source", k=10) + " ORDER BY source, rank"
 
 
+def q_jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD import (operators/render.read_jsonld_nodes): the full
+    structural emission rendered to JSON-LD node lines (the sink CASE/
+    UCO consumers exchange) and parsed BACK to the triple frame — typed
+    scalars (int/bool), {@type,@value} literals, {@id} refs, hasFacet
+    lists, @type edges all inverted. Oracle = the round-trip identity
+    against the original SELECT, so any renderer/parser asymmetry
+    breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.render import (
+        jsonld_nodes,
+        read_jsonld_nodes,
+    )
+
+    t = q_triples_structural(spark, sf_dir).withColumn(
+        "record_uuid", F.col("record_ref")
+    )
+    return read_jsonld_nodes(jsonld_nodes(t)).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+def _oracle_jsonld_roundtrip() -> str:
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM t "
+        "ORDER BY subj, pred, obj"
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis (operators/skew.key_skew_report): top-8 hottest
     sources with exact counts, share doubles, and the exact dominance
@@ -4289,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "nt_roundtrip": q_nt_roundtrip,
         "key_skew": q_key_skew,
+        "jsonld_roundtrip": q_jsonld_roundtrip,
         "lang_id": q_lang_id,
         "classifier_filter": q_classifier_filter,
         "domain_cap": q_domain_cap,
@@ -4390,6 +4422,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _oracle_paragraph_dedup(),
         "nt_roundtrip": _oracle_nt_roundtrip(),
         "key_skew": _oracle_key_skew(),
+        "jsonld_roundtrip": _oracle_jsonld_roundtrip(),
         "lang_id": _oracle_lang_id(),
         "classifier_filter": _oracle_classifier_filter(),
         "domain_cap": _oracle_domain_cap(),

@@ -310,3 +310,82 @@ def read_ntriples(
             contract_iri(F.col("_dt")),
         ).alias("obj_datatype"),
     )
+
+
+def _node_to_rows(node: Dict[str, Any]) -> List[tuple]:
+    """One JSON-LD node dict → triple tuples
+    ``(subj, pred, obj, obj_is_iri, obj_datatype)`` — the inverse of
+    ``_assemble_node``/``_value_for``."""
+    subj = node["@id"]
+    rows: List[tuple] = []
+
+    def value_rows(pred: str, v: Any) -> None:
+        if isinstance(v, dict):
+            if "@id" in v:
+                rows.append((subj, pred, v["@id"], True, None))
+            else:
+                rows.append(
+                    (subj, pred, str(v["@value"]), False, v.get("@type"))
+                )
+        elif isinstance(v, bool):
+            rows.append(
+                (subj, pred, "true" if v else "false", False, "xsd:boolean")
+            )
+        elif isinstance(v, int):
+            rows.append((subj, pred, str(v), False, "xsd:integer"))
+        else:
+            rows.append((subj, pred, v, False, None))
+
+    for pred, value in node.items():
+        if pred == "@id":
+            continue
+        if pred == "@type":
+            types = value if isinstance(value, list) else [value]
+            for t in types:
+                rows.append((subj, RDF_TYPE, t, True, None))
+            continue
+        if isinstance(value, list):
+            for v in value:
+                value_rows(pred, v)
+        else:
+            value_rows(pred, value)
+    return rows
+
+
+def read_jsonld_nodes(
+    nodes: DataFrame, json_col: str = "node_json"
+) -> DataFrame:
+    """JSON-LD node lines (the ``jsonld_nodes`` export shape — one node
+    object per row) → triple frame ``(subj, pred, obj, obj_is_iri,
+    obj_datatype)``, closing the JSON-LD export/import round trip (the
+    format CASE/UCO consumers exchange). Exact inverse of the renderer
+    for well-typed emissions; the renderer's one lossy corner (a
+    declared ``xsd:integer`` whose lexical form is not an integer falls
+    back to a plain string) stays lossy on the way back, by
+    construction.
+
+    Scale: the node objects have DYNAMIC predicate keys, so this is a
+    (documented) Arrow-batched ``mapInPandas`` kernel, not ``from_json``
+    with a fixed schema — one pass, no shuffle; the per-batch Python
+    cost is the JSON parse the format itself demands.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[tuple] = []
+            for s in pdf[json_col]:
+                out.extend(_node_to_rows(json.loads(s)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+                ],
+            )
+
+    return nodes.mapInPandas(
+        kernel,
+        schema=(
+            "subj string, pred string, obj string, obj_is_iri boolean,"
+            " obj_datatype string"
+        ),
+    )

@@ -1031,3 +1031,61 @@ class TestReadNtriples:
             prefixes={"short": "http://x/ns/", "deep": "http://x/ns/deep/"},
         ).collect()[0]
         assert out.subj == "deep:a" and out.pred == "short:p"
+
+
+class TestReadJsonldNodes:
+    def test_roundtrip_identity(self, spark):
+        from case_uco_ontology_map_spark.operators.render import (
+            jsonld_nodes,
+            read_jsonld_nodes,
+        )
+
+        rows = [
+            ("kb:r1", "rdf:type", "uco-observable:URL", True, None, "u1"),
+            ("kb:r1", "uco-core:hasFacet", "kb:f1", True, None, "u1"),
+            ("kb:r1", "uco-core:hasFacet", "kb:f2", True, None, "u1"),
+            ("kb:f1", "rdf:type", "uco-observable:ContentDataFacet",
+             True, None, "u1"),
+            ("kb:f1", "uco-observable:sizeInBytes", "157", False,
+             "xsd:integer", "u1"),
+            ("kb:f1", "uco-observable:isArchived", "true", False,
+             "xsd:boolean", "u1"),
+            ("kb:f1", "uco-core:description", "plain text", False, None,
+             "u1"),
+            ("kb:f1", "uco-observable:observedDate",
+             "2026-01-01T00:00:00Z", False, "xsd:dateTime", "u1"),
+        ]
+        t = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, obj_is_iri boolean,"
+            " obj_datatype string, record_uuid string",
+        )
+        back = read_jsonld_nodes(jsonld_nodes(t))
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(
+            map(tuple, t.select(
+                "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+            ).collect())
+        )
+        assert got == want
+
+    def test_multivalue_and_dict_forms(self, spark):
+        from case_uco_ontology_map_spark.operators.render import (
+            read_jsonld_nodes,
+        )
+        import json as _json
+
+        node = {
+            "@id": "kb:x",
+            "@type": "uco-observable:URL",
+            "uco-core:tag": ["a", "b"],
+            "uco-core:ref": {"@id": "kb:y"},
+        }
+        df = spark.createDataFrame(
+            [(_json.dumps(node),)], "node_json string"
+        )
+        got = sorted(map(tuple, read_jsonld_nodes(df).collect()))
+        assert ("kb:x", "uco-core:tag", "a", False, None) in got
+        assert ("kb:x", "uco-core:tag", "b", False, None) in got
+        assert ("kb:x", "uco-core:ref", "kb:y", True, None) in got
+        assert ("kb:x", "rdf:type", "uco-observable:URL", True, None) in got
