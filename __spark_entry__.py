@@ -706,6 +706,31 @@ def _oracle_graph_pagerank() -> str:
     )
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (operators/graphstats.k_core): the maximal
+    subgraph of the doc graph where every node keeps undirected degree
+    ≥ 3, by synchronous peeling to a fixed point (simultaneous removal
+    → the unique maximal core, order-free). The engine RAISES if it
+    fails to converge, so the oracle's fixed unroll depth (12 rounds,
+    MATERIALIZED CTEs — default inlining would expand ~3^rounds) can
+    never silently diverge."""
+    from case_uco_ontology_map_spark.operators.graphstats import k_core
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return k_core(edges, k=3).orderBy("node")
+
+
+def _oracle_graph_kcore() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import k_core_sql
+
+    inner = k_core_sql(k=3, rounds=12)
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        + inner[len("WITH "):]
+        + "\nORDER BY node"
+    )
+
+
 def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (operators/graphstats.label_propagation):
     4 rounds of synchronous label propagation over the doc graph —
@@ -4303,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "kg_walks": q_kg_walks,
         "gnn_sample": q_gnn_sample,
+        "graph_kcore": q_graph_kcore,
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -4406,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_communities": _oracle_graph_communities(),
         "kg_walks": _oracle_kg_walks(),
         "gnn_sample": _oracle_gnn_sample(),
+        "graph_kcore": _oracle_graph_kcore(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),

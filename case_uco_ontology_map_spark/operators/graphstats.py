@@ -833,3 +833,125 @@ def neighbor_sample_sql(
         ctes.append(f"f{li} AS (SELECT DISTINCT v AS node FROM s{li})")
         sels.append(f"SELECT * FROM s{li}")
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sels)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """K-core decomposition (fixed ``k``): the maximal subgraph in which
+    every node keeps undirected degree ≥ ``k`` — the standard "dense
+    core vs. fringe" split (spam-farm detection, entity-hub isolation,
+    GNN training-subgraph selection). Returns the surviving nodes with
+    their in-core degree: ``(node, core_deg)``.
+
+    Algorithm: synchronous peeling — each round drops EVERY node whose
+    degree among the current survivors is < k, simultaneously, until a
+    fixed point. Simultaneous removal makes the result order-free (it
+    is the unique maximal k-core regardless of peel order) and lets an
+    unrolled-SQL oracle replay it: any unroll depth ≥ the convergence
+    round count produces the identical set (extra rounds are no-ops at
+    the fixed point). Raises after ``max_rounds`` instead of silently
+    returning an unconverged set.
+
+    Scale shape: the undirected edge frame is built once; each round is
+    one map-side-combined degree count over the surviving edge set and
+    two semi-joins that shrink it. One driver action per round
+    (the survivor count) is inherent to fixed-point iteration; lineage
+    truncates via ``localCheckpoint``. Rounds = peel depth (≤ graph
+    degeneracy ladder, typically ≪ 10 on web graphs).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    )
+    e = (
+        und.unionByName(
+            und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+        .repartition(shuffle, "_a")
+        .persist()
+    )
+    cur = e
+    n_prev = None
+    for _ in range(int(max_rounds)):
+        deg = cur.groupBy(F.col("_a").alias("node")).agg(
+            F.count("*").alias("core_deg")
+        )
+        alive = deg.filter(F.col("core_deg") >= k)
+        n_alive = alive.count()
+        if n_alive == n_prev:
+            e.unpersist()
+            return alive
+        n_prev = n_alive
+        if n_alive == 0:
+            e.unpersist()
+            return alive
+        keep = alive.select("node")
+        cur = (
+            cur.join(keep, on=cur["_a"] == keep["node"], how="left_semi")
+        )
+        keep2 = alive.select(F.col("node").alias("_n2"))
+        cur = cur.join(
+            keep2, on=cur["_b"] == keep2["_n2"], how="left_semi"
+        )
+        if checkpoint_every:
+            cur = cur.localCheckpoint(eager=True)
+    e.unpersist()
+    raise RuntimeError(
+        f"k_core did not converge in {max_rounds} rounds"
+    )
+
+
+def k_core_sql(
+    k: int = 2,
+    rounds: int = 8,
+    table: str = "e",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Unrolled-CTE replay of ``k_core``: ``rounds`` synchronous peels.
+    Correct whenever the data converges within ``rounds`` (extra
+    unrolled rounds are no-ops at the fixed point — the engine side
+    RAISES if it needed more, so a too-shallow unroll cannot silently
+    diverge)."""
+    ctes: List[str] = [
+        f"""u AS (
+  SELECT {src} AS a, {dst} AS b FROM {table} WHERE {src} <> {dst}
+  UNION
+  SELECT {dst} AS a, {src} AS b FROM {table} WHERE {src} <> {dst}
+)""",
+        "e0 AS (SELECT a, b FROM u)",
+    ]
+    for i in range(1, rounds + 1):
+        prev, cur = f"e{i - 1}", f"e{i}"
+        # MATERIALIZED: each round references the previous CTE several
+        # times — default CTE inlining would expand the tree ~3^rounds
+        ctes.append(
+            f"""alive{i} AS MATERIALIZED (
+  SELECT a AS node FROM {prev} GROUP BY a HAVING count(*) >= {int(k)}
+)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT p.a, p.b FROM {prev} p
+  WHERE p.a IN (SELECT node FROM alive{i})
+    AND p.b IN (SELECT node FROM alive{i})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg "
+        f"FROM e{rounds} GROUP BY a HAVING count(*) >= {int(k)}"
+    )

@@ -508,3 +508,44 @@ class TestNeighborSample:
             neighbor_sample(edges, fanouts=())
         with _pt.raises(ValueError):
             neighbor_sample(edges, fanouts=(0,))
+
+
+class TestKCore:
+    def test_square_with_tail(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import k_core
+
+        rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("d", "e")]
+        g = spark.createDataFrame(rows, "src string, dst string")
+        got = {(r.node, r.core_deg) for r in k_core(g, k=2).collect()}
+        assert got == {("a", 2), ("b", 2), ("c", 2), ("d", 2)}
+        assert k_core(g, k=3).count() == 0
+
+    def test_cascading_peel_and_oracle(self, edges):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            k_core,
+            k_core_sql,
+        )
+
+        for kk in (2, 3):
+            got = sorted(map(tuple, k_core(edges, k=kk).collect()))
+            con = _duck()
+            sql = (
+                "WITH e AS (SELECT * FROM e_src), "
+                + k_core_sql(k=kk, rounds=8)[len("WITH "):]
+            )
+            want = sorted(map(tuple, con.execute(sql).fetchall()))
+            assert got == want, f"k={kk}"
+
+    def test_path_peels_to_empty_and_guard(self, spark):
+        from case_uco_ontology_map_spark.operators.graphstats import k_core
+
+        # a path needs len(path)//2 cascading rounds to vanish at k=2
+        rows = [(str(i), str(i + 1)) for i in range(8)]
+        g = spark.createDataFrame(rows, "src string, dst string")
+        assert k_core(g, k=2).count() == 0
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="converge"):
+            k_core(g, k=2, max_rounds=2)
+        with _pt.raises(ValueError):
+            k_core(g, k=0)
