@@ -404,7 +404,39 @@ def main():
         "sort a hub's votes into one task)"
     )
 
+    from case_uco_ontology_map_spark.operators.dedup import paragraph_dedup
+    from case_uco_ontology_map_spark.operators.graphstats import k_core
+    from case_uco_ontology_map_spark.operators.skew import key_skew_report
     from case_uco_ontology_map_spark.operators.textstats import gopher_rules
+
+    pdd = paragraph_dedup(docs)
+    pdd_plan = plan_of(pdd)
+    assert not re.findall(_no_python, pdd_plan), (
+        "paragraph_dedup must not leave the JVM"
+    )
+    assert "window" not in pdd_plan.lower(), (
+        "paragraph_dedup first-occurrence must stay groupBy-min shaped"
+    )
+
+    ksr = key_skew_report(docs, "source", k=5)
+    ksr_plan = plan_of(ksr)
+    assert "TakeOrderedAndProject" in ksr_plan, (
+        "key_skew_report top-k should plan TakeOrderedAndProject"
+    )
+
+    # a cycle converges in 2 peel rounds, keeping the checkpoint-free
+    # lazy tree shallow enough to inspect (a tree graph peels ~log N
+    # rounds and the un-truncated plan re-executes per round)
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        F.expr("(doc_id + 1) % 500").alias("dst"),
+    )
+    kc = k_core(ring, k=2, checkpoint_every=0)
+    kc_plan = plan_of(kc)
+    assert not re.findall(_no_python, kc_plan), (
+        "k_core must not leave the JVM"
+    )
+    assert "CartesianProduct" not in kc_plan
 
     gop = gopher_rules(docs)
     gop_plan = plan_of(gop)
@@ -502,6 +534,9 @@ def main():
             "label_propagation round shape (vote count -> groupBy argmax, window-free)": lpa,
             "bigram_lm_scores (in-row pair explode; broadcast LH totals + vocab scalar)": blm,
             "gopher_rules (zero-shuffle integer-exact quality gate)": gop,
+            "paragraph_dedup (explode -> groupBy-min first-occurrence, window-free)": pdd,
+            "key_skew_report (groupBy + TakeOrderedAndProject top-k)": ksr,
+            "k_core peel shape (degree count + two semi-joins per round)": kc,
             "bgp exists= (left-semi join, multiplicity preserved)": bgp_ex,
             "bgp order_by+limit (TakeOrderedAndProject, not global sort)": bgp_mod,
             "p* path (closure  zero-length union, min-hop collapse)": star,
