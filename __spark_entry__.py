@@ -1889,7 +1889,7 @@ WITH toks AS (
 ),
 st AS (
   SELECT doc_id, tk, len(tk) AS sz,
-         unnest(range(0, len(tk), 112)) AS s
+         unnest(range(0, greatest(len(tk) - 16, 1), 112)) AS s
   FROM toks WHERE len(tk) > 0
 )
 SELECT doc_id,

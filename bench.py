@@ -754,9 +754,15 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
     finally:
         spark.stop()
         if stage_dir:
-            suffixes = ("", "-triples-out", "-emb", "-ivf")
+            suffixes = (
+                "", "-triples-out", "-emb", "-ivf",
+                "-canon-prior", "-canon-delta",
+            )
             if os.environ.get("SPARK_GRAFT_SHARED_STAGE"):
-                suffixes = ("-triples-out", "-emb", "-ivf")  # keep the corpus
+                suffixes = (  # keep the corpus
+                    "-triples-out", "-emb", "-ivf",
+                    "-canon-prior", "-canon-delta",
+                )
             for suffix in suffixes:
                 shutil.rmtree(
                     stage_dir.rstrip("/") + suffix, ignore_errors=True

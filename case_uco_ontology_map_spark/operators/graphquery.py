@@ -1313,6 +1313,7 @@ def bgp_union(
     blocks: Sequence[Dict],
     select: Optional[Sequence[str]] = None,
     distinct: bool = False,
+    path_max_hops: Optional[int] = None,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
@@ -1330,6 +1331,9 @@ def bgp_union(
     exchange until something downstream needs one)."""
     _check_union_blocks(blocks)
     cols_kw = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col)
+    # union-level default hop bound; a block's own path_max_hops wins
+    if path_max_hops is not None:
+        cols_kw["path_max_hops"] = path_max_hops
     out = None
     for b in blocks:
         f = bgp_query(triples, **{**cols_kw, **b})

@@ -65,6 +65,11 @@ def negative_samples(
     t = triples.select(subj_col, pred_col, obj_col, *(
         [obj_is_iri_col] if obj_is_iri_col else []
     ))
+    # subjects are entities regardless of their objects' kind — pool the
+    # subject side from the UNFILTERED frame so an entity appearing only
+    # in literal-object triples can still be drawn as a corruption; only
+    # the object side of the pool is IRI-gated
+    all_subjects = t.select(F.col(subj_col).alias("node"))
     if obj_is_iri_col:
         t = t.filter(F.col(obj_is_iri_col)).drop(obj_is_iri_col)
     t = t.select(
@@ -73,7 +78,7 @@ def negative_samples(
         F.col(obj_col).alias("obj"),
     )
     pool = (
-        t.select(F.col("subj").alias("node"))
+        all_subjects
         .unionByName(t.select(F.col("obj").alias("node")))
         .distinct()
     )

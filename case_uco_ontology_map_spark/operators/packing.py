@@ -122,8 +122,14 @@ def chunk_documents(
     step = max_tokens - overlap
     toks = tokens_col(F.col(text_col))
     sz = F.size(toks)
+    # last start must leave at least one NEW token past the overlap —
+    # cap the sequence at sz - overlap - 1 (floored at 0 so a short doc
+    # still emits its single chunk). Without the cap, a start landing in
+    # the final `overlap` tokens emits a window fully contained in its
+    # predecessor, duplicating training text.
+    last_start = F.greatest(sz - F.lit(overlap) - 1, F.lit(0))
     starts = F.when(
-        sz > 0, F.sequence(F.lit(0), sz - 1, F.lit(step))
+        sz > 0, F.sequence(F.lit(0), last_start, F.lit(step))
     ).otherwise(F.array().cast("array<int>"))
     base = df.select(
         F.col(id_col),

@@ -72,12 +72,59 @@ class SparqlSyntaxError(ValueError):
     pass
 
 
+def _strip_comments(text: str) -> str:
+    """Remove ``#``-to-end-of-line comments, but only OUTSIDE string
+    literals and ``<...>`` IRIs — a legal literal like ``"a # b"`` or an
+    IRI fragment ``<http://ex#f>`` keeps its ``#``. Mirrors the SPARQL
+    grammar: a comment starts at line start or after whitespace (never
+    mid-token; prefixed names cannot contain ``#``)."""
+    out: List[str] = []
+    i, n = 0, len(text)
+    mode = None  # "'"/'"' inside a string literal, "<" inside an IRI
+    prev_ws = True
+    while i < n:
+        ch = text[i]
+        if mode in ("'", '"'):
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == mode:
+                mode = None
+                prev_ws = False
+            i += 1
+            continue
+        if mode == "<":
+            out.append(ch)
+            if ch == ">" or ch.isspace():
+                # whitespace means this '<' was a comparison operator,
+                # not an IRI opener (IRIs in the subset have no spaces)
+                mode = None
+                prev_ws = ch.isspace()
+            i += 1
+            continue
+        if ch in ("'", '"', "<"):
+            mode = ch
+            out.append(ch)
+            prev_ws = False
+            i += 1
+            continue
+        if ch == "#" and prev_ws:
+            while i < n and text[i] != "\n":
+                i += 1
+            out.append(" ")
+            continue
+        out.append(ch)
+        prev_ws = ch.isspace()
+        i += 1
+    return "".join(out)
+
+
 def _tokenize(text: str) -> List[str]:
-    # strip comments (outside strings: a # begins a comment — SPARQL has
-    # no # inside unquoted tokens we support except prefixed names,
-    # which never contain '#'; full IRIs with fragments stay safe
-    # because we only strip # when it follows whitespace or line start)
-    text = re.sub(r"(?m)(?:^|(?<=\s))#[^\n]*", " ", text)
+    # strip comments during scanning (only outside string/IRI tokens:
+    # a literal containing ' # ' must survive — see _strip_comments)
+    text = _strip_comments(text)
     toks: List[str] = []
     pos = 0
     for m in _TOKEN_RE.finditer(text):
@@ -262,10 +309,42 @@ class _Parser:
                 )
         out[key].extend(sub["patterns"])
 
+    def _parse_pred_term(self) -> str:
+        """Predicate position: plain term, or the spec's parenthesized
+        property-set forms ``(p|q)`` / ``!(p|q)`` (SPARQL 1.1 §9.1
+        PathNegatedPropertySet) — normalized to the compiler's internal
+        ``p|q`` / ``!p|q`` strings. A path modifier on a parenthesized
+        group (``(p|q)+``) is refused loudly: the closure engine iterates
+        single-predicate edge sets only."""
+        if self.peek() == "!" and self.peek(1) == "(":
+            self.take()
+            self.take()
+            return "!" + self._take_alternation()
+        if self.peek() == "(":
+            self.take()
+            return self._take_alternation()
+        return _term(self.take(), pred=True)
+
+    def _take_alternation(self) -> str:
+        parts: List[str] = []
+        while not self.kw(")"):
+            for piece in self.take().split("|"):
+                if piece:
+                    parts.append(_term(piece, pred=True))
+        self.take()
+        if self.peek() in ("+", "*"):
+            raise SparqlSyntaxError(
+                "path modifier on a parenthesized property set is not "
+                "supported — close over one predicate at a time"
+            )
+        if not parts:
+            raise SparqlSyntaxError("empty property set in ()")
+        return "|".join(parts)
+
     def _parse_triples_block(self, into: List[Pattern]) -> None:
         s = _term(self.take())
         while True:
-            p = _term(self.take(), pred=True)
+            p = self._parse_pred_term()
             while True:
                 o = _term(self.take())
                 into.append((s, p, o))
@@ -554,9 +633,27 @@ def _block_kwargs(b: Dict) -> Dict:
     }
 
 
+DEFAULT_PATH_MAX_HOPS = 16
+
+
+def _closure_paths(spec: Dict) -> List[str]:
+    """Predicates in the parsed spec that compile to a transitive
+    closure (``p+`` / ``p*`` — ``p?`` needs no iteration)."""
+    from .graphquery import _is_path, _path_parts
+
+    preds: List[str] = []
+    for b in spec.get("blocks", ()):
+        for key in ("patterns", "optional", "minus", "exists"):
+            for pat in b.get(key, ()):
+                if _is_path(pat[1]) and _path_parts(pat[1])[1] in "+*":
+                    preds.append(pat[1])
+    return preds
+
+
 def sparql_query(
     triples: DataFrame,
     text: str,
+    path_max_hops: Optional[int] = DEFAULT_PATH_MAX_HOPS,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
@@ -566,8 +663,32 @@ def sparql_query(
     programmatic API builds — the text front end adds nothing at
     runtime. DESCRIBE returns the bounded subgraph (hops=1; use
     ``describe_nodes`` directly for deeper bounds); CONSTRUCT returns
-    the instantiated ``(subj, pred, obj)`` graph."""
+    the instantiated ``(subj, pred, obj)`` graph.
+
+    **Closure paths are bounded by default.** A pasted ``p+``/``p*``
+    compiles to ``transitive_closure`` — unbounded, that is
+    O(N·diameter) output pairs, a self-inflicted wound on a dense
+    100 TB graph. The text front end therefore caps iteration at
+    ``path_max_hops`` (default ``DEFAULT_PATH_MAX_HOPS`` = 16) and
+    emits a ``RuntimeWarning`` naming the bounded path(s): pairs whose
+    shortest path exceeds the bound are ABSENT from the result. Pass
+    ``path_max_hops=None`` for the full fixed point (the programmatic
+    ``bgp_query`` default), or a larger bound. Mirrors the ``/sparql``
+    endpoint's row-cap philosophy: the paste-a-query surface never
+    silently launches an unbounded iteration."""
     spec = parse_sparql(text)
+    bounded = _closure_paths(spec) if path_max_hops is not None else []
+    if bounded:
+        import warnings
+
+        warnings.warn(
+            f"property path(s) {sorted(set(bounded))} bounded at "
+            f"{path_max_hops} hops — pairs beyond the bound are absent; "
+            "pass path_max_hops=None for the full closure",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    hops_kw = {"path_max_hops": path_max_hops} if bounded else {}
     cols = dict(subj_col=subj_col, pred_col=pred_col, obj_col=obj_col)
     if spec["form"] == "describe":
         from .graphquery import describe_nodes
@@ -594,6 +715,7 @@ def sparql_query(
             spec["template"],
             optional=b["optional"],
             filters=b["filters"],
+            **hops_kw,
             **cols,
         )
     if spec["form"] == "ask":
@@ -609,6 +731,7 @@ def sparql_query(
             filters=b["filters"],
             minus=b["minus"],
             exists=b["exists"],
+            **hops_kw,
             **cols,
         )
     if spec["aggs"] or spec["group_by"] or spec["having"]:
@@ -628,6 +751,7 @@ def sparql_query(
             minus=b["minus"],
             exists=b["exists"],
             having=spec["having"],
+            **hops_kw,
             **cols,
         )
         if spec["order_by"]:
@@ -656,6 +780,7 @@ def sparql_query(
             limit=spec["limit"],
             offset=spec["offset"],
             **_block_kwargs(spec["blocks"][0]),
+            **hops_kw,
             **cols,
         )
     if spec["order_by"] or spec["limit"] is not None or spec["offset"]:
@@ -668,6 +793,7 @@ def sparql_query(
         [_block_kwargs(b) for b in spec["blocks"]],
         select=spec["select"],
         distinct=spec["distinct"],
+        **hops_kw,
         **cols,
     )
 
@@ -699,6 +825,12 @@ def sparql_to_sql(
         from .graphquery import bgp_construct_sql
 
         b = spec["blocks"][0]
+        if len(spec["blocks"]) != 1 or b["minus"] or b["exists"] or b["bind"]:
+            raise SparqlSyntaxError(
+                "CONSTRUCT WHERE supports one group with triples/"
+                "OPTIONAL/FILTER (programmatic bgp_construct has the "
+                "same surface)"
+            )
         return bgp_construct_sql(
             b["patterns"],
             spec["template"],
@@ -707,7 +839,11 @@ def sparql_to_sql(
             **cols,
         )
     if spec["form"] == "ask":
+        if len(spec["blocks"]) != 1:
+            raise SparqlSyntaxError("ASK over UNION is not supported")
         b = spec["blocks"][0]
+        if b["bind"]:
+            raise SparqlSyntaxError("ASK with BIND is not supported")
         return bgp_ask_sql(
             b["patterns"],
             optional=b["optional"],

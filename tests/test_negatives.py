@@ -11,6 +11,10 @@ TRIPLES = [
     ("e3", "likes", "e1", True),
     ("e1", "knows", "e4", True),
     ("e4", "name", "Bob", False),
+    # a subject that ONLY appears in literal-object triples — still an
+    # entity, must be drawable as a corruption (pool is built from the
+    # unfiltered subject side)
+    ("e0", "name", "Ann", False),
 ]
 
 
@@ -26,7 +30,9 @@ def test_structural_properties(spark, triples):
         triples, k=3, buckets=8, salt="s", obj_is_iri_col="obj_is_iri"
     ).collect()
     true_edges = {(s, p, o) for s, p, o, iri in TRIPLES if iri}
-    pool = {x for s, p, o, iri in TRIPLES if iri for x in (s, o)}
+    pool = {s for s, p, o, iri in TRIPLES} | {
+        o for s, p, o, iri in TRIPLES if iri
+    }
     assert out, "draw chain produced no negatives at all"
     per_triple = {}
     for r in out:
@@ -39,8 +45,9 @@ def test_structural_properties(spark, triples):
         per_triple.setdefault((r.subj, r.pred, r.obj), set()).add(r.i)
     # at most k negatives per positive, keyed by distinct draw index
     assert all(len(v) <= 3 for v in per_triple.values())
-    # the literal-object row was never corrupted
+    # the literal-object rows were never corrupted
     assert ("e4", "name", "Bob") not in per_triple
+    assert ("e0", "name", "Ann") not in per_triple
 
 
 def test_deterministic_and_salt_sensitive(spark, triples):
@@ -76,7 +83,9 @@ def test_subject_corruption_mode(spark, triples):
         corrupt="subject",
     ).collect()
     true_edges = {(s, p, o) for s, p, o, iri in TRIPLES if iri}
-    pool = {x for s, p, o, iri in TRIPLES if iri for x in (s, o)}
+    pool = {s for s, p, o, iri in TRIPLES} | {
+        o for s, p, o, iri in TRIPLES if iri
+    }
     assert out
     for r in out:
         assert r.neg_subj in pool
@@ -98,3 +107,20 @@ def test_subject_corruption_mode(spark, triples):
     assert any(objs[k] != subjs[k] for k in common)
     with pytest.raises(ValueError):
         negative_samples(triples, corrupt="both")
+
+def test_literal_only_subject_is_drawable(spark):
+    """An entity whose ONLY appearances are as subject of literal-object
+    triples must be reachable as a corruption (the pool's subject side is
+    built from the unfiltered frame)."""
+    rows = [
+        ("b", "p", "c", True),
+        ("aaa", "name", "x", False),  # literal-only subject
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean"
+    )
+    out = negative_samples(
+        df, k=8, buckets=2, salt="s", obj_is_iri_col="obj_is_iri"
+    ).collect()
+    drawn = {r.neg_obj for r in out}
+    assert "aaa" in drawn, drawn

@@ -1,0 +1,148 @@
+"""Independent SPARQL 1.1 spec oracles — round-5 shared-fate breaker.
+
+Every other path/negation check in the repo compares the Spark engine
+against SQL that the SAME compiler family generates (``bgp_sql`` /
+``path_sql``), so a semantics bug in the shared pattern-expansion logic
+would replay identically on both sides. These tests bypass ALL SQL
+generation: each fixture is ≤10 triples and each expected binding set is
+hand-enumerated from the SPARQL 1.1 spec itself (§9.1 property paths via
+the ALP/ZeroLengthPath definitions, §8.3 MINUS), then asserted literally
+against ``sparql_query`` over pasted query text.
+"""
+
+import pytest
+
+from case_uco_ontology_map_spark.operators.sparql import sparql_query
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _bindings(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestPathStarSpec:
+    """§9.1 ZeroOrMorePath: ``p*`` = ZeroLengthPath ∪ OneOrMorePath.
+    ZeroLengthPath(?x, ?y) with two fresh variables matches every TERM of
+    the graph (all subjects and objects, ANY predicate — the d/q/e triple
+    below contributes d and e even though q is not the path predicate);
+    a ground end term matches itself whether or not it occurs in the
+    graph."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("a", "p", "b"),
+            ("b", "p", "c"),
+            ("d", "q", "e"),
+        ])
+
+    def test_two_variables(self, g):
+        got = _bindings(sparql_query(g, "SELECT ?x ?y WHERE { ?x p* ?y }"))
+        want = {
+            # ZeroLengthPath over the graph's terms {a, b, c, d, e}
+            ("a", "a"), ("b", "b"), ("c", "c"), ("d", "d"), ("e", "e"),
+            # OneOrMorePath along p: a→b, b→c, a→c
+            ("a", "b"), ("b", "c"), ("a", "c"),
+        }
+        assert got == want
+
+    def test_ground_subject(self, g):
+        got = _bindings(sparql_query(g, "SELECT ?y WHERE { a p* ?y }"))
+        # zero hops: a itself; then the p-reachables b, c
+        assert got == {("a",), ("b",), ("c",)}
+
+
+class TestSequencePathSpec:
+    """§9.1 SequencePath: ``p1/p2`` = path through a fresh intermediate —
+    exists ?m with (?x p1 ?m) and (?m p2 ?y)."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("a", "p1", "b"),
+            ("b", "p2", "c"),
+            ("a", "p1", "d"),
+            ("d", "p2", "e"),
+            ("z", "p2", "w"),   # p2-only: no p1 into z → never a solution
+            ("a", "p2", "b"),   # p2 out of a directly: irrelevant to p1/p2
+        ])
+
+    def test_sequence(self, g):
+        got = _bindings(sparql_query(g, "SELECT ?x ?y WHERE { ?x p1/p2 ?y }"))
+        assert got == {("a", "c"), ("a", "e")}
+
+
+class TestInversePathSpec:
+    """§9.1 InversePath: ``?x ^p ?y`` ≡ ``?y p ?x`` — pure role swap,
+    no deduplication or direction-mixing."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("a", "p", "b"),
+            ("c", "p", "b"),
+            ("b", "q", "a"),   # q edge must NOT leak into ^p
+        ])
+
+    def test_inverse(self, g):
+        got = _bindings(sparql_query(g, "SELECT ?x ?y WHERE { ?x ^p ?y }"))
+        assert got == {("b", "a"), ("b", "c")}
+
+
+class TestNegatedPropertySetSpec:
+    """§9.1 NegatedPropertySet: ``!p`` matches any triple whose predicate
+    is NOT in the set — triple-level negation, not solution-level."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("s1", "p", "b"),
+            ("s1", "q", "c"),
+            ("s1", "r", "d"),
+            ("e", "p", "f"),
+        ])
+
+    def test_single_negation(self, g):
+        got = _bindings(sparql_query(g, "SELECT ?x ?y WHERE { ?x !p ?y }"))
+        assert got == {("s1", "c"), ("s1", "d")}
+
+    def test_negated_set(self, g):
+        got = _bindings(
+            sparql_query(g, "SELECT ?x ?y WHERE { ?x !(p|q) ?y }")
+        )
+        assert got == {("s1", "d")}
+
+
+class TestMinusSpec:
+    """§8.3 MINUS: remove every solution μ of the left side for which
+    some solution ν of the MINUS pattern is compatible with μ AND
+    dom(μ) ∩ dom(ν) ≠ ∅. With the shared variable ?s below that is a
+    plain anti-join on ?s — hand-enumerated: alice matches the email
+    pattern, bob does not."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("alice", "name", "Alice"),
+            ("alice", "email", "ae"),
+            ("bob", "name", "Bob"),
+        ])
+
+    def test_shared_variable_minus(self, g):
+        got = _bindings(sparql_query(
+            g, "SELECT ?s WHERE { ?s name ?n . MINUS { ?s email ?e } }"
+        ))
+        assert got == {("bob",)}
+
+    def test_disjoint_domain_refused(self, g):
+        # Spec §8.3: dom(μ) ∩ dom(ν) = ∅ means MINUS removes NOTHING
+        # (the famous counter-intuition). This engine refuses the query
+        # loudly instead of silently returning everything — a documented
+        # deviation pinned here so a future "fix" is a conscious choice.
+        with pytest.raises(Exception, match="shares no variable"):
+            sparql_query(
+                g, "SELECT ?s WHERE { ?s name ?n . MINUS { ?x email ?e } }"
+            ).collect()

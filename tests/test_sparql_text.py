@@ -230,3 +230,95 @@ def test_aggregate_with_minus_matches_duckdb(triples):
     assert ("uco-observable:URLFacet", 1) in got
     assert ("uco-observable:URL", 2) in got
     assert all(t != "uco-observable:ContentDataFacet" or n == 0 for t, n in got)
+
+
+class TestCommentsAndGuardMirrors:
+    """Round-5 regressions: # inside literals/IRIs survives comment
+    stripping; sparql_to_sql raises exactly where sparql_query does."""
+
+    def test_hash_inside_string_literal(self, triples):
+        # FILTER literal containing ' # ' must not be truncated
+        q = ('SELECT ?s WHERE { ?s uco-observable:hash ?h . '
+             'FILTER(?h != "a # b") } # trailing comment')
+        got = _both(triples, q)
+        assert {r[0] for r in got} == {"kb:f1", "kb:f3"}
+
+    def test_hash_inside_iri(self):
+        from case_uco_ontology_map_spark.operators.sparql import _tokenize
+
+        toks = _tokenize("?s ?p <http://ex.org/x#frag> . # gone")
+        assert "<http://ex.org/x#frag>" in toks
+        assert not any("gone" in t for t in toks)
+
+    def test_sql_twin_raises_like_engine(self, triples):
+        # CONSTRUCT with MINUS: engine raises — the SQL twin must too,
+        # never silently emit weaker SQL
+        q_c = ("CONSTRUCT { ?s a ?t } WHERE { ?s a ?t . "
+               "MINUS { ?s uco-observable:hash ?h } }")
+        with pytest.raises(SparqlSyntaxError):
+            sparql_query(triples, q_c)
+        with pytest.raises(SparqlSyntaxError):
+            sparql_to_sql(q_c)
+        q_a = 'ASK { ?s a ?t . BIND(?t AS ?x) }'
+        with pytest.raises(SparqlSyntaxError):
+            sparql_query(triples, q_a)
+        with pytest.raises(SparqlSyntaxError):
+            sparql_to_sql(q_a)
+
+
+class TestDefaultHopBound:
+    """The text front end bounds user-pasted closure paths by default
+    (DEFAULT_PATH_MAX_HOPS) with a loud RuntimeWarning; the programmatic
+    API stays unbounded."""
+
+    @pytest.fixture(scope="class")
+    def chain(self, spark):
+        # linear provenance chain n0 -> n1 -> ... -> n20 (20 edges)
+        rows = [(f"n{i}", "derivedFrom", f"n{i+1}") for i in range(20)]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+
+    def test_pasted_closure_stops_at_bound(self, chain):
+        import warnings
+
+        from case_uco_ontology_map_spark.operators.sparql import (
+            DEFAULT_PATH_MAX_HOPS,
+        )
+
+        q = "SELECT ?a ?b WHERE { ?a derivedFrom+ ?b }"
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = sparql_query(chain, q).collect()
+        assert any(
+            issubclass(x.category, RuntimeWarning)
+            and "derivedFrom+" in str(x.message)
+            for x in w
+        ), [str(x.message) for x in w]
+        # pairs per start are capped at the bound; n0 reaches only 16 of
+        # its 20 ancestors
+        per_a = {}
+        for r in got:
+            per_a.setdefault(r.a, set()).add(r.b)
+        assert len(per_a["n0"]) == DEFAULT_PATH_MAX_HOPS
+        assert "n16" in per_a["n0"] and "n17" not in per_a["n0"]
+
+    def test_none_gives_full_closure_no_warning(self, chain):
+        import warnings
+
+        q = "SELECT ?a ?b WHERE { ?a derivedFrom+ ?b }"
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = sparql_query(chain, q, path_max_hops=None).collect()
+        assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
+        full = {(r.a, r.b) for r in got}
+        assert ("n0", "n20") in full
+        assert len(full) == 20 * 21 // 2
+
+    def test_no_warning_without_path(self, chain):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            sparql_query(chain, "SELECT ?a WHERE { ?a derivedFrom ?b }")
+        assert not [x for x in w if issubclass(x.category, RuntimeWarning)]

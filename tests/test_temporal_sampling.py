@@ -464,12 +464,14 @@ class TestChunkDocuments:
             (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
             for r in out.collect()
         }
-        # stride 3: starts 0, 3, 6
+        # stride 3: starts 0, 3 — start 6 lands inside the final overlap
+        # (6 + 1 >= 7) so its window ("t6") would be a strict subset of
+        # chunk@3 and is NOT emitted
         assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
         assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)
-        assert rows[(1, 2)] == ("t6", 1)
+        assert (1, 2) not in rows
         assert rows[(3, 0)] == ("only", 1)
-        assert (2, 0) not in rows and len(rows) == 4
+        assert (2, 0) not in rows and len(rows) == 3
 
     def test_chunk_validates(self, spark):
         import pytest as _pt
