@@ -1,9 +1,12 @@
 """Ontology research query surface — the deterministic equivalent of the
 reference's rdflib tool API (/root/reference/case_uco.py:476-1019):
 ``list_all_classes``, ``search_classes``, ``get_class_summary``,
-``get_property_details``, ``relevant_facets`` (top-10 W2 pattern) and the
-facet/inherited/semantic property report, all answered from the broadcast
-compiled dictionary with zero RDF parsing at query time.
+``get_property_details``, ``relevant_facets`` (top-10 W2 pattern), the
+facet/inherited/semantic property report, and (round 5, closing the tool
+surface) ``get_shacl_property_shapes``, ``get_structured_property_profile``,
+``get_compatible_facets`` and ``common_relationship_patterns`` — all
+answered from the broadcast compiled dictionary with zero RDF parsing at
+query time.
 
 These are metadata queries (hundreds of rows), so they are plain Python
 over the dictionary — the data-scale counterparts (W2 top-k over event
@@ -327,3 +330,172 @@ def relevant_facets(
         {f for f in d.get("facets", []) if cl in f.lower() or f.lower() in cl}
     )
     return rel[:top]
+
+
+def get_shacl_property_shapes(
+    class_name: str, dictionary: Optional[Dict[str, Any]] = None
+) -> Dict[str, Dict[str, Any]]:
+    """Merged property → CASE-documentation descriptor
+    (case_uco.py:278-341): one dict keyed by property name where facet
+    properties carry ``sourceClass = f"{class_name}Facet"``, inherited
+    ones the named ancestor ('Inherited' for the common-inherited set
+    with no named source), semantic ones 'Semantic'. Mirrors the
+    reference's merge order — facet, then inherited, then semantic, later
+    assignments overwriting on a name collision. Empty dict for an
+    unknown class (reference behavior)."""
+    d = _dict(dictionary)
+    meta = d["classes"].get(class_name)
+    if meta is None:
+        return {}
+    shapes = d.get("shapes", {})
+    props_meta = d.get("properties", {})
+
+    def descriptor(prop: str, slot: Dict[str, Any], source: str) -> Dict[str, Any]:
+        pmeta = props_meta.get(prop, {})
+        ptype = pmeta.get("type") or (
+            "ObjectProperty" if slot.get("isObjectProp") else "DatatypeProperty"
+        )
+        rng = slot.get("datatype") or slot.get("class") or ""
+        return {
+            "sourceClass": source,
+            "propertyType": ptype,
+            "description": pmeta.get("description") or f"{prop} property",
+            "minCount": slot.get("minCount") or 0,
+            "maxCount": slot.get("maxCount") if slot.get("maxCount") is not None else 1,
+            "localRange": rng,
+            "globalRange": slot.get("class") or "N/A",
+        }
+
+    out: Dict[str, Dict[str, Any]] = {}
+    # facet category: own shape + own-Facet shape (class_property_report's
+    # facet set), sourceClass = f"{class_name}Facet" per the reference
+    for src in (class_name, f"{class_name}Facet"):
+        for prop in sorted(shapes.get(src, {})):
+            out[prop] = descriptor(prop, shapes[src][prop], f"{class_name}Facet")
+    # inherited: each ancestor('s Facet) shape under the ancestor's name,
+    # most-general-first so the MOST SPECIFIC ancestor wins a collision
+    # (later assignment overwrites — same net result as the reference's
+    # specific-first analysis emitting one entry per property)
+    facet_names = set(out)
+    for anc in reversed(class_hierarchy(class_name, d)[:-1]):
+        for src in (anc, f"{anc}Facet"):
+            for prop in sorted(shapes.get(src, {})):
+                if prop not in facet_names:
+                    out[prop] = descriptor(prop, shapes[src][prop], anc)
+    for prop in sorted(d.get("common_inherited", [])):
+        if prop not in out:
+            out[prop] = descriptor(prop, {}, "Inherited")
+    # semantic last (overwrites, matching reference merge order)
+    for prop in sorted(meta.get("semantic_properties", [])):
+        if prop not in facet_names:
+            out[prop] = descriptor(prop, {}, "Semantic")
+    return out
+
+
+def get_structured_property_profile(
+    class_name: str, dictionary: Optional[Dict[str, Any]] = None
+) -> Dict[str, Any]:
+    """Class metadata plus property ownership grouped for JSON output —
+    get_structured_property_profile (case_uco.py:535-603): the SHACL
+    descriptor map routed into direct / facet-grouped / inherited /
+    semantic buckets with the reference's exact rules, including the
+    ``XFacetFacet`` → ``XFacet`` normalization that makes a facet class's
+    own properties 'direct'. Deterministic iteration (sorted by property
+    name; the reference iterates dict order)."""
+    d = _dict(dictionary)
+    summary = get_class_summary(class_name, d)
+    if "error" in summary:
+        return summary
+    shacl = get_shacl_property_shapes(class_name, d)
+    profile: Dict[str, Any] = {
+        "class_name": summary["name"],
+        "uri": summary["uri"],
+        "description": summary["description"],
+        "superclasses": summary["superclasses"],
+        "property_counts": summary["property_counts"],
+        "direct_properties": [],
+        "facet_properties": {},
+        "inherited_properties": [],
+        "semantic_properties": [],
+    }
+
+    def fmt(name: str, info: Dict[str, Any]) -> Dict[str, Any]:
+        return {
+            "name": name,
+            "type": info.get("propertyType"),
+            "description": info.get("description"),
+            "min_count": info.get("minCount"),
+            "max_count": info.get("maxCount"),
+            "local_range": info.get("localRange"),
+            "global_range": info.get("globalRange"),
+        }
+
+    for prop_name in sorted(shacl):
+        info = shacl[prop_name]
+        desc = fmt(prop_name, info)
+        source = info.get("sourceClass", "") or ""
+        if source.endswith("FacetFacet"):
+            source = source[:-5]
+        if source == summary["name"]:
+            profile["direct_properties"].append(desc)
+            continue
+        if source.endswith("Facet"):
+            profile["facet_properties"].setdefault(source, []).append(desc)
+            continue
+        lowered = source.lower()
+        if lowered.startswith("inherited") or source in summary["superclasses"]:
+            desc["source"] = source
+            profile["inherited_properties"].append(desc)
+            continue
+        if lowered.startswith("semantic") or source == "Semantic":
+            profile["semantic_properties"].append(desc)
+            continue
+        if source:
+            desc["source"] = source
+        profile["inherited_properties"].append(desc)
+    return profile
+
+
+def get_compatible_facets(
+    class_name: str, dictionary: Optional[Dict[str, Any]] = None
+) -> Dict[str, Any]:
+    """Duck-typing facet suggestion — get_compatible_facets
+    (case_uco.py:913-939): the full facet census plus name-matched
+    relevant facets and the reference's duck-typing framing strings.
+    ``usage_example`` uses the first relevant facet (our relevant list is
+    sorted, the reference's is set-order — same membership)."""
+    d = _dict(dictionary)
+    if class_name not in d["classes"]:
+        return {"error": f"Class '{class_name}' not found"}
+    all_facets = analyze_facets(d)["facet_list"]
+    rel = relevant_facets(class_name, d)
+    return {
+        "class_name": class_name,
+        "total_available_facets": len(all_facets),
+        "relevant_facets": rel,
+        "duck_typing_principle": "Any rational combination of facets can be applied",
+        "usage_example": f"{class_name} + {rel[0] if rel else 'AnyFacet'}",
+    }
+
+
+def common_relationship_patterns(
+    dictionary: Optional[Dict[str, Any]] = None, top: int = 10
+) -> List[str]:
+    """Relationship-pattern discovery — _get_common_relationship_patterns
+    (case_uco.py:1006-1019): ObjectProperty local names (len > 2)
+    containing relation/connect/link, capped at ``top``. On the shipped
+    CASE/UCO ontologies this is EMPTY — every matching name
+    (kindOfRelationship, *LinkCount, *LinkerVersion) is a
+    DatatypeProperty, verified against the reference TTLs — so the
+    reference tool returns [] too; the filter logic is pinned by a
+    synthetic-dictionary unit test. Sorted (the reference emits rdflib
+    traversal order, which is hash-dependent)."""
+    d = _dict(dictionary)
+    pats = sorted(
+        name
+        for name, meta in d.get("properties", {}).items()
+        if meta.get("type") == "ObjectProperty"
+        and len(name) > 2
+        and any(k in name.lower() for k in ("relation", "connect", "link"))
+    )
+    return pats[:top]

@@ -149,3 +149,80 @@ def test_research_hierarchy_and_reports():
     assert "| **FileFacet** |" in md and "| fileName |" in md
     assert "hasFacet' property to link to FileFacet" in md
     assert "Error:" in R.export_class_markdown("NoSuchClass")
+
+
+def test_research_structured_profile_and_duck_typing():
+    """Round-5 research-surface close-out (case_uco.py:535-603, 913-939,
+    1006-1019): structured property profile routing, duck-typing facet
+    suggestion, relationship-pattern discovery."""
+    from case_uco_ontology_map_spark.refmap import research as R
+
+    # non-facet class: own properties arrive grouped under "{name}Facet"
+    p = R.get_structured_property_profile("File")
+    assert p["class_name"] == "File"
+    assert "FileFacet" in p["facet_properties"]
+    names = {d["name"] for d in p["facet_properties"]["FileFacet"]}
+    assert "fileName" in names or "filePath" in names
+    for d in p["facet_properties"]["FileFacet"]:
+        assert set(d) == {
+            "name", "type", "description", "min_count", "max_count",
+            "local_range", "global_range",
+        }
+    # inherited entries carry their named source
+    assert all("source" in d for d in p["inherited_properties"])
+    assert p["property_counts"]["total"] > 0
+
+    # facet class: the XFacetFacet -> XFacet normalization makes its own
+    # properties DIRECT (the reference's special case)
+    fp = R.get_structured_property_profile("FileFacet")
+    assert fp["direct_properties"], "facet class must own direct props"
+    assert {d["name"] for d in fp["direct_properties"]} >= {"fileName"}
+
+    assert "error" in R.get_structured_property_profile("NoSuchClass")
+
+    cf = R.get_compatible_facets("File")
+    assert cf["class_name"] == "File"
+    assert cf["total_available_facets"] >= 100
+    assert "FileFacet" in cf["relevant_facets"]
+    assert cf["usage_example"].startswith("File + ")
+    assert cf["duck_typing_principle"] == (
+        "Any rational combination of facets can be applied"
+    )
+    assert "error" in R.get_compatible_facets("NoSuchClass")
+
+    # shipped ontologies: EMPTY by ground truth — every relation/link-
+    # named property in the reference TTLs is a DatatypeProperty, so the
+    # reference tool's rdflib walk returns [] as well
+    assert R.common_relationship_patterns() == []
+    # filter logic pinned on a synthetic dictionary
+    synth = {
+        "classes": {},
+        "properties": {
+            "connectedTo": {"type": "ObjectProperty"},
+            "hasRelationshipWith": {"type": "ObjectProperty"},
+            "linkCount": {"type": "DatatypeProperty"},  # wrong type
+            "li": {"type": "ObjectProperty"},           # too short (len <= 2)
+            "zlinkTarget": {"type": "ObjectProperty"},
+        },
+    }
+    got = R.common_relationship_patterns(synth)
+    assert got == ["connectedTo", "hasRelationshipWith", "zlinkTarget"]
+
+
+def test_research_shacl_shapes_merge():
+    """get_shacl_property_shapes (case_uco.py:278-341): facet props carry
+    sourceClass f"{cls}Facet", inherited the named ancestor, semantic
+    'Semantic'; unknown class -> {}."""
+    from case_uco_ontology_map_spark.refmap import research as R
+
+    s = R.get_shacl_property_shapes("File")
+    assert s, "File must have shapes"
+    assert any(v["sourceClass"] == "FileFacet" for v in s.values())
+    srcs = {v["sourceClass"] for v in s.values()}
+    assert "Semantic" in srcs or "Inherited" in srcs
+    for v in s.values():
+        assert set(v) == {
+            "sourceClass", "propertyType", "description", "minCount",
+            "maxCount", "localRange", "globalRange",
+        }
+    assert R.get_shacl_property_shapes("NoSuchClass") == {}
