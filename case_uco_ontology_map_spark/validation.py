@@ -420,6 +420,108 @@ def check_vocabulary(
     ).select("subj", "pred", "obj", "cls", "severity")
 
 
+
+
+def _ucothing_descendants(dictionary: Dict[str, Any]):
+    """Local names of every dictionary class that is UcoThing or descends
+    from it — the target set of the two UcoThing sh:SPARQLConstraints
+    (``$this a/rdfs:subClassOf* core:UcoThing``)."""
+    return sorted(
+        name
+        for name, meta in (dictionary.get("classes") or {}).items()
+        if name == "UcoThing" or "UcoThing" in meta.get("superclasses", [])
+    )
+
+
+def check_ucothing_not_blank(
+    triples: DataFrame, dictionary: Dict[str, Any]
+) -> DataFrame:
+    """sh:SPARQLConstraint "UcoThings are required to not be blank nodes"
+    (/root/reference/ttl/uco-core.ttl:492-506; the reference evaluates it
+    via full pySHACL at tools.py:357-390): every node typed as a
+    UcoThing-descendant whose identifier is a blank node (``_:`` prefix
+    in the triple frame's string encoding) is a hard violation. The
+    engine's own emission mints ``kb:`` uuid5 IRIs, so a non-empty result
+    here always indicates foreign/imported data.
+
+    Scale: one filtered scan of the rdf:type slice — zero joins beyond
+    the broadcast class set, no shuffle."""
+    targets = _ucothing_descendants(dictionary)
+    if not targets:
+        return triples.limit(0).select("subj", F.lit("").alias("rule"))
+    return (
+        triples.filter(F.col("pred") == "rdf:type")
+        .filter(_local(F.col("obj")).isin(*targets))
+        .filter(F.col("subj").startswith("_:"))
+        .select("subj", F.lit("ucothing_not_blank").alias("rule"))
+        .distinct()
+    )
+
+
+def check_ucothing_uuid_suffix(
+    triples: DataFrame, dictionary: Dict[str, Any]
+) -> DataFrame:
+    """sh:SPARQLConstraint "UcoThings are suggested to end with a UUID"
+    (uco-core.ttl:508-534) — sh:severity **sh:Info**, advisory only (the
+    shape even carries a deactivation note): UcoThing-descendant nodes
+    whose IRI does not end in an RFC-4122 uuid. Reported under an
+    ``*_info`` key by validate_all, so it never breaks conformance —
+    the same treatment the reference's pySHACL report gives sh:Info
+    results. Zero-join scan like the blank-node rule."""
+    targets = _ucothing_descendants(dictionary)
+    if not targets:
+        return triples.limit(0).select("subj", F.lit("").alias("rule"))
+    uuid_re = (
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-5][0-9a-fA-F]{3}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+    )
+    return (
+        triples.filter(F.col("pred") == "rdf:type")
+        .filter(_local(F.col("obj")).isin(*targets))
+        .filter(~F.col("subj").rlike(uuid_re))
+        .select("subj", F.lit("ucothing_uuid_suffix").alias("rule"))
+        .distinct()
+    )
+
+
+def check_facet_single_owner(triples: DataFrame) -> DataFrame:
+    """sh:SPARQLConstraint "hasFacet must not be used to link two objects
+    to one Facet" (uco-core.ttl:646-666): for every facet node with two
+    DISTINCT owners not linked by a DIRECT ``owl:sameAs`` (either
+    direction — the SPARQL checks one hop, not the transitive closure),
+    emit (facet, owner) exactly as the constraint's ``($this, ?value)``
+    projection. The pipeline emits one facet node per record, so its own
+    output never triggers this; imported graphs can.
+
+    Scale: the hasFacet slice self-joins on the facet id — per-facet
+    owner fan-in is the quadratic driver, exactly as in the SPARQL rule
+    itself; owners-per-facet is 1 in conformant data, so the join output
+    is empty or tiny. The sameAs exception is a left-anti against the
+    symmetrized (tiny) sameAs edge list."""
+    owners = (
+        triples.filter(F.col("pred") == "uco-core:hasFacet")
+        .select(F.col("obj").alias("facet"), F.col("subj").alias("owner"))
+        .distinct()
+    )
+    o2 = owners.select(
+        F.col("facet"), F.col("owner").alias("other")
+    )
+    pairs = owners.join(o2, on="facet").filter(
+        F.col("owner") != F.col("other")
+    )
+    sa = triples.filter(F.col("pred") == "owl:sameAs").select(
+        F.col("subj").alias("owner"), F.col("obj").alias("other")
+    )
+    sym = sa.unionByName(
+        sa.select(F.col("other").alias("owner"), F.col("owner").alias("other"))
+    ).distinct()
+    return (
+        pairs.join(sym, on=["owner", "other"], how="left_anti")
+        .select("facet", "owner")
+        .distinct()
+    )
+
+
 def validate_all(
     triples: DataFrame,
     ontology_map: Dict[str, Any],
@@ -450,6 +552,13 @@ def validate_all(
         out["object_class"] = check_object_class(triples, dictionary).count()
         out["datatypes"] = check_datatypes(triples, dictionary).count()
         out["has_value"] = check_has_value(triples, dictionary).count()
+        out["ucothing_not_blank"] = check_ucothing_not_blank(
+            triples, dictionary
+        ).count()
+        out["ucothing_uuid_info"] = check_ucothing_uuid_suffix(
+            triples, dictionary
+        ).count()
+        out["facet_single_owner"] = check_facet_single_owner(triples).count()
         vocab = check_vocabulary(triples, dictionary).cache()
         out["vocabulary"] = vocab.filter(
             F.col("severity") == "Violation"

@@ -568,3 +568,72 @@ def test_has_value_required_member(spark):
     }
     # o2 (wrong value) and o3 (missing) flagged; o1 and the URL pass
     assert v == {"kb:o2": "observe", "kb:o3": "observe"}
+
+
+def test_sparql_constraint_rules(spark):
+    """Round-5 port of the instance-level sh:SPARQLConstraints the
+    reference evaluates via pySHACL (tools.py:357-390):
+    UcoThing-not-blank (uco-core.ttl:492-506, hard), UcoThing-UUID-suffix
+    (uco-core.ttl:508-534, sh:Info), hasFacet-single-owner
+    (uco-core.ttl:646-666, incl. the direct owl:sameAs exception)."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    d = load_dictionary()
+    rows = [
+        # blank-node UcoThing: hard violation
+        ("_:b1", "rdf:type", "uco-observable:URL", True, None, "r", "f"),
+        # IRI not ending in a uuid: Info advisory only
+        ("kb:x-not-a-uuid", "rdf:type", "uco-observable:URL", True, None, "r", "f"),
+        # one facet, two owners: violation for BOTH owners
+        ("kb:a", "uco-core:hasFacet", "kb:f1", True, None, "r", "f"),
+        ("kb:b", "uco-core:hasFacet", "kb:f1", True, None, "r", "f"),
+        # one facet, two owners linked by direct owl:sameAs: exempt
+        ("kb:c", "uco-core:hasFacet", "kb:f2", True, None, "r", "f"),
+        ("kb:d", "uco-core:hasFacet", "kb:f2", True, None, "r", "f"),
+        ("kb:c", "owl:sameAs", "kb:d", True, None, "r", "f"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string, fingerprint string",
+    )
+    nb = [r.subj for r in validation.check_ucothing_not_blank(t, d).collect()]
+    assert nb == ["_:b1"]
+    ui = sorted(
+        r.subj for r in validation.check_ucothing_uuid_suffix(t, d).collect()
+    )
+    assert ui == ["_:b1", "kb:x-not-a-uuid"]
+    so = sorted(
+        (r.facet, r.owner)
+        for r in validation.check_facet_single_owner(t).collect()
+    )
+    assert so == [("kb:f1", "kb:a"), ("kb:f1", "kb:b")]
+
+    # a subject typed as a NON-UcoThing class is out of the target set
+    other = spark.createDataFrame(
+        [("_:b9", "rdf:type", "ex:NotInOntology", True, None, "r", "f")],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string, fingerprint string",
+    )
+    assert validation.check_ucothing_not_blank(other, d).count() == 0
+
+
+def test_dictionary_key_constraints_not_applicable(spark, sf_dir):
+    """The remaining instance-level sh:SPARQLConstraints — Dictionary
+    key-uniqueness (uco-types.ttl:71-) and ProperDictionary key-once — are
+    non-applicable by construction: the emission surface never types a
+    node types:Dictionary / types:ProperDictionary / types:ImproperDictionary.
+    Pinned here so a future emission change re-opens the question."""
+    from case_uco_ontology_map_spark.plans.pipeline import fused_page_triples
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+
+    t = fused_page_triples(web_corpus(spark, sf_dir).limit(30))
+    dict_typed = t.filter(
+        (F.col("pred") == "rdf:type")
+        & F.col("obj").isin(
+            "uco-types:Dictionary",
+            "uco-types:ProperDictionary",
+            "uco-types:ImproperDictionary",
+        )
+    )
+    assert dict_typed.count() == 0
