@@ -270,7 +270,7 @@ def write_ivf_index(
     path: str,
     vec_col: str = "embedding",
     files_per_cell: int = 1,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> str:
     """Materialize the IVF index: vectors written PARTITIONED BY cell.
     This is the 100 TB serving layout — a probe for nprobe cells becomes
@@ -281,8 +281,11 @@ def write_ivf_index(
     rule as the triple/entity writes): without it every upstream task
     writes a sliver into every cell directory (tasks × cells tiny files);
     with it, ``files_per_cell`` right-sized files per cell. At 100 TB set
-    files_per_cell so each file is ~128 MB-1 GB, and impl='arrow' (the
-    vectorized assignment kernel — this is the full-corpus pass)."""
+    files_per_cell so each file is ~128 MB-1 GB. ``impl`` defaults to
+    'arrow' (the vectorized assignment kernel, ~100x the expr kernel at
+    k=64 — this is the full-corpus pass); pass 'expr' for the
+    oracle-replayable Catalyst kernel, pinned equivalent by
+    test_assign_cells_arrow_matches_expr."""
     assigned = assign_cells(vectors, centroids, vec_col, impl=impl)
     n_parts = max(len(centroids) * files_per_cell, 1)
     assigned.repartition(n_parts, "cell").write.mode(
@@ -297,7 +300,7 @@ def append_to_ivf_index(
     path: str,
     vec_col: str = "embedding",
     files_per_cell: int = 1,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> str:
     """Incremental IVF maintenance: assign ONLY the delta batch to the
     existing centroids and append its rows into the cell-partitioned

@@ -250,3 +250,71 @@ def test_real_decoder_stub_raises():
 
     with pytest.raises(NotImplementedError):
         real_decode_stub(b"x", 1, 1)
+
+
+def test_streaming_exactly_once_under_injected_crash(spark, sf_dir, tmp_path):
+    """Round-5 failure injection (verdict r4 item #8): kill the query in
+    the DANGEROUS window — after an epoch's sink write is durable but
+    before the streaming checkpoint commits its offsets — restart from
+    the same checkpoint, and prove the final triple set is identical to a
+    clean batch run (no duplicated epoch, no missing epoch).
+
+    Mechanism: foreachBatch is at-least-once; on restart Spark REPLAYS
+    the uncommitted epoch with the same epoch_id, and epoch_sink's
+    per-epoch overwrite makes the replay idempotent. The crashing wrapper
+    runs the real sink first, so the partial output is on disk exactly as
+    a hard crash would leave it."""
+    import pyspark.errors
+
+    from case_uco_ontology_map_spark.plans.pipeline import fused_page_triples
+    from case_uco_ontology_map_spark.sources.corpus import web_corpus
+    from case_uco_ontology_map_spark.streaming import ingest as si
+
+    corpus_dir = str(tmp_path / "corpus-fi")
+    web_corpus(spark, sf_dir).limit(24).repartition(3).write.parquet(
+        corpus_dir
+    )
+    out_dir = str(tmp_path / "out-fi")
+    ckpt = str(tmp_path / "ckpt-fi")
+    inner = si.epoch_sink(out_dir)
+    crashed = {"done": False}
+
+    def crashing_sink(batch_df, epoch_id):
+        inner(batch_df, epoch_id)  # write IS durable...
+        if epoch_id >= 1 and not crashed["done"]:
+            crashed["done"] = True
+            # ...but the offset commit never happens
+            raise RuntimeError("injected crash between write and commit")
+
+    stream = si.read_corpus_stream(spark, corpus_dir, max_files_per_trigger=1)
+    q = (
+        si.stream_triples(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        q.awaitTermination()
+    assert crashed["done"], "crash was never injected"
+    # epoch 1's output is on disk, its offset is NOT committed
+    assert os.path.exists(os.path.join(out_dir, "triples", "epoch=1"))
+
+    # restart from the same checkpoint with the NORMAL sink: Spark
+    # replays epoch 1 (same epoch_id), the overwrite dedups it, and the
+    # remaining file lands as epoch 2
+    stream2 = si.read_corpus_stream(spark, corpus_dir, max_files_per_trigger=1)
+    q2 = si.start_triple_sink(si.stream_triples(stream2), out_dir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = spark.read.parquet(os.path.join(out_dir, "triples"))
+    batch = fused_page_triples(spark.read.parquet(corpus_dir))
+    key_cols = ("subj", "pred", "obj", "record_uuid")
+    got_rows = [tuple(r) for r in got.select(*key_cols).collect()]
+    exp_rows = [tuple(r) for r in batch.select(*key_cols).collect()]
+    # multiset equality: sorted lists catch duplicates a set compare hides
+    assert sorted(got_rows) == sorted(exp_rows)
+    # every record fingerprint exactly once across all epoch manifests
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    assert manifest.count() == manifest.select("fingerprint").distinct().count() == 24
