@@ -359,6 +359,54 @@ def bench_queries(spark, sf_dir: str):
             )
         return groups
 
+    def _incr3_dirs():
+        return [
+            stage_dir.rstrip("/") + f"-canon-incr3-{i}" for i in range(3)
+        ]
+
+    def q_canonicalize_incr3():
+        """THREE consecutive daily deltas folded into the standing
+        assignment (VERDICT r4 item #7 — the real daily-increment
+        operating mode, not the single-fold proof): the held-out delta is
+        split into 3 disjoint days by entity hash; each fold runs
+        canonicalize_incremental against the PREVIOUS fold's materialized
+        assignment and lands durable parquet (exactly the nightly cycle:
+        read yesterday's table, fold today's crawl, write today's table).
+        Per-fold wall seconds recorded for the report; per-fold
+        group-count recall guard inline; per-fold PARTITION-exactness vs
+        a from-scratch recompute audited untimed in post_metrics."""
+        from case_uco_ontology_map_spark.operators.canonicalize import (
+            canonicalize_incremental,
+        )
+
+        _incr_prior()
+        day = F.pmod(F.xxhash64("entity_key"), F.lit(3))
+        folds = [
+            incr_state["delta"].filter(day == i) for i in range(3)
+        ]
+        expected = n_docs // AMPLIFY
+        assign = incr_state["prior"]
+        fold_secs = []
+        for i, d in enumerate(folds):
+            t0 = time.perf_counter()
+            out_dir = _incr3_dirs()[i]
+            canonicalize_incremental(
+                assign, d, jaccard_threshold=0.7
+            ).write.mode("overwrite").parquet(out_dir)
+            assign = spark.read.parquet(out_dir)
+            groups = assign.agg(
+                F.countDistinct("canonical_id")
+            ).collect()[0][0]
+            fold_secs.append(round(time.perf_counter() - t0, 3))
+            if groups != expected:
+                raise RuntimeError(
+                    f"incr3 fold {i}: {groups} groups, expected "
+                    f"{expected} — consecutive fold-in recall regression"
+                )
+        q_canonicalize_incr3.fold_secs = fold_secs
+        q_canonicalize_incr3.folds = folds
+        return expected
+
     def q_graph_closure():
         """Transitive closure (SPARQL derivedFrom+) over the provenance
         forest on all n_docs nodes (heap-parent edges, depth ~log2 N) —
@@ -562,6 +610,53 @@ def bench_queries(spark, sf_dir: str):
         drops = getattr(q_canonicalize_hot, "last_drops", None)
         if drops is not None:
             extras["canonicalize_hot_drops"] = drops
+        fold_secs = getattr(q_canonicalize_incr3, "fold_secs", None)
+        if fold_secs is not None:
+            # PARTITION exactness per fold (untimed audit): fold k's
+            # materialized assignment must induce the SAME grouping as a
+            # from-scratch canonicalize over prior ∪ deltas[0..k] — reps
+            # normalized to min(entity_id) per group, mismatches counted
+            # by an equi-join on entity_id
+            from case_uco_ontology_map_spark.operators.canonicalize import (
+                canonicalize_entities,
+            )
+
+            def _norm(assign):
+                reps = assign.groupBy("canonical_id").agg(
+                    F.min("entity_id").alias("rep")
+                )
+                return assign.join(reps, "canonical_id").select(
+                    "entity_id", "rep"
+                )
+
+            folds = q_canonicalize_incr3.folds
+            cum = incr_state["prior"].select("entity_id", "entity_key")
+            exact = []
+            for i in range(3):
+                cum = cum.unionByName(folds[i])
+                full = canonicalize_entities(
+                    cum, jaccard_threshold=0.7, verify="estimate"
+                )
+                inc = spark.read.parquet(_incr3_dirs()[i])
+                mism = (
+                    _norm(inc)
+                    .withColumnRenamed("rep", "rep_inc")
+                    .join(_norm(full), "entity_id", "full_outer")
+                    .filter(
+                        F.col("rep_inc").isNull()
+                        | F.col("rep").isNull()
+                        | (F.col("rep_inc") != F.col("rep"))
+                    )
+                    .count()
+                )
+                exact.append(mism == 0)
+                if mism:
+                    raise RuntimeError(
+                        f"incr3 fold {i}: {mism} entities grouped "
+                        "differently than a full recompute"
+                    )
+            extras["canonicalize_incr3_fold_secs"] = fold_secs
+            extras["canonicalize_incr3_exact_folds"] = exact
         if "centroids" in ann_state:
             from case_uco_ontology_map_spark.operators.similarity import (
                 _probe_cells,
@@ -696,6 +791,7 @@ def bench_queries(spark, sf_dir: str):
         "canonicalize": q_canonicalize,
         "canonicalize_hot": q_canonicalize_hot,
         "canonicalize_incr": q_canonicalize_incr,
+        "canonicalize_incr3": q_canonicalize_incr3,
         "graph_closure": q_graph_closure,
         "graph_pagerank": q_graph_pagerank,
         "graph_walks": q_graph_walks,
@@ -757,11 +853,13 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
             suffixes = (
                 "", "-triples-out", "-emb", "-ivf",
                 "-canon-prior", "-canon-delta",
+                "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
             )
             if os.environ.get("SPARK_GRAFT_SHARED_STAGE"):
                 suffixes = (  # keep the corpus
                     "-triples-out", "-emb", "-ivf",
                     "-canon-prior", "-canon-delta",
+                    "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
                 )
             for suffix in suffixes:
                 shutil.rmtree(
@@ -783,6 +881,9 @@ def main():
         return
     if "--scaling" in sys.argv:
         report_scaling()
+        return
+    if "--slopes" in sys.argv:
+        report_slopes()
         return
     if "--once" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--once") + 1])
@@ -849,6 +950,103 @@ def main():
             }
         )
     )
+
+
+TIER2_STAGES = (
+    "extract_text", "kg_triples", "minhash_dedup", "mention_detect",
+    "quality_score", "canonicalize", "materialize",
+    "canonicalize_incr", "graph_closure", "graph_pagerank",
+    "ann_index_build", "ann_brute_topk", "ann_ivf_topk",
+)
+
+
+def report_slopes():
+    """Tier-2 per-stage scaling slopes (VERDICT r4 item #1): nearly every
+    stress stage is fixed-cost bound at the 80k-row tier, so the 100×
+    claims otherwise rest on design argument plus plan shape. This mode
+    MEASURES the data-scaling exponent: the same stages run at AMPLIFY
+    (tier 1) and 8×AMPLIFY (tier 2) — fresh JVM per tier, steady-state
+    (warmup + best-of-repeats) — and slope = (t_hi / t_lo) / 8 is the
+    per-stage cost growth per row-growth: 1.0 = perfectly linear,
+    <1 = fixed-cost amortizing, >1 = super-linear (gets a named cause in
+    BENCH/BASELINE.md). The ANN corpus scales with the same 8× via
+    SPARK_GRAFT_EMB_AMPLIFY. Iterative stages (closure, CC) are expected
+    mildly super-linear in ROWS on this corpus because rounds = diameter
+    = log2(N) grows with N — slope ≈ (8·log(8N)/log N)/8; the named-cause
+    rule distinguishes that from an accidental quadratic."""
+    import subprocess
+
+    stages = os.environ.get(
+        "SPARK_GRAFT_TIER2_STAGES", ",".join(TIER2_STAGES)
+    )
+    emb_lo = int(os.environ.get("SPARK_GRAFT_EMB_AMPLIFY", "512"))
+    factor = int(os.environ.get("SPARK_GRAFT_TIER2_FACTOR", "8"))
+
+    def run_tier(amp: int, emb_amp: int) -> dict:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_AMPLIFY=str(amp),
+            SPARK_GRAFT_EMB_AMPLIFY=str(emb_amp),
+            SPARK_GRAFT_BENCH_ONLY=stages,
+            SPARK_GRAFT_BENCH_REPEATS=os.environ.get(
+                "SPARK_GRAFT_BENCH_REPEATS", "1"
+            ),
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"tier subprocess rc={proc.returncode}:\n"
+                + proc.stderr[-2000:]
+            )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    lo = run_tier(AMPLIFY, emb_lo)
+    hi = run_tier(AMPLIFY * factor, emb_lo * factor)
+
+    def stage_times(d: dict) -> dict:
+        out = dict(d.get("queries", {}))
+        out.update(
+            {
+                k: v
+                for k, v in d.get("stress", {}).items()
+                if isinstance(v, (int, float)) and k in stages
+            }
+        )
+        return out
+
+    t_lo, t_hi = stage_times(lo), stage_times(hi)
+    slopes = {
+        k: round((t_hi[k] / t_lo[k]) / factor, 3)
+        for k in t_lo
+        if k in t_hi and t_lo[k] > 0
+    }
+    out = {
+        "metric": "tier2_scaling_slopes",
+        "value": round(
+            sum(slopes.values()) / len(slopes), 3
+        ) if slopes else None,
+        "unit": "slope (1.0 = linear in rows)",
+        "factor": factor,
+        "docs_lo": lo.get("docs"),
+        "docs_hi": hi.get("docs"),
+        "tier1_sec": t_lo,
+        "tier2_sec": t_hi,
+        "slopes": slopes,
+        "tier2_extras": {
+            k: v
+            for k, v in hi.get("stress", {}).items()
+            if not isinstance(v, (int, float)) or k not in stages
+        },
+        "sf": SF_DIR,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/tier2_slopes.json", "w") as fh:
+        json.dump(out, fh, indent=1)
 
 
 def report_scaling():
