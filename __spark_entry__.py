@@ -593,6 +593,116 @@ ORDER BY page, anc
 """
 
 
+def q_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-BOUNDED transitive closure (the default the SPARQL text front
+    end applies to pasted ``p+``/``p*`` since r5 — an unbounded closure
+    over a dense 100 TB graph is O(N·diameter) output by definition):
+    the derivedFrom provenance forest closed to max_hops=4. Pairs whose
+    shortest path exceeds the bound are absent; DuckDB replays via
+    closure_sql(max_hops=4) — the recursive CTE carries the identical
+    ``hops < bound`` recursion guard."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        transitive_closure,
+    )
+
+    edges = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("src"))
+        .filter(F.col("src") > 0)
+        .withColumn("dst", F.expr("(src - 1) DIV 2"))
+    )
+    return (
+        transitive_closure(edges, max_hops=4)
+        .select(
+            F.col("src").alias("page"),
+            F.col("dst").alias("ancestor"),
+            F.col("hops").cast("long").alias("hops"),
+        )
+        .orderBy("page", "ancestor")
+    )
+
+
+def _oracle_path_bounded() -> str:
+    from case_uco_ontology_map_spark.operators.graphquery import closure_sql
+
+    return f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS subj, 'derivedFrom' AS pred,
+         CAST((doc_id - 1) // 2 AS BIGINT) AS obj
+  FROM documents WHERE doc_id > 0
+)
+SELECT src AS page, dst AS ancestor, hops
+FROM ({closure_sql('derivedFrom', max_hops=4)}) c
+ORDER BY page, ancestor
+"""
+
+
+def q_facet_owner_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 hasFacet-single-owner SHACL-SPARQL rule
+    (validation.check_facet_single_owner, uco-core.ttl:646-666) driven
+    cross-engine: the structural graph is deterministically corrupted —
+    every facet whose md5-hash lands in residue 0 (mod 7) gains a second
+    owner, residue-1 facets gain a second owner PLUS a direct owl:sameAs
+    link (the constraint's exemption) — and the rule must flag exactly
+    the residue-0 (facet, owner) pairs. DuckDB replays the corruption
+    and the rule (self-join + sameAs anti-join) verbatim."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.dedup import content_hash64
+    from case_uco_ontology_map_spark.validation import (
+        check_facet_single_owner,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    hf = t.filter(F.col("pred") == "uco-core:hasFacet")
+    res = F.pmod(content_hash64(F.col("obj"), "md5_60"), F.lit(7))
+    extra_owner = hf.filter(res <= 1).select(
+        F.concat(F.col("subj"), F.lit("-alt")).alias("subj"),
+        F.col("pred"),
+        F.col("obj"),
+    )
+    same_as = hf.filter(res == 1).select(
+        F.col("subj"),
+        F.lit("owl:sameAs").alias("pred"),
+        F.concat(F.col("subj"), F.lit("-alt")).alias("obj"),
+    )
+    corrupted = (
+        t.select("subj", "pred", "obj")
+        .unionByName(extra_owner)
+        .unionByName(same_as)
+    )
+    return check_facet_single_owner(corrupted).orderBy("facet", "owner")
+
+
+def _oracle_facet_owner_rule() -> str:
+    res = f"(({_MD5_60.format(x='obj')} % 7 + 7) % 7)"
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+hf AS (SELECT subj, obj FROM t WHERE pred = 'uco-core:hasFacet'),
+extra AS (SELECT subj || '-alt' AS subj, obj FROM hf WHERE {res} <= 1),
+sameas AS (SELECT subj AS a, subj || '-alt' AS b FROM hf WHERE {res} = 1),
+owners AS (
+  SELECT DISTINCT obj AS facet, subj AS owner FROM hf
+  UNION SELECT obj, subj FROM extra
+),
+sym AS (
+  SELECT a, b FROM sameas UNION SELECT b, a FROM sameas
+),
+pairs AS (
+  SELECT o1.facet, o1.owner, o2.owner AS other
+  FROM owners o1 JOIN owners o2 ON o1.facet = o2.facet
+  WHERE o1.owner <> o2.owner
+)
+SELECT DISTINCT facet, owner FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM sym s WHERE s.a = p.owner AND s.b = p.other
+)
+ORDER BY facet, owner
+"""
+
+
 #: Sequence path + negated property set in one BGP: the record's
 #: facet-type reach via ``hasFacet/rdf:type`` (expanded into an internal-
 #: variable chain by BOTH engines) joined with every non-type edge of the
@@ -4330,6 +4440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text": q_sparql_text,
         "sparql_agg": q_sparql_agg,
         "path_star": q_path_star,
+        "path_bounded": q_path_bounded,
+        "facet_owner_rule": q_facet_owner_rule,
         "kg_negatives": q_kg_negatives,
         "path_closure": q_path_closure,
         "graph_degree": q_graph_degree,
@@ -4434,6 +4546,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text": _oracle_sparql_text(),
         "sparql_agg": _oracle_sparql_agg(),
         "path_star": _oracle_path_star(),
+        "path_bounded": _oracle_path_bounded(),
+        "facet_owner_rule": _oracle_facet_owner_rule(),
         "kg_negatives": _oracle_kg_negatives(),
         "path_closure": _oracle_path_closure(),
         "graph_degree": _oracle_graph_degree(),

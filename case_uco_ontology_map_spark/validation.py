@@ -522,6 +522,49 @@ def check_facet_single_owner(triples: DataFrame) -> DataFrame:
     )
 
 
+
+
+def check_class_disjointness(
+    triples: DataFrame, dictionary: Dict[str, Any]
+) -> DataFrame:
+    """sh:not disjointness shape
+    "core:UcoInherentCharacterizationThing-disjointWith-UcoObject-shape"
+    (uco-core.ttl:394-403, sh:severity **sh:Warning** — "will be an error
+    in UCO 2.0.0"): a node typed into BOTH hierarchies (a facet class AND
+    a UcoObject class) is flagged. The one sh:not combinator use whose
+    target the emission surface actually populates — every facet node is
+    a UcoInherentCharacterizationThing descendant. Reported under an
+    ``*_info`` key (Warning does not break pySHACL conformance).
+
+    Scale: the rdf:type slice aggregated once per subject with two
+    broadcast class-set membership flags — one shuffle on subj."""
+    classes = dictionary.get("classes") or {}
+
+    def side(root: str):
+        return sorted(
+            c
+            for c, m in classes.items()
+            if c == root or root in m.get("superclasses", [])
+        )
+
+    inherent = side("UcoInherentCharacterizationThing")
+    ucoobj = side("UcoObject")
+    if not inherent or not ucoobj:
+        return triples.limit(0).select("subj", F.lit("").alias("rule"))
+    typed = triples.filter(F.col("pred") == "rdf:type").select(
+        "subj", _local(F.col("obj")).alias("cls")
+    )
+    return (
+        typed.groupBy("subj")
+        .agg(
+            F.max(F.col("cls").isin(*inherent)).alias("_inh"),
+            F.max(F.col("cls").isin(*ucoobj)).alias("_uco"),
+        )
+        .filter(F.col("_inh") & F.col("_uco"))
+        .select("subj", F.lit("class_disjointness").alias("rule"))
+    )
+
+
 def validate_all(
     triples: DataFrame,
     ontology_map: Dict[str, Any],
@@ -559,6 +602,9 @@ def validate_all(
             triples, dictionary
         ).count()
         out["facet_single_owner"] = check_facet_single_owner(triples).count()
+        out["class_disjointness_info"] = check_class_disjointness(
+            triples, dictionary
+        ).count()
         vocab = check_vocabulary(triples, dictionary).cache()
         out["vocabulary"] = vocab.filter(
             F.col("severity") == "Violation"

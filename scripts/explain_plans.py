@@ -525,6 +525,33 @@ def main():
         "bgp_ask must short-circuit through a limit before aggregating"
     )
 
+    # r5: hasFacet single-owner SHACL-SPARQL rule — the self-join must be
+    # an equi-join on the facet id and the sameAs exception an anti-join,
+    # never a cartesian/nested-loop
+    from case_uco_ontology_map_spark.validation import (
+        check_facet_single_owner,
+    )
+
+    fso = check_facet_single_owner(trip)
+    fso_plan = plan_of(fso)
+    assert "CartesianProduct" not in fso_plan, (
+        "facet single-owner rule must not plan a cartesian product"
+    )
+    assert "LeftAnti" in fso_plan, (
+        "sameAs exemption must be an anti-join"
+    )
+
+    # r5: context chunking — the zero-shuffle claim is a plan property
+    from case_uco_ontology_map_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    chk = chunk_documents(docs, max_tokens=128, overlap=16)
+    chk_plan = plan_of(chk)
+    assert "Exchange" not in chk_plan, (
+        "chunk_documents must stay zero-shuffle (pure per-row expressions)"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -554,6 +581,8 @@ def main():
             "incremental_exact_dedup (batch window + corpus index probe)": incr_dedup,
             "transitive_closure round shape (frontier equi-join, JVM-only)": closure,
             "pagerank round shape (rank-frame shuffles only; dangling via broadcast)": pr,
+            "check_facet_single_owner (facet-id equi self-join + sameAs anti-join, no cartesian)": fso,
+            "chunk_documents (zero-shuffle in-row windows)": chk,
         }
     )
     lines = [

@@ -637,3 +637,30 @@ def test_dictionary_key_constraints_not_applicable(spark, sf_dir):
         )
     )
     assert dict_typed.count() == 0
+
+
+def test_class_disjointness_warning(spark):
+    """sh:not disjointness (uco-core.ttl: UcoInherentCharacterizationThing
+    disjointWith UcoObject, severity Warning): a node typed as BOTH a
+    facet class and a UcoObject class is flagged; single-hierarchy nodes
+    are not. Reported as class_disjointness_info (Warning never breaks
+    conformance)."""
+    from case_uco_ontology_map_spark.refmap.ontology import load_dictionary
+
+    d = load_dictionary()
+    rows = [
+        ("kb:both", "rdf:type", "uco-observable:URLFacet", True, None, "r", "f"),
+        ("kb:both", "rdf:type", "uco-observable:URL", True, None, "r", "f"),
+        ("kb:facet-only", "rdf:type", "uco-observable:URLFacet", True, None, "r", "f"),
+        ("kb:obj-only", "rdf:type", "uco-observable:URL", True, None, "r", "f"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, record_uuid string, fingerprint string",
+    )
+    got = [r.subj for r in validation.check_class_disjointness(t, d).collect()]
+    assert got == ["kb:both"]
+    assert validation.is_conformant(
+        {"class_disjointness_info": 1, "placement": 0}
+    ), "Warning tier must not break conformance"

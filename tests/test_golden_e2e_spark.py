@@ -237,11 +237,10 @@ def test_triples_full_golden_rows(spark):
 
 
 def test_mention_detection_golden_rows(spark):
-    """Round-3 pin for the rows-only `mention_detection` query: exact
-    (url, surface, class, count) rows for fixed docs — the sequential
-    longest-match consumption semantics frozen as literals (the multiword
-    variant is DuckDB-oracled; this pins the production query's own
-    output)."""
+    """Round-3 pin for the `mention_detection` query (DuckDB-oracled with
+    md5-surrogate record ids since r5): exact (url, record_uuid, surface,
+    class, count) rows for fixed docs — the sequential longest-match
+    consumption semantics frozen as literals, record_uuid = md5(url)."""
     import importlib.util
     import os
 
@@ -259,9 +258,9 @@ def test_mention_detection_golden_rows(spark):
         ).collect()
     )
     assert got == [
-        ("doc:0", None, "hash", "Hash", 1),
-        ("doc:2", None, "hash", "Hash", 2),
-        ("doc:3", None, "hash", "Hash", 2),
+        ("doc:0", "8a1bc988245673b48b9c90d8d62a84e5", "hash", "Hash", 1),
+        ("doc:2", "fd5ec15decc6f46138ebd2f73b620e7f", "hash", "Hash", 2),
+        ("doc:3", "daf0a65fb0ef6e3ba176027dd96c73e6", "hash", "Hash", 2),
     ]
 
 
