@@ -86,6 +86,40 @@ def test_pagerank_uniform_on_cycle(spark):
     assert all(r == pytest.approx(1.0 / 3, abs=1e-12) for r in ranks)
 
 
+def test_pagerank_hand_computed_exact(spark):
+    """Two power iterations hand-derived as exact fractions from the
+    documented rule ``rank' = (1-d)/N + d*(received + dangling/N)`` —
+    independent of BOTH engines (no ``pagerank_sql``, no replayed
+    formula: the expected values below are worked out on paper and
+    written as literals)."""
+    from fractions import Fraction as Fr
+
+    # a -> {b, c}, b -> c, c dangling. N = 3, d = 0.85 = 17/20.
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    # Iter 1 from uniform 1/3: a splits 1/6+1/6, b sends 1/3,
+    # dangling mass 1/3 → shared 1/9 each.
+    #   a = 1/20 + 17/20 * 1/9            = 52/360
+    #   b = 1/20 + 17/20 * (1/6 + 1/9)    = 103/360
+    #   c = 1/20 + 17/20 * (1/6 + 1/3 + 1/9)  = 205/360
+    # Iter 2 from (52, 103, 205)/360: a sends 26/360 to each of b and c,
+    # b sends 103/360 to c, dangling mass 205/360 → 205/1080 each.
+    #   a = 1/20 + 17/20 * 205/1080                      = 4565/21600
+    #   b = 1/20 + 17/20 * (78/1080 + 205/1080)          = 5891/21600
+    #   c = 1/20 + 17/20 * (387/1080 + 205/1080)         = 11144/21600
+    want = {
+        "a": Fr(4565, 21600),
+        "b": Fr(5891, 21600),
+        "c": Fr(11144, 21600),
+    }
+    assert sum(want.values()) == 1  # paper arithmetic checks out
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=2).collect()}
+    assert set(got) == set(want)
+    for node, frac in want.items():
+        assert got[node] == pytest.approx(float(frac), abs=1e-9)
+
+
 def test_pagerank_zero_iterations_is_uniform(edges):
     ranks = [r["rank"] for r in pagerank(edges, iterations=0).collect()]
     assert all(r == pytest.approx(1.0 / 6, abs=1e-12) for r in ranks)
@@ -386,6 +420,47 @@ class TestRandomWalks:
         key = "a\x1f0\x1f1\x1fa\x1fwalk".encode()
         h = int(hashlib.md5(key).hexdigest()[:15], 16)
         assert byw[("a", 0)][1] == ["b", "c"][h % 2]
+
+    def test_full_python_replay(self, spark):
+        """Every walk simulated end-to-end in pure Python (hashlib md5)
+        from the documented step rule — independent of both the Spark
+        expression tree and ``random_walks_sql``, so a bug in the shared
+        rule-to-SQL expansion cannot hide here."""
+        import hashlib
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            random_walks,
+        )
+
+        # cyclic and branching: no dead ends, every step is a real pick
+        rows = [
+            ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ]
+        adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a"]}
+
+        def pick(start, w, s, node):
+            key = "\x1f".join([start, str(w), str(s), node, "walk"])
+            h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+            nbrs = adj[node]
+            return nbrs[h % len(nbrs)]
+
+        want = set()
+        for start in "abc":
+            for w in (0, 1):
+                node = start
+                want.add((start, w, 0, node))
+                for s in (1, 2, 3):
+                    node = pick(start, w, s, node)
+                    want.add((start, w, s, node))
+
+        g = spark.createDataFrame(rows, "src string, dst string")
+        got = {
+            tuple(r)
+            for r in random_walks(
+                g, walks_per_node=2, length=3, hash_mode="md5_60"
+            ).collect()
+        }
+        assert got == want
 
     def test_matches_duckdb_oracle(self, edges):
         from case_uco_ontology_map_spark.operators.graphstats import (
