@@ -6,8 +6,9 @@ against SQL that the SAME compiler family generates (``bgp_sql`` /
 would replay identically on both sides. These tests bypass ALL SQL
 generation: each fixture is ≤10 triples and each expected binding set is
 hand-enumerated from the SPARQL 1.1 spec itself (§9.1 property paths via
-the ALP/ZeroLengthPath definitions, §8.3 MINUS), then asserted literally
-against ``sparql_query`` over pasted query text.
+the ALP/ZeroLengthPath definitions, §8.3 MINUS, §6 OPTIONAL/LeftJoin,
+§8.1 FILTER [NOT] EXISTS, §10.2 VALUES, §7 UNION), then asserted
+literally against ``sparql_query`` over pasted query text.
 """
 
 import pytest
@@ -146,3 +147,101 @@ class TestMinusSpec:
             sparql_query(
                 g, "SELECT ?s WHERE { ?s name ?n . MINUS { ?x email ?e } }"
             ).collect()
+
+
+class TestOptionalSpec:
+    """§6 OPTIONAL = LeftJoin: a solution survives with the optional
+    variables UNBOUND when the optional pattern has no compatible match,
+    and MULTIPLIES when it has several — hand-enumerated on a subject
+    with two emails and one with none."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("alice", "name", "Alice"),
+            ("alice", "email", "e1"),
+            ("alice", "email", "e2"),
+            ("bob", "name", "Bob"),
+        ])
+
+    def test_unbound_kept_and_multi_match_multiplies(self, g):
+        got = _bindings(sparql_query(
+            g,
+            "SELECT ?s ?e WHERE { ?s name ?n . "
+            "OPTIONAL { ?s email ?e } }",
+        ))
+        assert got == {("alice", "e1"), ("alice", "e2"), ("bob", None)}
+
+
+class TestExistsSpec:
+    """§8.1 FILTER [NOT] EXISTS: a pure test on each solution μ — it
+    neither binds the inner variables nor multiplies rows (alice's TWO
+    emails still yield ONE name row)."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("alice", "name", "Alice"),
+            ("alice", "email", "e1"),
+            ("alice", "email", "e2"),
+            ("bob", "name", "Bob"),
+        ])
+
+    def test_exists_no_multiply(self, g):
+        got = _bindings(sparql_query(
+            g,
+            "SELECT ?s WHERE { ?s name ?n . "
+            "FILTER EXISTS { ?s email ?e } }",
+        ))
+        assert got == {("alice",)}
+
+    def test_not_exists(self, g):
+        got = _bindings(sparql_query(
+            g,
+            "SELECT ?s WHERE { ?s name ?n . "
+            "FILTER NOT EXISTS { ?s email ?e } }",
+        ))
+        assert got == {("bob",)}
+
+
+class TestValuesSpec:
+    """§10.2 VALUES: inline data JOINED into the group — it restricts
+    (a listed value absent from the graph contributes nothing; an
+    unlisted graph solution is dropped)."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("alice", "name", "Alice"),
+            ("bob", "name", "Bob"),
+            ("carol", "name", "Carol"),
+        ])
+
+    def test_values_restricts(self, g):
+        got = _bindings(sparql_query(
+            g,
+            "SELECT ?s ?n WHERE { ?s name ?n . "
+            "VALUES ?s { alice dave } }",
+        ))
+        # dave is listed but not in the graph: no row; carol unlisted: out
+        assert got == {("alice", "Alice")}
+
+
+class TestUnionSpec:
+    """§7 UNION: solutions of either branch, each keeping its own
+    variables bound and the other branch's variables unbound."""
+
+    @pytest.fixture(scope="class")
+    def g(self, spark):
+        return _frame(spark, [
+            ("alice", "name", "Alice"),
+            ("bob", "phone", "123"),
+        ])
+
+    def test_branch_variables_stay_separate(self, g):
+        got = _bindings(sparql_query(
+            g,
+            "SELECT ?s ?n ?p WHERE { "
+            "{ ?s name ?n } UNION { ?s phone ?p } }",
+        ))
+        assert got == {("alice", "Alice", None), ("bob", None, "123")}
