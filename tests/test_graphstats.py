@@ -342,6 +342,34 @@ class TestLabelPropagation:
             frozenset({"x", "y", "z"}),
         }
 
+    def test_hand_traced_rounds(self, spark):
+        """Synchronous update + self-vote + min-label ties traced BY HAND
+        round-by-round on the path a-b-c-d — independent of
+        ``label_propagation_sql``. Every vote below ties at count 1 until
+        labels meet, so each pick is the minimum over {self, neighbors}:
+        r1: a→a, b→min(a,b,c)=a, c→min(b,c,d)=b, d→min(c,d)=c
+        r2: a: votes a(self)+a(from b)=2 → a; b: a:2 → a;
+            c: {a(from b), c(from d), b(self)} → a; d: {b(from c),
+            c(self)} → b
+        r3: d: {a(from c), b(self)} → a; everyone else already a."""
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            label_propagation,
+        )
+
+        g = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+
+        def run(n):
+            return {
+                (r.node, r.label)
+                for r in label_propagation(g, iterations=n).collect()
+            }
+
+        assert run(1) == {("a", "a"), ("b", "a"), ("c", "b"), ("d", "c")}
+        assert run(2) == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "b")}
+        assert run(3) == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
+
     def test_matches_unrolled_sql_oracle(self, edges):
         from case_uco_ontology_map_spark.operators.graphstats import (
             label_propagation,
