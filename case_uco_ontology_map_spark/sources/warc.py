@@ -1,0 +1,261 @@
+"""WARC (ISO 28500) ingestion — the canonical web-crawl source format.
+
+The reference ingests JSON/CSV/free-text evidence payloads
+(/root/reference/services.py:23-64); a web-scale KG-construction run
+starts one step earlier, at the crawl archive itself. Common Crawl ships
+WARC files (~1 GB each, gzip members, one member per record), and a
+100 TB crawl is simply ~100k such files — so the honest Spark shape is
+ONE TASK PER FILE:
+
+  * ``spark.read.format("binaryFile")`` lists the files distributedly and
+    hands each task one file's bytes (no driver-side listing loop, no
+    ``collect``); Spark's binaryFile source also prunes on path glob and
+    ``modificationTime`` pushdown for incremental crawls.
+  * The record parser runs inside ``mapInPandas`` (Arrow-batched), one
+    yielded pandas frame per WARC file, so peak memory is one file's
+    parsed records — the same granularity every production WARC consumer
+    (warcio, Sparkling, cc-pyspark) uses, because gzip members make
+    sub-file splits impossible without a sync scan.
+  * Records are delimited by ``Content-Length`` per the spec — never by
+    boundary sniffing — so payloads containing ``WARC/1.0`` parse
+    correctly; malformed records raise loudly with file + byte offset
+    (same strict-raise philosophy as the N-Triples importer,
+    operators/render.py) unless ``strict=False`` skips them.
+
+``warc_to_documents`` then strips the HTTP envelope from response
+records and emits the ``(url, html)`` frame the existing byte-exact
+extraction pipeline (refmap/extract.py, plans/pipeline.py) consumes —
+WARC in, triples out, with zero changes to the downstream operators.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_WARC_SCHEMA = StructType([
+    StructField("src_file", StringType()),
+    StructField("record_offset", LongType()),
+    StructField("warc_type", StringType()),
+    StructField("record_id", StringType()),
+    StructField("url", StringType()),
+    StructField("warc_date", StringType()),
+    StructField("content_type", StringType()),
+    StructField("content_length", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+
+
+def warc_record_bytes(
+    warc_type: str,
+    payload: bytes,
+    record_id: str,
+    date: str = "2026-01-01T00:00:00Z",
+    url: Optional[str] = None,
+    content_type: str = "application/octet-stream",
+) -> bytes:
+    """One spec-shaped WARC/1.0 record — the deterministic synthesizer
+    used by tests and corpus generation (no external data; the sandbox's
+    counterpart of a real crawl snippet)."""
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: <" + record_id.encode() + b">",
+        b"WARC-Date: " + date.encode(),
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if url is not None:
+        headers.insert(3, b"WARC-Target-URI: " + url.encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def http_response_bytes(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """An HTTP/1.1 response envelope around ``body`` — what a crawl's
+    ``response`` record payload looks like on the wire."""
+    head = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body
+
+
+def _parse_warc_bytes(
+    data: bytes, src: str, strict: bool
+) -> Iterator[Tuple]:
+    """Yield parsed record tuples from one (decompressed) WARC stream."""
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate inter-record padding newlines
+        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        if not data.startswith(_VERSIONS, pos):
+            if strict:
+                raise ValueError(
+                    f"{src}: no WARC version marker at byte {pos}"
+                )
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            if strict:
+                raise ValueError(
+                    f"{src}: unterminated WARC header at byte {pos}"
+                )
+            return
+        headers = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            if strict:
+                raise ValueError(
+                    f"{src}: record at byte {pos} has no valid "
+                    "Content-Length"
+                )
+            return
+        body_start = head_end + 4
+        if body_start + length > n:
+            if strict:
+                raise ValueError(
+                    f"{src}: record at byte {pos} truncated "
+                    f"(Content-Length {length} past end of stream)"
+                )
+            return
+        rid = headers.get(b"warc-record-id", b"").strip(b"<>")
+        uri = headers.get(b"warc-target-uri")
+        yield (
+            src,
+            pos,
+            headers.get(b"warc-type", b"").decode("ascii", "replace"),
+            rid.decode("ascii", "replace") or None,
+            uri.decode("utf-8", "replace") if uri is not None else None,
+            headers.get(b"warc-date", b"").decode("ascii", "replace")
+            or None,
+            headers.get(b"content-type", b"").decode("ascii", "replace")
+            or None,
+            length,
+            bytes(data[body_start:body_start + length]),
+        )
+        pos = body_start + length
+
+
+def read_warc(
+    spark: SparkSession, path: str, strict: bool = True
+) -> DataFrame:
+    """Distributed WARC scan → one row per record.
+
+    ``path`` accepts the same globs as ``binaryFile`` (e.g.
+    ``crawl/segment-*/warc/*.warc.gz``). Gzip is detected per file by
+    magic bytes; Python's ``gzip.decompress`` consumes concatenated
+    members, which is exactly Common Crawl's record-per-member layout.
+    """
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def parse(batches) -> Iterator["object"]:
+        import pandas as pd
+
+        cols = [f.name for f in _WARC_SCHEMA.fields]
+        for pdf in batches:
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == _GZIP_MAGIC:
+                    data = gzip.decompress(data)
+                rows: List[Tuple] = list(
+                    _parse_warc_bytes(data, src, strict)
+                )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, schema=_WARC_SCHEMA)
+
+
+_DOC_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("fetched_at", StringType()),
+    StructField("status", IntegerType()),
+    StructField("content_type", StringType()),
+    StructField("html", StringType()),
+])
+
+
+def split_http_payload(payload: bytes) -> Tuple[Optional[int], Optional[str], bytes]:
+    """(status, header content-type, body) from an HTTP response payload;
+    a payload without an HTTP envelope passes through as the body."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0:
+        return None, None, payload
+    head_lines = payload[:head_end].split(b"\r\n")
+    try:
+        status: Optional[int] = int(head_lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for line in head_lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("ascii", "replace")
+    return status, ctype, payload[head_end + 4:]
+
+
+def warc_to_documents(warc_df: DataFrame) -> DataFrame:
+    """``response`` records → the ``(url, html)`` frame the extraction
+    pipeline consumes: HTTP envelope stripped, body decoded UTF-8 with
+    replacement (the same decode rule as refmap/extract.py).
+
+    The WARC-Type filter runs BEFORE the Python crossing, so request /
+    metadata / warcinfo records never pay the Arrow transfer.
+    """
+    responses = warc_df.where(
+        (F.col("warc_type") == "response") & F.col("url").isNotNull()
+    ).select("url", "warc_date", "payload")
+
+    def strip(batches) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for url, date, payload in zip(
+                pdf["url"], pdf["warc_date"], pdf["payload"]
+            ):
+                status, ctype, body = split_http_payload(bytes(payload))
+                out.append((
+                    url,
+                    date,
+                    status,
+                    ctype,
+                    body.decode("utf-8", errors="replace"),
+                ))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in _DOC_SCHEMA.fields]
+                )
+
+    return responses.mapInPandas(strip, schema=_DOC_SCHEMA)

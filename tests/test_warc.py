@@ -1,0 +1,140 @@
+"""WARC ingestion: spec-shaped synthetic archives (no external data)
+round-tripped through the distributed reader, gzip-member handling,
+HTTP-envelope stripping, strict-mode errors, and the hand-off into the
+byte-exact HTML extraction pipeline."""
+
+import gzip
+
+import pytest
+
+from case_uco_ontology_map_spark.refmap.extract import (
+    extract_text,
+    render_html,
+)
+from case_uco_ontology_map_spark.sources.warc import (
+    http_response_bytes,
+    read_warc,
+    split_http_payload,
+    warc_record_bytes,
+    warc_to_documents,
+)
+
+
+def _archive_bytes():
+    """warcinfo + request + two responses (one HTML, one plain)."""
+    html = render_html("Hello WARC world\nSecond paragraph", title="t")
+    recs = [
+        warc_record_bytes(
+            "warcinfo", b"software: test\r\n", "rec-0",
+            content_type="application/warc-fields",
+        ),
+        warc_record_bytes(
+            "request", b"GET / HTTP/1.1\r\n\r\n", "rec-1",
+            url="http://example.test/a",
+        ),
+        warc_record_bytes(
+            "response", http_response_bytes(html), "rec-2",
+            url="http://example.test/a",
+            content_type="application/http; msgtype=response",
+        ),
+        warc_record_bytes(
+            "response",
+            http_response_bytes(
+                b"plain body", content_type="text/plain"
+            ),
+            "rec-3",
+            url="http://example.test/b",
+            content_type="application/http; msgtype=response",
+        ),
+    ]
+    return recs, html
+
+
+def test_read_warc_roundtrip(spark, tmp_path):
+    recs, html = _archive_bytes()
+    p = tmp_path / "x.warc"
+    p.write_bytes(b"".join(recs))
+    got = read_warc(spark, str(p)).collect()
+    assert [r.warc_type for r in sorted(got, key=lambda r: r.record_offset)] \
+        == ["warcinfo", "request", "response", "response"]
+    by_id = {r.record_id: r for r in got}
+    assert set(by_id) == {"rec-0", "rec-1", "rec-2", "rec-3"}
+    r2 = by_id["rec-2"]
+    # Content-Length-driven payload is byte-exact, envelope included
+    assert bytes(r2.payload) == http_response_bytes(html)
+    assert r2.url == "http://example.test/a"
+    assert r2.content_length == len(http_response_bytes(html))
+    assert by_id["rec-0"].url is None
+
+
+def test_read_warc_gzip_members(spark, tmp_path):
+    """Common Crawl layout: one gzip member per record, concatenated."""
+    recs, _ = _archive_bytes()
+    p = tmp_path / "x.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in recs))
+    plain = tmp_path / "x.warc"
+    plain.write_bytes(b"".join(recs))
+    a = sorted(
+        map(tuple, read_warc(spark, str(p)).drop("src_file").collect())
+    )
+    b = sorted(
+        map(tuple, read_warc(spark, str(plain)).drop("src_file").collect())
+    )
+    assert a == b and len(a) == 4
+
+
+def test_payload_containing_warc_marker(spark, tmp_path):
+    """Content-Length delimiting: a body that embeds 'WARC/1.0' must not
+    split the record (boundary sniffing would)."""
+    body = b"look: WARC/1.0\r\n\r\n is just text"
+    rec = warc_record_bytes("resource", body, "rec-x",
+                            url="http://example.test/r")
+    p = tmp_path / "m.warc"
+    p.write_bytes(rec)
+    got = read_warc(spark, str(p)).collect()
+    assert len(got) == 1 and bytes(got[0].payload) == body
+
+
+def test_strict_errors_and_lenient_skip(spark, tmp_path):
+    recs, _ = _archive_bytes()
+    truncated = b"".join(recs)[:-40]  # cut into the last payload
+    p = tmp_path / "bad.warc"
+    p.write_bytes(truncated)
+    with pytest.raises(Exception, match="truncated"):
+        read_warc(spark, str(p)).collect()
+    got = read_warc(spark, str(p), strict=False).collect()
+    assert len(got) == 3  # the complete records survive, the tail skips
+
+    q = tmp_path / "nolen.warc"
+    q.write_bytes(b"WARC/1.0\r\nWARC-Type: resource\r\n\r\nxx\r\n\r\n")
+    with pytest.raises(Exception, match="Content-Length"):
+        read_warc(spark, str(q)).collect()
+
+
+def test_warc_to_documents_and_extract_parity(spark, tmp_path):
+    recs, html = _archive_bytes()
+    p = tmp_path / "x.warc"
+    p.write_bytes(b"".join(recs))
+    docs = warc_to_documents(read_warc(spark, str(p))).collect()
+    # responses only — warcinfo/request never reach the document frame
+    assert {r.url for r in docs} == {
+        "http://example.test/a", "http://example.test/b"
+    }
+    by_url = {r.url: r for r in docs}
+    a = by_url["http://example.test/a"]
+    assert a.status == 200
+    assert a.content_type == "text/html; charset=utf-8"
+    # envelope stripped: the body is the rendered page, byte-decoded the
+    # same way the extraction pipeline decodes — extractor parity holds
+    assert a.html == html.decode("utf-8")
+    assert extract_text(a.html) == extract_text(html)
+    assert "Hello WARC world" in extract_text(a.html)
+    assert by_url["http://example.test/b"].html == "plain body"
+
+
+def test_split_http_payload_edge_cases():
+    # no envelope: body passes through
+    assert split_http_payload(b"raw") == (None, None, b"raw")
+    # unparseable status line: body still recovered
+    s, c, b = split_http_payload(b"HTTP/1.1\r\nContent-Type: t/x\r\n\r\nB")
+    assert (s, c, b) == (None, "t/x", b"B")
