@@ -195,6 +195,101 @@ def read_warc(
     return files.mapInPandas(parse, schema=_WARC_SCHEMA)
 
 
+def documents_to_warc(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Documents frame → ``response`` record frame for ``write_warc`` —
+    the HTTP envelope is assembled with BINARY ``concat`` entirely
+    JVM-side (no Python crossing); record ids are md5(url), so the
+    export is deterministic and repartition-invariant. ``html_col`` may
+    be string (cast = UTF-8 bytes) or already binary (the web corpus's
+    byte-exact ``html`` column passes through untouched)."""
+    body = F.col(html_col).cast("binary")
+    envelope = F.encode(
+        F.concat_ws(
+            "",
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                  "charset=utf-8\r\nContent-Length: "),
+            F.octet_length(body).cast("string"),
+            F.lit("\r\n\r\n"),
+        ),
+        "UTF-8",
+    )
+    date = (
+        F.col(ts_col).cast("string")
+        if ts_col
+        else F.lit("2026-01-01T00:00:00Z")
+    )
+    return docs.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:md5:"), F.md5(F.col(url_col))).alias(
+            "record_id"
+        ),
+        F.col(url_col).alias("url"),
+        date.alias("warc_date"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.concat(envelope, body).alias("payload"),
+    )
+
+
+def write_warc(warc_df: DataFrame, out_dir: str) -> int:
+    """Export a record frame (the ``read_warc`` schema, minus the scan
+    columns) back to WARC: one ``part-{pid:05d}.warc.gz`` per non-empty
+    partition, one gzip member per record — Common Crawl's own layout,
+    so the output is consumable by any WARC reader including
+    ``read_warc`` (round trip pinned by test).
+
+    The writer is a ``foreachPartition`` action: each task streams its
+    records straight to its own file — no ``collect``, no driver
+    bottleneck, records-per-file controlled by ``repartition`` upstream.
+    Files land on storage every executor can reach (local dir in
+    local[*], NFS/fuse mounts on a cluster); for object stores, write
+    the same bytes as a parquet-of-binary table instead and materialize
+    WARC at the edge. Returns the number of partitions written.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["warc_type", "record_id", "url", "warc_date",
+            "content_type", "payload"]
+    frame = warc_df.select(*cols)
+
+    def dump(rows) -> None:
+        import os as _os
+
+        from pyspark import TaskContext
+
+        _os.makedirs(out_dir, exist_ok=True)  # task-side: cluster-safe
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        wrote = False
+        with open(path, "wb") as fh:
+            for r in rows:
+                rec = warc_record_bytes(
+                    r.warc_type,
+                    bytes(r.payload),
+                    r.record_id or f"part{pid}-anon",
+                    date=r.warc_date or "2026-01-01T00:00:00Z",
+                    url=r.url,
+                    content_type=r.content_type
+                    or "application/octet-stream",
+                )
+                # mtime=0: byte-deterministic members (gzip headers
+                # otherwise embed wall-clock time)
+                fh.write(gzip.compress(rec, mtime=0))
+                wrote = True
+        if not wrote:
+            _os.remove(path)
+
+    frame.foreachPartition(dump)
+    return len(
+        [f for f in os.listdir(out_dir) if f.endswith(".warc.gz")]
+    )
+
+
 _DOC_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("fetched_at", StringType()),
