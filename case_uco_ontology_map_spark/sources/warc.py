@@ -176,23 +176,45 @@ def read_warc(
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
+    return files.mapInPandas(_parse_files_factory(strict), _WARC_SCHEMA)
 
-    def parse(batches) -> Iterator["object"]:
-        import pandas as pd
 
-        cols = [f.name for f in _WARC_SCHEMA.fields]
-        for pdf in batches:
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                data = bytes(blob)
-                if data[:2] == _GZIP_MAGIC:
-                    data = gzip.decompress(data)
-                rows: List[Tuple] = list(
-                    _parse_warc_bytes(data, src, strict)
-                )
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+def cdx_index(warc_df: DataFrame) -> DataFrame:
+    """CDX-style capture index over a record frame — the random-access
+    companion every crawl archive ships (pywb/OpenWayback replay, dedup
+    against prior crawls, segment planning all key off it).
 
-    return files.mapInPandas(parse, schema=_WARC_SCHEMA)
+    Pure-JVM projection: ``urlkey`` is the SURT form (host labels
+    reversed and comma-joined, then the path — lowercased, default
+    ports and ``www.`` kept verbatim: canonicalize upstream with
+    ``functions.urls.url_normalize`` if you want fuzzy matching),
+    ``digest_sha1`` is the payload sha1 as HEX (the classic CDX uses
+    base32 of the same sha1; hex is fixed-width and engine-portable, and
+    the column name says which). offset/length/filename come straight
+    from the scan; note ``offset`` is the DECOMPRESSED-stream offset —
+    directly seekable for ``.warc`` files, while ``.warc.gz`` replay
+    additionally needs the member boundary (re-scan or store members
+    individually), which this scan does not retain."""
+    host = F.lower(
+        F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    urlkey = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(F.lower(path)),
+    )
+    return warc_df.where(F.col("url").isNotNull()).select(
+        urlkey.alias("urlkey"),
+        F.col("warc_date").alias("timestamp"),
+        "url",
+        "warc_type",
+        F.col("content_type").alias("mime"),
+        F.sha1(F.col("payload")).alias("digest_sha1"),
+        F.col("record_offset").alias("offset"),
+        F.col("content_length").alias("length"),
+        F.col("src_file").alias("filename"),
+    )
 
 
 def documents_to_warc(
@@ -288,6 +310,47 @@ def write_warc(warc_df: DataFrame, out_dir: str) -> int:
     return len(
         [f for f in os.listdir(out_dir) if f.endswith(".warc.gz")]
     )
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, strict: bool = True
+) -> DataFrame:
+    """Streaming twin of ``read_warc`` for continuous crawl ingestion:
+    newly-landed archive files under ``path`` parse incrementally (the
+    file-source checkpoint tracks which archives were consumed, so a
+    restart never re-parses or skips a file). Same per-file-task shape
+    and record schema; compose with ``warc_to_documents`` and the
+    existing ``foreachBatch`` triple sink (streaming/ingest.py) for
+    crawl-to-KG as a continuous job."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_parse_files_factory(strict), _WARC_SCHEMA)
+
+
+def _parse_files_factory(strict: bool):
+    def parse(batches) -> Iterator["object"]:
+        import pandas as pd
+
+        cols = [f.name for f in _WARC_SCHEMA.fields]
+        for pdf in batches:
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == _GZIP_MAGIC:
+                    data = gzip.decompress(data)
+                rows: List[Tuple] = list(
+                    _parse_warc_bytes(data, src, strict)
+                )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return parse
 
 
 _DOC_SCHEMA = StructType([

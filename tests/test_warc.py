@@ -185,6 +185,90 @@ def test_documents_to_warc_end_to_end(spark, tmp_path, sf_dir):
     ]
 
 
+def test_cdx_index(spark, tmp_path):
+    """urlkey SURT form, hex sha1 digest, and seek fields — checked
+    against hand-built values (hashlib for the digest)."""
+    import hashlib
+
+    from case_uco_ontology_map_spark.sources.warc import cdx_index
+
+    recs, _ = _archive_bytes()
+    p = tmp_path / "x.warc"
+    p.write_bytes(b"".join(recs))
+    warc = read_warc(spark, str(p))
+    rows = cdx_index(warc).collect()
+    # warcinfo has no url: excluded; the request + both responses index
+    assert {(r.url, r.warc_type) for r in rows} == {
+        ("http://example.test/a", "request"),
+        ("http://example.test/a", "response"),
+        ("http://example.test/b", "response"),
+    }
+    a = next(
+        r for r in rows
+        if r.url == "http://example.test/a" and r.warc_type == "response"
+    )
+    assert a.urlkey == "test,example)/a"
+    assert a.filename.endswith("x.warc")
+    # digest = sha1 of the stored payload bytes, hand-computed
+    want_digest = hashlib.sha1(
+        http_response_bytes(_archive_bytes()[1])
+    ).hexdigest()
+    assert a.digest_sha1 == want_digest
+    # offset + length let a reader slice the payload out of the file
+    raw = p.read_bytes()
+    head_end = raw.find(b"\r\n\r\n", a.offset)
+    assert raw[head_end + 4:head_end + 4 + a.length] == \
+        http_response_bytes(_archive_bytes()[1])
+    # bare-host url: path defaults to /
+    rec = warc_record_bytes("resource", b"x", "r",
+                            url="https://Example.ORG")
+    q = tmp_path / "bare.warc"
+    q.write_bytes(rec)
+    bare = cdx_index(read_warc(spark, str(q))).collect()[0]
+    assert bare.urlkey == "org,example)/"
+
+
+def test_read_warc_stream_incremental(spark, tmp_path):
+    """Continuous crawl ingestion: a second archive landing after the
+    first pass is picked up incrementally by the file-source checkpoint,
+    and the record union equals the batch read."""
+    from case_uco_ontology_map_spark.sources.warc import read_warc_stream
+
+    recs, _ = _archive_bytes()
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "seg-0.warc").write_bytes(b"".join(recs[:2]))
+
+    stream = read_warc_stream(spark, str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql(
+            "select record_id from warc_stream"
+        ).collect()
+        assert {r.record_id for r in first} == {"rec-0", "rec-1"}
+
+        (src / "seg-1.warc").write_bytes(b"".join(recs[2:]))
+        q.processAllAvailable()
+        key = ["record_id", "warc_type", "url", "payload"]
+        got = sorted(map(tuple, spark.sql(
+            "select record_id, warc_type, url, payload from warc_stream"
+        ).collect()))
+    finally:
+        q.stop()
+    want = sorted(
+        map(tuple, read_warc(spark, str(src)).select(*key).collect())
+    )
+    assert got == want and len(got) == 4
+
+
 def test_split_http_payload_edge_cases():
     # no envelope: body passes through
     assert split_http_payload(b"raw") == (None, None, b"raw")
