@@ -3541,6 +3541,102 @@ FROM norm ORDER BY doc_id
 """
 
 
+def q_warc_export_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive export index (sources/warc.py): documents →
+    ``documents_to_warc`` (HTTP envelope assembled with binary concat,
+    md5(url) record ids — all JVM) → a CDX-style capture index with the
+    SURT urlkey (``surt_urlkey``: host labels reversed + comma-joined,
+    lowercased path, ``/`` when empty). urls are synthesized from doc_id
+    with mixed-case hosts, empty-path and query-string cases so every
+    SURT branch executes; digest is md5 of the full payload bytes (the
+    classic CDX sha1 has no DuckDB twin — round-3 finding), so the
+    oracle replays envelope + urlkey + digest end to end. The
+    write/read file round trip itself is pinned by pytest
+    (test_warc.py) — filesystem bytes have no SQL surface."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.sources.warc import (
+        documents_to_warc,
+        surt_urlkey,
+    )
+
+    did = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://WwW.Site"),
+            did.cast("string"),
+            F.lit(".Example.ORG"),
+            F.when(did % 4 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("/Crawl/"),
+                    (did % 3).cast("string"),
+                    F.when(did % 2 == 0, F.lit("?q=A&p=2")).otherwise(
+                        F.lit("")
+                    ),
+                )
+            ),
+        ).alias("url"),
+        F.col("text").alias("html"),
+        F.concat(
+            F.lit("2026-01-0"),
+            (did % 9 + 1).cast("string"),
+            F.lit("T00:00:00Z"),
+        ).alias("fetched"),
+    )
+    recs = documents_to_warc(d, ts_col="fetched")
+    return recs.select(
+        surt_urlkey(F.col("url")).alias("urlkey"),
+        "url",
+        "record_id",
+        F.col("warc_date").alias("ts"),
+        F.col("content_type").alias("mime"),
+        F.md5(F.col("payload")).alias("digest_md5"),
+        F.octet_length(F.col("payload")).cast("long").alias("length"),
+    ).orderBy("url")
+
+
+def _oracle_warc_export_index() -> str:
+    return r"""
+WITH d AS (
+  SELECT doc_id,
+         'http://WwW.Site' || doc_id || '.Example.ORG'
+         || CASE WHEN doc_id % 4 = 0 THEN ''
+                 ELSE '/Crawl/' || (doc_id % 3)
+                      || CASE WHEN doc_id % 2 = 0 THEN '?q=A&p=2'
+                              ELSE '' END
+            END AS url,
+         text AS body,
+         '2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS fetched
+  FROM documents
+), rec AS (
+  SELECT url, fetched,
+         'HTTP/1.1 200 OK' || chr(13) || chr(10)
+         || 'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10)
+         || 'Content-Length: ' || octet_length(encode(body))
+         || chr(13) || chr(10) || chr(13) || chr(10)
+         || body AS payload
+  FROM d
+), parts AS (
+  SELECT url, fetched, payload,
+         lower(regexp_extract(url,
+           '^[a-z][a-z0-9+.\-]*://([^/?#]*)', 1)) AS host,
+         regexp_extract(url,
+           '^[a-z][a-z0-9+.\-]*://[^/?#]*(.*)$', 1) AS pth
+  FROM rec
+)
+SELECT array_to_string(list_reverse(str_split(host, '.')), ',') || ')'
+       || CASE WHEN pth = '' THEN '/' ELSE lower(pth) END AS urlkey,
+       url,
+       'urn:md5:' || md5(url) AS record_id,
+       fetched AS ts,
+       'application/http; msgtype=response' AS mime,
+       md5(payload) AS digest_md5,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS length
+FROM parts ORDER BY url
+"""
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.05}
 _STRATA_FRACTIONS = {"click": 0.5, "view": 0.1, "error": 1.0}
 
@@ -4507,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "url_normalize": q_url_normalize,
         "blocklist": q_blocklist,
+        "warc_export_index": q_warc_export_index,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -4609,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "url_normalize": _oracle_url_normalize(),
         "blocklist": _oracle_blocklist(),
+        "warc_export_index": _oracle_warc_export_index(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -179,6 +179,22 @@ def read_warc(
     return files.mapInPandas(_parse_files_factory(strict), _WARC_SCHEMA)
 
 
+def surt_urlkey(url: "F.Column") -> "F.Column":
+    """SURT-form CDX urlkey: host labels reversed and comma-joined, then
+    ``)`` and the lowercased path (``/`` when empty). Pure JVM string
+    expression — replayable in ANSI SQL, which the ``warc_export_index``
+    contract row exercises cross-engine."""
+    host = F.lower(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(F.lower(path)),
+    )
+
+
 def cdx_index(warc_df: DataFrame) -> DataFrame:
     """CDX-style capture index over a record frame — the random-access
     companion every crawl archive ships (pywb/OpenWayback replay, dedup
@@ -195,17 +211,8 @@ def cdx_index(warc_df: DataFrame) -> DataFrame:
     directly seekable for ``.warc`` files, while ``.warc.gz`` replay
     additionally needs the member boundary (re-scan or store members
     individually), which this scan does not retain."""
-    host = F.lower(
-        F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
-    )
-    path = F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    urlkey = F.concat(
-        F.array_join(F.reverse(F.split(host, r"\.")), ","),
-        F.lit(")"),
-        F.when(path == "", F.lit("/")).otherwise(F.lower(path)),
-    )
     return warc_df.where(F.col("url").isNotNull()).select(
-        urlkey.alias("urlkey"),
+        surt_urlkey(F.col("url")).alias("urlkey"),
         F.col("warc_date").alias("timestamp"),
         "url",
         "warc_type",
