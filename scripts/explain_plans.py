@@ -552,6 +552,37 @@ def main():
         "chunk_documents must stay zero-shuffle (pure per-row expressions)"
     )
 
+    # r5: WARC export index — envelope assembly, SURT urlkey, and digest
+    # are all JVM expressions; the index over an export frame must be a
+    # pure zero-shuffle, zero-Python projection
+    from case_uco_ontology_map_spark.sources.warc import (
+        cdx_index,
+        documents_to_warc,
+    )
+
+    warc_docs = docs.select(
+        F.concat(
+            F.lit("http://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.org/p"),
+        ).alias("url"),
+        F.col("text").alias("html"),
+    )
+    warc_recs = documents_to_warc(warc_docs).select(
+        "*",
+        F.lit("synth.warc.gz").alias("src_file"),
+        F.lit(0).cast("long").alias("record_offset"),
+        F.octet_length("payload").cast("long").alias("content_length"),
+    )
+    cdx = cdx_index(warc_recs)
+    cdx_plan = plan_of(cdx)
+    assert "Exchange" not in cdx_plan, (
+        "documents_to_warc + cdx_index must stay zero-shuffle"
+    )
+    assert not re.findall(_no_python, cdx_plan), (
+        "WARC export index must not cross into Python"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -583,6 +614,7 @@ def main():
             "pagerank round shape (rank-frame shuffles only; dangling via broadcast)": pr,
             "check_facet_single_owner (facet-id equi self-join + sameAs anti-join, no cartesian)": fso,
             "chunk_documents (zero-shuffle in-row windows)": chk,
+            "warc export index (documents_to_warc + cdx_index: zero-shuffle pure-JVM)": cdx,
         }
     )
     lines = [
