@@ -835,6 +835,38 @@ def bench_queries(spark, sf_dir: str):
             )
         return n
 
+    def q_warc_ingest():
+        """Crawl-archive ingestion: parse WARC files (one task per file,
+        gzip members, Content-Length-delimited records) and strip the
+        HTTP envelope down to the (url, html) frame the pipeline
+        consumes — the step upstream of extract_text on a real crawl.
+        Setup (untimed, once): export the corpus via documents_to_warc +
+        write_warc into CPUS*2 archives. Guard: every doc comes back."""
+        from case_uco_ontology_map_spark.sources.warc import (
+            documents_to_warc,
+            read_warc,
+            warc_to_documents,
+        )
+
+        out = stage_dir.rstrip("/") + "-warc"
+        if not os.path.isdir(out) or not os.listdir(out):
+            write_n = documents_to_warc(
+                corpus, ts_col="warc_ts"
+            ).repartition(CPUS * 2)
+            from case_uco_ontology_map_spark.sources.warc import write_warc
+
+            write_warc(write_n, out)
+        n = (
+            warc_to_documents(
+                read_warc(spark, os.path.join(out, "*.warc.gz"))
+            )
+            .where(F.length("html") > 0)
+            .count()
+        )
+        if n != n_docs:
+            raise RuntimeError(f"warc ingest returned {n} != {n_docs} docs")
+        return n
+
     return stage_dir, n_docs, {
         "extract_text": q_extract,
         "kg_triples": q_triples,
@@ -853,6 +885,7 @@ def bench_queries(spark, sf_dir: str):
         "ann_index_build": q_ann_index_build,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "warc_ingest": q_warc_ingest,
         "materialize": q_materialize,
     }, post_metrics
 
@@ -908,12 +941,14 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
                 "", "-triples-out", "-emb", "-ivf",
                 "-canon-prior", "-canon-delta",
                 "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
+                "-warc",
             )
             if os.environ.get("SPARK_GRAFT_SHARED_STAGE"):
                 suffixes = (  # keep the corpus
                     "-triples-out", "-emb", "-ivf",
                     "-canon-prior", "-canon-delta",
                     "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
+                    "-warc",
                 )
             for suffix in suffixes:
                 shutil.rmtree(
