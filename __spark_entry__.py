@@ -3596,6 +3596,118 @@ def q_warc_export_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (functions/robots.py): urls synthesized
+    over three hosts (one with no rules at all) and five path shapes
+    exercising longest-match, the RFC 9309 allow-wins tie, ``*``
+    wildcards, the ``$`` end anchor (and its defeat by a query string),
+    and the empty-path → ``/`` rule. Rules are a literal frame with the
+    LIKE translation precomputed (the translation itself is pytest-pinned
+    in test_robots.py); DuckDB replays host/path extraction, LIKE
+    matching, and the (rlen DESC, allow-wins) argmax verbatim. The
+    url side is broadcast-join + in-row fold — plan-asserted."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.robots import (
+        robots_decisions,
+        robots_like_pattern,
+    )
+
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("site"), (did % 3).cast("string"), F.lit(".example.org")
+    )
+    path = (
+        F.when(did % 5 == 0, F.lit("/private/open/doc"))
+        .when(
+            did % 5 == 1,
+            F.concat(F.lit("/private/p"), (did % 7).cast("string")),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("/pic"),
+                (did % 4).cast("string"),
+                F.lit(".gif"),
+                F.when(did % 2 == 0, F.lit("?x=1")).otherwise(F.lit("")),
+            ),
+        )
+        .when(did % 5 == 3, F.lit("/page.php5"))
+        .otherwise(F.lit(""))
+    )
+    urls = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("http://WwW."), host, path).alias("url")
+    )
+    rules = [
+        ("site0.example.org", "/private/", False),
+        ("site0.example.org", "/private/open/", True),
+        ("site1.example.org", "/page", True),
+        ("site1.example.org", "/*.ph", False),
+        ("site1.example.org", "/*.gif$", False),
+        ("site1.example.org", "/", False),
+    ]
+    rdf = spark.createDataFrame(
+        [(h, p, a, robots_like_pattern(p), len(p)) for h, p, a in rules],
+        "host string, pattern string, is_allow boolean, "
+        "like_pat string, rlen int",
+    )
+    return (
+        robots_decisions(urls, rdf)
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_robots_gate() -> str:
+    return r"""
+WITH urls AS (
+  SELECT doc_id,
+         'http://WwW.site' || (doc_id % 3) || '.example.org'
+         || CASE doc_id % 5
+              WHEN 0 THEN '/private/open/doc'
+              WHEN 1 THEN '/private/p' || (doc_id % 7)
+              WHEN 2 THEN '/pic' || (doc_id % 4) || '.gif'
+                          || CASE WHEN doc_id % 2 = 0 THEN '?x=1'
+                                  ELSE '' END
+              WHEN 3 THEN '/page.php5'
+              ELSE '' END AS url
+  FROM documents
+), rules(host, like_pat, rlen, is_allow) AS (VALUES
+  ('site0.example.org', '/private/%', 9, false),
+  ('site0.example.org', '/private/open/%', 14, true),
+  ('site1.example.org', '/page%', 5, true),
+  ('site1.example.org', '/%.ph%', 5, false),
+  ('site1.example.org', '/%.gif', 7, false),
+  ('site1.example.org', '/%', 1, false)
+), parsed AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url,
+           '^[a-z][a-z0-9+.\-]*://([^/?#]*)', 1)), '^www\.', '') AS host,
+         CASE WHEN regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1)
+         END AS pathq
+  FROM urls
+), matched AS (
+  SELECT p.doc_id, r.is_allow,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY r.rlen DESC, r.is_allow DESC
+         ) AS rn
+  FROM parsed p
+  JOIN rules r
+    ON p.host = r.host AND p.pathq LIKE r.like_pat ESCAPE '\'
+)
+SELECT u.doc_id, u.url, coalesce(m.is_allow, true) AS allowed
+FROM urls u
+LEFT JOIN (SELECT doc_id, is_allow FROM matched WHERE rn = 1) m
+  USING (doc_id)
+ORDER BY u.doc_id
+"""
+
+
 def _oracle_warc_export_index() -> str:
     return r"""
 WITH d AS (
@@ -4604,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "blocklist": q_blocklist,
         "warc_export_index": q_warc_export_index,
+        "robots_gate": q_robots_gate,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -4707,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _oracle_url_normalize(),
         "blocklist": _oracle_blocklist(),
         "warc_export_index": _oracle_warc_export_index(),
+        "robots_gate": _oracle_robots_gate(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -319,6 +319,49 @@ def write_warc(warc_df: DataFrame, out_dir: str) -> int:
     )
 
 
+def documents_to_wet(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """WET export — the extracted-text sidecar format crawls ship next
+    to their WARCs (Common Crawl's ``.warc.wet.gz``): one ``conversion``
+    record per document, payload = the bare UTF-8 text, no HTTP
+    envelope. Same record-frame schema as ``documents_to_warc`` so
+    ``write_warc`` emits it unchanged; pure JVM projection."""
+    date = (
+        F.col(ts_col).cast("string")
+        if ts_col
+        else F.lit("2026-01-01T00:00:00Z")
+    )
+    return docs.select(
+        F.lit("conversion").alias("warc_type"),
+        F.concat(F.lit("urn:md5:"), F.md5(F.col(url_col))).alias(
+            "record_id"
+        ),
+        F.col(url_col).alias("url"),
+        date.alias("warc_date"),
+        F.lit("text/plain").alias("content_type"),
+        F.col(text_col).cast("binary").alias("payload"),
+    )
+
+
+def wet_to_documents(warc_df: DataFrame) -> DataFrame:
+    """``conversion`` records → ``(url, fetched_at, text)``. Unlike the
+    WARC response path there is no HTTP envelope to strip, so the
+    payload decodes to text ENTIRELY JVM-side (``decode``) — reading a
+    WET sidecar skips the second Python crossing the response path
+    needs; non-conversion records are filtered before any work."""
+    return warc_df.where(
+        (F.col("warc_type") == "conversion") & F.col("url").isNotNull()
+    ).select(
+        "url",
+        F.col("warc_date").alias("fetched_at"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
 def read_warc_stream(
     spark: SparkSession, path: str, strict: bool = True
 ) -> DataFrame:

@@ -583,6 +583,39 @@ def main():
         "WARC export index must not cross into Python"
     )
 
+    # r5: robots gate — per-host rule arrays broadcast; the url side is
+    # an in-row LIKE/argmax fold that never shuffles or crosses to Python
+    from case_uco_ontology_map_spark.functions.robots import (
+        robots_decisions,
+        robots_like_pattern,
+    )
+
+    rob_rules = spark.createDataFrame(
+        [
+            ("h.org", p, a, robots_like_pattern(p), len(p))
+            for p, a in [("/private/", False), ("/private/open/", True)]
+        ],
+        "host string, pattern string, is_allow boolean, "
+        "like_pat string, rlen int",
+    )
+    rob = robots_decisions(warc_docs, rob_rules)
+    rob_plan = plan_of(rob)
+    assert "BroadcastHashJoin" in rob_plan, (
+        "robots rules must meet urls in a broadcast join"
+    )
+    assert "SortMergeJoin" not in rob_plan and (
+        "CartesianProduct" not in rob_plan
+    ), "robots gate must not shuffle-join or cartesian the url side"
+    assert not re.findall(_no_python, rob_plan), (
+        "robots decision fold must stay JVM-side"
+    )
+    # formatted explain prints each node twice (tree line + detail
+    # header), so ONE physical Exchange — the tiny rules-side groupBy —
+    # counts as 2 matches
+    assert len(re.findall(r"\bExchange\b", rob_plan)) <= 2, (
+        "only the tiny rules-side groupBy may shuffle"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -615,6 +648,7 @@ def main():
             "check_facet_single_owner (facet-id equi self-join + sameAs anti-join, no cartesian)": fso,
             "chunk_documents (zero-shuffle in-row windows)": chk,
             "warc export index (documents_to_warc + cdx_index: zero-shuffle pure-JVM)": cdx,
+            "robots gate (broadcast rule arrays + in-row LIKE/argmax fold)": rob,
         }
     )
     lines = [

@@ -275,3 +275,40 @@ def test_split_http_payload_edge_cases():
     # unparseable status line: body still recovered
     s, c, b = split_http_payload(b"HTTP/1.1\r\nContent-Type: t/x\r\n\r\nB")
     assert (s, c, b) == (None, "t/x", b"B")
+
+
+def test_wet_roundtrip_and_mixed_archive(spark, tmp_path):
+    from case_uco_ontology_map_spark.sources.warc import (
+        documents_to_wet,
+        wet_to_documents,
+        write_warc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("http://e.test/a", "2026-02-01T00:00:00Z", "hello wet ä ✓"),
+            ("http://e.test/b", "2026-02-02T00:00:00Z", "second doc"),
+        ],
+        "url string, fetched string, text string",
+    )
+    wet = documents_to_wet(docs, ts_col="fetched")
+    out = tmp_path / "wet"
+    write_warc(wet.repartition(1), str(out))
+    back = read_warc(spark, str(out / "*.warc.gz"))
+    # conversion records carry the bare text, no HTTP envelope
+    got = sorted(
+        (r.url, r.fetched_at, r.text)
+        for r in wet_to_documents(back).collect()
+    )
+    assert got == [
+        ("http://e.test/a", "2026-02-01T00:00:00Z", "hello wet ä ✓"),
+        ("http://e.test/b", "2026-02-02T00:00:00Z", "second doc"),
+    ]
+    # a mixed archive: response records are invisible to the WET reader
+    recs, _ = _archive_bytes()
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(b"".join(recs))
+    mixed = read_warc(spark, str(p))
+    assert wet_to_documents(mixed).count() == 0
+    # and the WET frame round-trips through the same record schema
+    assert set(wet.columns) <= set(back.columns)
