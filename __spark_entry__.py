@@ -3658,6 +3658,73 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl change detection (sources/warc.cdx_delta): a
+    current CDX frame meets the prior crawl's index — urlkey absent →
+    ``new``, digest found in the urlkey's historical set →
+    ``unchanged``, else ``changed``. Prior holds MULTIPLE digests for
+    some urlkeys (every %5 row keeps an extra historical capture) so
+    the in-row set-probe semantics are exercised, not just 1:1
+    equality. One shuffle per side on urlkey; DuckDB replays via
+    EXISTS subqueries (provably equivalent to the set probe)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.sources.warc import cdx_delta
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    key = F.concat(F.lit("org,site)/p"), did.cast("string"))
+    cur = d.select(
+        "doc_id",
+        key.alias("urlkey"),
+        F.md5(F.concat(F.lit("c"), (did % 4).cast("string"))).alias(
+            "digest"
+        ),
+    )
+    base_prior = d.where(did % 3 != 0).select(
+        key.alias("urlkey"),
+        F.md5(F.concat(F.lit("c"), (did % 2).cast("string"))).alias(
+            "digest"
+        ),
+    )
+    extra = d.where((did % 3 != 0) & (did % 5 == 0)).select(
+        key.alias("urlkey"), F.md5(F.lit("old")).alias("digest")
+    )
+    prior = base_prior.unionByName(extra)
+    return (
+        cdx_delta(cur, prior, key_col="urlkey", digest_col="digest")
+        .select("doc_id", "urlkey", "digest", "status")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_crawl_delta() -> str:
+    return """
+WITH cur AS (
+  SELECT doc_id, 'org,site)/p' || doc_id AS urlkey,
+         md5('c' || (doc_id % 4)) AS digest
+  FROM documents
+), prior AS (
+  SELECT 'org,site)/p' || doc_id AS urlkey,
+         md5('c' || (doc_id % 2)) AS digest
+  FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT 'org,site)/p' || doc_id, md5('old')
+  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0
+)
+SELECT c.doc_id, c.urlkey, c.digest,
+       CASE WHEN NOT EXISTS (
+              SELECT 1 FROM prior p WHERE p.urlkey = c.urlkey)
+            THEN 'new'
+            WHEN EXISTS (
+              SELECT 1 FROM prior p
+              WHERE p.urlkey = c.urlkey AND p.digest = c.digest)
+            THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM cur c ORDER BY c.doc_id
+"""
+
+
 def _oracle_robots_gate() -> str:
     return r"""
 WITH urls AS (
@@ -4717,6 +4784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "warc_export_index": q_warc_export_index,
         "robots_gate": q_robots_gate,
+        "crawl_delta": q_crawl_delta,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -4821,6 +4889,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist": _oracle_blocklist(),
         "warc_export_index": _oracle_warc_export_index(),
         "robots_gate": _oracle_robots_gate(),
+        "crawl_delta": _oracle_crawl_delta(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

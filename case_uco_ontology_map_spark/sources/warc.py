@@ -224,6 +224,51 @@ def cdx_index(warc_df: DataFrame) -> DataFrame:
     )
 
 
+def cdx_delta(
+    current: DataFrame,
+    prior: DataFrame,
+    key_col: str = "urlkey",
+    digest_col: str = "digest_sha1",
+) -> DataFrame:
+    """Incremental-crawl change detection — the consumer every CDX index
+    exists for (pywb/Common Crawl revisit-dedup: a capture whose payload
+    digest matches a prior capture of the same url is stored as a
+    revisit record, not a second payload copy).
+
+    Returns ``current`` plus a ``status`` column:
+
+      * ``new``       — urlkey absent from the prior index
+      * ``unchanged`` — prior holds a capture of this urlkey with the
+        SAME digest (re-fetch found identical content)
+      * ``changed``   — urlkey known, but no prior capture matches
+
+    Scale shape: the prior index collapses to ONE row per urlkey
+    carrying its (bounded — one entry per distinct historical content)
+    digest set, so each side shuffles exactly once on the key and the
+    digest probe is an in-row ``array_contains`` — no (urlkey, digest)
+    pair-join, no second pass for key existence. On a cluster, bucket
+    both indexes by urlkey to make the join co-partitioned across
+    crawls."""
+    pk = (
+        prior.select(key_col, digest_col)
+        .groupBy(F.col(key_col).alias("_pk"))
+        .agg(F.collect_set(digest_col).alias("_pdigests"))
+    )
+    return (
+        current.join(pk, current[key_col] == pk["_pk"], "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_pdigests").isNull(), F.lit("new"))
+            .when(
+                F.array_contains(F.col("_pdigests"), F.col(digest_col)),
+                F.lit("unchanged"),
+            )
+            .otherwise(F.lit("changed")),
+        )
+        .drop("_pk", "_pdigests")
+    )
+
+
 def documents_to_warc(
     docs: DataFrame,
     url_col: str = "url",

@@ -312,3 +312,26 @@ def test_wet_roundtrip_and_mixed_archive(spark, tmp_path):
     assert wet_to_documents(mixed).count() == 0
     # and the WET frame round-trips through the same record schema
     assert set(wet.columns) <= set(back.columns)
+
+
+def test_cdx_delta_statuses(spark):
+    from case_uco_ontology_map_spark.sources.warc import cdx_delta
+
+    prior = spark.createDataFrame(
+        [("A", "d1"), ("A", "d2"), ("B", "d3")],
+        "urlkey string, digest_sha1 string",
+    )
+    current = spark.createDataFrame(
+        [("A", "d1"), ("A", "d9"), ("B", "d3"), ("C", "d4")],
+        "urlkey string, digest_sha1 string",
+    )
+    got = {
+        (r.urlkey, r.digest_sha1): r.status
+        for r in cdx_delta(current, prior).collect()
+    }
+    assert got == {
+        ("A", "d1"): "unchanged",  # digest in prior's set for A
+        ("A", "d9"): "changed",  # A known, content differs
+        ("B", "d3"): "unchanged",
+        ("C", "d4"): "new",  # urlkey never crawled
+    }
