@@ -3698,6 +3698,51 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (functions/robots.fetch_waves): frontier
+    urls over 5 hosts get wave numbers so each wave fetches ≤3 urls per
+    host; within-host order is md5(url) — partitioning/engine-invariant,
+    so DuckDB replays the exact schedule with a plain row_number."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.robots import fetch_waves
+
+    did = F.col("doc_id")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (did % 5).cast("string"),
+            F.lit(".example.org/p/"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    return (
+        fetch_waves(urls, per_wave=3)
+        .select("doc_id", "url", "host", "wave")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_fetch_waves() -> str:
+    return """
+WITH urls AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 5) || '.example.org/p/' || doc_id AS url,
+         'h' || (doc_id % 5) || '.example.org' AS host
+  FROM documents
+), r AS (
+  SELECT doc_id, url, host,
+         row_number() OVER (
+           PARTITION BY host ORDER BY md5(url), url
+         ) AS rn
+  FROM urls
+)
+SELECT doc_id, url, host, CAST((rn - 1) // 3 AS BIGINT) AS wave
+FROM r ORDER BY doc_id
+"""
+
+
 def _oracle_crawl_delta() -> str:
     return """
 WITH cur AS (
@@ -4785,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_export_index": q_warc_export_index,
         "robots_gate": q_robots_gate,
         "crawl_delta": q_crawl_delta,
+        "fetch_waves": q_fetch_waves,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -4890,6 +4936,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_export_index": _oracle_warc_export_index(),
         "robots_gate": _oracle_robots_gate(),
         "crawl_delta": _oracle_crawl_delta(),
+        "fetch_waves": _oracle_fetch_waves(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

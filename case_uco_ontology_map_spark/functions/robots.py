@@ -217,3 +217,35 @@ def robots_filter(
         .where(F.col("allowed"))
         .drop("allowed")
     )
+
+
+def fetch_waves(
+    df: DataFrame,
+    url_col: str = "url",
+    per_wave: int = 1,
+) -> DataFrame:
+    """Politeness scheduling: assign every frontier url a ``wave`` such
+    that each wave holds at most ``per_wave`` urls per host — a crawler
+    fetching wave 0, then wave 1, ... touches no host more than
+    ``per_wave`` times per pass, however the urls are distributed.
+
+    Adds ``host`` and ``wave`` (0-based). The within-host order is
+    md5(url) — deterministic across partitionings, engines, and crawl
+    runs, so re-planning the same frontier yields the same schedule
+    (and the oracle replays it as a plain ``row_number``).
+
+    Scale note: a per-host sequence is inherently a per-host sort — a
+    hub host's frontier sorts in one task, O(n log n). That hub is the
+    real-world politeness bottleneck anyway (its fetches serialize by
+    definition); bound the damage upstream with the per-domain cap
+    (operators/sampling.cap_per_key) before scheduling."""
+    from pyspark.sql.window import Window
+
+    host = url_host(F.col(url_col))
+    w = Window.partitionBy(host).orderBy(
+        F.md5(F.col(url_col)), F.col(url_col)
+    )
+    return df.withColumn("host", host).withColumn(
+        "wave",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(per_wave)),
+    )

@@ -183,3 +183,28 @@ def test_like_metacharacters_do_not_leak(spark):
         "http://e.org/100%_off/sale": False,
         "http://e.org/100XYoff/sale": True,
     }
+
+
+def test_fetch_waves_politeness_invariant(spark):
+    from case_uco_ontology_map_spark.functions.robots import fetch_waves
+
+    urls = [
+        (f"http://h{i % 3}.org/p/{i}",) for i in range(20)
+    ] + [("http://hub.org/only",)]
+    df = spark.createDataFrame(urls, "url string")
+    out = fetch_waves(df, per_wave=2).collect()
+    # politeness: no (host, wave) holds more than per_wave urls
+    from collections import Counter
+
+    c = Counter((r.host, r.wave) for r in out)
+    assert max(c.values()) <= 2
+    # waves are dense 0..ceil(n/k)-1 per host and every url is scheduled
+    assert len(out) == 21
+    waves_h0 = sorted(r.wave for r in out if r.host == "h0.org")
+    assert waves_h0 == [0, 0, 1, 1, 2, 2, 3]  # 7 urls, k=2
+    assert [r.wave for r in out if r.host == "hub.org"] == [0]
+    # determinism: a different partitioning yields the identical schedule
+    again = fetch_waves(df.repartition(7), per_wave=2).collect()
+    assert sorted((r.url, r.wave) for r in again) == sorted(
+        (r.url, r.wave) for r in out
+    )
