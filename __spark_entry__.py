@@ -3698,6 +3698,98 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction (functions/links.py): pages synthesized with
+    six anchor shapes — absolute, protocol-relative, root-relative,
+    same-directory relative, and the dropped fragment/mailto cases —
+    extracted with ONE regexp (two groups zipped) and resolved with a
+    CASE over string expressions, all JVM-side. DuckDB replays the
+    identical regex (RE2 ∩ java.util.regex subset by construction) and
+    CASE; zipped unnest mirrors arrays_zip+explode positionally."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.links import extract_links
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="https://ext'),
+        (did % 3).cast("string"),
+        F.lit('.example.com/x" rel="nofollow">Ext</a>'),
+        F.lit('<a href="/root/'),
+        (did % 4).cast("string"),
+        F.lit('">Root</a><a href="rel'),
+        (did % 5).cast("string"),
+        F.lit('.html">Rel</a>'),
+        F.lit('<a href="//cdn.example.net/a.js">Proto</a>'),
+        F.lit('<a href="#frag">Frag</a>'),
+        F.lit('<a href="mailto:x@y.test">Mail</a></body></html>'),
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        (did % 7).cast("string"),
+        F.lit(".example.org/d/"),
+        did.cast("string"),
+        F.lit("/page.html"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), html.alias("html")
+    )
+    return (
+        extract_links(pages)
+        .select("doc_id", "src", "dst", "anchor")
+        .orderBy("doc_id", "dst")
+    )
+
+
+def _oracle_link_graph() -> str:
+    return r"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id
+         || '/page.html' AS url,
+         '<html><body><p>intro</p><a href="https://ext' || (doc_id % 3)
+         || '.example.com/x" rel="nofollow">Ext</a>'
+         || '<a href="/root/' || (doc_id % 4) || '">Root</a>'
+         || '<a href="rel' || (doc_id % 5) || '.html">Rel</a>'
+         || '<a href="//cdn.example.net/a.js">Proto</a>'
+         || '<a href="#frag">Frag</a>'
+         || '<a href="mailto:x@y.test">Mail</a></body></html>' AS html
+  FROM documents
+), lnk AS (
+  SELECT doc_id, url AS src,
+         unnest(regexp_extract_all(html,
+           '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+         unnest(regexp_extract_all(html,
+           '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+  FROM pages
+), parts AS (
+  SELECT doc_id, src, href, anchor,
+         regexp_extract(src, '^([a-z][a-z0-9+.\-]*)://', 1) AS scheme,
+         regexp_extract(src,
+           '^[a-z][a-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
+         regexp_replace(regexp_extract(src,
+           '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+           '/[^/]*$', '') AS basedir
+  FROM lnk
+), resolved AS (
+  SELECT doc_id, src, anchor,
+         CASE
+           WHEN regexp_matches(href, '^https?://') THEN href
+           WHEN href LIKE '//%' THEN scheme || ':' || href
+           WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*:')
+             THEN NULL
+           WHEN href = '' OR href LIKE '#%' THEN NULL
+           WHEN href LIKE '/%' THEN scheme || '://' || auth || href
+           ELSE scheme || '://' || auth || basedir || '/' || href
+         END AS dst
+  FROM parts
+)
+SELECT doc_id, src, dst, anchor
+FROM resolved WHERE dst IS NOT NULL
+ORDER BY doc_id, dst
+"""
+
+
 def q_fetch_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (functions/robots.fetch_waves): frontier
     urls over 5 hosts get wave numbers so each wave fetches ≤3 urls per
@@ -4831,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "crawl_delta": q_crawl_delta,
         "fetch_waves": q_fetch_waves,
+        "link_graph": q_link_graph,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -4937,6 +5030,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": _oracle_robots_gate(),
         "crawl_delta": _oracle_crawl_delta(),
         "fetch_waves": _oracle_fetch_waves(),
+        "link_graph": _oracle_link_graph(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

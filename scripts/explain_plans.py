@@ -616,6 +616,27 @@ def main():
         "only the tiny rules-side groupBy may shuffle"
     )
 
+    # r5: hyperlink extraction — one regex + CASE resolution, all JVM,
+    # zero shuffle (the groupBy lives in link_graph, not here)
+    from case_uco_ontology_map_spark.functions.links import extract_links
+
+    lnk = extract_links(
+        warc_docs.withColumn(
+            "html",
+            F.concat(
+                F.lit('<a href="/x">a</a><a href="y.html">b</a>'),
+                F.col("html"),
+            ),
+        )
+    )
+    lnk_plan = plan_of(lnk)
+    assert "Exchange" not in lnk_plan, (
+        "extract_links must stay zero-shuffle"
+    )
+    assert not re.findall(_no_python, lnk_plan), (
+        "link extraction must not cross into Python"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -649,6 +670,7 @@ def main():
             "chunk_documents (zero-shuffle in-row windows)": chk,
             "warc export index (documents_to_warc + cdx_index: zero-shuffle pure-JVM)": cdx,
             "robots gate (broadcast rule arrays + in-row LIKE/argmax fold)": rob,
+            "extract_links (one-regex anchor scan + CASE resolution, zero-shuffle JVM)": lnk,
         }
     )
     lines = [

@@ -1,0 +1,82 @@
+"""Hyperlink extraction: resolution subset, regex extraction over
+string AND binary html, and the edge-list aggregation — expectations
+hand-written (no generated SQL)."""
+
+from case_uco_ontology_map_spark.functions.links import (
+    extract_links,
+    link_graph,
+)
+
+_PAGE = (
+    '<html><body><p>intro</p>'
+    '<a href="https://ext.example.com/x" rel="nofollow">Ext</a>\n'
+    '<a href="//cdn.example.net/lib.js">Proto</a>'
+    '<a href="/root/doc">Root</a>'
+    '<a href="sibling.html">Rel</a>'
+    '<a href="#frag">Frag</a>'
+    '<a href="mailto:a@b.test">Mail</a>'
+    '<a href="javascript:void(0)">JS</a>'
+    '<a href="">Empty</a>'
+    "</body></html>"
+)
+
+
+def _edges(spark, url, html):
+    df = spark.createDataFrame([(url, html)], "url string, html string")
+    return sorted(
+        (r.dst, r.anchor) for r in extract_links(df).collect()
+    )
+
+
+def test_resolution_subset(spark):
+    got = _edges(spark, "https://h.example.org/d/sub/page.html", _PAGE)
+    assert got == [
+        ("https://cdn.example.net/lib.js", "Proto"),
+        ("https://ext.example.com/x", "Ext"),
+        ("https://h.example.org/d/sub/sibling.html", "Rel"),
+        ("https://h.example.org/root/doc", "Root"),
+    ]
+
+
+def test_relative_from_root_page(spark):
+    # base path '/' → basedir '' → origin + '/' + href
+    got = _edges(spark, "http://h.org/", '<a href="a.html">A</a>')
+    assert got == [("http://h.org/a.html", "A")]
+    # base with no path at all resolves the same way
+    got = _edges(spark, "http://h.org", '<a href="a.html">A</a>')
+    assert got == [("http://h.org/a.html", "A")]
+
+
+def test_binary_html_and_passthrough_columns(spark):
+    df = spark.createDataFrame(
+        [("http://h.org/p", _PAGE.encode("utf-8"), 7)],
+        "url string, html binary, extra int",
+    )
+    rows = extract_links(df).collect()
+    assert len(rows) == 4
+    assert all(r.extra == 7 and r.src == "http://h.org/p" for r in rows)
+
+
+def test_link_graph_multiplicity(spark):
+    html = (
+        '<a href="/a">one</a><a href="/a">two</a><a href="/b">three</a>'
+    )
+    df = spark.createDataFrame(
+        [("http://h.org/p", html)], "url string, html string"
+    )
+    got = {
+        (r.src, r.dst): (r.n_anchors, r.first_anchor)
+        for r in link_graph(df).collect()
+    }
+    assert got == {
+        ("http://h.org/p", "http://h.org/a"): (2, "one"),
+        ("http://h.org/p", "http://h.org/b"): (1, "three"),
+    }
+
+
+def test_unmatched_shapes_ignored(spark):
+    # single-quoted href and anchors containing markup are out of the
+    # documented subset — ignored, not mangled
+    html = "<a href='/sq'>SQ</a><a href=\"/ok\"><b>bold</b></a>"
+    got = _edges(spark, "http://h.org/", html)
+    assert got == []
