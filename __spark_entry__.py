@@ -3698,6 +3698,112 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite crawl-frontier round (the operators in their real
+    order): cdx_delta against the prior crawl keeps only new/changed
+    captures → robots gate drops disallowed urls (h0 fully closed, h1
+    closes the /p/1 prefix) → fetch_waves schedules the survivors ≤2
+    per host per wave. One oracle replays the whole chain — EXISTS
+    delta, LIKE/argmax gate, row_number waves — so the stage
+    COMPOSITION is cross-engine-verified, not just each stage alone."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.robots import (
+        fetch_waves,
+        robots_filter,
+        robots_like_pattern,
+    )
+    from case_uco_ontology_map_spark.sources.warc import cdx_delta
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        (did % 5).cast("string"),
+        F.lit(".example.org/p/"),
+        did.cast("string"),
+    )
+    cur = d.select(
+        "doc_id",
+        url.alias("url"),
+        F.md5(F.concat(F.lit("c"), (did % 4).cast("string"))).alias(
+            "digest"
+        ),
+    )
+    prior = d.where(did % 3 != 0).select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("c"), (did % 2).cast("string"))).alias(
+            "digest"
+        ),
+    )
+    fetchable = cdx_delta(
+        cur, prior, key_col="url", digest_col="digest"
+    ).where(F.col("status") != "unchanged")
+    rules = [
+        ("h0.example.org", "/p/", False),
+        ("h1.example.org", "/p/1", False),
+    ]
+    rdf = spark.createDataFrame(
+        [(h, p, a, robots_like_pattern(p), len(p)) for h, p, a in rules],
+        "host string, pattern string, is_allow boolean, "
+        "like_pat string, rlen int",
+    )
+    allowed = robots_filter(fetchable, rdf)
+    return (
+        fetch_waves(allowed, per_wave=2)
+        .select("doc_id", "url", "status", "host", "wave")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_frontier_pipeline() -> str:
+    return """
+WITH cur AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 5) || '.example.org/p/' || doc_id AS url,
+         md5('c' || (doc_id % 4)) AS digest,
+         'h' || (doc_id % 5) || '.example.org' AS host,
+         '/p/' || doc_id AS pathq
+  FROM documents
+), prior AS (
+  SELECT 'https://h' || (doc_id % 5) || '.example.org/p/' || doc_id AS url,
+         md5('c' || (doc_id % 2)) AS digest
+  FROM documents WHERE doc_id % 3 <> 0
+), delta AS (
+  SELECT c.*,
+         CASE WHEN NOT EXISTS (
+                SELECT 1 FROM prior p WHERE p.url = c.url)
+              THEN 'new'
+              WHEN EXISTS (
+                SELECT 1 FROM prior p
+                WHERE p.url = c.url AND p.digest = c.digest)
+              THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM cur c
+), fetchable AS (
+  SELECT * FROM delta WHERE status <> 'unchanged'
+), rules(host, like_pat, rlen, is_allow) AS (VALUES
+  ('h0.example.org', '/p/%', 3, false),
+  ('h1.example.org', '/p/1%', 4, false)
+), gated AS (
+  SELECT f.*,
+         coalesce((
+           SELECT r.is_allow FROM rules r
+           WHERE r.host = f.host AND f.pathq LIKE r.like_pat ESCAPE '\\'
+           ORDER BY r.rlen DESC, r.is_allow DESC LIMIT 1
+         ), true) AS allowed
+  FROM fetchable f
+), waves AS (
+  SELECT doc_id, url, status, host,
+         CAST((row_number() OVER (
+           PARTITION BY host ORDER BY md5(url), url
+         ) - 1) // 2 AS BIGINT) AS wave
+  FROM gated WHERE allowed
+)
+SELECT doc_id, url, status, host, wave FROM waves ORDER BY doc_id
+"""
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperlink extraction (functions/links.py): pages synthesized with
     six anchor shapes — absolute, protocol-relative, root-relative,
@@ -4924,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "fetch_waves": q_fetch_waves,
         "link_graph": q_link_graph,
+        "frontier_pipeline": q_frontier_pipeline,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -5031,6 +5138,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": _oracle_crawl_delta(),
         "fetch_waves": _oracle_fetch_waves(),
         "link_graph": _oracle_link_graph(),
+        "frontier_pipeline": _oracle_frontier_pipeline(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),
