@@ -272,7 +272,7 @@ async function refresh(){
   for (const s of body.sessions){
     const tr = document.createElement('tr');
     const clean = (s.violations||[]).length === 0;
-    tr.innerHTML = `<td>${s.session_id}</td><td>${s.records}</td>
+    tr.innerHTML = `<td><a href="/graph?session=${s.session_id}">${s.session_id}</a></td><td>${s.records}</td>
       <td>${s.nodes}</td><td>${s.triples}</td>
       <td class="${clean?'clean':'dirty'}">${clean?'clean':'violations'}</td>
       <td>${s.validation_attempts||1}</td>
@@ -284,6 +284,174 @@ async function refresh(){
 }
 refresh(); setInterval(refresh, 5000);
 </script></body></html>"""
+
+
+def _local_name(iri: str) -> str:
+    """Display label: the segment after the last '/', '#' or ':'."""
+    parts = re.split(r"[/#:]", iri)
+    return parts[-1] or iri
+
+
+def graph_view_model(
+    graph_doc: Dict[str, Any],
+) -> Tuple[list, list]:
+    """JSON-LD ``@graph`` → (nodes, edges) for the graph view. A node
+    per ``@graph`` entry; an edge per ``{"@id": ...}`` object value
+    (including inside lists) — the same reference-vs-literal distinction
+    the triple emitter uses. Targets not in the document (external IRIs)
+    appear as label-only nodes so no edge dangles."""
+    nodes, edges, seen = [], [], set()
+    for entry in graph_doc.get("@graph", []):
+        nid = entry.get("@id")
+        if not isinstance(nid, str):
+            continue
+        types = entry.get("@type", [])
+        if isinstance(types, str):
+            types = [types]
+        n_lit = 0
+        for key in sorted(k for k in entry if not k.startswith("@")):
+            vals = entry[key]
+            if not isinstance(vals, list):
+                vals = [vals]
+            for item in vals:
+                if isinstance(item, dict) and set(item) == {"@id"}:
+                    edges.append(
+                        {"src": nid, "dst": item["@id"], "label": key}
+                    )
+                else:
+                    n_lit += 1
+        nodes.append(
+            {
+                "id": nid,
+                "label": _local_name(nid),
+                "types": types,
+                "n_literals": n_lit,
+            }
+        )
+        seen.add(nid)
+    for e in edges:
+        if e["dst"] not in seen:
+            seen.add(e["dst"])
+            nodes.append(
+                {
+                    "id": e["dst"],
+                    "label": _local_name(e["dst"]),
+                    "types": [],
+                    "n_literals": 0,
+                }
+            )
+    return nodes, edges
+
+
+_SVG_NODE_CAP = 300
+
+
+def graph_svg(nodes: list, edges: list, size: int = 720) -> str:
+    """Deterministic circular-layout SVG (no JS, no external libs):
+    nodes sorted by id on a circle, straight edges with the predicate's
+    local name as a hover <title>. Documents over _SVG_NODE_CAP nodes
+    render the first cap by sorted id with a visible truncation note —
+    the session graphs this serves are small; huge graphs belong in the
+    SPARQL endpoint, not a picture."""
+    import html as _h
+    import math
+
+    ordered = sorted(nodes, key=lambda n: n["id"])[:_SVG_NODE_CAP]
+    idx = {n["id"]: i for i, n in enumerate(ordered)}
+    n = max(len(ordered), 1)
+    c = size / 2.0
+    r = c - 80
+    pos = {
+        node["id"]: (
+            c + r * math.cos(2 * math.pi * i / n - math.pi / 2),
+            c + r * math.sin(2 * math.pi * i / n - math.pi / 2),
+        )
+        for i, node in enumerate(ordered)
+    }
+    out = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {size} '
+        f'{size}" width="{size}" height="{size}">'
+    ]
+    for e in edges:
+        if e["src"] not in idx or e["dst"] not in idx:
+            continue
+        x1, y1 = pos[e["src"]]
+        x2, y2 = pos[e["dst"]]
+        out.append(
+            f'<line x1="{x1:.1f}" y1="{y1:.1f}" x2="{x2:.1f}" '
+            f'y2="{y2:.1f}" stroke="#9aa7b5" stroke-width="1">'
+            f"<title>{_h.escape(_local_name(e['label']))}</title></line>"
+        )
+    for node in ordered:
+        x, y = pos[node["id"]]
+        facet = any("Facet" in t for t in node["types"])
+        fill = "#f2b84b" if facet else "#4b7bec"
+        label = _h.escape(node["label"][:28])
+        tip = _h.escape(
+            node["id"] + " a " + ", ".join(node["types"] or ["(external)"])
+        )
+        out.append(
+            f'<circle cx="{x:.1f}" cy="{y:.1f}" r="7" fill="{fill}">'
+            f"<title>{tip}</title></circle>"
+            f'<text x="{x:.1f}" y="{y - 11:.1f}" text-anchor="middle" '
+            f'font-size="9" fill="#333">{label}</text>'
+        )
+    if len(nodes) > _SVG_NODE_CAP:
+        out.append(
+            f'<text x="{c:.1f}" y="{size - 8}" text-anchor="middle" '
+            f'font-size="12" fill="#b00020">showing {_SVG_NODE_CAP} of '
+            f"{len(nodes)} nodes</text>"
+        )
+    out.append("</svg>")
+    return "".join(out)
+
+
+def render_graph_page(session_id: str, graph_doc: Dict[str, Any]) -> str:
+    """Server-rendered graph view for one session — the interactive
+    counterpart of the reference Streamlit result pane (app.py:362-381:
+    st.json of the final graph + download button), upgraded with an
+    actual node-edge rendering. Pure HTML+SVG, zero client JS deps."""
+    import html as _h
+
+    nodes, edges = graph_view_model(graph_doc)
+    rows = "".join(
+        "<tr><td><code>{i}</code></td><td>{t}</td><td>{e}</td>"
+        "<td>{l}</td></tr>".format(
+            i=_h.escape(n["id"]),
+            t=_h.escape(", ".join(_local_name(t) for t in n["types"])
+                        or "(external)"),
+            e=sum(1 for e in edges if e["src"] == n["id"]),
+            l=n["n_literals"],
+        )
+        for n in sorted(nodes, key=lambda n: n["id"])
+    )
+    doc_json = _h.escape(json.dumps(graph_doc, indent=2, sort_keys=True))
+    sid = _h.escape(session_id)
+    return f"""<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<title>graph — {sid}</title>
+<style>
+ body{{font-family:system-ui,sans-serif;margin:2rem;color:#222}}
+ table{{border-collapse:collapse}}
+ th,td{{border:1px solid #ccc;padding:.3rem .5rem;font-size:.85rem}}
+ th{{background:#f2f2f2}}
+ svg{{border:1px solid #ddd;background:#fff}}
+ details pre{{background:#f7f7f7;padding:1rem;overflow:auto}}
+</style></head><body>
+<h1>Knowledge graph — {sid}</h1>
+<p>{len(nodes)} nodes, {len(edges)} edges —
+<a href="/artifact?session={sid}&amp;name=graph.jsonld">download
+graph.jsonld</a> · <a href="/ui">all sessions</a></p>
+{graph_svg(nodes, edges)}
+<h2>Nodes</h2>
+<table><thead><tr><th>@id</th><th>@type</th><th>out-edges</th>
+<th>literals</th></tr></thead><tbody>{rows}</tbody></table>
+<details><summary>raw JSON-LD</summary><pre>{doc_json}</pre></details>
+</body></html>"""
+
+
+_SESSION_ID_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+_ARTIFACT_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
 
 def list_sessions(sessions_dir: str) -> Dict[str, Any]:
@@ -361,8 +529,64 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path.startswith("/graph?") or self.path.startswith(
+            "/artifact?"
+        ):
+            self._do_session_artifact()
         else:
             self._json(404, {"detail": "Not Found"})
+
+    def _do_session_artifact(self) -> None:
+        """GET /graph?session=<id> (server-rendered graph view) and
+        GET /artifact?session=<id>&name=<file> (raw session output).
+        Both ids are whitelist-validated (no separators, no dot-prefix)
+        and resolved strictly inside sessions_dir — the same traversal
+        posture as session-id minting."""
+        from urllib.parse import parse_qs, urlsplit
+
+        parts = urlsplit(self.path)
+        qs = parse_qs(parts.query)
+        sid = (qs.get("session") or [""])[0]
+        if not _SESSION_ID_RE.match(sid):
+            self._json(400, {"detail": "bad or missing session id"})
+            return
+        sdir = os.path.join(self.server.sessions_dir, sid)
+        if not os.path.isdir(sdir):
+            self._json(404, {"detail": "unknown session"})
+            return
+        if parts.path == "/graph":
+            try:
+                with open(os.path.join(sdir, "graph.jsonld")) as fh:
+                    graph_doc = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                self._json(404, {"detail": "session has no graph"})
+                return
+            body = render_graph_page(sid, graph_doc).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        name = (qs.get("name") or [""])[0]
+        path = os.path.join(sdir, name)
+        if not _ARTIFACT_RE.match(name) or not os.path.isfile(path):
+            self._json(404, {"detail": "unknown artifact"})
+            return
+        with open(path, "rb") as fh:
+            data = fh.read()
+        ctype = (
+            "application/ld+json"
+            if name.endswith(".jsonld")
+            else "application/json"
+            if name.endswith(".json")
+            else "text/plain; charset=utf-8"
+        )
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
 
     def do_POST(self) -> None:  # noqa: N802
         if self.path == "/sparql":

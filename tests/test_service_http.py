@@ -395,3 +395,113 @@ def test_sparql_endpoint(server, spark, tmp_path):
         server, "POST", "/sparql", body=json.dumps({"query": "ASK { ?s ?p ?o }"})
     )
     assert status == 422
+
+
+def test_graph_view_and_artifact_download(server, tmp_path):
+    """GET /graph renders the session's JSON-LD as an SVG node-edge view
+    (the reference app.py:362-381 shows st.json + download; this is the
+    same surface with an actual graph rendering); GET /artifact serves
+    raw session outputs, traversal-proof."""
+    payload = {
+        "user_identifier": "viewer",
+        "input_artifacts": {
+            "records": [{"url": "https://g.example.org", "n_chars": 3}]
+        },
+        "class_names": ["URL"],
+    }
+    _, raw = _request(
+        server, "POST", "/invoke-streaming", body=json.dumps(payload)
+    )
+    events = _sse_events(raw)
+    sid = events[0]["session_id"]
+    n_nodes = [e for e in events if e["type"] == "graph"][0]["data"]["nodes"]
+
+    status, data = _request(server, "GET", f"/graph?session={sid}")
+    assert status == 200
+    page = data.decode("utf-8")
+    assert "<svg" in page and "kb:" in page
+    # every @graph node appears as a circle; hasFacet edges as lines
+    assert page.count("<circle") == n_nodes
+    assert page.count("<line") >= 1 and "hasFacet" in page
+    assert f"/artifact?session={sid}&amp;name=graph.jsonld" in page
+
+    status, data = _request(
+        server, "GET", f"/artifact?session={sid}&name=graph.jsonld"
+    )
+    assert status == 200
+    doc = json.loads(data)
+    assert len(doc["@graph"]) == n_nodes
+
+    # hostile inputs: bad session id, unknown session, traversal name,
+    # directory artifact (triples.parquet is a dir — not servable)
+    for path in (
+        "/graph?session=../evil",
+        "/graph?session=nope_123",
+        f"/artifact?session={sid}&name=../../etc/passwd",
+        f"/artifact?session={sid}&name=.hidden",
+        f"/artifact?session={sid}&name=triples.parquet",
+        "/graph?session=",
+    ):
+        status, _ = _request(server, "GET", path)
+        assert status in (400, 404), path
+
+
+def test_graph_view_model_and_svg_shapes():
+    """Pure-function contract: reference values vs hand-built JSON-LD,
+    external targets materialized, node cap note."""
+    from case_uco_ontology_map_spark.service import (
+        graph_svg,
+        graph_view_model,
+        render_graph_page,
+    )
+
+    doc = {
+        "@graph": [
+            {
+                "@id": "kb:a",
+                "@type": ["uco-observable:URL"],
+                "uco-core:hasFacet": [{"@id": "kb:f1"}],
+                "uco-core:name": "A",
+            },
+            {
+                "@id": "kb:f1",
+                "@type": ["uco-observable:URLFacet"],
+                "uco-observable:fullValue": "https://x.test",
+            },
+            {
+                "@id": "kb:rel",
+                "@type": ["uco-core:Relationship"],
+                "uco-core:source": {"@id": "kb:a"},
+                "uco-core:target": {"@id": "kb:external"},
+            },
+        ]
+    }
+    nodes, edges = graph_view_model(doc)
+    assert {n["id"] for n in nodes} == {"kb:a", "kb:f1", "kb:rel", "kb:external"}
+    assert {(e["src"], e["dst"], e["label"]) for e in edges} == {
+        ("kb:a", "kb:f1", "uco-core:hasFacet"),
+        ("kb:rel", "kb:a", "uco-core:source"),
+        ("kb:rel", "kb:external", "uco-core:target"),
+    }
+    ext = [n for n in nodes if n["id"] == "kb:external"][0]
+    assert ext["types"] == [] and ext["n_literals"] == 0
+    a = [n for n in nodes if n["id"] == "kb:a"][0]
+    assert a["n_literals"] == 1  # uco-core:name, not the hasFacet ref
+
+    svg = graph_svg(nodes, edges)
+    assert svg.count("<circle") == 4 and svg.count("<line") == 3
+    # facet nodes get the facet color
+    assert "#f2b84b" in svg and "#4b7bec" in svg
+
+    # cap: 301 synthetic nodes → truncation note, no 301st circle
+    many = [
+        {"id": f"kb:n{i:04d}", "label": f"n{i}", "types": [],
+         "n_literals": 0}
+        for i in range(301)
+    ]
+    svg = graph_svg(many, [])
+    assert svg.count("<circle") == 300 and "showing 300 of 301" in svg
+
+    page = render_graph_page("s_1", doc)
+    assert page.startswith("<!doctype html>")
+    assert "4 nodes, 3 edges" in page
