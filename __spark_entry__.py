@@ -2731,6 +2731,92 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized serving path (operators/similarity): per-vector
+    int8 quantization (floor-based codes — bit-exact cross-engine, no
+    rounding-mode divergence) → approx top-20 on the DEQUANTIZED
+    reconstruction → exact rescore of just those candidates from the
+    full-precision table → top-5. Comparison surface
+    (query_id, vec_id, rank) — float-noise-robust, same policy as
+    embedding_topk (raw cosines covered rows-only elsewhere)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.similarity import (
+        quantize_embeddings,
+        sq8_topk,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return (
+        sq8_topk(
+            quantize_embeddings(emb),
+            queries,
+            k=5,
+            overfetch=4,
+            full_vectors=emb,
+        )
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_sq8_topk() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> x::DOUBLE) AS query_vec
+  FROM embeddings ORDER BY vec_id LIMIT 3
+), s AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         list_aggregate(list_transform(embedding, x -> x::DOUBLE),
+                        'min') AS qmin,
+         (list_aggregate(list_transform(embedding, x -> x::DOUBLE),
+                         'max')
+          - list_aggregate(list_transform(embedding, x -> x::DOUBLE),
+                           'min')) / 255.0 AS scale
+  FROM embeddings
+), qt AS (
+  SELECT vec_id, qmin, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+           ELSE least(floor((x - qmin) / scale), 255) END::INT) AS codes
+  FROM s
+), approx AS (
+  SELECT q.query_id, t.vec_id,
+         round(list_cosine_similarity(
+           list_transform(t.codes, c -> t.qmin + c::DOUBLE * t.scale),
+           q.query_vec), 6) AS a
+  FROM qt t CROSS JOIN q
+), cands AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY a DESC, vec_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= 20
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT c.query_id, c.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY round(list_cosine_similarity(
+             list_transform(e.embedding, x -> x::DOUBLE),
+             q.query_vec), 6) DESC, c.vec_id ASC
+         ) AS rank
+  FROM cands c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def _oracle_embedding_topk() -> str:
     return """
 WITH q AS (
@@ -5005,6 +5091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         # similarity
         "embedding_topk": q_embedding_topk,
+        "sq8_topk": q_sq8_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # reference relational micro-ops
@@ -5114,6 +5201,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_metrics": _oracle_cluster_metrics(),
         "simhash_pairs": _oracle_simhash_pairs(),
         "embedding_topk": _oracle_embedding_topk(),
+        "sq8_topk": _oracle_sq8_topk(),
         "ivf_topk": _oracle_ivf_topk(),
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "j1_fingerprint_reuse": _oracle_j1(),

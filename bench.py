@@ -556,6 +556,7 @@ def bench_queries(spark, sf_dir: str):
     # which inverts the comparison the stage exists to show.
     emb_stage = stage_dir.rstrip("/") + "-emb"
     ivf_path = stage_dir.rstrip("/") + "-ivf"
+    sq8_path = stage_dir.rstrip("/") + "-sq8"
     ann_state = {}
 
     def _ann_stage():
@@ -652,6 +653,36 @@ def bench_queries(spark, sf_dir: str):
         return ivf_topk_from_index(
             spark, ivf_path, ann_state["queries"], ann_state["centroids"],
             k=5, nprobe=8,
+        ).count()
+
+    def q_ann_sq8_topk():
+        """SQ8 quantized serving path: the 1-byte/dim codes table is
+        staged once (untimed — it's the serving tier a nightly job
+        materializes), then the timed query is approx top-20 over the
+        codes plus an exact rescore that PROBES only those k×overfetch
+        candidates in the full-float table. Same query batch as
+        brute/IVF, so the three serving strategies are comparable."""
+        from case_uco_ontology_map_spark.operators.similarity import (
+            quantize_embeddings,
+            sq8_topk,
+        )
+
+        _ann_stage()
+        if "sq8" not in ann_state:
+            (
+                quantize_embeddings(ann_state["emb"])
+                .select("vec_id", "q_min", "q_scale", "codes")
+                .write.mode("overwrite")
+                .parquet(sq8_path)
+            )
+            ann_state["sq8"] = spark.read.parquet(sq8_path)
+        return sq8_topk(
+            ann_state["sq8"],
+            ann_state["queries"],
+            k=5,
+            overfetch=4,
+            full_vectors=ann_state["emb"],
+            impl="arrow",
         ).count()
 
     def post_metrics():
@@ -776,6 +807,73 @@ def bench_queries(spark, sf_dir: str):
                 if files_per_query
                 else None,
             )
+        if "sq8" in ann_state:
+            # untimed: SQ8 end-to-end recall vs the exact oracle (1.0
+            # expected — rescoring only misses when a true neighbor
+            # falls outside the k×overfetch approx candidates)
+            from case_uco_ontology_map_spark.operators.similarity import (
+                brute_force_topk,
+                quantize_embeddings,
+                sq8_topk,
+            )
+
+            brute_q = brute_force_topk(
+                ann_state["emb"], ann_state["queries"], k=5
+            )
+            sq = sq8_topk(
+                ann_state["sq8"],
+                ann_state["queries"],
+                k=5,
+                overfetch=4,
+                full_vectors=ann_state["emb"],
+                impl="arrow",
+            )
+            d = brute_q.count()
+            extras["sq8_recall_at5"] = (
+                round(
+                    sq.join(
+                        brute_q, ["query_id", "vec_id"], "left_semi"
+                    ).count()
+                    / d,
+                    4,
+                )
+                if d
+                else None
+            )
+            # control: the same measurement on the UNAMPLIFIED base
+            # embeddings — the amplified corpus is adversarial for SQ8
+            # by construction (copies separated by ~1e-3 of the value
+            # range vs a 1/255 ≈ 4e-3 quantization step, so the approx
+            # stage cannot order near-identical vectors); the base
+            # corpus has real neighbor separation
+            emb_base = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+            q_base = emb_base.orderBy("vec_id").limit(8).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            brute_b = brute_force_topk(emb_base, q_base, k=5)
+            sq_b = sq8_topk(
+                quantize_embeddings(emb_base),
+                q_base,
+                k=5,
+                overfetch=4,
+                full_vectors=emb_base,
+                impl="arrow",
+            )
+            db = brute_b.count()
+            extras["sq8_recall_at5_base"] = (
+                round(
+                    sq_b.join(
+                        brute_b, ["query_id", "vec_id"], "left_semi"
+                    ).count()
+                    / db,
+                    4,
+                )
+                if db
+                else None
+            )
         return extras
 
     def q_materialize():
@@ -885,6 +983,7 @@ def bench_queries(spark, sf_dir: str):
         "ann_index_build": q_ann_index_build,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "warc_ingest": q_warc_ingest,
         "materialize": q_materialize,
     }, post_metrics
@@ -938,14 +1037,14 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
         spark.stop()
         if stage_dir:
             suffixes = (
-                "", "-triples-out", "-emb", "-ivf",
+                "", "-triples-out", "-emb", "-ivf", "-sq8",
                 "-canon-prior", "-canon-delta",
                 "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
                 "-warc",
             )
             if os.environ.get("SPARK_GRAFT_SHARED_STAGE"):
                 suffixes = (  # keep the corpus
-                    "-triples-out", "-emb", "-ivf",
+                    "-triples-out", "-emb", "-ivf", "-sq8",
                     "-canon-prior", "-canon-delta",
                     "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
                     "-warc",

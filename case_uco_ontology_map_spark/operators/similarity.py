@@ -369,6 +369,214 @@ def ivf_topk_from_index(
     return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (SQ8): store 1 byte per
+    dimension plus a per-vector ``(q_min, q_scale)`` pair instead of 4-8
+    bytes per dimension — the standard 4-8× scan-I/O cut for an ANN
+    serving tier (faiss ``SQ8``, Lucene scalar quantization).
+
+    ``code = floor((x - min) / scale)`` clamped to [0, 255], where
+    ``scale = (max - min) / 255`` over THIS vector's values (constant
+    vectors get scale 0 and all-zero codes). ``floor`` — not ``round``
+    — deliberately: both engines evaluate the identical double
+    expression, so the contract oracle replays codes bit-exactly with
+    no rounding-mode divergence. Pure JVM, zero shuffle."""
+    v = F.col(vec_col)
+    qmin = F.array_min(v).cast("double")
+    scale = (F.array_max(v).cast("double") - qmin) / F.lit(255.0)
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((x.cast("double") - qmin) / scale), F.lit(255)
+            )
+        )
+        .cast("int"),
+    )
+    return (
+        df.withColumn("q_min", qmin)
+        .withColumn("q_scale", scale)
+        .withColumn(codes_col, codes)
+    )
+
+
+def dequantize_expr(
+    codes: Column, q_min: Column, q_scale: Column
+) -> Column:
+    """Reconstructed double vector: ``min + code * scale`` per dim."""
+    return F.transform(
+        codes, lambda c: q_min + c.cast("double") * q_scale
+    )
+
+
+def _sq8_approx_arrow(
+    quantized: DataFrame,
+    queries: DataFrame,
+    keep: int,
+    id_col: str,
+    codes_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Arrow/numpy twin of the stage-1 approx scorer — the same
+    interpreted-higher-order-function wall assign_cells hit (VERDICT r4:
+    ~1 ms/row at d=64, found by measurement): the expr fold costs MORE
+    than the brute float cosine it is supposed to beat, so the codes
+    path only wins with a vectorized kernel. Per Arrow batch: one
+    codes×queries matmul plus the closed-form dequantized norm
+    ``sqrt(d·m² + 2·m·s·Σc + s²·Σc²)`` — no per-row reconstruction. A
+    per-batch top-``keep`` prune bounds the emitted rows to
+    batches × queries × keep before the global rank."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qid_type = queries.schema[query_id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(query_id_col, qid_type, False),
+            StructField(
+                id_col, quantized.schema[id_col].dataType, False
+            ),
+            StructField("approx", DoubleType(), False),
+        ]
+    )
+    narrow = quantized.select(id_col, "q_min", "q_scale", codes_col)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.array([[float(x) for x in r[1]] for r in q_rows])
+        qsum = Q.sum(axis=1)
+        qnorm = np.sqrt((Q * Q).sum(axis=1))
+        d = Q.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(
+                [np.asarray(c, dtype=np.float64) for c in pdf[codes_col]]
+            )
+            m = pdf["q_min"].to_numpy(dtype=np.float64)
+            s = pdf["q_scale"].to_numpy(dtype=np.float64)
+            dots = m[:, None] * qsum[None, :] + s[:, None] * (C @ Q.T)
+            csum = C.sum(axis=1)
+            c2 = (C * C).sum(axis=1)
+            xnorm = np.sqrt(d * m * m + 2.0 * m * s * csum + s * s * c2)
+            denom = xnorm[:, None] * qnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dots / denom)
+            cos = np.round(cos, 6)
+            ids = pdf[id_col].to_numpy()
+            keep_n = min(keep, len(ids))
+            out = []
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                top = np.argpartition(-col, keep_n - 1)[:keep_n]
+                for i in top:
+                    out.append((qid, ids[i], float(col[i])))
+            yield pd.DataFrame(
+                out, columns=[query_id_col, id_col, "approx"]
+            )
+
+    return narrow.mapInPandas(score, out_schema)
+
+
+def sq8_topk(
+    quantized: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    overfetch: int = 4,
+    full_vectors: Optional[DataFrame] = None,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    impl: str = "expr",
+) -> DataFrame:
+    """Quantized-first top-k with exact rescoring: stage 1 ranks by
+    cosine against the DEQUANTIZED vectors (reads only codes — the
+    serving tier never scans full floats) and keeps ``k * overfetch``
+    candidates per query; stage 2 (when ``full_vectors`` is given)
+    joins just those candidates back to the full-precision vectors and
+    re-ranks exactly. At 100 TB the stage-2 join touches k·overfetch
+    rows per query — the full-float table is probed, never scanned.
+
+    ``impl``: ``'expr'`` is the ANSI-replayable reference kernel the
+    contract oracle pins; ``'arrow'`` is the production stage-1 scorer
+    (see _sq8_approx_arrow — the expr fold is interpreted and loses to
+    brute float cosine, the same wall assign_cells hit). Agreement is
+    pytest-pinned; both rank by round(cosine, 6) with id tie-break."""
+    if impl == "arrow":
+        approx = _sq8_approx_arrow(
+            quantized,
+            queries,
+            k * overfetch,
+            id_col,
+            codes_col,
+            query_id_col,
+            query_vec_col,
+        )
+    elif impl == "expr":
+        xhat = dequantize_expr(
+            F.col(codes_col), F.col("q_min"), F.col("q_scale")
+        )
+        joined = quantized.crossJoin(F.broadcast(queries))
+        approx = joined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                _cosine(xhat, F.col(query_vec_col)), 6
+            ).alias("approx"),
+        )
+    else:
+        raise ValueError(f"unknown sq8 impl {impl!r}")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx"), F.asc(id_col)
+    )
+    cands = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * overfetch)
+        .drop("rank")
+    )
+    if full_vectors is None:
+        w2 = Window.partitionBy(query_id_col).orderBy(
+            F.desc("approx"), F.asc(id_col)
+        )
+        return (
+            cands.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "rank")
+        )
+    exact = (
+        cands.join(
+            full_vectors.select(id_col, vec_col), on=id_col
+        )
+        .join(F.broadcast(queries), on=query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _cosine(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    w3 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def pool_embeddings(
     df: DataFrame,
     key_cols: "List[str] | tuple",

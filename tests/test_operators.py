@@ -1089,3 +1089,120 @@ class TestReadJsonldNodes:
         assert ("kb:x", "uco-core:tag", "b", False, None) in got
         assert ("kb:x", "uco-core:ref", "kb:y", True, None) in got
         assert ("kb:x", "rdf:type", "uco-observable:URL", True, None) in got
+
+
+def test_sq8_quantize_properties(spark):
+    """SQ8 invariants: codes in [0,255], min→0 and max→255,
+    reconstruction error < one quantization step, constant vectors get
+    scale 0 and all-zero codes."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.5, 4.0, -3.0]),
+            (1, [0.5, 0.5, 0.5, 0.5]),  # constant → scale 0
+            (2, [-1.0, 1.0, 0.0, 0.25]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[1].q_scale == 0.0 and rows[1].codes == [0, 0, 0, 0]
+    for vid in (0, 2):
+        r = rows[vid]
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert min(r.codes) == 0 and max(r.codes) == 255
+        step = r.q_scale
+        recon = [r.q_min + c * step for c in r.codes]
+        orig = [1.0, 2.5, 4.0, -3.0] if vid == 0 else [-1.0, 1.0, 0.0, 0.25]
+        assert all(abs(a - b) <= step + 1e-12 for a, b in zip(recon, orig))
+    # dequantize_expr matches the python reconstruction
+    back = q.select(
+        "vec_id",
+        dequantize_expr(F.col("codes"), F.col("q_min"), F.col("q_scale")).alias("xhat"),
+    ).collect()
+    got = {r.vec_id: r.xhat for r in back}
+    r0 = rows[0]
+    assert got[0] == [r0.q_min + c * r0.q_scale for c in r0.codes]
+
+
+def test_sq8_topk_rescoring_matches_brute_force(spark):
+    """Quantize → approx top-20 → exact rescore top-5 must agree with
+    the full-precision brute force on a deterministic corpus (the SQ8
+    error is far below the neighbor separation here)."""
+    import math
+
+    from case_uco_ontology_map_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        sq8_topk,
+    )
+
+    def vec(i):
+        return [
+            math.sin(0.1 * i * (d + 1)) + 0.01 * ((i * 7 + d) % 5)
+            for d in range(8)
+        ]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(2)
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    quantized = quantize_embeddings(emb)
+    rescored = sq8_topk(
+        quantized, queries, k=5, overfetch=4, full_vectors=emb
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.vec_id, r.rank) for r in rows)
+    assert key(rescored) == key(exact)
+    # and the rescored cosines ARE the exact cosines (stage 2 reads the
+    # full-precision vectors, not the reconstruction)
+    e = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    assert all(e[(r.query_id, r.vec_id)] == r.cosine for r in rescored)
+
+
+def test_sq8_arrow_kernel_matches_expr(spark):
+    """impl='arrow' (production scorer) and impl='expr' (oracle kernel)
+    must produce the identical rescored top-k — same agreement contract
+    as assign_cells' two kernels."""
+    import math
+
+    from case_uco_ontology_map_spark.operators.similarity import (
+        quantize_embeddings,
+        sq8_topk,
+    )
+
+    def vec(i):
+        return [
+            math.cos(0.37 * i + 0.9 * d) + 0.02 * ((i * 3 + d) % 7)
+            for d in range(16)
+        ]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    q = quantize_embeddings(emb)
+    key = lambda rows: sorted(
+        (r.query_id, r.vec_id, r.rank, r.cosine) for r in rows
+    )
+    expr = sq8_topk(q, queries, k=5, overfetch=4, full_vectors=emb)
+    arrow = sq8_topk(
+        q, queries, k=5, overfetch=4, full_vectors=emb, impl="arrow"
+    )
+    assert key(arrow.collect()) == key(expr.collect())
