@@ -1145,7 +1145,7 @@ TIER2_STAGES = (
     "quality_score", "canonicalize", "canonicalize_wide", "materialize",
     "canonicalize_incr", "graph_closure", "graph_pagerank",
     "ann_index_build", "ann_brute_topk", "ann_ivf_topk",
-    "warc_ingest",
+    "ann_sq8_topk", "warc_ingest",
 )
 
 
