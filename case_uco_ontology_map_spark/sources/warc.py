@@ -431,6 +431,8 @@ def read_warc_stream(
 
 def _parse_files_factory(strict: bool):
     def parse(batches) -> Iterator["object"]:
+        import io
+
         import pandas as pd
 
         cols = [f.name for f in _WARC_SCHEMA.fields]
@@ -438,7 +440,15 @@ def _parse_files_factory(strict: bool):
             for src, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if data[:2] == _GZIP_MAGIC:
-                    data = gzip.decompress(data)
+                    # GzipFile, NOT gzip.decompress: decompress() handles
+                    # concatenated members by re-slicing unused_data per
+                    # member — O(members × bytes), QUADRATIC in members
+                    # per file (found by the tier-2 slope measurement:
+                    # 3.86 at 10k members/file; a real Common Crawl file
+                    # has ~50k). GzipFile streams the member loop over a
+                    # BytesIO cursor — linear.
+                    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                        data = gz.read()
                 rows: List[Tuple] = list(
                     _parse_warc_bytes(data, src, strict)
                 )
@@ -476,6 +486,66 @@ def split_http_payload(payload: bytes) -> Tuple[Optional[int], Optional[str], by
         if sep and k.strip().lower() == b"content-type":
             ctype = v.strip().decode("ascii", "replace")
     return status, ctype, payload[head_end + 4:]
+
+
+def read_warc_documents(
+    spark: SparkSession,
+    path: str,
+    strict: bool = True,
+    chunk_records: int = 2048,
+) -> DataFrame:
+    """Fused crawl→documents scan: parse + response filter + HTTP strip
+    + text decode in ONE Python crossing, yielding bounded chunks.
+
+    ``read_warc(...)`` then ``warc_to_documents(...)`` ships every
+    payload through Arrow twice (Python→JVM→Python) — measured as the
+    dominant cost of the ingest stage at the 640k-doc tier (the parse
+    kernel itself is flat ~24 µs/record): the tier-2 slope read 1.81
+    with the two-crossing plan and the working set doubled through the
+    JVM as binary rows. This fused reader never materializes payload
+    bytes outside the task, transfers only the final text columns, and
+    yields every ``chunk_records`` records so peak memory is bounded by
+    chunk size, not archive size. Use ``read_warc`` when you need
+    record-level access (CDX, non-response records); use THIS for
+    crawl→KG ingestion."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    doc_cols = [f.name for f in _DOC_SCHEMA.fields]
+
+    def parse(batches) -> Iterator["object"]:
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == _GZIP_MAGIC:
+                    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                        data = gz.read()
+                out = []
+                for rec in _parse_warc_bytes(data, src, strict):
+                    warc_type, url, date, payload = (
+                        rec[2], rec[4], rec[5], rec[8]
+                    )
+                    if warc_type != "response" or url is None:
+                        continue
+                    status, ctype, body = split_http_payload(payload)
+                    out.append((
+                        url,
+                        date,
+                        status,
+                        ctype,
+                        body.decode("utf-8", errors="replace"),
+                    ))
+                    if len(out) >= chunk_records:
+                        yield pd.DataFrame(out, columns=doc_cols)
+                        out = []
+                if out:
+                    yield pd.DataFrame(out, columns=doc_cols)
+
+    return files.mapInPandas(parse, _DOC_SCHEMA)
 
 
 def warc_to_documents(warc_df: DataFrame) -> DataFrame:

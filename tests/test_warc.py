@@ -335,3 +335,32 @@ def test_cdx_delta_statuses(spark):
         ("B", "d3"): "unchanged",
         ("C", "d4"): "new",  # urlkey never crawled
     }
+
+
+def test_read_warc_documents_fused_equals_two_stage(spark, tmp_path):
+    """The fused single-crossing reader must equal
+    warc_to_documents(read_warc(...)) row-for-row — including the chunk
+    boundary path (chunk_records=2)."""
+    from case_uco_ontology_map_spark.sources.warc import (
+        read_warc_documents,
+    )
+
+    recs, _ = _archive_bytes()
+    # two files, one gzipped per-member, one plain
+    (tmp_path / "a.warc").write_bytes(b"".join(recs))
+    (tmp_path / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r, mtime=0) for r in recs)
+    )
+    two_stage = warc_to_documents(
+        read_warc(spark, str(tmp_path / "*.warc*"))
+    )
+    fused = read_warc_documents(
+        spark, str(tmp_path / "*.warc*"), chunk_records=2
+    )
+    key = lambda df: sorted(
+        (r.url, r.fetched_at, r.status, r.content_type, r.html)
+        for r in df.collect()
+    )
+    rows = key(fused)
+    assert rows == key(two_stage)
+    assert len(rows) == 4  # 2 responses per file; others filtered
