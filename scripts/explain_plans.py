@@ -637,6 +637,28 @@ def main():
         "link extraction must not cross into Python"
     )
 
+    # r5 session 2: fused WARC→documents reader — the tier-2 slope fix
+    # (3.86 → 1.11) rests on ONE Python crossing and zero payload bytes
+    # JVM-side; assert the plan is scan → single MapInPandas, no shuffle
+    import tempfile as _tf
+
+    from case_uco_ontology_map_spark.sources.warc import (
+        documents_to_warc,
+        read_warc_documents,
+        write_warc,
+    )
+
+    _warc_dir = _tf.mkdtemp(prefix="plans-warc-")
+    write_warc(documents_to_warc(warc_docs.limit(4)).coalesce(1), _warc_dir)
+    fused = read_warc_documents(spark, os.path.join(_warc_dir, "*.warc.gz"))
+    fused_plan = plan_of(fused)
+    assert "Exchange" not in fused_plan, (
+        "fused WARC reader must not shuffle"
+    )
+    assert len(re.findall(r"\(\d+\) MapInPandas", fused_plan)) == 1, (
+        "fused WARC reader must cross into Python exactly once"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -671,6 +693,7 @@ def main():
             "warc export index (documents_to_warc + cdx_index: zero-shuffle pure-JVM)": cdx,
             "robots gate (broadcast rule arrays + in-row LIKE/argmax fold)": rob,
             "extract_links (one-regex anchor scan + CASE resolution, zero-shuffle JVM)": lnk,
+            "read_warc_documents (fused crawl scan: exactly one Python crossing)": fused,
         }
     )
     lines = [
