@@ -3784,6 +3784,91 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap frontier seeding (functions/links.sitemap_entries):
+    every third doc plays a sitemapindex (child sitemaps, one without
+    lastmod), the rest urlsets with 2 url entries (the second lastmod-
+    less and whitespace-padded). Block-first extraction keeps optional
+    lastmod aligned; DuckDB replays the identical (?s) regexes."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.links import sitemap_entries
+
+    did = F.col("doc_id")
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>http://h"),
+        (did % 5).cast("string"),
+        F.lit(".org/p"),
+        did.cast("string"),
+        F.lit("</loc><lastmod>2026-01-0"),
+        (did % 9 + 1).cast("string"),
+        F.lit("</lastmod></url><url><loc>\n http://h"),
+        (did % 5).cast("string"),
+        F.lit(".org/q"),
+        did.cast("string"),
+        F.lit("\n</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>http://h"),
+        (did % 5).cast("string"),
+        F.lit(".org/sub"),
+        did.cast("string"),
+        F.lit(".xml</loc><lastmod>2026-02-01</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>http://h"),
+        (did % 5).cast("string"),
+        F.lit(".org/extra"),
+        did.cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    maps = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(did % 3 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return (
+        sitemap_entries(maps)
+        .select("doc_id", "kind", "loc", "lastmod")
+        .orderBy("doc_id", "loc")
+    )
+
+
+def _oracle_sitemap_frontier() -> str:
+    return r"""
+WITH maps AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+           THEN '<sitemapindex><sitemap><loc>http://h' || (doc_id % 5)
+             || '.org/sub' || doc_id
+             || '.xml</loc><lastmod>2026-02-01</lastmod></sitemap>'
+             || '<sitemap><loc>http://h' || (doc_id % 5) || '.org/extra'
+             || doc_id || '.xml</loc></sitemap></sitemapindex>'
+           ELSE '<urlset><url><loc>http://h' || (doc_id % 5) || '.org/p'
+             || doc_id || '</loc><lastmod>2026-01-0' || (doc_id % 9 + 1)
+             || '</lastmod></url><url><loc>' || chr(10) || ' http://h'
+             || (doc_id % 5) || '.org/q' || doc_id || chr(10)
+             || '</loc></url></urlset>'
+         END AS xml
+  FROM documents
+), blocks AS (
+  SELECT doc_id,
+         CASE WHEN xml LIKE '%<sitemapindex%' THEN 'sitemap'
+              ELSE 'url' END AS kind,
+         unnest(CASE WHEN xml LIKE '%<sitemapindex%'
+           THEN regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)
+           ELSE regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)
+         END) AS entry
+  FROM maps
+), fields AS (
+  SELECT doc_id, kind,
+         trim(regexp_extract(entry, '<loc>\s*([^<\s]*)', 1)) AS loc,
+         trim(regexp_extract(entry, '<lastmod>\s*([^<\s]*)', 1)) AS lm
+  FROM blocks
+)
+SELECT doc_id, kind, loc,
+       CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod
+FROM fields WHERE loc <> '' ORDER BY doc_id, loc
+"""
+
+
 def q_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite crawl-frontier round (the operators in their real
     order): cdx_delta against the prior crawl keeps only new/changed
@@ -5118,6 +5203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_waves": q_fetch_waves,
         "link_graph": q_link_graph,
         "frontier_pipeline": q_frontier_pipeline,
+        "sitemap_frontier": q_sitemap_frontier,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -5227,6 +5313,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_waves": _oracle_fetch_waves(),
         "link_graph": _oracle_link_graph(),
         "frontier_pipeline": _oracle_frontier_pipeline(),
+        "sitemap_frontier": _oracle_sitemap_frontier(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -81,6 +81,54 @@ def extract_links(
     )
 
 
+SITEMAP_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+SITEMAP_IDX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+# capture runs to the next whitespace or '<' — urls/dates contain
+# neither, and Spark's trim() only strips 0x20, not newlines
+_LOC_RE = r"<loc>\s*([^<\s]*)"
+_LASTMOD_RE = r"<lastmod>\s*([^<\s]*)"
+
+
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Sitemap parsing — the frontier's other seed source besides the
+    link graph (sitemaps.org protocol): one row per ``<url>`` entry of
+    a urlset, or per ``<sitemap>`` entry of a sitemapindex (``kind``
+    says which — index entries are child sitemaps to fetch and recurse,
+    url entries go straight to the frontier). ``lastmod`` is NULL when
+    the entry omits it — entry blocks are extracted FIRST and fields
+    read per block, so optional fields never misalign (a naive
+    two-regex zip breaks on the first entry without lastmod).
+
+    Pure JVM: block split + field reads are regexps ((?s) inline flag —
+    RE2 ∩ java.util.regex), replayable verbatim in the
+    ``sitemap_frontier`` contract oracle. Same documented-subset
+    philosophy as extract_links: spec-shaped XML, no entity decoding,
+    no CDATA."""
+    x = F.col(xml_col)
+    is_index = x.contains("<sitemapindex")
+    blocks = F.when(
+        is_index, F.regexp_extract_all(x, F.lit(SITEMAP_IDX_BLOCK_RE), 1)
+    ).otherwise(
+        F.regexp_extract_all(x, F.lit(SITEMAP_URL_BLOCK_RE), 1)
+    )
+    exploded = df.withColumn(
+        "kind", F.when(is_index, F.lit("sitemap")).otherwise(F.lit("url"))
+    ).withColumn("_entry", F.explode(blocks))
+    loc = F.trim(F.regexp_extract(F.col("_entry"), _LOC_RE, 1))
+    lastmod = F.trim(F.regexp_extract(F.col("_entry"), _LASTMOD_RE, 1))
+    return (
+        exploded.withColumn("loc", loc)
+        .withColumn(
+            "lastmod", F.when(lastmod == "", F.lit(None)).otherwise(lastmod)
+        )
+        .where(F.col("loc") != "")
+        .drop("_entry", xml_col)
+    )
+
+
 def link_graph(
     df: DataFrame,
     url_col: str = "url",

@@ -80,3 +80,36 @@ def test_unmatched_shapes_ignored(spark):
     html = "<a href='/sq'>SQ</a><a href=\"/ok\"><b>bold</b></a>"
     got = _edges(spark, "http://h.org/", html)
     assert got == []
+
+
+def test_sitemap_entries(spark):
+    from case_uco_ontology_map_spark.functions.links import sitemap_entries
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://e.org/a</loc>"
+        "<lastmod>2026-01-05</lastmod></url>"
+        "<url><loc>\n  http://e.org/b\n</loc></url>"  # no lastmod
+        "<url><lastmod>2026-01-06</lastmod></url>"  # no loc → dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://e.org/s1.xml</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap>"
+        "<sitemap><loc>http://e.org/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("u", urlset), ("i", index)], "src string, xml string"
+    )
+    got = sorted(
+        (r.src, r.kind, r.loc, r.lastmod)
+        for r in sitemap_entries(df).collect()
+    )
+    assert got == [
+        ("i", "sitemap", "http://e.org/s1.xml", "2026-02-01"),
+        ("i", "sitemap", "http://e.org/s2.xml", None),
+        ("u", "url", "http://e.org/a", "2026-01-05"),
+        ("u", "url", "http://e.org/b", None),
+    ]
