@@ -3784,6 +3784,123 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (functions/links.anchor_text_index): links
+    synthesized over 7 targets × 3 anchor variants (plus an
+    empty-anchor family that must never be indexed); top-2 anchors per
+    target by (count DESC, anchor ASC). Map-side count pre-aggregation
+    + one window — DuckDB replays count + row_number verbatim."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.links import (
+        anchor_text_index,
+    )
+
+    did = F.col("doc_id")
+    links = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://s"), did.cast("string")).alias("src"),
+        F.concat(F.lit("http://t"), (did % 7).cast("string")).alias(
+            "dst"
+        ),
+        F.when(did % 5 == 4, F.lit("")).otherwise(
+            F.concat(F.lit("Anchor"), (did % 3).cast("string"))
+        ).alias("anchor"),
+    )
+    return (
+        anchor_text_index(links, top_k=2)
+        .orderBy("dst", "rank")
+    )
+
+
+def _oracle_anchor_index() -> str:
+    return """
+WITH links AS (
+  SELECT 'http://t' || (doc_id % 7) AS dst,
+         CASE WHEN doc_id % 5 = 4 THEN ''
+              ELSE 'Anchor' || (doc_id % 3) END AS anchor
+  FROM documents
+), counts AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n_links
+  FROM links WHERE anchor <> '' GROUP BY dst, anchor
+)
+SELECT dst, anchor, n_links, rank FROM (
+  SELECT dst, anchor, n_links,
+         ROW_NUMBER() OVER (
+           PARTITION BY dst ORDER BY n_links DESC, anchor ASC
+         ) AS rank
+  FROM counts
+) WHERE rank <= 2 ORDER BY dst, rank
+"""
+
+
+def q_crawl_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (sources/warc.resolve_redirects):
+    edges synthesized as length-3 chains (u-family), 2-cycles for every
+    %10 doc (c/d families), and a 9-hop chain over the bound (L
+    family, lowest 10 doc_ids); max_hops=4 exercises both the resolved
+    and the still-open-at-the-bound paths. The engine's max_hops-1
+    chained left joins replay as a DuckDB bounded recursive CTE —
+    equivalence is exact because the edge set is made functional
+    (min(dst) per src) on both sides first."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.sources.warc import resolve_redirects
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    chain = d.where(did % 4 != 3).select(
+        F.concat(F.lit("u"), did.cast("string")).alias("src"),
+        F.concat(F.lit("u"), (did + 1).cast("string")).alias("dst"),
+    )
+    cyc_a = d.where(did % 10 == 0).select(
+        F.concat(F.lit("c"), did.cast("string")).alias("src"),
+        F.concat(F.lit("d"), did.cast("string")).alias("dst"),
+    )
+    cyc_b = d.where(did % 10 == 0).select(
+        F.concat(F.lit("d"), did.cast("string")).alias("src"),
+        F.concat(F.lit("c"), did.cast("string")).alias("dst"),
+    )
+    long = d.where(did < 9).select(
+        F.concat(F.lit("L"), did.cast("string")).alias("src"),
+        F.concat(F.lit("L"), (did + 1).cast("string")).alias("dst"),
+    )
+    edges = chain.unionByName(cyc_a).unionByName(cyc_b).unionByName(long)
+    return resolve_redirects(edges, max_hops=4).orderBy("src")
+
+
+def _oracle_crawl_redirects() -> str:
+    return """
+WITH RECURSIVE raw AS (
+  SELECT 'u' || doc_id AS src, 'u' || (doc_id + 1) AS dst
+  FROM documents WHERE doc_id % 4 <> 3
+  UNION ALL
+  SELECT 'c' || doc_id, 'd' || doc_id FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'd' || doc_id, 'c' || doc_id FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'L' || doc_id, 'L' || (doc_id + 1)
+  FROM documents WHERE doc_id < 9
+), e AS (
+  SELECT src, min(dst) AS dst FROM raw GROUP BY src
+), walk AS (
+  SELECT src, dst AS cur, 1 AS hops FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON w.cur = e.src
+  WHERE w.hops < 4
+), last AS (
+  SELECT src, cur, hops FROM (
+    SELECT src, cur, hops,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+    FROM walk
+  ) WHERE rn = 1
+)
+SELECT l.src, l.cur AS final_dst, CAST(l.hops AS INT) AS hops,
+       NOT EXISTS (SELECT 1 FROM e WHERE e.src = l.cur) AS resolved
+FROM last l ORDER BY l.src
+"""
+
+
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap frontier seeding (functions/links.sitemap_entries):
     every third doc plays a sitemapindex (child sitemaps, one without
@@ -5204,6 +5321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "frontier_pipeline": q_frontier_pipeline,
         "sitemap_frontier": q_sitemap_frontier,
+        "anchor_index": q_anchor_index,
+        "crawl_redirects": q_crawl_redirects,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -5314,6 +5433,8 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _oracle_link_graph(),
         "frontier_pipeline": _oracle_frontier_pipeline(),
         "sitemap_frontier": _oracle_sitemap_frontier(),
+        "anchor_index": _oracle_anchor_index(),
+        "crawl_redirects": _oracle_crawl_redirects(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

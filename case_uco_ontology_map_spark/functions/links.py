@@ -81,6 +81,38 @@ def extract_links(
     )
 
 
+def anchor_text_index(
+    links: DataFrame,
+    top_k: int = 3,
+) -> DataFrame:
+    """Anchor-text index: for every link TARGET, the ``top_k`` most
+    common anchor strings pointing at it — the classic ranking/naming
+    signal (anchor text describes the target better than the target's
+    own page; search engines and KG labelers both consume this).
+
+    Input is ``extract_links`` output (``dst``, ``anchor``). Counts
+    pre-aggregate map-side on (dst, anchor) before any row moves, so a
+    hub target ships one row per DISTINCT anchor, not per link; the
+    top-k window then ranks those counts (count DESC, anchor ASC —
+    deterministic). Two key-compatible shuffles, no anchor list ever
+    materialized per target."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        links.where(F.col("anchor") != "")
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.desc("n_links"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("dst", "anchor", "n_links", "rank")
+    )
+
+
 SITEMAP_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
 SITEMAP_IDX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
 # capture runs to the next whitespace or '<' — urls/dates contain

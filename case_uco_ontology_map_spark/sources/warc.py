@@ -548,6 +548,111 @@ def read_warc_documents(
     return files.mapInPandas(parse, _DOC_SCHEMA)
 
 
+def redirect_edges(warc_df: DataFrame) -> DataFrame:
+    """3xx ``response`` records → ``(src, dst, status)`` redirect edges.
+    The Python crossing extracts only (status, raw Location) from the
+    HTTP head; the Location is resolved against the source url JVM-side
+    (functions/links.resolve_href — same subset rules as hyperlinks).
+    Redirect tables are tiny next to the crawl (a few % of captures),
+    so the crossing ships headers, never bodies."""
+    from case_uco_ontology_map_spark.functions.links import resolve_href
+
+    responses = warc_df.where(
+        (F.col("warc_type") == "response") & F.col("url").isNotNull()
+    ).select("url", "payload")
+
+    def heads(batches) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                data = bytes(payload)
+                if not data.startswith(b"HTTP/"):
+                    continue
+                head_end = data.find(b"\r\n\r\n")
+                head_lines = data[: head_end if head_end >= 0 else len(data)].split(b"\r\n")
+                try:
+                    status = int(head_lines[0].split()[1])
+                except (IndexError, ValueError):
+                    continue
+                if not 300 <= status <= 399:
+                    continue
+                loc = None
+                for line in head_lines[1:]:
+                    k, sep, v = line.partition(b":")
+                    if sep and k.strip().lower() == b"location":
+                        loc = v.strip().decode("utf-8", "replace")
+                if loc:
+                    out.append((url, status, loc))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["src", "status", "_loc"]
+                )
+
+    raw = responses.mapInPandas(
+        heads, "src string, status int, _loc string"
+    )
+    return (
+        raw.withColumn(
+            "dst", resolve_href(F.col("src"), F.col("_loc"))
+        )
+        .where(F.col("dst").isNotNull())
+        .select("src", "dst", "status")
+    )
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Final landing url per redirect source: follow ``dst`` while it is
+    itself a redirect source, bounded at ``max_hops``. Returns
+    ``(src, final_dst, hops, resolved)`` — ``resolved`` false means the
+    chain was still open at the bound (a cycle, or longer than
+    max_hops; real crawlers cap at 5-10 and give up the same way).
+
+    Plan shape: the edge set is first made FUNCTIONAL (one out-edge per
+    src, deterministic min(dst)), then ``max_hops - 1`` chained
+    left joins advance every chain in ONE lazy plan — no driver loop
+    actions, no fixed-point count checks; at 100 TB the redirect table
+    is a few % of captures and each join shuffles only that table.
+    DuckDB replays the identical bounded walk with a recursive CTE
+    (``crawl_redirects`` contract row)."""
+    e = edges.groupBy("src").agg(F.min("dst").alias("dst"))
+    cur = e.select(
+        "src",
+        F.col("dst").alias("cur"),
+        F.lit(1).cast("int").alias("hops"),
+    )
+    hop = e.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    )
+    for _ in range(max_hops - 1):
+        cur = (
+            cur.join(hop, cur["cur"] == hop["_s"], "left")
+            .select(
+                "src",
+                F.coalesce(F.col("_d"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("_d").isNotNull(), F.col("hops") + 1
+                )
+                .otherwise(F.col("hops"))
+                .cast("int")
+                .alias("hops"),
+            )
+        )
+    out = (
+        cur.join(
+            hop.select(F.col("_s")), cur["cur"] == F.col("_s"), "left"
+        )
+        .select(
+            "src",
+            F.col("cur").alias("final_dst"),
+            "hops",
+            F.col("_s").isNull().alias("resolved"),
+        )
+    )
+    return out
+
+
 def warc_to_documents(warc_df: DataFrame) -> DataFrame:
     """``response`` records → the ``(url, html)`` frame the extraction
     pipeline consumes: HTTP envelope stripped, body decoded UTF-8 with

@@ -113,3 +113,29 @@ def test_sitemap_entries(spark):
         ("u", "url", "http://e.org/a", "2026-01-05"),
         ("u", "url", "http://e.org/b", None),
     ]
+
+
+def test_anchor_text_index(spark):
+    from case_uco_ontology_map_spark.functions.links import (
+        anchor_text_index,
+    )
+
+    rows = (
+        [("s", "http://t/a", "Alpha")] * 3
+        + [("s", "http://t/a", "Beta")] * 3  # tie with Alpha → Alpha first
+        + [("s", "http://t/a", "Gamma")] * 1
+        + [("s", "http://t/a", "Delta")] * 2
+        + [("s", "http://t/b", "")]  # empty anchors never indexed
+        + [("s", "http://t/b", "Only")]
+    )
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = sorted(
+        (r.dst, r.rank, r.anchor, r.n_links)
+        for r in anchor_text_index(df, top_k=3).collect()
+    )
+    assert got == [
+        ("http://t/a", 1, "Alpha", 3),
+        ("http://t/a", 2, "Beta", 3),
+        ("http://t/a", 3, "Delta", 2),
+        ("http://t/b", 1, "Only", 1),
+    ]

@@ -364,3 +364,58 @@ def test_read_warc_documents_fused_equals_two_stage(spark, tmp_path):
     rows = key(fused)
     assert rows == key(two_stage)
     assert len(rows) == 4  # 2 responses per file; others filtered
+
+
+def test_redirect_edges_from_archive(spark, tmp_path):
+    from case_uco_ontology_map_spark.sources.warc import redirect_edges
+
+    redirect = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"Location: /new/home\r\n"
+        b"Content-Length: 0\r\n\r\n"
+    )
+    absolute = (
+        b"HTTP/1.1 302 Found\r\n"
+        b"Location: https://other.test/x\r\n\r\n"
+    )
+    ok = http_response_bytes(b"fine")
+    recs = [
+        warc_record_bytes("response", redirect, "r1",
+                          url="http://a.test/old"),
+        warc_record_bytes("response", absolute, "r2",
+                          url="http://a.test/two"),
+        warc_record_bytes("response", ok, "r3", url="http://a.test/ok"),
+    ]
+    p = tmp_path / "r.warc"
+    p.write_bytes(b"".join(recs))
+    got = sorted(
+        (r.src, r.dst, r.status)
+        for r in redirect_edges(read_warc(spark, str(p))).collect()
+    )
+    assert got == [
+        ("http://a.test/old", "http://a.test/new/home", 301),
+        ("http://a.test/two", "https://other.test/x", 302),
+    ]
+
+
+def test_resolve_redirects_chain_cycle_bound(spark):
+    from case_uco_ontology_map_spark.sources.warc import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),  # chain to terminal d
+            ("x", "y"), ("y", "x"),  # 2-cycle — never resolves
+            # 9-hop chain, over the max_hops=8 bound
+            *[(f"l{i}", f"l{i+1}") for i in range(9)],
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r.src: (r.final_dst, r.hops, r.resolved)
+        for r in resolve_redirects(edges, max_hops=8).collect()
+    }
+    assert got["a"] == ("d", 3, True)
+    assert got["b"] == ("d", 2, True)
+    assert got["x"][2] is False and got["x"][1] == 8  # cycle hits bound
+    assert got["l0"] == ("l8", 8, False)  # truncated at the bound
+    assert got["l1"] == ("l9", 8, True)  # 8 hops away IS reachable
