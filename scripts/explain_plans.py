@@ -659,6 +659,42 @@ def main():
         "fused WARC reader must cross into Python exactly once"
     )
 
+    # r5 session 2: redirect resolution — max_hops-1 chained joins in
+    # one lazy plan; no cartesian, no Python, no driver fixed point
+    from case_uco_ontology_map_spark.sources.warc import resolve_redirects
+
+    red_edges = docs.selectExpr(
+        "concat('u', doc_id) AS src", "concat('u', doc_id + 1) AS dst"
+    ).where(F.col("src") != F.lit("u3"))
+    red = resolve_redirects(red_edges, max_hops=4)
+    red_plan = plan_of(red)
+    assert "CartesianProduct" not in red_plan, (
+        "redirect resolution must stay equi-join"
+    )
+    assert not re.findall(_no_python, red_plan), (
+        "redirect resolution must stay JVM-side"
+    )
+
+    # r5 session 2: anchor index — map-side count partials before the
+    # (dst, anchor) shuffle; hub targets never ship raw link rows
+    from case_uco_ontology_map_spark.functions.links import (
+        anchor_text_index,
+    )
+
+    anc = anchor_text_index(
+        docs.selectExpr(
+            "concat('s', doc_id) AS src",
+            "concat('t', doc_id % 7) AS dst",
+            "concat('A', doc_id % 3) AS anchor",
+        )
+    )
+    anc_plan = plan_of(anc)
+    assert "partial_count" in anc_plan, (
+        "anchor counts must pre-aggregate map-side"
+    )
+    assert "CartesianProduct" not in anc_plan
+    assert not re.findall(_no_python, anc_plan)
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -694,6 +730,8 @@ def main():
             "robots gate (broadcast rule arrays + in-row LIKE/argmax fold)": rob,
             "extract_links (one-regex anchor scan + CASE resolution, zero-shuffle JVM)": lnk,
             "read_warc_documents (fused crawl scan: exactly one Python crossing)": fused,
+            "resolve_redirects (bounded chain: max_hops-1 chained equi-joins, one lazy plan)": red,
+            "anchor_text_index (map-side count partials + per-target top-k window)": anc,
         }
     )
     lines = [
