@@ -685,6 +685,75 @@ def bench_queries(spark, sf_dir: str):
             impl="arrow",
         ).count()
 
+    def q_link_extract():
+        """Hyperlink-extraction throughput: the one-regex anchor scan +
+        CASE resolution over every corpus page (each page augmented
+        with 3 synthetic anchors — one per resolution family — so the
+        exact edge count is a guard: 3 × docs). Zero-shuffle JVM scan;
+        measures the regex engine, the honest cost center of link
+        extraction at 100 TB."""
+        from case_uco_ontology_map_spark.functions.links import (
+            extract_links,
+        )
+
+        pages = corpus.select(
+            "url",
+            F.concat(
+                F.lit(
+                    '<a href="/l1">one</a>'
+                    '<a href="https://x.test/2">two</a>'
+                    '<a href="l3.html">three</a>'
+                ),
+                F.col("html").cast("string"),
+            ).alias("html"),
+        )
+        n = extract_links(pages).count()
+        if n != 3 * n_docs:
+            raise RuntimeError(f"link_extract: {n} != {3 * n_docs} edges")
+        return n
+
+    def q_frontier_sched():
+        """Frontier gate + politeness scheduling at corpus scale: every
+        corpus url through the robots broadcast LIKE/argmax fold (one
+        host family fully closed), survivors wave-scheduled ≤64 per
+        host per wave. Guard: the gate drops exactly the closed host's
+        urls (expected count computed from the corpus itself)."""
+        from case_uco_ontology_map_spark.functions.robots import (
+            fetch_waves,
+            robots_filter,
+            robots_like_pattern,
+        )
+        from case_uco_ontology_map_spark.functions.urls import url_host
+
+        urls = corpus.select("url")
+        rules = [
+            ("src1.example.org", "/", False),
+            ("src2.example.org", "/doc/1", False),
+        ]
+        rdf = spark.createDataFrame(
+            [
+                (h, p, a, robots_like_pattern(p), len(p))
+                for h, p, a in rules
+            ],
+            "host string, pattern string, is_allow boolean, "
+            "like_pat string, rlen int",
+        )
+        expected = (
+            urls.where(url_host(F.col("url")) != "src1.example.org")
+            .where(
+                ~(
+                    (url_host(F.col("url")) == "src2.example.org")
+                    & F.col("url").rlike(r"://[^/]*/doc/1")
+                )
+            )
+            .count()
+        )
+        waves = fetch_waves(robots_filter(urls, rdf), per_wave=64)
+        n = waves.count()
+        if n != expected:
+            raise RuntimeError(f"frontier_sched: {n} != {expected}")
+        return n
+
     def post_metrics():
         """Untimed post-pass: metrics the timed counts can't carry —
         IVF recall@5 vs the exact oracle, partition-pruning evidence
@@ -985,6 +1054,8 @@ def bench_queries(spark, sf_dir: str):
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
         "warc_ingest": q_warc_ingest,
+        "link_extract": q_link_extract,
+        "frontier_sched": q_frontier_sched,
         "materialize": q_materialize,
     }, post_metrics
 
