@@ -909,6 +909,30 @@ def bench_queries(spark, sf_dir: str):
                 if d
                 else None
             )
+            # the standard mitigation, measured: on the amplified
+            # (quantization-adversarial) corpus overfetch=4 misses
+            # copies separated by less than the SQ8 step; widening the
+            # candidate pool recovers them (measured 0.925 → 1.0 at
+            # 256k vectors) — the recall/cost knob a serving tier tunes
+            sq16 = sq8_topk(
+                ann_state["sq8"],
+                ann_state["queries"],
+                k=5,
+                overfetch=16,
+                full_vectors=ann_state["emb"],
+                impl="arrow",
+            )
+            extras["sq8_recall_at5_of16"] = (
+                round(
+                    sq16.join(
+                        brute_q, ["query_id", "vec_id"], "left_semi"
+                    ).count()
+                    / d,
+                    4,
+                )
+                if d
+                else None
+            )
             # control: the same measurement on the UNAMPLIFIED base
             # embeddings — the amplified corpus is adversarial for SQ8
             # by construction (copies separated by ~1e-3 of the value
