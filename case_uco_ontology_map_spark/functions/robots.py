@@ -249,3 +249,51 @@ def fetch_waves(
         "wave",
         F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(per_wave)),
     )
+
+
+def robots_sitemaps(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` discovery — (host, robots.txt body) → one
+    ``(host, sitemap_url)`` row per distinct sitemap the file declares.
+
+    Per RFC 9309 §2.2.4 / sitemaps.org, ``Sitemap:`` lines are
+    GROUP-INDEPENDENT (they apply regardless of user-agent, so no group
+    state machine is needed) and the key is case-insensitive. That
+    makes this the one robots directive extractable with zero Python:
+    split lines, strip ``#`` comments, one case-insensitive regexp per
+    line — whole-stage codegen end to end, replayable verbatim in ANSI
+    SQL (the ``robots_sitemaps`` contract row runs the identical
+    split + regexp in DuckDB). Feeds ``links.sitemap_entries`` to seed
+    the frontier."""
+    line = F.explode(
+        F.split(F.col(body_col), r"\r?\n")
+    ).alias("_line")
+    df = robots_df.select(F.col(host_col).alias("host"), line)
+    no_comment = F.regexp_replace(F.col("_line"), r"#.*$", "")
+    url = F.regexp_extract(no_comment, r"(?i)^\s*sitemap\s*:\s*(\S+)", 1)
+    return (
+        df.select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
+def robots_sitemaps_sql(table: str = "r", host_col: str = "host",
+                        body_col: str = "robots_txt") -> str:
+    """ANSI replay of ``robots_sitemaps`` over a robots table ``table``."""
+    return f"""
+SELECT DISTINCT host, sitemap_url FROM (
+  SELECT {host_col} AS host,
+         regexp_extract(regexp_replace(line, '#.*$', ''),
+                        '(?i)^\\s*sitemap\\s*:\\s*(\\S+)', 1) AS sitemap_url
+  FROM (
+    SELECT {host_col},
+           unnest(regexp_split_to_array({body_col}, '\\r?\\n')) AS line
+    FROM {table}
+  ) z
+) y
+WHERE sitemap_url <> ''
+"""

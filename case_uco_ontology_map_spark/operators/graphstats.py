@@ -955,3 +955,137 @@ def k_core_sql(
         + f"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg "
         f"FROM e{rounds} GROUP BY a HAVING count(*) >= {int(k)}"
     )
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Kleinberg HITS → ``(node, hub, auth)``, L1-normalized after each
+    half-step (sum of hubs = sum of auths = 1 once the graph has any
+    edge; isolated directions score exact 0.0, never NULL).
+
+    Update rule (classic, so the unrolled-SQL oracle replays it
+    exactly): per round, ``auth_i = Σ hub_j over edges j→i`` then
+    normalize, then ``hub_j = Σ auth_i over edges j→i`` (the NEW auths)
+    then normalize. Hubs initialize to 1.0.
+
+    Scale shape mirrors ``pagerank``: the edge frame persists once;
+    each round shuffles only the two N-row score frames (groupBy dst
+    then groupBy src, both map-side combined); the L1 norm rides along
+    as a lazy 1-row aggregate cross-joined broadcast — no per-round
+    driver action except the lineage-truncating ``localCheckpoint``.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(0.0))
+    if checkpoint_every:
+        hubs = hubs.localCheckpoint(eager=True)
+
+    def _half_step(scores: DataFrame, col: str, join_on: str,
+                   group_to: str, out: str) -> DataFrame:
+        raw = (
+            e.join(scores, on=e[join_on] == scores["node"])
+            .groupBy(F.col(group_to).alias("node"))
+            .agg(F.sum(col).alias("_v"))
+        )
+        total = raw.agg(
+            F.coalesce(F.sum("_v"), F.lit(0.0)).alias("_tot")
+        )
+        return (
+            nodes.join(raw, on="node", how="left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.when(
+                    F.col("_tot") != 0.0,
+                    F.coalesce(F.col("_v"), F.lit(0.0)) / F.col("_tot"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(out),
+            )
+        )
+
+    for it in range(iterations):
+        auths = _half_step(hubs, "hub", "_s", "_d", "auth")
+        hubs = _half_step(auths, "auth", "_d", "_s", "hub")
+        if checkpoint_every and ((it + 1) % checkpoint_every) == 0:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    result = hubs.join(auths, on="node")
+    e.unpersist()
+    nodes.unpersist()
+    return result.select("node", "hub", "auth")
+
+
+def hits_sql(
+    iterations: int = 10,
+    table: str = "e",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Unrolled-CTE replay of ``hits`` (two CTE pairs per round; standard
+    SQL forbids aggregation in a recursive term, so the oracle unrolls —
+    fine for the fixed iteration counts a contract query pins). CTEs are
+    MATERIALIZED: each round references its predecessor three times
+    (join + scalar-sum subquery + next round), so default inlining
+    expands ~3^rounds — the same blowup ``k_core_sql`` guards against.
+    Emits a full query ``(node, hub, auth)``; prepend the edge CTE
+    ``table``."""
+    ctes: List[str] = [
+        f"nodes AS (SELECT {src} AS node FROM {table} "
+        f"UNION SELECT {dst} AS node FROM {table})",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+        "a0 AS (SELECT node, 0.0 AS auth FROM nodes)",
+    ]
+    for i in range(iterations):
+        hp, ac, hc = f"h{i}", f"a{i + 1}", f"h{i + 1}"
+        ctes.append(
+            f"""{ac}r AS MATERIALIZED (
+  SELECT {table}.{dst} AS node, SUM(s.hub) AS v
+  FROM {table} JOIN {hp} s ON {table}.{src} = s.node GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""{ac} AS MATERIALIZED (
+  SELECT nodes.node,
+         COALESCE(COALESCE(r.v, 0.0)
+                  / NULLIF((SELECT SUM(v) FROM {ac}r), 0.0), 0.0) AS auth
+  FROM nodes LEFT JOIN {ac}r r ON nodes.node = r.node
+)"""
+        )
+        ctes.append(
+            f"""{hc}r AS MATERIALIZED (
+  SELECT {table}.{src} AS node, SUM(s.auth) AS v
+  FROM {table} JOIN {ac} s ON {table}.{dst} = s.node GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""{hc} AS MATERIALIZED (
+  SELECT nodes.node,
+         COALESCE(COALESCE(r.v, 0.0)
+                  / NULLIF((SELECT SUM(v) FROM {hc}r), 0.0), 0.0) AS hub
+  FROM nodes LEFT JOIN {hc}r r ON nodes.node = r.node
+)"""
+        )
+    n = iterations
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h.node, h.hub, a.auth FROM h{n} h JOIN a{n} a "
+        "ON h.node = a.node"
+    )

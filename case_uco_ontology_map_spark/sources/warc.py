@@ -687,3 +687,107 @@ def warc_to_documents(warc_df: DataFrame) -> DataFrame:
                 )
 
     return responses.mapInPandas(strip, schema=_DOC_SCHEMA)
+
+
+def _json_escape(col: "F.Column") -> "F.Column":
+    """Minimal JSON string escape (backslash then double-quote) as a
+    JVM expression — enough for URL/anchor text, deterministic, and
+    replayable in ANSI SQL with two nested ``replace`` calls. Control
+    characters are out of the documented subset (crawl URLs and the
+    anchor regex's ``[^<]*`` group never contain raw newlines)."""
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+
+
+def documents_to_wat(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Documents frame → WAT ``metadata`` record frame (Common Crawl's
+    third archive format: one JSON document per capture describing the
+    envelope plus extracted metadata — here the resolved outlinks, the
+    payload every WAT consumer actually reads).
+
+    Payload shape (subset of the Common Crawl WAT envelope)::
+
+        {"Envelope":{"WARC-Header-Metadata":{
+            "WARC-Target-URI":"<url>","WARC-Type":"response",
+            "WARC-Date":"<date>"},
+          "Payload-Metadata":{"Actual-Content-Length":<n>}},
+         "Links":[{"url":"<resolved>","text":"<anchor>"},...]}
+
+    The JSON is assembled by string ``concat`` with an explicit escape
+    (``_json_escape``) rather than ``to_json`` so the bytes are
+    engine-replayable verbatim (the ``wat_metadata`` contract row
+    rebuilds them in DuckDB). Links are extracted IN-ROW with
+    ``regexp_extract_all`` + higher-order ``transform``/``filter`` over
+    the zipped (href, text) arrays — document order is preserved by
+    construction (an explode → groupBy → collect_list round trip would
+    cost a shuffle AND lose ordering determinism). The HOF path is
+    interpreted, not codegen'd, but it touches only the ~10-100 anchor
+    strings per page, never the html body.
+
+    Record ids are md5 of ``"wat:" + url`` so a WAT record never
+    collides with its ``response`` sibling (md5(url)) in a combined
+    store; ``write_warc`` serializes the frame like any other.
+    """
+    from case_uco_ontology_map_spark.functions.links import (
+        ANCHOR_RE,
+        resolve_href,
+    )
+
+    url = F.col(url_col)
+    html_str = F.col(html_col).cast("string")
+    body = F.col(html_col).cast("binary")
+    hrefs = F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(1))
+    texts = F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(2))
+    pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("text"))
+    resolved = F.transform(
+        pairs,
+        lambda p: F.struct(
+            resolve_href(url, p["href"]).alias("u"),
+            p["text"].alias("t"),
+        ),
+    )
+    kept = F.filter(resolved, lambda s: s["u"].isNotNull())
+    link_objs = F.transform(
+        kept,
+        lambda s: F.concat(
+            F.lit('{"url":"'),
+            _json_escape(s["u"]),
+            F.lit('","text":"'),
+            _json_escape(s["t"]),
+            F.lit('"}'),
+        ),
+    )
+    date = (
+        F.col(ts_col).cast("string")
+        if ts_col
+        else F.lit("2026-01-01T00:00:00Z")
+    )
+    payload_json = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        _json_escape(url),
+        F.lit('","WARC-Type":"response","WARC-Date":"'),
+        date,
+        F.lit('"},"Payload-Metadata":{"Actual-Content-Length":'),
+        F.octet_length(body).cast("string"),
+        F.lit('}},"Links":['),
+        F.array_join(link_objs, ","),
+        F.lit("]}"),
+    )
+    return docs.select(
+        F.lit("metadata").alias("warc_type"),
+        F.concat(
+            F.lit("urn:md5:"), F.md5(F.concat(F.lit("wat:"), url))
+        ).alias("record_id"),
+        url.alias("url"),
+        date.alias("warc_date"),
+        F.lit("application/json").alias("content_type"),
+        F.encode(payload_json, "UTF-8").alias("payload"),
+    )

@@ -652,3 +652,64 @@ class TestKCore:
             k_core(g, k=2, max_rounds=2)
         with _pt.raises(ValueError):
             k_core(g, k=0)
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_hand_computed_exact(spark):
+    """Two rounds on a->b, a->c, b->c, hand-derived as exact fractions
+    from the classic update rule (auth from hubs, hub from NEW auths,
+    L1 norm after each half-step):
+
+      round 1: auth_raw = {b:1, c:2}, sum 3 -> auth (0, 1/3, 2/3)
+               hub_raw  = {a:1, b:2/3}, sum 5/3 -> hub (3/5, 2/5, 0)
+      round 2: auth_raw = {b:3/5, c:1}, sum 8/5 -> auth (0, 3/8, 5/8)
+               hub_raw  = {a:1, b:5/8}, sum 13/8 -> hub (8/13, 5/13, 0)
+    """
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    from case_uco_ontology_map_spark.operators.graphstats import hits
+
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, 2).collect()}
+    want = {
+        "a": (8 / 13, 0.0),
+        "b": (5 / 13, 3 / 8),
+        "c": (0.0, 5 / 8),
+    }
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n][0] == pytest.approx(want[n][0], abs=1e-12)
+        assert got[n][1] == pytest.approx(want[n][1], abs=1e-12)
+
+
+def test_hits_matches_unrolled_sql_oracle(edges):
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        hits,
+        hits_sql,
+    )
+
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, 4).collect()}
+    con = _duck()
+    want = {
+        n: (h, a)
+        for n, h, a in con.execute(
+            "WITH e AS (SELECT * FROM e_src) SELECT * FROM ("
+            + hits_sql(4)
+            + ") z"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n][0] == pytest.approx(want[n][0], abs=1e-12)
+        assert got[n][1] == pytest.approx(want[n][1], abs=1e-12)
+
+
+def test_hits_l1_normalized_and_zero_not_null(edges):
+    from case_uco_ontology_map_spark.operators.graphstats import hits
+
+    rows = hits(edges, 3).collect()
+    assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r["auth"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert all(r["hub"] is not None and r["auth"] is not None for r in rows)

@@ -139,3 +139,43 @@ def test_anchor_text_index(spark):
         ("http://t/a", 3, "Delta", 2),
         ("http://t/b", 1, "Only", 1),
     ]
+
+
+def test_host_graph_aggregation_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.functions.links import (
+        host_graph,
+        host_graph_sql,
+    )
+
+    edges = [
+        # two pages on a.test -> b.test (3 links from 2 distinct pages)
+        ("https://www.a.test/p1", "https://b.test/x"),
+        ("https://www.a.test/p1", "https://b.test:443/y"),
+        ("https://a.test/p2", "https://u@b.test/z"),
+        # internal navigation on a.test
+        ("https://a.test/p1", "https://a.test/p2"),
+        # port-80 normalization on the src side
+        ("http://c.test:80/q", "https://b.test/x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.src_host, r.dst_host): (r.internal, r.n_links, r.n_src_pages)
+        for r in host_graph(df).collect()
+    }
+    assert got == {
+        ("a.test", "b.test"): (False, 3, 2),
+        ("a.test", "a.test"): (True, 1, 1),
+        ("c.test", "b.test"): (False, 1, 1),
+    }
+    con = duckdb.connect()
+    con.register("e_src", pd.DataFrame(edges, columns=["src", "dst"]))
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(
+            "WITH e AS (SELECT * FROM e_src) " + host_graph_sql()
+        ).fetchall()
+    }
+    assert got == want

@@ -208,3 +208,40 @@ def test_fetch_waves_politeness_invariant(spark):
     assert sorted((r.url, r.wave) for r in again) == sorted(
         (r.url, r.wave) for r in out
     )
+
+
+def test_robots_sitemaps_discovery(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.functions.robots import (
+        robots_sitemaps,
+        robots_sitemaps_sql,
+    )
+
+    body_a = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: https://a.test/sitemap.xml\n"
+        "sitemap:https://a.test/news.xml  # comment after\r\n"
+        "SITEMAP: https://a.test/sitemap.xml\n"  # duplicate -> distinct
+    )
+    body_b = "User-agent: bot\nDisallow: /\n# Sitemap: https://hidden.test/s.xml\n"
+    rows = [("a.test", body_a), ("b.test", body_b)]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {
+        (r.host, r.sitemap_url) for r in robots_sitemaps(df).collect()
+    }
+    assert got == {
+        ("a.test", "https://a.test/sitemap.xml"),
+        ("a.test", "https://a.test/news.xml"),
+    }
+    con = duckdb.connect()
+    con.register("r_src", pd.DataFrame(rows, columns=["host", "robots_txt"]))
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH r AS (SELECT * FROM r_src) " + robots_sitemaps_sql()
+        ).fetchall()
+    }
+    assert got == want

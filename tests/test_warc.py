@@ -419,3 +419,48 @@ def test_resolve_redirects_chain_cycle_bound(spark):
     assert got["x"][2] is False and got["x"][1] == 8  # cycle hits bound
     assert got["l0"] == ("l8", 8, False)  # truncated at the bound
     assert got["l1"] == ("l9", 8, True)  # 8 hops away IS reachable
+
+
+def test_documents_to_wat_payload_and_roundtrip(spark, tmp_path):
+    """WAT metadata records: JSON payload byte shape, in-row link
+    extraction/resolution (document order preserved), escaping, and the
+    write_warc -> read_warc round trip."""
+    import gzip
+    import json
+
+    from case_uco_ontology_map_spark.sources.warc import (
+        documents_to_wat,
+        read_warc,
+        write_warc,
+    )
+
+    html = (
+        '<html><body><a href="/a">First</a>'
+        '<a href="b.html">Sec "quoted"</a>'
+        '<a href="#frag">Dropped</a></body></html>'
+    )
+    docs = spark.createDataFrame(
+        [("https://h.test/d/page.html", html)], "url string, html string"
+    )
+    wat = documents_to_wat(docs)
+    row = wat.collect()[0]
+    assert row.warc_type == "metadata"
+    assert row.content_type == "application/json"
+    assert row.record_id != "urn:md5:" and "urn:md5:" in row.record_id
+    payload = json.loads(bytes(row.payload).decode("utf-8"))
+    env = payload["Envelope"]["WARC-Header-Metadata"]
+    assert env["WARC-Target-URI"] == "https://h.test/d/page.html"
+    assert payload["Envelope"]["Payload-Metadata"][
+        "Actual-Content-Length"
+    ] == len(html.encode())
+    # document order preserved, fragment dropped, quote escaped
+    assert payload["Links"] == [
+        {"url": "https://h.test/a", "text": "First"},
+        {"url": "https://h.test/d/b.html", "text": 'Sec "quoted"'},
+    ]
+    out = str(tmp_path / "wat")
+    write_warc(wat.repartition(1), out)
+    back = read_warc(spark, out + "/*.warc.gz").collect()
+    assert len(back) == 1
+    assert bytes(back[0].payload) == bytes(row.payload)
+    assert back[0].warc_type == "metadata"
