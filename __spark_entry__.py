@@ -5222,6 +5222,293 @@ ORDER BY q.doc_id
 """
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph aggregation (functions/links.host_graph): page-level
+    edges roll up to (src_host, dst_host, internal, n_links,
+    n_src_pages) — the table crawl policy actually runs on. Edge urls
+    are synthesized with the normalization hazards url_host must
+    absorb: mixed case, a leading www., an explicit default :80 port,
+    and userinfo@ — three raw spellings of the same host must land on
+    ONE host-graph row. DuckDB replays the full normalization chain +
+    aggregation via host_graph_sql (count casts pinned to BIGINT)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.links import host_graph
+
+    did = F.col("doc_id")
+    khost = (did % 5).cast("string")
+    src = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("https://WWW.a"), khost, F.lit(".test/p"),
+                     did.cast("string")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("http://a"), khost, F.lit(".test:80/q"),
+                     did.cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://u@A"), khost, F.lit(".test/r"),
+                     did.cast("string")),
+        )
+    )
+    dst = F.when(
+        did % 7 == 0,
+        F.concat(F.lit("https://a"), khost, F.lit(".test/internal")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://B"), ((did * 3) % 4).cast("string"),
+            F.lit(".test/x"),
+        )
+    )
+    edges = _docs(spark, sf_dir).select(src.alias("src"), dst.alias("dst"))
+    return host_graph(edges).orderBy("src_host", "dst_host")
+
+
+def _oracle_host_graph() -> str:
+    from case_uco_ontology_map_spark.functions.links import host_graph_sql
+
+    edges = """
+SELECT CASE
+         WHEN doc_id % 3 = 0
+           THEN 'https://WWW.a' || (doc_id % 5) || '.test/p' || doc_id
+         WHEN doc_id % 3 = 1
+           THEN 'http://a' || (doc_id % 5) || '.test:80/q' || doc_id
+         ELSE 'https://u@A' || (doc_id % 5) || '.test/r' || doc_id
+       END AS src,
+       CASE
+         WHEN doc_id % 7 = 0
+           THEN 'https://a' || (doc_id % 5) || '.test/internal'
+         ELSE 'https://B' || ((doc_id * 3) % 4) || '.test/x'
+       END AS dst
+FROM documents
+"""
+    return (
+        f"WITH e AS ({edges})\nSELECT * FROM ("
+        + host_graph_sql("e")
+        + ") z ORDER BY src_host, dst_host"
+    )
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (functions/robots.
+    robots_sitemaps): per RFC 9309 §2.2.4 the ``Sitemap:`` directive is
+    group-independent and case-insensitive, so extraction is zero-Python
+    line split + one regexp. Bodies are synthesized per host with the
+    hazard cases: lower/upper/mixed key spellings, no space after the
+    colon, a trailing ``#`` comment, CRLF line ends, a commented-out
+    Sitemap line that must NOT match, and duplicate declarations that
+    must collapse under DISTINCT. DuckDB replays the identical split +
+    regexp (robots_sitemaps_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.robots import robots_sitemaps
+
+    did = F.col("doc_id")
+    k = (did % 10).cast("string")
+    host = F.concat(F.lit("h"), k, F.lit(".test"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("Sitemap: https://h"), k, F.lit(".test/s"),
+                     (did % 3).cast("string"), F.lit(".xml\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(F.lit("sitemap:https://h"), k,
+                     F.lit(".test/news.xml  # weekly\r\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 3,
+            F.concat(F.lit("SITEMAP: https://h"), k,
+                     F.lit(".test/news.xml\n")),
+        ).otherwise(F.lit("")),
+        F.lit("# Sitemap: https://hidden.test/never.xml\n"),
+    )
+    robots = _docs(spark, sf_dir).select(
+        host.alias("host"), body.alias("robots_txt")
+    )
+    return robots_sitemaps(robots).orderBy("host", "sitemap_url")
+
+
+def _oracle_robots_sitemaps() -> str:
+    from case_uco_ontology_map_spark.functions.robots import (
+        robots_sitemaps_sql,
+    )
+
+    bodies = """
+SELECT 'h' || (doc_id % 10) || '.test' AS host,
+       'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+       || CASE WHEN doc_id % 2 = 0
+               THEN 'Sitemap: https://h' || (doc_id % 10) || '.test/s'
+                    || (doc_id % 3) || '.xml' || chr(10)
+               ELSE '' END
+       || CASE WHEN doc_id % 4 = 1
+               THEN 'sitemap:https://h' || (doc_id % 10)
+                    || '.test/news.xml  # weekly' || chr(13) || chr(10)
+               ELSE '' END
+       || CASE WHEN doc_id % 4 = 3
+               THEN 'SITEMAP: https://h' || (doc_id % 10)
+                    || '.test/news.xml' || chr(10)
+               ELSE '' END
+       || '# Sitemap: https://hidden.test/never.xml' || chr(10)
+       AS robots_txt
+FROM documents
+"""
+    return (
+        f"WITH r AS ({bodies})\nSELECT * FROM ("
+        + robots_sitemaps_sql("r")
+        + ") z ORDER BY host, sitemap_url"
+    )
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (operators/graphstats.hits): 3 rounds of the
+    classic hub/authority mutual-reinforcement iteration over the doc
+    graph — the link-analysis complement to PageRank (hubs point at
+    good authorities; authorities are pointed at by good hubs). Each
+    half-step shuffles only the N-row score frame; the L1 norm rides as
+    a lazy broadcast 1-row aggregate. DuckDB replays the unrolled
+    MATERIALIZED-CTE twin (hits_sql); float drift between the engines
+    is summation-order-level (~1e-15), far inside the driver's
+    6-significant-digit normalization."""
+    from case_uco_ontology_map_spark.operators.graphstats import hits
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return hits(edges, iterations=3).orderBy("node")
+
+
+def _oracle_link_hits() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import hits_sql
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL})\nSELECT * FROM ("
+        + hits_sql(iterations=3)
+        + ") z ORDER BY node"
+    )
+
+
+def q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata export (sources/warc.documents_to_wat): the Common
+    Crawl sidecar every link-graph consumer reads — one JSON record per
+    capture with the envelope header plus the resolved outlinks, in
+    document order. The JSON is assembled with explicit string concat +
+    a minimal escape (never ``to_json``) precisely so this row can
+    exist: DuckDB rebuilds the payload byte-for-byte with the same
+    regexp extraction, a list_zip/list_transform/list_filter lambda
+    chain mirroring Spark's higher-order functions (order-preserving by
+    construction on both engines), and the same resolution CASE. Anchor
+    texts include a double quote and a backslash so the escape path is
+    exercised; the fragment link must drop."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.sources.warc import documents_to_wat
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://ext'),
+        (did % 3).cast("string"),
+        F.lit('.example.com/x">Ex "q"</a>'),
+        F.lit('<a href="/root/'),
+        (did % 4).cast("string"),
+        F.lit('">Root\\slash</a><a href="rel'),
+        (did % 5).cast("string"),
+        F.lit('.html">Rel</a><a href="#frag">Skip</a></body></html>'),
+    )
+    url = F.concat(
+        F.lit("https://w"),
+        (did % 7).cast("string"),
+        F.lit(".example.org/d/"),
+        did.cast("string"),
+        F.lit("/page.html"),
+    )
+    docs = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    return (
+        documents_to_wat(docs)
+        .select(
+            "url",
+            "record_id",
+            "warc_type",
+            "content_type",
+            F.decode(F.col("payload"), "UTF-8").alias("payload_json"),
+        )
+        .orderBy("url")
+    )
+
+
+def _oracle_wat_metadata() -> str:
+    anchor = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+    # minimal JSON escape, mirroring warc._json_escape: backslash
+    # first, then double-quote (single-quoted SQL strings keep
+    # backslashes literal, so '\' is one backslash to DuckDB)
+    def escape(v: str) -> str:
+        return (
+            "replace(replace(" + v + ", '\\', '\\\\'), '\"', '\\\"')"
+        )
+
+    return rf"""
+WITH pages AS (
+  SELECT 'https://w' || (doc_id % 7) || '.example.org/d/' || doc_id
+         || '/page.html' AS url,
+         '<html><body><a href="https://ext' || (doc_id % 3)
+         || '.example.com/x">Ex "q"</a>'
+         || '<a href="/root/' || (doc_id % 4) || '">Root\slash</a>'
+         || '<a href="rel' || (doc_id % 5) || '.html">Rel</a>'
+         || '<a href="#frag">Skip</a></body></html>' AS html
+  FROM documents
+), parts AS (
+  SELECT url, html,
+         regexp_extract(url, '^([a-z][a-z0-9+.\-]*)://', 1) AS scheme,
+         regexp_extract(url,
+           '^[a-z][a-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
+         regexp_replace(regexp_extract(url,
+           '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+           '/[^/]*$', '') AS basedir
+  FROM pages
+), links AS (
+  SELECT url, html,
+         list_transform(
+           list_filter(
+             list_transform(
+               list_zip(regexp_extract_all(html, '{anchor}', 1),
+                        regexp_extract_all(html, '{anchor}', 2)),
+               p -> [CASE
+                       WHEN regexp_matches(p[1], '^https?://') THEN p[1]
+                       WHEN p[1] LIKE '//%' THEN scheme || ':' || p[1]
+                       WHEN regexp_matches(p[1],
+                         '^[A-Za-z][A-Za-z0-9+.\-]*:') THEN NULL
+                       WHEN p[1] = '' OR p[1] LIKE '#%' THEN NULL
+                       WHEN p[1] LIKE '/%'
+                         THEN scheme || '://' || auth || p[1]
+                       ELSE scheme || '://' || auth || basedir
+                            || '/' || p[1]
+                     END, p[2]]),
+             q -> q[1] IS NOT NULL),
+           q -> '{{"url":"'
+                || {escape("q[1]")}
+                || '","text":"'
+                || {escape("q[2]")}
+                || '"}}') AS objs
+  FROM parts
+)
+SELECT url,
+       'urn:md5:' || md5('wat:' || url) AS record_id,
+       'metadata' AS warc_type,
+       'application/json' AS content_type,
+       '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Target-URI":"'
+       || {escape("url")}
+       || '","WARC-Type":"response","WARC-Date":"2026-01-01T00:00:00Z"}},'
+       || '"Payload-Metadata":{{"Actual-Content-Length":'
+       || octet_length(encode(html))
+       || '}}}},"Links":[' || array_to_string(objs, ',') || ']}}'
+       AS payload_json
+FROM links ORDER BY url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -5323,6 +5610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "anchor_index": q_anchor_index,
         "crawl_redirects": q_crawl_redirects,
+        "host_graph": q_host_graph,
+        "robots_sitemaps": q_robots_sitemaps,
+        "link_hits": q_link_hits,
+        "wat_metadata": q_wat_metadata,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -5435,6 +5726,10 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_frontier": _oracle_sitemap_frontier(),
         "anchor_index": _oracle_anchor_index(),
         "crawl_redirects": _oracle_crawl_redirects(),
+        "host_graph": _oracle_host_graph(),
+        "robots_sitemaps": _oracle_robots_sitemaps(),
+        "link_hits": _oracle_link_hits(),
+        "wat_metadata": _oracle_wat_metadata(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),
