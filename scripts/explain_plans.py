@@ -695,6 +695,79 @@ def main():
     assert "CartesianProduct" not in anc_plan
     assert not re.findall(_no_python, anc_plan)
 
+    # r5 session 3: host graph — page edges roll up to hosts with ONE
+    # key shuffle; n_links partial-aggregates map-side (the distinct
+    # src-page count plans as the standard two-phase partial-distinct,
+    # still no extra logical pass); no Python anywhere
+    from case_uco_ontology_map_spark.functions.links import host_graph
+
+    hg = host_graph(
+        docs.selectExpr(
+            "concat('https://www.s', doc_id % 5, '.test/p', doc_id) AS src",
+            "concat('https://d', doc_id % 3, '.test/x') AS dst",
+        )
+    )
+    hg_plan = plan_of(hg)
+    assert not re.findall(_no_python, hg_plan), (
+        "host_graph must stay JVM-side"
+    )
+    assert "CartesianProduct" not in hg_plan
+    assert "partial_count" in hg_plan, (
+        "host_graph n_links must pre-aggregate map-side"
+    )
+
+    # r5 session 3: robots Sitemap discovery — group-independent per
+    # RFC 9309 so no state machine: split + regexp + DISTINCT is the
+    # whole plan; exactly the one distinct Exchange, zero Python
+    from case_uco_ontology_map_spark.functions.robots import (
+        robots_sitemaps,
+    )
+
+    sm = robots_sitemaps(
+        docs.selectExpr(
+            "concat('h', doc_id % 7, '.test') AS host",
+            "concat('Sitemap: https://h', doc_id % 7, "
+            "'.test/s.xml', chr(10)) AS robots_txt",
+        )
+    )
+    sm_plan = plan_of(sm)
+    assert not re.findall(_no_python, sm_plan), (
+        "robots_sitemaps must stay JVM-side"
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", sm_plan)) == 1, (
+        "robots_sitemaps must shuffle exactly once (the DISTINCT)"
+    )
+
+    # r5 session 3: HITS round shape — like pagerank, per-round
+    # shuffles touch only the N-row score frames; the L1 norm is a lazy
+    # broadcast 1-row aggregate, never a driver action
+    from case_uco_ontology_map_spark.operators.graphstats import hits
+
+    hi = hits(graph_edges, iterations=1, checkpoint_every=0)
+    hi_plan = plan_of(hi)
+    assert not re.findall(_no_python, hi_plan), (
+        "hits rounds must stay JVM-side"
+    )
+    assert "CartesianProduct" not in hi_plan, (
+        "hits must not plan an unbroadcast cartesian"
+    )
+    assert "BroadcastExchange" in hi_plan, (
+        "the HITS L1-norm total must ride as a broadcast 1-row aggregate"
+    )
+
+    # r5 session 3: WAT metadata export — in-row link extraction +
+    # string-concat JSON assembly: zero Exchange, zero Python
+    from case_uco_ontology_map_spark.sources.warc import documents_to_wat
+
+    wat = documents_to_wat(warc_docs)
+    wat_plan = plan_of(wat)
+    assert "Exchange" not in wat_plan, (
+        "documents_to_wat must not shuffle"
+    )
+    assert not re.findall(_no_python, wat_plan), (
+        "documents_to_wat must stay JVM-side"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -732,6 +805,10 @@ def main():
             "read_warc_documents (fused crawl scan: exactly one Python crossing)": fused,
             "resolve_redirects (bounded chain: max_hops-1 chained equi-joins, one lazy plan)": red,
             "anchor_text_index (map-side count partials + per-target top-k window)": anc,
+            "host_graph (one key shuffle; map-side link partials + two-phase distinct)": hg,
+            "robots_sitemaps (split + regexp + one DISTINCT Exchange, zero Python)": sm,
+            "hits round shape (score-frame shuffles only; L1 norm as broadcast scalar)": hi,
+            "documents_to_wat (in-row link extraction + JSON assembly, zero-shuffle)": wat,
         }
     )
     lines = [
