@@ -543,6 +543,101 @@ def bench_queries(spark, sf_dir: str):
             )
         return starts
 
+    def q_graph_hits():
+        """HITS (3 rounds) over the doc graph — the hub/authority
+        complement to the PageRank stress, same edge frame (2N-1 edges)
+        so the two stages are directly comparable. Guard: both score
+        vectors must stay L1-normalized to 1e-6 (a lost node or a
+        dropped normalization term shows up as mass leakage exactly as
+        in pagerank)."""
+        from case_uco_ontology_map_spark.operators.graphstats import hits
+
+        ids = spark.range(0, n_docs)
+        tree = ids.filter(F.col("id") > 0).select(
+            F.col("id").alias("src"), F.expr("(id - 1) DIV 2").alias("dst")
+        )
+        link = ids.select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") * 7 + 3, F.lit(n_docs)).alias("dst"),
+        )
+        scores = hits(tree.unionByName(link), iterations=3)
+        sums = scores.agg(
+            F.sum("hub").alias("h"), F.sum("auth").alias("a")
+        ).collect()[0]
+        if abs(sums["h"] - 1.0) > 1e-6 or abs(sums["a"] - 1.0) > 1e-6:
+            raise RuntimeError(
+                f"hits mass leaked: sum(hub)={sums['h']} "
+                f"sum(auth)={sums['a']}"
+            )
+        return sums["h"]
+
+    def q_host_rollup():
+        """Host-graph aggregation at corpus scale: the link_extract page
+        shape (3 anchors per page — two same-host, one to the external
+        x.test) extracted and rolled up to (src_host, dst_host) — the
+        table crawl policy runs on. Guards are exact: internal links
+        must total 2×docs, external 1×docs (a normalization bug that
+        splits a host family breaks the sums loudly)."""
+        from case_uco_ontology_map_spark.functions.links import (
+            extract_links,
+            host_graph,
+        )
+
+        pages = corpus.select(
+            "url",
+            F.concat(
+                F.lit(
+                    '<a href="/l1">one</a>'
+                    '<a href="https://x.test/2">two</a>'
+                    '<a href="l3.html">three</a>'
+                ),
+                F.col("html").cast("string"),
+            ).alias("html"),
+        )
+        hg = host_graph(extract_links(pages))
+        sums = hg.groupBy("internal").agg(
+            F.sum("n_links").alias("n")
+        ).collect()
+        got = {r["internal"]: r["n"] for r in sums}
+        if got.get(True, 0) != 2 * n_docs or got.get(False, 0) != n_docs:
+            raise RuntimeError(
+                f"host_rollup: internal/external sums {got} != "
+                f"{{True: {2 * n_docs}, False: {n_docs}}}"
+            )
+        return got[True] + got[False]
+
+    def q_wat_export():
+        """WAT metadata assembly over every corpus page (same 3-anchor
+        shape): in-row link extraction + JSON string concat, zero
+        shuffle — the export cost a Common Crawl-style sidecar adds to
+        a crawl job. Guard: one record per page and every payload
+        carries a non-empty Links array (prefix check is a cheap JVM
+        filter, no JSON parse)."""
+        from case_uco_ontology_map_spark.sources.warc import (
+            documents_to_wat,
+        )
+
+        pages = corpus.select(
+            "url",
+            F.concat(
+                F.lit(
+                    '<a href="/l1">one</a>'
+                    '<a href="https://x.test/2">two</a>'
+                    '<a href="l3.html">three</a>'
+                ),
+                F.col("html").cast("string"),
+            ).alias("html"),
+        )
+        wat = documents_to_wat(pages)
+        n_ok = wat.where(
+            F.decode(F.col("payload"), "UTF-8").contains('"Links":[{')
+        ).count()
+        if n_ok != n_docs:
+            raise RuntimeError(
+                f"wat_export: {n_ok} records with links != {n_docs}"
+            )
+        return n_ok
+
     # ---- ANN serving path at bench scale (stress stages) ---------------
     # sf0.1 ships 2k dim-64 embeddings; amplify ×EMB_AMPLIFY (default 512
     # → 1.02M vectors) the same way the corpus is amplified: deterministic
@@ -1072,6 +1167,9 @@ def bench_queries(spark, sf_dir: str):
         "graph_closure": q_graph_closure,
         "graph_pagerank": q_graph_pagerank,
         "graph_walks": q_graph_walks,
+        "graph_hits": q_graph_hits,
+        "host_rollup": q_host_rollup,
+        "wat_export": q_wat_export,
         "sparql_query": q_sparql_query,
         "ann_index_build": q_ann_index_build,
         "ann_brute_topk": q_ann_brute_topk,
@@ -1240,7 +1338,8 @@ TIER2_STAGES = (
     "quality_score", "canonicalize", "canonicalize_wide", "materialize",
     "canonicalize_incr", "graph_closure", "graph_pagerank",
     "ann_index_build", "ann_brute_topk", "ann_ivf_topk",
-    "ann_sq8_topk", "warc_ingest",
+    "ann_sq8_topk", "warc_ingest", "graph_hits", "host_rollup",
+    "wat_export",
 )
 
 
