@@ -5509,6 +5509,130 @@ FROM links ORDER BY url
 """
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/graphstats.trustrank): personalized PageRank
+    with the teleport vector on a trusted-seed set (every 16th doc) —
+    the classic spam-demotion signal on the host graph. 4 rounds;
+    dangling mass re-enters THROUGH the teleport vector (the pinned
+    personalized-PPR convention), so unreachable neighborhoods score
+    exact 0.0. The seed list includes only graph members here; the
+    ghost-seed filter is pinned separately in pytest. DuckDB replays
+    the unrolled CTE twin (trustrank_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import trustrank
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    seeds = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 16 == 0)
+        .select(F.col("doc_id").cast("long").alias("node"))
+    )
+    return trustrank(edges, seeds, iterations=4).orderBy("node")
+
+
+def _oracle_trustrank() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        trustrank_sql,
+    )
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        "s AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents "
+        "WHERE doc_id % 16 = 0)\n"
+        "SELECT * FROM ("
+        + trustrank_sql(iterations=4)
+        + ") z ORDER BY node"
+    )
+
+
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT round trip (sources/warc.documents_to_wat → wat_to_links):
+    the import side parses the metadata payload with an explicit-schema
+    ``from_json`` + one posexplode — composition with the export must
+    be the IDENTITY on links, including document order (``pos``). The
+    oracle never touches JSON: it extracts the links directly from the
+    html (the independent path), so a bug in either the JSON assembly
+    or the parse shows up as a hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.sources.warc import (
+        documents_to_wat,
+        wat_to_links,
+    )
+
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://ext'),
+        (did % 3).cast("string"),
+        F.lit('.example.com/x">Ex "q"</a>'),
+        F.lit('<a href="/root/'),
+        (did % 4).cast("string"),
+        F.lit('">Root\\slash</a><a href="rel'),
+        (did % 5).cast("string"),
+        F.lit('.html">Rel</a><a href="#frag">Skip</a></body></html>'),
+    )
+    url = F.concat(
+        F.lit("https://w"),
+        (did % 7).cast("string"),
+        F.lit(".example.org/d/"),
+        did.cast("string"),
+        F.lit("/page.html"),
+    )
+    docs = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    return wat_to_links(documents_to_wat(docs)).orderBy("src", "pos")
+
+
+def _oracle_wat_roundtrip() -> str:
+    anchor = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    return rf"""
+WITH pages AS (
+  SELECT 'https://w' || (doc_id % 7) || '.example.org/d/' || doc_id
+         || '/page.html' AS url,
+         '<html><body><a href="https://ext' || (doc_id % 3)
+         || '.example.com/x">Ex "q"</a>'
+         || '<a href="/root/' || (doc_id % 4) || '">Root\slash</a>'
+         || '<a href="rel' || (doc_id % 5) || '.html">Rel</a>'
+         || '<a href="#frag">Skip</a></body></html>' AS html
+  FROM documents
+), parts AS (
+  SELECT url, html,
+         regexp_extract(url, '^([a-z][a-z0-9+.\-]*)://', 1) AS scheme,
+         regexp_extract(url,
+           '^[a-z][a-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
+         regexp_replace(regexp_extract(url,
+           '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+           '/[^/]*$', '') AS basedir
+  FROM pages
+), kept AS (
+  SELECT url,
+         list_filter(
+           list_transform(
+             list_zip(regexp_extract_all(html, '{anchor}', 1),
+                      regexp_extract_all(html, '{anchor}', 2)),
+             p -> [CASE
+                     WHEN regexp_matches(p[1], '^https?://') THEN p[1]
+                     WHEN p[1] LIKE '//%' THEN scheme || ':' || p[1]
+                     WHEN regexp_matches(p[1],
+                       '^[A-Za-z][A-Za-z0-9+.\-]*:') THEN NULL
+                     WHEN p[1] = '' OR p[1] LIKE '#%' THEN NULL
+                     WHEN p[1] LIKE '/%'
+                       THEN scheme || '://' || auth || p[1]
+                     ELSE scheme || '://' || auth || basedir || '/' || p[1]
+                   END, p[2]]),
+           q -> q[1] IS NOT NULL) AS objs
+  FROM parts
+), flat AS (
+  SELECT url AS src, unnest(objs) AS lnk,
+         generate_subscripts(objs, 1) AS ord
+  FROM kept
+)
+SELECT src, lnk[1] AS dst, lnk[2] AS anchor,
+       CAST(ord - 1 AS INT) AS pos
+FROM flat ORDER BY src, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -5614,6 +5738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "link_hits": q_link_hits,
         "wat_metadata": q_wat_metadata,
+        "trustrank": q_trustrank,
+        "wat_roundtrip": q_wat_roundtrip,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -5730,6 +5856,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _oracle_robots_sitemaps(),
         "link_hits": _oracle_link_hits(),
         "wat_metadata": _oracle_wat_metadata(),
+        "trustrank": _oracle_trustrank(),
+        "wat_roundtrip": _oracle_wat_roundtrip(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -1089,3 +1089,168 @@ def hits_sql(
         + f"\nSELECT h.node, h.hub, a.auth FROM h{n} h JOIN a{n} a "
         "ON h.node = a.node"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004) →
+    ``(node, trust)``; trust sums to 1.
+
+    Personalized PageRank with the teleport vector concentrated on a
+    hand-curated SEED set of trusted nodes — the standard spam-demotion
+    signal on the host graph (good sites link to good sites; trust
+    decays multiplicatively with link distance from the seeds, so spam
+    neighborhoods that PageRank rewards for dense internal linking get
+    near-zero trust). Semantics, pinned so the unrolled-SQL oracle
+    replays exactly: teleport ``t(v) = 1/|S|`` for seed nodes present
+    in the graph, else 0; trust initializes to ``t``; per round
+    ``trust' = (1-d)·t + d·(received + dangling_mass·t)`` — dangling
+    mass re-enters THROUGH the teleport vector (the personalized-PPR
+    convention), not uniformly, so trust mass can never leak to
+    unreachable spam.
+
+    Scale shape is ``pagerank``'s: the seed flag is a broadcast join
+    decided once, each round shuffles only the N-row trust frame, the
+    dangling term rides as a lazy broadcast 1-row aggregate, and the
+    only per-round action is the lineage-truncating localCheckpoint.
+    Raises if no seed appears in the graph (an all-zero teleport would
+    silently drain all mass)."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = e.repartition(shuffle, "_s").persist()
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .join(F.broadcast(s.withColumn("_seed", F.lit(True))),
+              on="node", how="left")
+        .select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+        .persist()
+    )
+    n_seeds = nodes.where(F.col("_seed")).count()
+    if n_seeds == 0:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("trustrank: no seed node appears in the graph")
+    teleport = F.when(
+        F.col("_seed"), F.lit(1.0 / n_seeds)
+    ).otherwise(F.lit(0.0))
+    out_deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    with_deg = nodes.join(out_deg, on="node", how="left").persist()
+    trust = nodes.select("node", "_seed", teleport.alias("trust"))
+    if checkpoint_every:
+        trust = trust.localCheckpoint(eager=True)
+    for it in range(iterations):
+        td = trust.select("node", "trust").join(
+            with_deg.select("node", "_deg"), on="node", how="left"
+        )
+        contrib = (
+            td.join(e, on=td["node"] == e["_s"])
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("trust") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_recv"))
+        )
+        dangling = td.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_deg").isNull(), F.col("trust"))),
+                F.lit(0.0),
+            ).alias("_dm")
+        )
+        trust = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "_seed",
+                (
+                    F.lit(1.0 - damping) * teleport
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_recv"), F.lit(0.0))
+                        + F.col("_dm") * teleport
+                    )
+                ).alias("trust"),
+            )
+        )
+        if checkpoint_every and ((it + 1) % checkpoint_every) == 0:
+            trust = trust.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    with_deg.unpersist()
+    return trust.select("node", "trust")
+
+
+def trustrank_sql(
+    iterations: int = 10,
+    damping: float = 0.85,
+    table: str = "e",
+    seeds: str = "s",
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> str:
+    """Unrolled-CTE replay of ``trustrank`` (one CTE per round; prepend
+    the edge CTE ``table`` and the seed CTE ``seeds``). Emits a full
+    query ``(node, trust)``."""
+    d = float(damping)
+    ctes: List[str] = [
+        f"nodes AS (SELECT {src} AS node FROM {table} "
+        f"UNION SELECT {dst} AS node FROM {table})",
+        f"sd AS (SELECT DISTINCT {seed_col} AS node FROM {seeds} "
+        "WHERE node IN (SELECT node FROM nodes))",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd)",
+        """tp AS (
+  SELECT nodes.node,
+         CASE WHEN sd.node IS NOT NULL
+              THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS t
+  FROM nodes LEFT JOIN sd ON nodes.node = sd.node
+)""",
+        f"od AS (SELECT {src} AS node, CAST(count(*) AS DOUBLE) AS deg "
+        f"FROM {table} GROUP BY 1)",
+        "t0 AS (SELECT node, t AS trust FROM tp)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT tp.node,
+         (1.0 - {d}) * tp.t
+         + {d} * (
+             COALESCE(c.recv, 0.0)
+             + (SELECT COALESCE(SUM(p.trust), 0.0) FROM {prev} p
+                LEFT JOIN od ON p.node = od.node WHERE od.node IS NULL)
+               * tp.t
+           ) AS trust
+  FROM tp
+  LEFT JOIN (
+    SELECT {table}.{dst} AS node, SUM(p.trust / od.deg) AS recv
+    FROM {table}
+    JOIN {prev} p ON {table}.{src} = p.node
+    JOIN od ON {table}.{src} = od.node
+    GROUP BY 1
+  ) c ON tp.node = c.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, trust FROM t{iterations}"
+    )

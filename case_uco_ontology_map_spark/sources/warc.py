@@ -791,3 +791,62 @@ def documents_to_wat(
         F.lit("application/json").alias("content_type"),
         F.encode(payload_json, "UTF-8").alias("payload"),
     )
+
+
+_WAT_SCHEMA = (
+    "Envelope struct<`WARC-Header-Metadata`:"
+    "struct<`WARC-Target-URI`:string>>, "
+    "Links array<struct<url:string,text:string>>"
+)
+
+
+def wat_to_links(
+    wat_df: DataFrame,
+    strict: bool = True,
+) -> DataFrame:
+    """WAT import — the read side of ``documents_to_wat``: metadata
+    records back to one ``(src, dst, anchor)`` row per outlink, in the
+    payload's document order (``posexplode`` ordinal kept as ``pos`` so
+    consumers that care about order don't have to re-derive it).
+
+    Everything is JVM-side: ``from_json`` against an explicit schema
+    (never schema inference — an inference pass over 100 TB of payloads
+    is a second full scan), then one ``posexplode``. Non-metadata
+    records are filtered BEFORE the decode so a mixed archive costs
+    only its WAT share. ``strict=True`` (default) raises on a payload
+    that doesn't parse — the gate rides the SELECTED src column, like
+    the N-Triples importer, so the optimizer can't prune it;
+    ``strict=False`` drops bad records, the lenient-crawl convention
+    used by ``read_warc``."""
+    meta = wat_df.where(F.col("warc_type") == "metadata")
+    parsed = meta.select(
+        F.col("payload"),
+        F.from_json(F.decode(F.col("payload"), "UTF-8"), _WAT_SCHEMA)
+        .alias("_j"),
+    )
+    uri = F.col("_j")["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"]
+    ok = F.col("_j").isNotNull() & uri.isNotNull()
+    links = F.coalesce(F.col("_j")["Links"], F.array())
+    if strict:
+        # the gate must ride the GENERATOR INPUT: a malformed payload
+        # parses to an empty Links array, so posexplode would emit zero
+        # rows and a check on any output column would never evaluate
+        links = F.when(ok, links).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed WAT payload: "),
+                    F.substring(F.decode(F.col("payload"), "UTF-8"), 1, 120),
+                )
+            ).cast("array<struct<url:string,text:string>>")
+        )
+    else:
+        parsed = parsed.where(ok)
+    return parsed.select(
+        uri.alias("src"),
+        F.posexplode(links).alias("pos", "_lnk"),
+    ).select(
+        "src",
+        F.col("_lnk")["url"].alias("dst"),
+        F.col("_lnk")["text"].alias("anchor"),
+        "pos",
+    )

@@ -768,6 +768,37 @@ def main():
         "documents_to_wat must stay JVM-side"
     )
 
+    # r5 session 3: WAT import — explicit-schema from_json (no
+    # inference scan) + one posexplode: zero Exchange, zero Python
+    from case_uco_ontology_map_spark.sources.warc import wat_to_links
+
+    wimp = wat_to_links(wat)
+    wimp_plan = plan_of(wimp)
+    assert "Exchange" not in wimp_plan, (
+        "wat_to_links must not shuffle"
+    )
+    assert not re.findall(_no_python, wimp_plan), (
+        "wat_to_links must stay JVM-side (from_json, not a Python parser)"
+    )
+
+    # r5 session 3: TrustRank round shape — seed flag decided by ONE
+    # broadcast join; per-round shuffles touch only the N-row trust
+    # frame; the dangling term rides a broadcast 1-row aggregate
+    from case_uco_ontology_map_spark.operators.graphstats import trustrank
+
+    tr_seeds = docs.limit(3).selectExpr("doc_id + 1 AS node")
+    tr = trustrank(graph_edges, tr_seeds, iterations=1, checkpoint_every=0)
+    tr_plan = plan_of(tr)
+    assert not re.findall(_no_python, tr_plan), (
+        "trustrank must stay JVM-side"
+    )
+    assert "CartesianProduct" not in tr_plan, (
+        "trustrank dangling fold-in must broadcast, not cartesian"
+    )
+    assert "BroadcastExchange" in tr_plan, (
+        "trustrank seed flag and dangling scalar should ride broadcasts"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -809,6 +840,8 @@ def main():
             "robots_sitemaps (split + regexp + one DISTINCT Exchange, zero Python)": sm,
             "hits round shape (score-frame shuffles only; L1 norm as broadcast scalar)": hi,
             "documents_to_wat (in-row link extraction + JSON assembly, zero-shuffle)": wat,
+            "wat_to_links (explicit-schema from_json + one posexplode, zero-shuffle)": wimp,
+            "trustrank round shape (broadcast seed flag; trust-frame shuffles only)": tr,
         }
     )
     lines = [

@@ -713,3 +713,81 @@ def test_hits_l1_normalized_and_zero_not_null(edges):
     assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-9)
     assert sum(r["auth"] for r in rows) == pytest.approx(1.0, abs=1e-9)
     assert all(r["hub"] is not None and r["auth"] is not None for r in rows)
+
+
+# ----------------------------------------------------------- TrustRank
+
+
+def test_trustrank_hand_computed_exact(spark):
+    """Three rounds on a->b->c (c dangling), seeds={a}, d=0.5 —
+    hand-derived from the pinned update rule (teleport t=(1,0,0),
+    dangling mass re-enters through t):
+
+      r1: recv=(0,1,0), dm=0        -> (0.5,   0.5,  0)
+      r2: recv=(0,.5,.5), dm=0      -> (0.5,   0.25, 0.25)
+      r3: recv=(0,.5,.25), dm=0.25  -> (0.625, 0.25, 0.125)
+    """
+    from case_uco_ontology_map_spark.operators.graphstats import trustrank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["trust"] for r in trustrank(
+        e, s, iterations=3, damping=0.5).collect()}
+    assert got == pytest.approx(
+        {"a": 0.625, "b": 0.25, "c": 0.125}, abs=1e-12
+    )
+
+
+def test_trustrank_matches_unrolled_sql_oracle(edges):
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        trustrank,
+        trustrank_sql,
+    )
+
+    seeds = edges.sparkSession.createDataFrame(
+        [("0",), ("5",), ("ghost",)], "node string"  # ghost: not in graph
+    )
+    got = {r["node"]: r["trust"] for r in trustrank(
+        edges, seeds, iterations=4).collect()}
+    con = _duck()
+    con.register("s_src", pd.DataFrame({"node": ["0", "5", "ghost"]}))
+    want = dict(
+        con.execute(
+            "WITH e AS (SELECT * FROM e_src), s AS (SELECT * FROM s_src) "
+            "SELECT * FROM (" + trustrank_sql(4) + ") z"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_trustrank_mass_and_spam_demotion(spark):
+    """Trust sums to 1, and an unreachable-from-seeds spam clique gets
+    EXACT zero trust while PageRank would hand it real mass."""
+    from case_uco_ontology_map_spark.operators.graphstats import trustrank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x")],  # spam triangle, no in-link
+        "src string, dst string",
+    )
+    s = spark.createDataFrame([("a",)], "node string")
+    rows = trustrank(e, s, iterations=6).collect()
+    assert sum(r["trust"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    by = {r["node"]: r["trust"] for r in rows}
+    assert by["x"] == 0.0 and by["y"] == 0.0 and by["z"] == 0.0
+    assert by["a"] > 0.0 and by["b"] > 0.0
+
+
+def test_trustrank_no_seed_in_graph_raises(spark):
+    import pytest as _pt
+
+    from case_uco_ontology_map_spark.operators.graphstats import trustrank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    s = spark.createDataFrame([("ghost",)], "node string")
+    with _pt.raises(ValueError, match="no seed"):
+        trustrank(e, s, iterations=2)

@@ -464,3 +464,80 @@ def test_documents_to_wat_payload_and_roundtrip(spark, tmp_path):
     assert len(back) == 1
     assert bytes(back[0].payload) == bytes(row.payload)
     assert back[0].warc_type == "metadata"
+
+
+def test_wat_to_links_roundtrip_equals_direct_extraction(spark):
+    """documents -> documents_to_wat -> wat_to_links must reproduce
+    extract_links exactly (src, dst, anchor, document order) — the
+    JSON assembly + parse composition is the identity on links."""
+    from case_uco_ontology_map_spark.functions.links import extract_links
+    from case_uco_ontology_map_spark.sources.warc import (
+        documents_to_wat,
+        wat_to_links,
+    )
+
+    html = (
+        '<a href="/a">A "q"</a><a href="b.html">B\\s</a>'
+        '<a href="#f">skip</a><a href="//cdn.t/x">C</a>'
+    )
+    docs = spark.createDataFrame(
+        [("https://h.test/d/p.html", html), ("https://g.test/", "<p>no</p>")],
+        "url string, html string",
+    )
+    got = [
+        (r.src, r.dst, r.anchor, r.pos)
+        for r in wat_to_links(documents_to_wat(docs))
+        .orderBy("src", "pos").collect()
+    ]
+    direct = extract_links(docs).orderBy("src", "dst").collect()
+    assert got == [
+        ("https://h.test/d/p.html", "https://h.test/a", 'A "q"', 0),
+        ("https://h.test/d/p.html", "https://h.test/d/b.html", "B\\s", 1),
+        ("https://h.test/d/p.html", "https://cdn.t/x", "C", 2),
+    ]
+    assert sorted((r.src, r.dst, r.anchor) for r in direct) == sorted(
+        (s, d, a) for s, d, a, _ in got
+    )
+
+
+def test_wat_to_links_strict_and_lenient(spark):
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from case_uco_ontology_map_spark.sources.warc import wat_to_links
+
+    rows = [
+        ("metadata", bytearray(b"not json at all")),
+        (
+            "metadata",
+            bytearray(
+                b'{"Envelope":{"WARC-Header-Metadata":'
+                b'{"WARC-Target-URI":"https://ok.test/"}},'
+                b'"Links":[{"url":"https://d.test/","text":"t"}]}'
+            ),
+        ),
+        ("response", bytearray(b"ignored entirely")),
+    ]
+    df = spark.createDataFrame(rows, "warc_type string, payload binary")
+    lenient = wat_to_links(df, strict=False).collect()
+    assert [(r.src, r.dst, r.anchor, r.pos) for r in lenient] == [
+        ("https://ok.test/", "https://d.test/", "t", 0)
+    ]
+    with _pt.raises(SparkRuntimeException, match="malformed WAT payload"):
+        wat_to_links(df, strict=True).collect()
+
+
+def test_wat_to_links_empty_links_array(spark):
+    from case_uco_ontology_map_spark.sources.warc import wat_to_links
+
+    df = spark.createDataFrame(
+        [(
+            "metadata",
+            bytearray(
+                b'{"Envelope":{"WARC-Header-Metadata":'
+                b'{"WARC-Target-URI":"https://empty.test/"}},"Links":[]}'
+            ),
+        )],
+        "warc_type string, payload binary",
+    )
+    assert wat_to_links(df).count() == 0
