@@ -571,6 +571,33 @@ def bench_queries(spark, sf_dir: str):
             )
         return sums["h"]
 
+    def q_graph_trustrank():
+        """TrustRank (4 rounds) over the doc graph with every 64th node
+        seeded — the spam-demotion complement to the pagerank stage on
+        the same edge frame. Guard: trust mass must stay exactly 1 to
+        1e-6 (the teleport vector sums to 1 and dangling mass re-enters
+        through it, so any leak is a bug, not a convention)."""
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            trustrank,
+        )
+
+        ids = spark.range(0, n_docs)
+        tree = ids.filter(F.col("id") > 0).select(
+            F.col("id").alias("src"), F.expr("(id - 1) DIV 2").alias("dst")
+        )
+        link = ids.select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") * 7 + 3, F.lit(n_docs)).alias("dst"),
+        )
+        seeds = ids.filter(F.col("id") % 64 == 0).select(
+            F.col("id").alias("node")
+        )
+        trust = trustrank(tree.unionByName(link), seeds, iterations=4)
+        mass = trust.agg(F.sum("trust")).collect()[0][0]
+        if abs(mass - 1.0) > 1e-6:
+            raise RuntimeError(f"trustrank mass leaked: sum={mass}")
+        return mass
+
     def q_host_rollup():
         """Host-graph aggregation at corpus scale: the link_extract page
         shape (3 anchors per page — two same-host, one to the external
@@ -1168,6 +1195,7 @@ def bench_queries(spark, sf_dir: str):
         "graph_pagerank": q_graph_pagerank,
         "graph_walks": q_graph_walks,
         "graph_hits": q_graph_hits,
+        "graph_trustrank": q_graph_trustrank,
         "host_rollup": q_host_rollup,
         "wat_export": q_wat_export,
         "sparql_query": q_sparql_query,
