@@ -5633,6 +5633,109 @@ FROM flat ORDER BY src, pos
 """
 
 
+def q_link_analysis_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite link-analysis chain in its real order: pages →
+    extract_links → host_graph rollup → external edges only →
+    trustrank with one seed host. The synthesized web is an 8-host
+    ring (w0→w1→…→w7→w0) with internal nav links on every page (they
+    must vanish at the rollup), host-casing hazards (WWW., mixed case)
+    that must collapse during aggregation, and one host (w5) linking
+    out to a dangling spam.test — so the run exercises normalization,
+    internal-edge pruning, seed teleport, AND dangling redistribution
+    through one composition. A single DuckDB oracle replays the whole
+    chain (anchor regex → CASE resolution → host normalization →
+    distinct external edges → unrolled trustrank), so the COMPOSITION
+    is cross-engine-verified, not just each stage alone."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.links import (
+        extract_links,
+        host_graph,
+    )
+    from case_uco_ontology_map_spark.operators.graphstats import trustrank
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW.w"),
+        (did % 8).cast("string"),
+        F.lit(".Example.ORG/p/"),
+        did.cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="/nav">Nav</a><a href="https://w'),
+        ((did + 1) % 8).cast("string"),
+        F.lit('.example.org/x">Next</a>'),
+        F.when(
+            did % 16 == 5, F.lit('<a href="http://spam.test/z">S</a>')
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    hg = host_graph(extract_links(pages))
+    he = hg.where(~F.col("internal")).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = spark.createDataFrame([("w0.example.org",)], "node string")
+    return trustrank(he, seeds, iterations=4).orderBy("node")
+
+
+def _oracle_link_analysis_pipeline() -> str:
+    from case_uco_ontology_map_spark.functions.links import host_graph_sql
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        trustrank_sql,
+    )
+
+    pages_and_links = r"""
+pages AS (
+  SELECT 'https://WWW.w' || (doc_id % 8) || '.Example.ORG/p/' || doc_id
+         AS url,
+         '<a href="/nav">Nav</a><a href="https://w' || ((doc_id + 1) % 8)
+         || '.example.org/x">Next</a>'
+         || CASE WHEN doc_id % 16 = 5
+                 THEN '<a href="http://spam.test/z">S</a>'
+                 ELSE '' END AS html
+  FROM documents
+), lraw AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(html,
+           '<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+  FROM pages
+), lparts AS (
+  SELECT src, href,
+         regexp_extract(src, '^([a-z][a-z0-9+.\-]*)://', 1) AS scheme,
+         regexp_extract(src,
+           '^[a-z][a-z0-9+.\-]*://([^/?#]*)', 1) AS auth,
+         regexp_replace(regexp_extract(src,
+           '^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+           '/[^/]*$', '') AS basedir
+  FROM lraw
+), lnk AS (
+  SELECT src,
+         CASE
+           WHEN regexp_matches(href, '^https?://') THEN href
+           WHEN href LIKE '//%' THEN scheme || ':' || href
+           WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*:')
+             THEN NULL
+           WHEN href = '' OR href LIKE '#%' THEN NULL
+           WHEN href LIKE '/%' THEN scheme || '://' || auth || href
+           ELSE scheme || '://' || auth || basedir || '/' || href
+         END AS dst
+  FROM lparts
+), ldst AS (
+  SELECT src, dst FROM lnk WHERE dst IS NOT NULL
+)"""
+    hg = host_graph_sql("ldst")
+    return (
+        "WITH " + pages_and_links.strip()
+        + f", hg AS ({hg}),\n"
+        "e AS (SELECT src_host AS src, dst_host AS dst FROM hg "
+        "WHERE NOT internal),\n"
+        "s AS (SELECT 'w0.example.org' AS node)\n"
+        "SELECT * FROM ("
+        + trustrank_sql(iterations=4)
+        + ") z ORDER BY node"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -5740,6 +5843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_metadata": q_wat_metadata,
         "trustrank": q_trustrank,
         "wat_roundtrip": q_wat_roundtrip,
+        "link_analysis_pipeline": q_link_analysis_pipeline,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -5858,6 +5962,7 @@ def oracle_sql() -> dict[str, str]:
         "wat_metadata": _oracle_wat_metadata(),
         "trustrank": _oracle_trustrank(),
         "wat_roundtrip": _oracle_wat_roundtrip(),
+        "link_analysis_pipeline": _oracle_link_analysis_pipeline(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

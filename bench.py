@@ -1366,8 +1366,8 @@ TIER2_STAGES = (
     "quality_score", "canonicalize", "canonicalize_wide", "materialize",
     "canonicalize_incr", "graph_closure", "graph_pagerank",
     "ann_index_build", "ann_brute_topk", "ann_ivf_topk",
-    "ann_sq8_topk", "warc_ingest", "graph_hits", "host_rollup",
-    "wat_export",
+    "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
+    "host_rollup", "wat_export",
 )
 
 
