@@ -54,11 +54,11 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(no_port, r"^www\.", "")
 
 
-def url_registered_domain(url: Column) -> Column:
-    """Last two host labels, or three when the last two form a known
+def host_registered_domain(host: Column) -> Column:
+    """Registered domain of an ALREADY-normalized host (``url_host``
+    output): last two labels, or three when the last two form a known
     multi-part suffix (MULTIPART_SUFFIXES). Approximation documented in
     the module header."""
-    host = url_host(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
@@ -69,6 +69,11 @@ def url_registered_domain(url: Column) -> Column:
         .when(is_multi & (n >= 3), last3)
         .otherwise(last2)
     )
+
+
+def url_registered_domain(url: Column) -> Column:
+    """``host_registered_domain`` over the url's normalized host."""
+    return host_registered_domain(url_host(url))
 
 
 def _normalized_query(url: Column) -> Column:

@@ -1254,3 +1254,180 @@ def trustrank_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, trust FROM t{iterations}"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: Optional[int] = None,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Multi-source BFS → ``(node, dist)``: minimal hop count from ANY
+    source node (sources themselves at 0). The landmark-distance
+    feature extractor — link distance from a trusted core (the additive
+    companion to ``trustrank``'s multiplicative decay, per Gyöngyi
+    2004 §4.2), crawl-depth-from-seeds, and the per-node feature
+    GraphSAGE-style samplers consume.
+
+    Semantics pinned for the oracle: sources appear at dist 0 whether
+    or not they touch the graph (a landmark is at distance 0 from
+    itself); every node reachable over directed edges appears once at
+    its minimal distance; unreachable nodes are ABSENT (consumers
+    coalesce to their own infinity — emitting every node would force a
+    full node-set join the caller may not want).
+
+    Scale shape mirrors ``transitive_closure``'s semi-naive loop, but
+    state is O(N) (node, dist) rather than O(N²) pairs: edges are
+    hash-partitioned on ``src`` once and persisted; each round joins
+    only the FRONTIER (nodes first reached that round) against the
+    edges and anti-joins the known set, so a node is never re-derived
+    and cycles terminate naturally. One ``isEmpty`` action per round is
+    inherent to fixed-point iteration; ``localCheckpoint`` truncates
+    lineage so plan depth stays O(1) over any diameter."""
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .repartition(shuffle, "_es")
+        .persist()
+    )
+    known = (
+        sources.select(F.col(source_col).alias("node"))
+        .where(F.col(source_col).isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = known.select("node")
+    h = 0
+    while max_hops is None or h < max_hops:
+        nxt = (
+            frontier.join(e, on=frontier["node"] == e["_es"])
+            .select(F.col("_ed").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(known.select("node"), on="node", how="left_anti")
+        h += 1
+        if checkpoint_every and (h % checkpoint_every) == 0:
+            new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        known = known.unionByName(new.withColumn("dist", F.lit(h)))
+        if checkpoint_every and (h % checkpoint_every) == 0:
+            known = known.localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return known
+
+
+def bfs_distances_sql(
+    max_hops: int,
+    table: str = "e",
+    sources: str = "s",
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+) -> str:
+    """Recursive-CTE replay of ``bfs_distances``. Returns a full query
+    ``(node, dist)``; prepend the edge CTE ``table`` and source CTE
+    ``sources``. ``max_hops`` is REQUIRED here (same caveat as
+    ``closure_sql``: the UNION dedups (node, dist) pairs, so a cycle
+    keeps deriving new dist values forever without a bound; the Spark
+    operator's anti-join dedups on node alone and needs no bound)."""
+    return f"""
+WITH RECURSIVE ed AS (
+  SELECT {src} AS src, {dst} AS dst FROM {table}
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL GROUP BY 1, 2
+),
+reach(node, dist) AS (
+  SELECT DISTINCT {source_col} AS node, 0 FROM {sources}
+  WHERE {source_col} IS NOT NULL
+  UNION
+  SELECT ed.dst, r.dist + 1 FROM reach r JOIN ed ON r.node = ed.src
+  WHERE r.dist < {int(max_hops)}
+)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+FROM reach GROUP BY node
+"""
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi/Berkhin/Garcia-Molina/Pedersen 2005,
+    "Link Spam Detection Based on Mass Estimation") →
+    ``(node, rank, trust, spam_mass)``.
+
+    ``spam_mass = (rank - trust) / rank``: the fraction of a node's
+    PageRank NOT accounted for by trust flowing from the seed core.
+    Both inputs sum to 1 over the same node set (``pagerank`` and
+    ``trustrank`` here), so no rescaling is needed — the paper's
+    core-based estimate with the scale factor folded away. Spam farms
+    score → 1 (rank earned, zero trust); the trusted core itself goes
+    NEGATIVE (trust exceeds rank near the seeds) — kept raw and
+    documented rather than clamped, since consumers threshold high
+    values and a clamp would hide how trusted the core is.
+
+    ``rank`` has the ``(1-d)/N`` floor, so the division is total.
+    Scale shape: two back-to-back power iterations over the SAME
+    persisted edge frame (each round shuffles N-row score frames only)
+    plus one N-row join — nothing new beyond the two constituents."""
+    pr = pagerank(
+        edges, iterations=iterations, damping=damping,
+        src=src, dst=dst, checkpoint_every=checkpoint_every,
+    )
+    tr = trustrank(
+        edges, seeds, iterations=iterations, damping=damping,
+        src=src, dst=dst, seed_col=seed_col,
+        checkpoint_every=checkpoint_every,
+    )
+    return pr.join(tr, on="node").select(
+        "node",
+        "rank",
+        "trust",
+        ((F.col("rank") - F.col("trust")) / F.col("rank")).alias(
+            "spam_mass"
+        ),
+    )
+
+
+def spam_mass_sql(
+    iterations: int = 10,
+    damping: float = 0.85,
+    table: str = "e",
+    seeds: str = "s",
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> str:
+    """ANSI replay of ``spam_mass``: the two unrolled-CTE twins run as
+    NESTED WITH subqueries (scoping keeps their identical internal CTE
+    names apart), joined on node with the identical final expression.
+    Returns a full query; prepend edge CTE ``table`` + seed CTE
+    ``seeds``."""
+    pr = pagerank_sql(
+        iterations=iterations, damping=damping,
+        table=table, src=src, dst=dst,
+    )
+    tr = trustrank_sql(
+        iterations=iterations, damping=damping,
+        table=table, seeds=seeds, src=src, dst=dst, seed_col=seed_col,
+    )
+    return f"""
+SELECT pr.node, pr.rank, tr.trust,
+       (pr.rank - tr.trust) / pr.rank AS spam_mass
+FROM ({pr}) pr
+JOIN ({tr}) tr ON pr.node = tr.node
+"""

@@ -791,3 +791,102 @@ def test_trustrank_no_seed_in_graph_raises(spark):
     s = spark.createDataFrame([("ghost",)], "node string")
     with _pt.raises(ValueError, match="no seed"):
         trustrank(e, s, iterations=2)
+
+
+def test_bfs_distances_hand_computed(spark):
+    """Diamond + cycle + unreachable tail, two sources, one isolated
+    landmark: a->b, a->c, b->d, c->d, d->a (cycle back), x->y
+    (unreachable from sources), sources {a, iso}."""
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        bfs_distances,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a"),
+         ("x", "y")],
+        "src string, dst string",
+    )
+    s = spark.createDataFrame([("a",), ("iso",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, s).collect()}
+    # iso at 0 though absent from the graph; x/y absent (unreachable);
+    # a stays 0 despite the d->a cycle edge re-deriving it at 3
+    assert got == {"a": 0, "iso": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_distances_max_hops_and_oracle(edges):
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        bfs_distances,
+        bfs_distances_sql,
+    )
+
+    seeds = edges.sparkSession.createDataFrame([("0",)], "node string")
+    for hops in (1, 2, 8):
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(edges, seeds, max_hops=hops).collect()
+        }
+        con = _duck()
+        con.register("s_src", pd.DataFrame({"node": ["0"]}))
+        want = dict(
+            con.execute(
+                "WITH e AS (SELECT * FROM e_src), "
+                "s AS (SELECT * FROM s_src) "
+                "SELECT * FROM (" + bfs_distances_sql(hops) + ") z"
+            ).fetchall()
+        )
+        assert got == want
+    assert max(got.values()) <= 8 and got["0"] == 0
+
+
+def test_spam_mass_spam_farm_scores_high(spark):
+    """A spam triangle with no in-link from the trusted side earns real
+    PageRank but ZERO trust → spam_mass exactly 1.0; the seed itself
+    goes negative (trust > rank near the core)."""
+    from case_uco_ontology_map_spark.operators.graphstats import spam_mass
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    s = spark.createDataFrame([("a",)], "node string")
+    by = {r["node"]: r for r in spam_mass(e, s, iterations=6).collect()}
+    for n in ("x", "y", "z"):
+        assert by[n]["trust"] == 0.0
+        assert by[n]["rank"] > 0.0
+        assert by[n]["spam_mass"] == 1.0
+    assert by["a"]["spam_mass"] < 0.0
+    assert abs(sum(r["rank"] for r in by.values()) - 1.0) < 1e-9
+    assert abs(sum(r["trust"] for r in by.values()) - 1.0) < 1e-9
+
+
+def test_spam_mass_matches_sql_oracle(edges):
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        spam_mass,
+        spam_mass_sql,
+    )
+
+    seeds = edges.sparkSession.createDataFrame(
+        [("0",), ("5",)], "node string"
+    )
+    got = {
+        r["node"]: (r["rank"], r["trust"], r["spam_mass"])
+        for r in spam_mass(edges, seeds, iterations=4).collect()
+    }
+    con = _duck()
+    con.register("s_src", pd.DataFrame({"node": ["0", "5"]}))
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "WITH e AS (SELECT * FROM e_src), s AS (SELECT * FROM s_src) "
+            + spam_mass_sql(4)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for n in want:
+        for a, b in zip(got[n], want[n]):
+            assert a == pytest.approx(b, abs=1e-12)

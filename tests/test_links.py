@@ -179,3 +179,49 @@ def test_host_graph_aggregation_and_oracle(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_domain_graph_rollup_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.functions.links import (
+        domain_graph,
+        domain_graph_sql,
+    )
+
+    hosts = [
+        # two a.test subdomains -> b.co.uk hosts: one domain edge,
+        # n_links sums, n_src_hosts counts DISTINCT source hosts
+        ("blog.a.test", "shop.b.co.uk", 3),
+        ("blog.a.test", "b.co.uk", 2),
+        ("news.a.test", "b.co.uk", 1),
+        # subdomain cross-link collapses to an INTERNAL domain edge
+        ("blog.a.test", "news.a.test", 4),
+        # bare single-label host passes through as its own domain
+        ("localhost", "b.co.uk", 1),
+    ]
+    df = spark.createDataFrame(
+        hosts, "src_host string, dst_host string, n_links long"
+    )
+    got = {
+        (r.src_domain, r.dst_domain): (r.internal, r.n_links, r.n_src_hosts)
+        for r in domain_graph(df).collect()
+    }
+    assert got == {
+        ("a.test", "b.co.uk"): (False, 6, 2),
+        ("a.test", "a.test"): (True, 4, 1),
+        ("localhost", "b.co.uk"): (False, 1, 1),
+    }
+    con = duckdb.connect()
+    con.register(
+        "h_src",
+        pd.DataFrame(hosts, columns=["src_host", "dst_host", "n_links"]),
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(
+            "WITH h AS (SELECT * FROM h_src) " + domain_graph_sql()
+        ).fetchall()
+    }
+    assert got == want
