@@ -5736,6 +5736,159 @@ pages AS (
     )
 
 
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (operators/graphstats.spam_mass, Gyöngyi 2005):
+    the fraction of a node's PageRank NOT covered by trust from the seed
+    core — (rank - trust) / rank over the same 4-round pagerank +
+    trustrank pair the individual contract rows pin. DuckDB replays both
+    unrolled twins as nested WITH subqueries joined on node
+    (spam_mass_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import spam_mass
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    seeds = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 16 == 0)
+        .select(F.col("doc_id").cast("long").alias("node"))
+    )
+    return spam_mass(edges, seeds, iterations=4).orderBy("node")
+
+
+def _oracle_spam_mass() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        spam_mass_sql,
+    )
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        "s AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents "
+        "WHERE doc_id % 16 = 0)\n"
+        "SELECT * FROM ("
+        + spam_mass_sql(iterations=4)
+        + ") z ORDER BY node"
+    )
+
+
+def q_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graphstats.bfs_distances):
+    minimal link distance from the trusted-seed core (every 16th doc,
+    plus a ghost landmark -1 that pins the sources-at-0 semantics),
+    bounded at 6 hops — the additive companion feature to trustrank's
+    multiplicative decay. DuckDB replays the bounded recursive CTE
+    (bfs_distances_sql); unreachable nodes are ABSENT on both engines."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        bfs_distances,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    seeds = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 16 == 0)
+        .select(F.col("doc_id").cast("long").alias("node"))
+        .unionByName(
+            spark.range(1).select(F.lit(-1).cast("long").alias("node"))
+        )
+    )
+    return bfs_distances(edges, seeds, max_hops=6).orderBy("node")
+
+
+def _oracle_seed_distances() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        bfs_distances_sql,
+    )
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        "s AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents "
+        "WHERE doc_id % 16 = 0 UNION ALL SELECT CAST(-1 AS BIGINT))\n"
+        "SELECT * FROM ("
+        + bfs_distances_sql(max_hops=6)
+        + ") z ORDER BY node"
+    )
+
+
+def _domain_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host-level edge frame for the domain_graph row:
+    subdomained sources across three suffix classes (multi-part .co.uk,
+    plain .com, .test), dst alternating between a SAME-DOMAIN sibling
+    subdomain (internal at the domain level) and an external .org, plus
+    a single-label localhost spike — replayable by string concat in both
+    engines."""
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    sfx = (
+        F.when(did % 3 == 0, F.lit(".co.uk"))
+        .when(did % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".test"))
+    )
+    src_host = F.concat(
+        F.lit("s"), (did % 3).cast("string"),
+        F.lit(".d"), (did % 7).cast("string"), sfx,
+    )
+    dst_host = (
+        F.when(did % 13 == 0, F.lit("localhost"))
+        .when(
+            did % 2 == 0,
+            F.concat(F.lit("alt.d"), (did % 7).cast("string"), sfx),
+        )
+        .otherwise(
+            F.concat(F.lit("e"), (did % 5).cast("string"), F.lit(".org"))
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        src_host.alias("src_host"),
+        dst_host.alias("dst_host"),
+        ((did % 9) + 1).cast("long").alias("n_links"),
+    )
+
+
+_DOMAIN_HOST_EDGES_SQL = """
+SELECT 's' || (doc_id % 3) || '.d' || (doc_id % 7)
+       || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+               WHEN doc_id % 3 = 1 THEN '.com'
+               ELSE '.test' END AS src_host,
+       CASE WHEN doc_id % 13 = 0 THEN 'localhost'
+            WHEN doc_id % 2 = 0 THEN 'alt.d' || (doc_id % 7)
+                 || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                         WHEN doc_id % 3 = 1 THEN '.com'
+                         ELSE '.test' END
+            ELSE 'e' || (doc_id % 5) || '.org' END AS dst_host,
+       CAST((doc_id % 9) + 1 AS BIGINT) AS n_links
+FROM documents
+"""
+
+
+def q_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup (functions/links.domain_graph): host
+    edges → domain edges via the documented last-two-labels +
+    multi-part-suffix registered-domain cut, summed link counts, exact
+    distinct source-host counts, internal flag for subdomain
+    cross-links. The synthesized hosts span .co.uk (multi-part), .com /
+    .test (two-label), and a bare single-label host; DuckDB replays the
+    identical three-branch CASE (domain_graph_sql)."""
+    from case_uco_ontology_map_spark.functions.links import domain_graph
+
+    he = _domain_host_edges(spark, sf_dir)
+    return domain_graph(he).orderBy("src_domain", "dst_domain")
+
+
+def _oracle_domain_graph() -> str:
+    from case_uco_ontology_map_spark.functions.links import domain_graph_sql
+
+    return (
+        f"WITH h AS ({_DOMAIN_HOST_EDGES_SQL})\n"
+        "SELECT * FROM ("
+        + domain_graph_sql()
+        + ") z ORDER BY src_domain, dst_domain"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -5844,6 +5997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "wat_roundtrip": q_wat_roundtrip,
         "link_analysis_pipeline": q_link_analysis_pipeline,
+        "spam_mass": q_spam_mass,
+        "seed_distances": q_seed_distances,
+        "domain_graph": q_domain_graph,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -5963,6 +6119,9 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _oracle_trustrank(),
         "wat_roundtrip": _oracle_wat_roundtrip(),
         "link_analysis_pipeline": _oracle_link_analysis_pipeline(),
+        "spam_mass": _oracle_spam_mass(),
+        "seed_distances": _oracle_seed_distances(),
+        "domain_graph": _oracle_domain_graph(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),
