@@ -633,6 +633,114 @@ def bench_queries(spark, sf_dir: str):
             )
         return got[True] + got[False]
 
+    def q_graph_spam_mass():
+        """Relative spam mass (Gyöngyi 2005) over the doc graph: the
+        4-round pagerank + trustrank pair over the SAME edge frame
+        joined on node — the full spam-demotion signal a host-graph
+        consumer actually thresholds. Guards exact: both score masses
+        sum to 1 to 1e-6 and every node appears exactly once."""
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            spam_mass,
+        )
+
+        ids = spark.range(0, n_docs)
+        tree = ids.filter(F.col("id") > 0).select(
+            F.col("id").alias("src"), F.expr("(id - 1) DIV 2").alias("dst")
+        )
+        link = ids.select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") * 7 + 3, F.lit(n_docs)).alias("dst"),
+        )
+        seeds = ids.filter(F.col("id") % 64 == 0).select(
+            F.col("id").alias("node")
+        )
+        sm = spam_mass(tree.unionByName(link), seeds, iterations=4)
+        agg = sm.agg(
+            F.sum("rank").alias("r"),
+            F.sum("trust").alias("t"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        if (
+            abs(agg["r"] - 1.0) > 1e-6
+            or abs(agg["t"] - 1.0) > 1e-6
+            or agg["n"] != n_docs
+        ):
+            raise RuntimeError(
+                f"spam_mass guards: rank={agg['r']} trust={agg['t']} "
+                f"rows={agg['n']}/{n_docs}"
+            )
+        return agg["n"]
+
+    def q_graph_bfs():
+        """Multi-source BFS to the fixed point over the REVERSED doc
+        graph from the root: reversed parent edges alone make every
+        node reachable from 0 (heap numbering walks to the root), so
+        coverage is exact by construction — the guard demands ALL
+        n_docs nodes and a max distance no deeper than the parent-chain
+        bound (the reversed link edges can only shorten paths).
+        Rounds = graph depth ≈ log2(n_docs); each round joins only the
+        frontier."""
+        import math
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            bfs_distances,
+        )
+
+        ids = spark.range(0, n_docs)
+        rev_tree = ids.filter(F.col("id") > 0).select(
+            F.expr("(id - 1) DIV 2").alias("src"), F.col("id").alias("dst")
+        )
+        rev_link = ids.select(
+            F.pmod(F.col("id") * 7 + 3, F.lit(n_docs)).alias("src"),
+            F.col("id").alias("dst"),
+        )
+        sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+        d = bfs_distances(rev_tree.unionByName(rev_link), sources)
+        agg = d.agg(
+            F.count("*").alias("n"), F.max("dist").alias("m")
+        ).collect()[0]
+        depth_bound = int(math.ceil(math.log2(max(n_docs, 2)))) + 1
+        if agg["n"] != n_docs or agg["m"] > depth_bound:
+            raise RuntimeError(
+                f"graph_bfs guards: reached {agg['n']}/{n_docs}, "
+                f"max dist {agg['m']} > bound {depth_bound}"
+            )
+        return agg["n"]
+
+    def q_domain_rollup():
+        """The full web-graph ladder page → host → registered domain:
+        link extraction over every corpus page (3-anchor shape, one
+        subdomained external target per page so the domain cut
+        collapses real hosts), host_graph rollup, then domain_graph.
+        Guard exact: total n_links conserved through the domain rollup
+        (a domain-cut bug that splits or merges families breaks the
+        sum loudly)."""
+        from case_uco_ontology_map_spark.functions.links import (
+            domain_graph,
+            extract_links,
+            host_graph,
+        )
+
+        pages = corpus.select(
+            "url",
+            F.concat(
+                F.lit('<a href="/l1">one</a><a href="https://s'),
+                F.pmod(F.xxhash64("url"), F.lit(97)).cast("string"),
+                F.lit('.x.test/2">two</a><a href="l3.html">three</a>'),
+            ).alias("html"),
+        )
+        hg = host_graph(extract_links(pages))
+        dg = domain_graph(hg)
+        sums = (
+            hg.agg(F.sum("n_links")).collect()[0][0],
+            dg.agg(F.sum("n_links")).collect()[0][0],
+        )
+        if sums[0] != sums[1] or sums[0] != 3 * n_docs:
+            raise RuntimeError(
+                f"domain_rollup: link mass {sums} != {3 * n_docs}"
+            )
+        return sums[1]
+
     def q_wat_export():
         """WAT metadata assembly over every corpus page (same 3-anchor
         shape): in-row link extraction + JSON string concat, zero
@@ -1197,6 +1305,9 @@ def bench_queries(spark, sf_dir: str):
         "graph_hits": q_graph_hits,
         "graph_trustrank": q_graph_trustrank,
         "host_rollup": q_host_rollup,
+        "graph_spam_mass": q_graph_spam_mass,
+        "graph_bfs": q_graph_bfs,
+        "domain_rollup": q_domain_rollup,
         "wat_export": q_wat_export,
         "sparql_query": q_sparql_query,
         "ann_index_build": q_ann_index_build,
@@ -1367,7 +1478,8 @@ TIER2_STAGES = (
     "canonicalize_incr", "graph_closure", "graph_pagerank",
     "ann_index_build", "ann_brute_topk", "ann_ivf_topk",
     "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
-    "host_rollup", "wat_export",
+    "host_rollup", "wat_export", "graph_spam_mass", "graph_bfs",
+    "domain_rollup",
 )
 
 

@@ -799,6 +799,60 @@ def main():
         "trustrank seed flag and dangling scalar should ride broadcasts"
     )
 
+    # r5 session 4: multi-source BFS round shape — the frontier meets the
+    # persisted edge frame in an equi-join, known-set dedup is an
+    # anti-join; nothing crosses into Python
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        bfs_distances,
+        spam_mass,
+    )
+
+    # seeds away from the tree root so hop 1 derives NEW nodes and the
+    # returned plan carries a real round (not the broke-instantly scan)
+    bfs_seeds = docs.limit(2).selectExpr(
+        "CAST(doc_id + 101 AS BIGINT) AS node"
+    )
+    bfs = bfs_distances(
+        graph_edges, bfs_seeds, max_hops=1, checkpoint_every=0
+    )
+    bfs_plan = plan_of(bfs)
+    assert not re.findall(_no_python, bfs_plan), (
+        "bfs_distances must stay JVM-side"
+    )
+    assert "CartesianProduct" not in bfs_plan, (
+        "bfs_distances frontier expansion must equi-join, not cartesian"
+    )
+    assert "Exchange" in bfs_plan, (
+        "bfs_distances plan is vacuous — the frontier died at hop 1"
+    )
+
+    # r5 session 4: spam mass — two N-row score frames meet in ONE
+    # equi-join on node; the mass expression folds in-row
+    sm_seeds = docs.limit(3).selectExpr("CAST(doc_id AS BIGINT) AS node")
+    smx = spam_mass(graph_edges, sm_seeds, iterations=1, checkpoint_every=0)
+    smx_plan = plan_of(smx)
+    assert not re.findall(_no_python, smx_plan), (
+        "spam_mass must stay JVM-side"
+    )
+    assert "CartesianProduct" not in smx_plan, (
+        "spam_mass score join must equi-join, not cartesian"
+    )
+
+    # r5 session 4: domain rollup — ONE key shuffle; n_links sums
+    # map-side; the registered-domain CASE folds in-row (zero Python)
+    from case_uco_ontology_map_spark.functions.links import domain_graph
+
+    dg = domain_graph(
+        hg.select("src_host", "dst_host", "n_links")
+    )
+    dg_plan = plan_of(dg)
+    assert not re.findall(_no_python, dg_plan), (
+        "domain_graph must stay JVM-side"
+    )
+    assert "partial" in dg_plan.lower() or "HashAggregate" in dg_plan, (
+        "domain_graph n_links must pre-aggregate map-side"
+    )
+
     sections.update(
         {
             "bgp_query (3-pattern conjunction: equi-joins only, no cartesian)": bgp,
@@ -842,6 +896,9 @@ def main():
             "documents_to_wat (in-row link extraction + JSON assembly, zero-shuffle)": wat,
             "wat_to_links (explicit-schema from_json + one posexplode, zero-shuffle)": wimp,
             "trustrank round shape (broadcast seed flag; trust-frame shuffles only)": tr,
+            "bfs_distances round shape (frontier equi-join + anti-join, JVM-only)": bfs,
+            "spam_mass (one node equi-join over two score frames; in-row mass expr)": smx,
+            "domain_graph (one key shuffle; map-side link sums + in-row domain CASE)": dg,
         }
     )
     lines = [
