@@ -5889,6 +5889,149 @@ def _oracle_domain_graph() -> str:
     )
 
 
+
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-landmark BFS distances (operators/graphstats.
+    landmark_distances): the distance-sketch feature vector — every
+    128th doc plus a ghost landmark -1 (pinning sources-at-0), bounded
+    at 4 hops. All wavefronts advance in ONE frame per round (the
+    landmark column rides the frontier), so rounds = eccentricity, not
+    landmarks × rounds. DuckDB replays the bounded recursive CTE keyed
+    by landmark (landmark_distances_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        landmark_distances,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    lms = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 128 == 0)
+        .select(F.col("doc_id").cast("long").alias("node"))
+        .unionByName(
+            spark.range(1).select(F.lit(-1).cast("long").alias("node"))
+        )
+    )
+    return landmark_distances(edges, lms, max_hops=4).orderBy(
+        "landmark", "node"
+    )
+
+
+def _oracle_landmark_distances() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        landmark_distances_sql,
+    )
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        "s AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents "
+        "WHERE doc_id % 128 = 0 UNION ALL SELECT CAST(-1 AS BIGINT))\n"
+        "SELECT * FROM ("
+        + landmark_distances_sql(max_hops=4)
+        + ") z ORDER BY landmark, node"
+    )
+
+
+def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain quality prior (operators/textstats.
+    domain_quality_prior): the SITE-level curation gate (C4/RefinedWeb
+    style) — integer-exact token/char/punct totals per domain and the
+    cross-multiplied pass flag. Urls are synthesized over the real
+    document texts: subdomained host families across .co.uk (multi-part
+    suffix), .com, and .test, WWW-cased every 5th doc so the host
+    normalization chain is exercised inside the aggregation key."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.textstats import (
+        domain_quality_prior,
+    )
+
+    did = F.col("doc_id")
+    sfx = (
+        F.when(did % 3 == 0, F.lit(".co.uk"))
+        .when(did % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".test"))
+    )
+    www = F.when(did % 5 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), www,
+        F.lit("s"), (did % 3).cast("string"),
+        F.lit(".d"), (did % 11).cast("string"), sfx,
+        F.lit("/p/"), did.cast("string"),
+    )
+    docs = _docs(spark, sf_dir).select(url.alias("url"), "text")
+    return domain_quality_prior(docs).orderBy("domain")
+
+
+def _oracle_domain_prior() -> str:
+    from case_uco_ontology_map_spark.operators.textstats import (
+        domain_prior_sql,
+    )
+
+    urls = """
+SELECT 'https://' || CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END
+       || 's' || (doc_id % 3) || '.d' || (doc_id % 11)
+       || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+               WHEN doc_id % 3 = 1 THEN '.com'
+               ELSE '.test' END
+       || '/p/' || doc_id AS url,
+       text
+FROM documents
+"""
+    return (
+        f"WITH d AS ({urls})\n"
+        "SELECT * FROM ("
+        + domain_prior_sql()
+        + ") z ORDER BY domain"
+    )
+
+
+def q_link_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl link diff (functions/links.link_delta): prior =
+    the full doc graph; current = the same graph minus every edge with
+    (src + dst) % 3 = 0 (removed) plus a fresh functional edge from
+    every 4th node (added) — so all three statuses appear and the
+    duplicate tree/link edge collisions exercise the distinct. DuckDB
+    replays the full-outer diff (link_delta_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.links import link_delta
+
+    edges, n = _doc_graph(spark, sf_dir)
+    kept = edges.where((F.col("src") + F.col("dst")) % 3 != 0)
+    fresh = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 4 == 0)
+        .select(
+            F.col("doc_id").cast("long").alias("src"),
+            F.pmod(F.col("doc_id") * 5 + 11, F.lit(n))
+            .cast("long")
+            .alias("dst"),
+        )
+    )
+    return link_delta(edges, kept.unionByName(fresh)).orderBy(
+        "src", "dst"
+    )
+
+
+def _oracle_link_delta() -> str:
+    from case_uco_ontology_map_spark.functions.links import link_delta_sql
+
+    return (
+        f"WITH p AS ({_DOC_GRAPH_SQL}),\n"
+        "c AS (SELECT src, dst FROM p WHERE (src + dst) % 3 <> 0\n"
+        "      UNION ALL\n"
+        "      SELECT CAST(doc_id AS BIGINT) AS src,\n"
+        "             CAST((doc_id * 5 + 11) % "
+        "(SELECT count(*) FROM documents) AS BIGINT) AS dst\n"
+        "      FROM documents WHERE doc_id % 4 = 0)\n"
+        "SELECT * FROM ("
+        + link_delta_sql()
+        + ") z ORDER BY src, dst"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6000,6 +6143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "seed_distances": q_seed_distances,
         "domain_graph": q_domain_graph,
+        "landmark_distances": q_landmark_distances,
+        "domain_prior": q_domain_prior,
+        "link_delta": q_link_delta,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6122,6 +6268,9 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": _oracle_spam_mass(),
         "seed_distances": _oracle_seed_distances(),
         "domain_graph": _oracle_domain_graph(),
+        "landmark_distances": _oracle_landmark_distances(),
+        "domain_prior": _oracle_domain_prior(),
+        "link_delta": _oracle_link_delta(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -347,3 +347,62 @@ FROM (
 ) z
 GROUP BY 1, 2
 """
+
+
+def link_delta(
+    prior: DataFrame,
+    current: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Crawl-over-crawl edge diff → ``(src, dst, status)`` with status
+    ``added`` / ``removed`` / ``retained`` — the link-graph companion to
+    ``cdx_delta``'s page-level change detection (link rot measurement,
+    freshness-weighted ranking, and incremental PageRank all start from
+    this frame). Both inputs dedup to DISTINCT edge sets first (anchor
+    multiplicity is ``link_graph``'s job, not the diff's).
+
+    Scale shape: one shuffle per side onto the shared (src, dst) key,
+    then a single co-partitioned full-outer sort-merge join — no
+    driver-side sets, no second pass per status class."""
+    p = (
+        prior.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .withColumn("_p", F.lit(True))
+    )
+    c = (
+        current.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .withColumn("_c", F.lit(True))
+    )
+    j = p.join(c, on=["src", "dst"], how="full_outer")
+    return j.select(
+        "src",
+        "dst",
+        F.when(F.col("_p").isNotNull() & F.col("_c").isNotNull(),
+               F.lit("retained"))
+        .when(F.col("_c").isNotNull(), F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("status"),
+    )
+
+
+def link_delta_sql(
+    prior: str = "p",
+    current: str = "c",
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """ANSI replay of ``link_delta`` over two edge tables/CTEs."""
+    return f"""
+SELECT COALESCE(pp.src, cc.src) AS src,
+       COALESCE(pp.dst, cc.dst) AS dst,
+       CASE WHEN pp.src IS NOT NULL AND cc.src IS NOT NULL
+            THEN 'retained'
+            WHEN cc.src IS NOT NULL THEN 'added'
+            ELSE 'removed' END AS status
+FROM (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {prior}) pp
+FULL OUTER JOIN
+     (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {current}) cc
+ON pp.src = cc.src AND pp.dst = cc.dst
+"""

@@ -1431,3 +1431,124 @@ SELECT pr.node, pr.rank, tr.trust,
 FROM ({pr}) pr
 JOIN ({tr}) tr ON pr.node = tr.node
 """
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: Optional[int] = None,
+    src: str = "src",
+    dst: str = "dst",
+    landmark_col: str = "node",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Per-landmark BFS → ``(node, landmark, dist)``: minimal hop count
+    from EACH landmark separately (``bfs_distances`` collapses the seed
+    set to one wavefront; this keeps the source identity — the
+    landmark-embedding feature vector of Potamias 2009-style distance
+    sketches, and the input to harmonic/closeness centrality
+    estimators).
+
+    Semantics: every landmark at dist 0 of itself (graph member or
+    not); a (node, landmark) pair appears once at its minimal distance;
+    unreachable pairs are ABSENT. State is O(N × L) — landmark sets are
+    deliberately small (16–64) by design; for |L| = 1..k wavefronts the
+    loop runs ALL landmarks simultaneously (one frontier frame carries
+    the landmark column), so rounds = max eccentricity, not L × rounds.
+
+    Scale shape: edges hash-partitioned on ``src`` once and persisted;
+    each round equi-joins the (node, landmark) frontier against the
+    edges and anti-joins the known pair set — per-pair derivation
+    happens exactly once, cycles terminate naturally, lineage is
+    truncated per round."""
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .repartition(shuffle, "_es")
+        .persist()
+    )
+    known = (
+        landmarks.select(F.col(landmark_col).alias("landmark"))
+        .where(F.col(landmark_col).isNotNull())
+        .distinct()
+        .select(
+            F.col("landmark").alias("node"), "landmark", F.lit(0).alias("dist")
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = known.select("node", "landmark")
+    h = 0
+    while max_hops is None or h < max_hops:
+        nxt = (
+            frontier.join(e, on=frontier["node"] == e["_es"])
+            .select(F.col("_ed").alias("node"), "landmark")
+            .distinct()
+        )
+        new = nxt.join(
+            known.select("node", "landmark"),
+            on=["node", "landmark"],
+            how="left_anti",
+        )
+        h += 1
+        if checkpoint_every and (h % checkpoint_every) == 0:
+            new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        known = known.unionByName(new.withColumn("dist", F.lit(h)))
+        if checkpoint_every and (h % checkpoint_every) == 0:
+            known = known.localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return known
+
+
+def landmark_distances_sql(
+    max_hops: int,
+    table: str = "e",
+    landmarks: str = "s",
+    src: str = "src",
+    dst: str = "dst",
+    landmark_col: str = "node",
+) -> str:
+    """Recursive-CTE replay of ``landmark_distances`` (bounded — same
+    cyclic-graph caveat as ``bfs_distances_sql``). Returns a full query
+    ``(node, landmark, dist)``."""
+    return f"""
+WITH RECURSIVE ed AS (
+  SELECT {src} AS src, {dst} AS dst FROM {table}
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL GROUP BY 1, 2
+),
+reach(node, landmark, dist) AS (
+  SELECT DISTINCT {landmark_col}, {landmark_col}, 0 FROM {landmarks}
+  WHERE {landmark_col} IS NOT NULL
+  UNION
+  SELECT ed.dst, r.landmark, r.dist + 1
+  FROM reach r JOIN ed ON r.node = ed.src
+  WHERE r.dist < {int(max_hops)}
+)
+SELECT node, landmark, CAST(MIN(dist) AS INTEGER) AS dist
+FROM reach GROUP BY node, landmark
+"""
+
+
+def harmonic_centrality(
+    distances: DataFrame,
+    n_landmarks: Optional[int] = None,
+) -> DataFrame:
+    """Harmonic-centrality estimate from a ``landmark_distances`` frame:
+    ``H(v) = Σ_landmarks 1/dist(l, v)`` (dist 0 contributes nothing, per
+    the standard convention), normalized by the landmark count when
+    given (the Boldi/Vigna estimator: sampled landmarks stand in for
+    all nodes). One map-side-combined groupBy over the pair frame."""
+    inv = F.when(F.col("dist") > 0, 1.0 / F.col("dist")).otherwise(F.lit(0.0))
+    agg = distances.groupBy("node").agg(F.sum(inv).alias("harmonic"))
+    if n_landmarks:
+        agg = agg.select(
+            "node", (F.col("harmonic") / F.lit(float(n_landmarks))).alias(
+                "harmonic"
+            )
+        )
+    return agg

@@ -689,3 +689,145 @@ SELECT *,
    AND {alp_d} * n_alpha_words >= {alp_n} * n_words) AS keep
 FROM feats
 """
+
+
+def domain_quality_prior(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 2,
+    max_punct_pct: int = 10,
+    min_mean_tokens: int = 20,
+) -> DataFrame:
+    """Per-registered-domain quality prior → ``(domain, n_docs,
+    n_tokens, n_chars, n_punct, prior_pass)`` — the SITE-level gate
+    web-curation pipelines (C4 blocklists, RefinedWeb site priors) run
+    before any per-document scoring: a domain whose aggregate text is
+    punctuation soup or consistently near-empty is dropped wholesale,
+    which is both cheaper than doc-level scoring (one decision per
+    domain, not per page) and catches template farms that pass
+    per-document thresholds page by page.
+
+    The gate is INTEGER-exact (cross-multiplied, no float thresholds —
+    the ``gopher_rules`` discipline): ``n_docs >= min_docs``, total
+    punctuation under ``max_punct_pct`` % of total chars, and mean
+    tokens/doc at least ``min_mean_tokens`` (as ``n_tokens >= n_docs ×
+    min_mean_tokens``).
+
+    Scale shape: per-doc counts fold in-row (whole-stage codegen), then
+    ONE map-side-combined groupBy on domain — the output is 10^5–10^7
+    rows at web scale, broadcastable back over the corpus by
+    ``apply_domain_prior``."""
+    from case_uco_ontology_map_spark.functions.urls import (
+        host_registered_domain,
+        url_host,
+    )
+
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    return (
+        docs.select(
+            host_registered_domain(url_host(F.col(url_col))).alias(
+                "domain"
+            ),
+            token_count(text).cast("long").alias("_tok"),
+            n_chars.cast("long").alias("_ch"),
+            (
+                n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+            ).cast("long").alias("_pn"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_ch").alias("n_chars"),
+            F.sum("_pn").alias("n_punct"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_punct",
+            (
+                (F.col("n_docs") >= F.lit(int(min_docs)))
+                & (
+                    F.col("n_punct") * 100
+                    <= F.col("n_chars") * F.lit(int(max_punct_pct))
+                )
+                & (
+                    F.col("n_tokens")
+                    >= F.col("n_docs") * F.lit(int(min_mean_tokens))
+                )
+            ).alias("prior_pass"),
+        )
+    )
+
+
+def apply_domain_prior(
+    docs: DataFrame,
+    priors: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep only docs whose registered domain passes the prior gate.
+    The prior frame is the small side by definition (domains ≪ pages)
+    and rides a BROADCAST semi-join — no page ever shuffles."""
+    from case_uco_ontology_map_spark.functions.urls import (
+        host_registered_domain,
+        url_host,
+    )
+
+    passing = priors.where(F.col("prior_pass")).select("domain")
+    keyed = docs.withColumn(
+        "_domain", host_registered_domain(url_host(F.col(url_col)))
+    )
+    return (
+        keyed.join(
+            F.broadcast(passing),
+            on=keyed["_domain"] == passing["domain"],
+            how="left_semi",
+        )
+        .drop("_domain")
+    )
+
+
+def domain_prior_sql(
+    table: str = "d",
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 2,
+    max_punct_pct: int = 10,
+    min_mean_tokens: int = 20,
+) -> str:
+    """DuckDB replay of ``domain_quality_prior`` — identical host
+    normalization + registered-domain CASE + integer gate."""
+    from case_uco_ontology_map_spark.functions.links import (
+        registered_domain_sqlexpr,
+    )
+
+    h = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+    hostexpr = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"lower(regexp_extract({url_col}, '{h}', 1)), "
+        r"'^[^@]*@', ''), ':(80|443)$', ''), '^www\.', '')"
+    )
+    dom = registered_domain_sqlexpr(f"({hostexpr})")
+    return f"""
+SELECT domain, n_docs, n_tokens, n_chars, n_punct,
+       (n_docs >= {int(min_docs)}
+        AND n_punct * 100 <= n_chars * {int(max_punct_pct)}
+        AND n_tokens >= n_docs * {int(min_mean_tokens)}) AS prior_pass
+FROM (
+  SELECT {dom} AS domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(
+             regexp_split_to_array({text_col}, '\\s+'),
+             t -> t <> ''))) AS BIGINT) AS n_tokens,
+         CAST(SUM(length({text_col})) AS BIGINT) AS n_chars,
+         CAST(SUM(length({text_col}) - length(regexp_replace(
+             {text_col}, '[^a-zA-Z0-9_\\s]', '', 'g'))) AS BIGINT)
+           AS n_punct
+  FROM {table}
+  GROUP BY 1
+) z
+"""

@@ -890,3 +890,64 @@ def test_spam_mass_matches_sql_oracle(edges):
     for n in want:
         for a, b in zip(got[n], want[n]):
             assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_landmark_distances_hand_computed(spark):
+    """Two landmarks on a path a->b->c->d plus edge d->a: per-landmark
+    wavefronts keep their identity — dist(a, c)=2 but dist(c, c)=0 and
+    dist(c, a)=2 via d."""
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        harmonic_centrality,
+        landmark_distances,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    lm = spark.createDataFrame([("a",), ("c",)], "node string")
+    got = {
+        (r["node"], r["landmark"]): r["dist"]
+        for r in landmark_distances(e, lm).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 2, ("d", "a"): 3,
+        ("c", "c"): 0, ("d", "c"): 1, ("a", "c"): 2, ("b", "c"): 3,
+    }
+    hc = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(
+            landmark_distances(e, lm), n_landmarks=2
+        ).collect()
+    }
+    # H(a) = (0 + 1/2)/2; H(b) = (1/1 + 1/3)/2
+    assert hc["a"] == pytest.approx(0.25)
+    assert hc["b"] == pytest.approx((1.0 + 1.0 / 3.0) / 2.0)
+
+
+def test_landmark_distances_matches_oracle(edges):
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        landmark_distances,
+        landmark_distances_sql,
+    )
+
+    lm = edges.sparkSession.createDataFrame(
+        [("0",), ("4",), ("ghost",)], "node string"
+    )
+    got = {
+        (r["node"], r["landmark"]): r["dist"]
+        for r in landmark_distances(edges, lm, max_hops=3).collect()
+    }
+    con = _duck()
+    con.register("s_src", pd.DataFrame({"node": ["0", "4", "ghost"]}))
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "WITH e AS (SELECT * FROM e_src), s AS (SELECT * FROM s_src) "
+            "SELECT * FROM (" + landmark_distances_sql(3) + ") z"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[("ghost", "ghost")] == 0  # isolated landmark kept at 0

@@ -225,3 +225,36 @@ def test_domain_graph_rollup_and_oracle(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_link_delta_statuses_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.functions.links import (
+        link_delta,
+        link_delta_sql,
+    )
+
+    prior = [("a", "b"), ("a", "c"), ("a", "c"), ("b", "c")]  # dup collapses
+    cur = [("a", "b"), ("b", "d")]
+    p = spark.createDataFrame(prior, "src string, dst string")
+    c = spark.createDataFrame(cur, "src string, dst string")
+    got = {(r.src, r.dst): r.status for r in link_delta(p, c).collect()}
+    assert got == {
+        ("a", "b"): "retained",
+        ("a", "c"): "removed",
+        ("b", "c"): "removed",
+        ("b", "d"): "added",
+    }
+    con = duckdb.connect()
+    con.register("p_src", pd.DataFrame(prior, columns=["src", "dst"]))
+    con.register("c_src", pd.DataFrame(cur, columns=["src", "dst"]))
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "WITH p AS (SELECT * FROM p_src), c AS (SELECT * FROM c_src) "
+            + link_delta_sql()
+        ).fetchall()
+    }
+    assert got == want

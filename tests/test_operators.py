@@ -1206,3 +1206,62 @@ def test_sq8_arrow_kernel_matches_expr(spark):
         q, queries, k=5, overfetch=4, full_vectors=emb, impl="arrow"
     )
     assert key(arrow.collect()) == key(expr.collect())
+
+
+def test_domain_quality_prior_gate_and_oracle(spark):
+    """Integer-exact site gate: a healthy two-doc domain passes; a
+    single-doc domain fails min_docs; a punctuation-soup domain fails
+    the punct gate; a short-text domain fails mean tokens. Subdomains
+    of one registered domain aggregate together (incl. a .co.uk
+    multi-part suffix). DuckDB replays host chain + domain CASE +
+    gate."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.textstats import (
+        apply_domain_prior,
+        domain_prior_sql,
+        domain_quality_prior,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog " * 3  # 27 tokens
+    rows = [
+        ("https://a.good.co.uk/1", good),
+        ("https://WWW.b.good.co.uk/2", good),   # same registered domain
+        ("https://solo.test/x", good),          # fails min_docs=2
+        ("https://noisy.test/a", "!!! ??? ;;; ***" * 10),  # punct soup
+        ("https://noisy.test/b", "%%% &&& @@@ ^^^" * 10),
+        ("https://short.test/a", "tiny text"),  # fails mean tokens
+        ("https://short.test/b", "also tiny"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    pri = domain_quality_prior(df)
+    got = {
+        r["domain"]: (
+            r["n_docs"], r["n_tokens"], r["prior_pass"]
+        )
+        for r in pri.collect()
+    }
+    assert got["good.co.uk"][0] == 2 and got["good.co.uk"][2] is True
+    assert got["solo.test"][2] is False
+    assert got["noisy.test"][2] is False
+    assert got["short.test"][2] is False
+    con = duckdb.connect()
+    con.register("d_src", pd.DataFrame(rows, columns=["url", "text"]))
+    want = {
+        r[0]: (r[1], r[2], r[5])
+        for r in con.execute(
+            "WITH d AS (SELECT * FROM d_src) " + domain_prior_sql()
+        ).fetchall()
+    }
+    assert {k: v[:2] for k, v in got.items()} == {
+        k: v[:2] for k, v in want.items()
+    }
+    assert {k: v[2] for k, v in got.items()} == {
+        k: v[2] for k, v in want.items()
+    }
+    kept = apply_domain_prior(df, pri).collect()
+    assert sorted(r["url"] for r in kept) == [
+        "https://WWW.b.good.co.uk/2",
+        "https://a.good.co.uk/1",
+    ]
