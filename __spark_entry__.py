@@ -6032,6 +6032,209 @@ def _oracle_link_delta() -> str:
     )
 
 
+def q_sameas_smush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs smushing (operators/triples.sameas_smush): a synthetic
+    KG over the events users — type + shared-name literal + functional
+    knows edge per entity, plus ONE-WAY sameAs chains (u → u+1 for
+    u % 10 < 3, merging {10k..10k+3} per decade) — collapses through
+    connected components to the lexicographic-min IRI; alias literals
+    merge under RDF set semantics, sameAs assertions vanish. DuckDB
+    replays closure + rewrite (sameas_smush_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import sameas_smush
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    users = ev.select("user_id").distinct()
+    e = F.concat(F.lit("kb:e"), F.col("user_id").cast("string"))
+    e_next = F.concat(
+        F.lit("kb:e"), (F.col("user_id") + 1).cast("string")
+    )
+    e_knows = F.concat(
+        F.lit("kb:e"), ((F.col("user_id") * 7) % 150).cast("string")
+    )
+    typed = users.select(
+        e.alias("subj"), F.lit("rdf:type").alias("pred"),
+        F.lit("ex:User").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    names = users.select(
+        e.alias("subj"), F.lit("ex:name").alias("pred"),
+        F.concat(F.lit("user-"), (F.col("user_id") % 50).cast("string"))
+        .alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    knows = users.select(
+        e.alias("subj"), F.lit("ex:knows").alias("pred"),
+        e_knows.alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    sames = users.filter(F.col("user_id") % 10 < 3).select(
+        e.alias("subj"), F.lit("owl:sameAs").alias("pred"),
+        e_next.alias("obj"), F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    t = typed.unionByName(names).unionByName(knows).unionByName(sames)
+    return sameas_smush(t).orderBy("subj", "pred", "obj")
+
+
+def _oracle_sameas_smush() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        sameas_smush_sql,
+    )
+
+    build = """
+SELECT 'kb:e' || user_id AS subj, 'rdf:type' AS pred, 'ex:User' AS obj,
+       TRUE AS obj_is_iri, NULL::VARCHAR AS obj_datatype FROM users
+UNION ALL
+SELECT 'kb:e' || user_id, 'ex:name', 'user-' || (user_id % 50),
+       FALSE, NULL::VARCHAR FROM users
+UNION ALL
+SELECT 'kb:e' || user_id, 'ex:knows', 'kb:e' || ((user_id * 7) % 150),
+       TRUE, NULL::VARCHAR FROM users
+UNION ALL
+SELECT 'kb:e' || user_id, 'owl:sameAs', 'kb:e' || (user_id + 1),
+       TRUE, NULL::VARCHAR FROM users WHERE user_id % 10 < 3
+"""
+    return (
+        "WITH users AS (SELECT DISTINCT user_id FROM events),\n"
+        f"t AS ({build})\n"
+        "SELECT * FROM ("
+        + sameas_smush_sql()
+        + ") z ORDER BY subj, pred, obj"
+    )
+
+
+def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank (operators/graphstats.pagerank(init_ranks=)):
+    the crawl-refresh rank-maintenance mode — yesterday's ranks (here a
+    deterministic skewed prior, (doc_id % 7 + 1), with every 13th node
+    missing to exercise the new-node 1/N default) renormalize over the
+    current node set and power-iterate 3 rounds on the doc graph. DuckDB
+    replays the warm r0 + unrolled rounds (pagerank_sql(init=))."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import pagerank
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    prior = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 13 != 0)
+        .select(
+            F.col("doc_id").cast("long").alias("node"),
+            ((F.col("doc_id") % 7) + 1).cast("double").alias("rank"),
+        )
+    )
+    return pagerank(edges, iterations=3, init_ranks=prior).orderBy("node")
+
+
+def _oracle_pagerank_warm() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        pagerank_sql,
+    )
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL}),\n"
+        "i AS (SELECT CAST(doc_id AS BIGINT) AS node,\n"
+        "             CAST((doc_id % 7) + 1 AS DOUBLE) AS rank\n"
+        "      FROM documents WHERE doc_id % 13 <> 0)\n"
+        "SELECT node, rank FROM ("
+        + pagerank_sql(iterations=3, init="i")
+        + ") z ORDER BY node"
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate removal (operators/textstats.
+    boilerplate_lines + strip_boilerplate): the real document texts are
+    wrapped with a synthetic per-site nav header and copyright footer
+    (keyed by doc_id % 11, so each registered domain's docs share them)
+    under the domain_prior url scheme; detection finds lines shared by
+    ≥3 distinct docs of a domain, and the strip filters them IN-ROW via
+    a broadcast per-domain md5 array — body text (which may itself
+    contain newlines) survives byte-identically. DuckDB replays
+    detection + cap + strip (strip_boilerplate_sql)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.textstats import (
+        boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    did = F.col("doc_id")
+    sfx = (
+        F.when(did % 3 == 0, F.lit(".co.uk"))
+        .when(did % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".test"))
+    )
+    www = F.when(did % 5 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), www,
+        F.lit("s"), (did % 3).cast("string"),
+        F.lit(".d"), (did % 11).cast("string"), sfx,
+        F.lit("/p/"), did.cast("string"),
+    )
+    site = (did % 11).cast("string")
+    text = F.concat(
+        F.lit("NAV home d"), site, F.lit("\n"),
+        F.col("text"),
+        F.lit("\n(c) footer d"), site,
+    )
+    docs = _docs(spark, sf_dir).select(url.alias("url"), text.alias("text"))
+    bl = boilerplate_lines(docs, min_docs=3)
+    return strip_boilerplate(docs, bl).select("url", "text_clean").orderBy(
+        "url"
+    )
+
+
+def _oracle_boilerplate_strip() -> str:
+    from case_uco_ontology_map_spark.operators.textstats import (
+        strip_boilerplate_sql,
+    )
+
+    docs = """
+SELECT 'https://' || CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END
+       || 's' || (doc_id % 3) || '.d' || (doc_id % 11)
+       || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+               WHEN doc_id % 3 = 1 THEN '.com'
+               ELSE '.test' END
+       || '/p/' || doc_id AS url,
+       'NAV home d' || (doc_id % 11) || chr(10) || text
+       || chr(10) || '(c) footer d' || (doc_id % 11) AS text
+FROM documents
+"""
+    return (
+        f"WITH d AS ({docs})\n"
+        "SELECT * FROM ("
+        + strip_boilerplate_sql(min_docs=3)
+        + ") z ORDER BY url"
+    )
+
+
+def q_kg_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style dataset statistics (operators/triples.kg_census) over
+    the full structural triple emission: the dataset summary row plus
+    property and class partitions with exact two-phase distinct counts —
+    the first report a KG publisher generates. DuckDB replays the three
+    grouped scans over the same structural-surrogate triples."""
+    from case_uco_ontology_map_spark.operators.triples import kg_census
+
+    t = q_triples_structural(spark, sf_dir)
+    return kg_census(t).orderBy("kind", "name")
+
+
+def _oracle_kg_census() -> str:
+    from case_uco_ontology_map_spark.operators.triples import kg_census_sql
+
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT * FROM ("
+        + kg_census_sql()
+        + ") z ORDER BY kind, name"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6146,6 +6349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": q_landmark_distances,
         "domain_prior": q_domain_prior,
         "link_delta": q_link_delta,
+        "sameas_smush": q_sameas_smush,
+        "pagerank_warm": q_pagerank_warm,
+        "boilerplate_strip": q_boilerplate_strip,
+        "kg_census": q_kg_census,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6271,6 +6478,10 @@ def oracle_sql() -> dict[str, str]:
         "landmark_distances": _oracle_landmark_distances(),
         "domain_prior": _oracle_domain_prior(),
         "link_delta": _oracle_link_delta(),
+        "sameas_smush": _oracle_sameas_smush(),
+        "pagerank_warm": _oracle_pagerank_warm(),
+        "boilerplate_strip": _oracle_boilerplate_strip(),
+        "kg_census": _oracle_kg_census(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -68,6 +68,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 1,
+    init_ranks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Power-iteration PageRank → ``(node, rank)``; ranks sum to 1.
 
@@ -77,6 +78,15 @@ def pagerank(
     out-edges; a DANGLING node's (no out-edges) rank is redistributed
     uniformly over all nodes; then
     ``rank' = (1-d)/N + d * (received + dangling_mass/N)``.
+
+    ``init_ranks`` (``(node, rank)``) WARM-STARTS the iteration — the
+    crawl-refresh pattern: yesterday's converged ranks carry over a
+    ``link_delta``'d graph, new nodes enter at the uniform 1/N, and the
+    vector renormalizes to sum 1 over the CURRENT node set (priors for
+    vanished nodes drop out via the join). Power iteration contracts at
+    rate d per round toward the same fixed point regardless of start, so
+    a warm start near the answer needs a small fraction of the cold
+    iteration count — the rank-maintenance loop at web scale.
 
     The dangling term rides along as a lazy 1-row aggregate cross-joined
     onto the update — no driver action per round; the only per-round
@@ -108,7 +118,19 @@ def pagerank(
         F.count("*").alias("_deg")
     )
     with_deg = nodes.join(out_deg, on="node", how="left").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    if init_ranks is not None:
+        prior = init_ranks.select(
+            F.col("node").alias("node"), F.col("rank").alias("_ir")
+        )
+        w = nodes.join(prior, on="node", how="left").select(
+            "node", F.coalesce("_ir", F.lit(1.0 / n_nodes)).alias("_w")
+        )
+        total = w.agg(F.sum("_w").alias("_tw"))
+        ranks = w.crossJoin(F.broadcast(total)).select(
+            "node", (F.col("_w") / F.col("_tw")).alias("rank")
+        )
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     if checkpoint_every:
         ranks = ranks.localCheckpoint(eager=True)
     for it in range(iterations):
@@ -157,19 +179,33 @@ def pagerank_sql(
     table: str = "e",
     src: str = "src",
     dst: str = "dst",
+    init: Optional[str] = None,
 ) -> str:
     """Unrolled-CTE replay of ``pagerank`` (one CTE per round — standard
     SQL forbids aggregation in a recursive term, so the oracle unrolls;
     fine for the fixed iteration counts a contract query pins). Emits a
-    full query ``(node, rank)``; prepend the edge CTE ``table``."""
+    full query ``(node, rank)``; prepend the edge CTE ``table``.
+    ``init`` names a ``(node, rank)`` table/CTE replaying the
+    warm-start: missing nodes at 1/N, renormalized to sum 1."""
     d = float(damping)
+    if init is None:
+        r0 = "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+        ctes_init: List[str] = [r0]
+    else:
+        ctes_init = [
+            f"w0 AS (SELECT nodes.node, "
+            f"COALESCE(i.rank, 1.0 / (SELECT n FROM nn)) AS w "
+            f"FROM nodes LEFT JOIN {init} i ON nodes.node = i.node)",
+            "r0 AS (SELECT node, w / (SELECT SUM(w) FROM w0) AS rank "
+            "FROM w0)",
+        ]
     ctes: List[str] = [
         f"nodes AS (SELECT {src} AS node FROM {table} "
         f"UNION SELECT {dst} AS node FROM {table})",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         f"od AS (SELECT {src} AS node, CAST(count(*) AS DOUBLE) AS deg "
         f"FROM {table} GROUP BY 1)",
-        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+        *ctes_init,
     ]
     for i in range(iterations):
         prev, cur = f"r{i}", f"r{i + 1}"

@@ -831,3 +831,155 @@ FROM (
   GROUP BY 1
 ) z
 """
+
+
+_BL_KEY_BASE = 1000000000000  # 13-digit zero-padded inverse-count sort key
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Per-domain boilerplate-line census → ``(domain, line_md5, line,
+    n_docs)``: every (trimmed-non-empty) text line that appears in at
+    least ``min_docs`` DISTINCT documents of the same registered domain —
+    the CCNet/trafilatura-style template detector that catches nav menus,
+    cookie banners, and footers which per-document quality scoring can't
+    see (each copy looks fine; the REPETITION across a site is the
+    signal).
+
+    Scale shape: lines explode once with only (domain, md5(line), url) —
+    grouping keys are the 32-char digest, not the line string, so hub
+    domains shuffle digests; the sample ``line`` string rides as a
+    ``min`` aggregate (md5 determines content, min makes the pick
+    deterministic regardless). Exact two-phase distinct-doc counts; the
+    output is O(distinct boilerplate lines), tiny by construction."""
+    from ..functions.urls import host_registered_domain, url_host
+
+    lines = docs.select(
+        host_registered_domain(url_host(F.col(url_col))).alias("domain"),
+        F.col(url_col).alias("_u"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).where(F.length(F.trim(F.col("line"))) > 0)
+    return (
+        lines.groupBy("domain", F.md5("line").alias("line_md5"))
+        .agg(
+            F.min("line").alias("line"),
+            F.countDistinct("_u").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("domain", "line_md5", "line", "n_docs")
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    max_lines_per_domain: int = 4096,
+) -> DataFrame:
+    """Remove detected boilerplate lines from each document → the input
+    frame plus ``out_col`` (lines NOT in the domain's boilerplate set,
+    re-joined with newlines; blank lines survive — only non-empty lines
+    are ever candidates). The membership set collapses to ONE sorted
+    md5-array per domain (most-frequent lines first, capped at
+    ``max_lines_per_domain`` — a pathological template farm can't blow
+    the array), broadcast, and probed IN-ROW with a higher-order filter:
+    document text never explodes, never shuffles, never crosses into
+    Python."""
+    key = F.concat(
+        F.lpad(
+            (F.lit(_BL_KEY_BASE) - F.col("n_docs")).cast("string"), 13, "0"
+        ),
+        F.lit(":"),
+        F.col("line_md5"),
+    )
+    per_domain = boilerplate.groupBy("domain").agg(
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(key)),
+                1,
+                int(max_lines_per_domain),
+            ),
+            lambda s: F.substring(s, 15, 32),
+        ).alias("_bl")
+    )
+    from ..functions.urls import host_registered_domain, url_host
+
+    keyed = docs.withColumn(
+        "_dom", host_registered_domain(url_host(F.col(url_col)))
+    )
+    joined = keyed.join(
+        F.broadcast(per_domain),
+        on=keyed["_dom"] == per_domain["domain"],
+        how="left",
+    )
+    bl = F.coalesce(F.col("_bl"), F.array().cast("array<string>"))
+    clean = F.array_join(
+        F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda l: ~F.array_contains(bl, F.md5(l)),
+        ),
+        "\n",
+    )
+    return joined.withColumn(out_col, clean).drop("_dom", "domain", "_bl")
+
+
+def strip_boilerplate_sql(
+    table: str = "d",
+    url_col: str = "url",
+    text_col: str = "text",
+    min_docs: int = 3,
+    max_lines_per_domain: int = 4096,
+) -> str:
+    """DuckDB replay of ``boilerplate_lines`` + ``strip_boilerplate`` end
+    to end over one documents table → ``(url, text_clean)`` — identical
+    host chain, md5 line keys, inverse-count sort-key cap, and
+    order-preserving list filter."""
+    from ..functions.links import registered_domain_sqlexpr
+
+    h = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+    hostexpr = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"lower(regexp_extract({url_col}, '{h}', 1)), "
+        r"'^[^@]*@', ''), ':(80|443)$', ''), '^www\.', '')"
+    )
+    dom = registered_domain_sqlexpr(f"({hostexpr})")
+    return f"""
+WITH lines AS (
+  SELECT {dom} AS domain, {url_col} AS u, l.line AS line
+  FROM {table},
+       LATERAL (SELECT UNNEST(string_split({text_col}, chr(10))) AS line) l
+  WHERE length(trim(l.line)) > 0
+),
+bl AS (
+  SELECT domain, md5(line) AS line_md5,
+         CAST(count(DISTINCT u) AS BIGINT) AS n_docs
+  FROM lines GROUP BY domain, md5(line)
+  HAVING count(DISTINCT u) >= {int(min_docs)}
+),
+per_domain AS (
+  SELECT domain,
+         list_transform(
+           list_sort(list(
+             lpad(CAST({_BL_KEY_BASE} - n_docs AS VARCHAR), 13, '0')
+             || ':' || line_md5
+           ))[1:{int(max_lines_per_domain)}],
+           s -> substr(s, 15, 32)
+         ) AS bl_md5
+  FROM bl GROUP BY domain
+)
+SELECT {table}.{url_col} AS url,
+       array_to_string(
+         list_filter(
+           string_split({table}.{text_col}, chr(10)),
+           l -> NOT list_contains(COALESCE(pd.bl_md5, []), md5(l))
+         ), chr(10)
+       ) AS text_clean
+FROM {table}
+LEFT JOIN per_domain pd ON {dom} = pd.domain
+"""

@@ -362,3 +362,178 @@ def diff_graphs(
         "change", F.lit("removed")
     )
     return added.unionByName(removed)
+
+
+def sameas_smush(
+    triples: DataFrame,
+    sameas_pred: str = "owl:sameAs",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: Optional[str] = "obj_is_iri",
+    max_iterations: int = 20,
+    broadcast: bool = True,
+    distinct: bool = True,
+) -> DataFrame:
+    """``owl:sameAs`` smushing — the classic Linked-Open-Data identity
+    collapse a KG consumer runs after ingesting graphs that assert
+    equivalences: sameAs links form equivalence CLASSES (sameAs is
+    symmetric and transitive even when asserted one-way), every member
+    rewrites to the class's canonical IRI (the lexicographic MIN — the
+    same deterministic pick ``canonicalize_entities`` uses), the merged
+    node inherits the union of every alias's triples, and the sameAs
+    assertions themselves disappear (they are exactly the information
+    the rewrite consumed).
+
+    Composition, not new machinery: the equivalence classes come from
+    ``canonicalize.connected_components`` (alternating-star contraction,
+    O(log diameter) rounds — a 10^6-long sameAs chain converges in ~20)
+    and the rewrite is ``rewrite_canonical`` (broadcast alias map,
+    literals guarded by ``obj_is_iri_col``). Scale shape: the sameAs
+    subset is tiny relative to the triple table (dup fraction ×
+    entities), so CC runs on the small frame and the rewrite broadcasts;
+    the only full-table shuffle is the final distinct.
+    """
+    from .canonicalize import connected_components
+
+    sa = triples.filter(F.col(pred_col) == sameas_pred)
+    if obj_is_iri_col is not None:
+        sa = sa.filter(F.col(obj_is_iri_col))
+    edges = sa.select(
+        F.col(subj_col).alias("src"), F.col(obj_col).alias("dst")
+    )
+    mapping = connected_components(edges, max_iterations=max_iterations)
+    rest = triples.filter(F.col(pred_col) != sameas_pred)
+    return rewrite_canonical(
+        rest,
+        mapping,
+        from_col="id",
+        to_col="component",
+        subj_col=subj_col,
+        obj_col=obj_col,
+        obj_is_iri_col=obj_is_iri_col,
+        broadcast=broadcast,
+        distinct=distinct,
+    )
+
+
+def sameas_smush_sql(
+    table: str = "t",
+    sameas_pred: str = "owl:sameAs",
+    cols: Sequence[str] = (
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype",
+    ),
+) -> str:
+    """Recursive-CTE replay of ``sameas_smush``: symmetrized+reflexive
+    closure over the sameAs edge set, MIN-label components, broadcast-map
+    rewrite of subject and IRI objects, DISTINCT. ``cols[0]``/``cols[2]``
+    must be the subject/object columns and ``cols[3]`` the IRI flag;
+    remaining columns pass through into the distinct."""
+    subj, pred, obj, iri = cols[0], cols[1], cols[2], cols[3]
+    passthru = ", ".join(cols[4:])
+    passthru = (", " + passthru) if passthru else ""
+    return f"""
+WITH RECURSIVE
+sa AS (
+  SELECT {subj} AS a, {obj} AS b FROM {table}
+  WHERE {pred} = '{sameas_pred}' AND {iri}
+),
+sym AS (
+  SELECT a, b FROM sa
+  UNION SELECT b, a FROM sa
+  UNION SELECT a, a FROM sa
+  UNION SELECT b, b FROM sa
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cmap AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT DISTINCT
+  COALESCE(ms.component, {subj}) AS {subj},
+  {pred},
+  CASE WHEN {iri} THEN COALESCE(mo.component, {obj}) ELSE {obj} END
+    AS {obj},
+  {iri}{passthru}
+FROM {table}
+LEFT JOIN cmap ms ON {subj} = ms.id
+LEFT JOIN cmap mo ON {obj} = mo.id AND {iri}
+WHERE {pred} <> '{sameas_pred}'
+"""
+
+
+def kg_census(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """VoID-style dataset statistics → ``(kind, name, n_triples,
+    n_subjects, n_objects)``: one ``dataset`` row (global totals — the
+    void:triples / void:distinctSubjects / void:distinctObjects summary),
+    one ``property`` row per predicate (void:propertyPartition), and one
+    ``class`` row per ``rdf:type`` object (void:classPartition, where
+    ``n_subjects`` is the instance count). The first report any KG
+    publisher or consumer generates against a freshly-materialized graph.
+
+    Scale shape: three map-side-combined groupBys over the triple table
+    (two-phase distinct counts — exact, not sketches); output is
+    O(|predicates| + |classes|) rows, broadcastable anywhere.
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    props = triples.groupBy(p.alias("name")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct(s).alias("n_subjects"),
+        F.countDistinct(o).alias("n_objects"),
+    ).select(F.lit("property").alias("kind"), "name", "n_triples",
+             "n_subjects", "n_objects")
+    classes = (
+        triples.filter(p == type_pred)
+        .groupBy(o.alias("name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct(s).alias("n_subjects"),
+        )
+        .select(F.lit("class").alias("kind"), "name", "n_triples",
+                "n_subjects", F.lit(1).cast("long").alias("n_objects"))
+    )
+    dataset = triples.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct(s).alias("n_subjects"),
+        F.countDistinct(o).alias("n_objects"),
+    ).select(F.lit("dataset").alias("kind"),
+             F.lit("").alias("name"), "n_triples", "n_subjects",
+             "n_objects")
+    return dataset.unionByName(props).unionByName(classes)
+
+
+def kg_census_sql(
+    table: str = "t",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    type_pred: str = "rdf:type",
+) -> str:
+    """ANSI replay of ``kg_census`` over a triple table/CTE."""
+    s, p, o = subj_col, pred_col, obj_col
+    return f"""
+SELECT 'dataset' AS kind, '' AS name,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT {s}) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT {o}) AS BIGINT) AS n_objects
+FROM {table}
+UNION ALL
+SELECT 'property', {p},
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT {s}) AS BIGINT),
+       CAST(count(DISTINCT {o}) AS BIGINT)
+FROM {table} GROUP BY {p}
+UNION ALL
+SELECT 'class', {o},
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT {s}) AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM {table} WHERE {p} = '{type_pred}' GROUP BY {o}
+"""

@@ -951,3 +951,51 @@ def test_landmark_distances_matches_oracle(edges):
     }
     assert got == want
     assert got[("ghost", "ghost")] == 0  # isolated landmark kept at 0
+
+
+def test_pagerank_warm_start_same_fixed_point(edges):
+    """Warm start converges to the same fixed point as cold start (power
+    iteration contracts regardless of the initial vector): 30 cold
+    rounds ≈ skewed-prior warm start + 30 rounds. New-node default and
+    renormalization pinned by the mass invariant after round 0."""
+    from pyspark.sql import functions as F
+
+    cold = {
+        r["node"]: r["rank"] for r in pagerank(edges, iterations=40).collect()
+    }
+    prior = edges.sparkSession.createDataFrame(
+        [("0", 5.0), ("1", 0.25), ("ghost", 9.0)], "node string, rank double"
+    )
+    warm_df = pagerank(edges, iterations=40, init_ranks=prior)
+    warm = {r["node"]: r["rank"] for r in warm_df.collect()}
+    assert set(warm) == set(cold)          # ghost prior dropped
+    for n in cold:
+        # worst-case contraction bound at 40 rounds is 0.85^40 ≈ 1.5e-3;
+        # this graph mixes far faster (observed ~1e-8)
+        assert warm[n] == pytest.approx(cold[n], abs=1e-6)
+    # mass stays 1 throughout (round 0 renormalizes the skewed prior)
+    zero = pagerank(edges, iterations=0, init_ranks=prior)
+    assert zero.agg(F.sum("rank")).collect()[0][0] == pytest.approx(1.0)
+
+
+def test_pagerank_warm_matches_sql_oracle(edges):
+    import pandas as pd
+
+    prior_rows = [("0", 3.0), ("4", 1.0)]
+    prior = edges.sparkSession.createDataFrame(
+        prior_rows, "node string, rank double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=3, init_ranks=prior).collect()
+    }
+    con = _duck()
+    con.register("i_src", pd.DataFrame(prior_rows, columns=["node", "rank"]))
+    sql = (
+        "WITH e AS (SELECT * FROM e_src), i AS (SELECT * FROM i_src) "
+        f"SELECT node, rank FROM ({pagerank_sql(iterations=3, init='i')}) z"
+    )
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)

@@ -1265,3 +1265,171 @@ def test_domain_quality_prior_gate_and_oracle(spark):
         "https://WWW.b.good.co.uk/2",
         "https://a.good.co.uk/1",
     ]
+
+
+def test_sameas_smush_chain_merge_and_oracle(spark):
+    """A one-way sameAs CHAIN kb:c -> kb:b -> kb:a collapses all three to
+    the lexicographic min kb:a; every alias's literals and IRI edges move
+    to the canonical node, duplicates merge (RDF set semantics), the
+    sameAs assertions vanish, and a literal textually equal to an alias
+    IRI is NOT rewritten. DuckDB replays closure + rewrite end to end."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        sameas_smush,
+        sameas_smush_sql,
+    )
+
+    rows = [
+        # chain asserted one-way, plus an unrelated island kb:z
+        ("kb:c", "owl:sameAs", "kb:b", True, None),
+        ("kb:b", "owl:sameAs", "kb:a", True, None),
+        ("kb:a", "ex:name", "alpha", False, None),
+        ("kb:b", "ex:name", "alpha", False, None),     # merges with above
+        ("kb:c", "ex:name", "gamma", False, None),     # survives distinct
+        ("kb:c", "ex:knows", "kb:z", True, None),      # IRI object kept
+        ("kb:z", "ex:ref", "kb:b", True, None),        # object rewritten
+        ("kb:z", "ex:label", "kb:b", False, None),     # literal untouched
+    ]
+    cols = "subj string, pred string, obj string, obj_is_iri boolean, obj_datatype string"
+    t = spark.createDataFrame(rows, cols)
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_iri)
+        for r in sameas_smush(t).collect()
+    }
+    assert got == {
+        ("kb:a", "ex:name", "alpha", False),
+        ("kb:a", "ex:name", "gamma", False),
+        ("kb:a", "ex:knows", "kb:z", True),
+        ("kb:z", "ex:ref", "kb:a", True),
+        ("kb:z", "ex:label", "kb:b", False),
+    }
+    con = duckdb.connect()
+    con.register(
+        "t_src",
+        pd.DataFrame(
+            rows,
+            columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+        ),
+    )
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src) "
+            f"SELECT * FROM ({sameas_smush_sql()}) z"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_kg_census_void_partitions(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_census,
+        kg_census_sql,
+    )
+
+    rows = [
+        ("kb:a", "rdf:type", "ex:Person"),
+        ("kb:b", "rdf:type", "ex:Person"),
+        ("kb:c", "rdf:type", "ex:Place"),
+        ("kb:a", "ex:knows", "kb:b"),
+        ("kb:a", "ex:name", "alpha"),
+        ("kb:b", "ex:name", "alpha"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.kind, r.name): (r.n_triples, r.n_subjects, r.n_objects)
+        for r in kg_census(t).collect()
+    }
+    assert got[("dataset", "")] == (6, 3, 4)
+    assert got[("property", "rdf:type")] == (3, 3, 2)
+    assert got[("property", "ex:name")] == (2, 2, 1)
+    assert got[("class", "ex:Person")] == (2, 2, 1)
+    assert got[("class", "ex:Place")] == (1, 1, 1)
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(rows, columns=["subj", "pred", "obj"]))
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src) "
+            f"SELECT * FROM ({kg_census_sql()}) z"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_boilerplate_detect_strip_and_oracle(spark):
+    """Header/footer lines shared by >= min_docs docs of one registered
+    domain are detected and stripped; a line shared across DIFFERENT
+    domains is kept (per-domain scope); blank lines survive; the cap
+    keeps the MOST frequent lines. DuckDB replays detection + strip."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.textstats import (
+        boilerplate_lines,
+        strip_boilerplate,
+        strip_boilerplate_sql,
+    )
+
+    body = ["first body line", "", "second body line"]
+    mk = lambda i, body_lines: "\n".join(
+        ["SITE MENU home about", *body_lines, "(c) example footer"]
+    )
+    rows = [
+        ("https://a.example.com/1", mk(1, ["doc one unique"])),
+        ("https://WWW.b.example.com/2", mk(2, body)),
+        ("https://example.com:80/3", mk(3, ["doc three unique"])),
+        # other domain shares the footer text — must NOT count toward
+        # example.com's tally nor be stripped from other.test docs alone
+        ("https://other.test/x", "(c) example footer\nunique other body"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    bl = boilerplate_lines(df, min_docs=3)
+    got_bl = {(r.domain, r.line): r.n_docs for r in bl.collect()}
+    assert got_bl == {
+        ("example.com", "SITE MENU home about"): 3,
+        ("example.com", "(c) example footer"): 3,
+    }
+    out = {
+        r.url: r.text_clean
+        for r in strip_boilerplate(df, bl).collect()
+    }
+    assert out["https://WWW.b.example.com/2"] == "first body line\n\nsecond body line"
+    assert out["https://a.example.com/1"] == "doc one unique"
+    assert out["https://other.test/x"] == "(c) example footer\nunique other body"
+    con = duckdb.connect()
+    con.register("d_src", pd.DataFrame(rows, columns=["url", "text"]))
+    want = dict(
+        con.execute(
+            "WITH d AS (SELECT * FROM d_src) "
+            f"SELECT * FROM ({strip_boilerplate_sql(min_docs=3)}) z"
+        ).fetchall()
+    )
+    assert out == want
+
+
+def test_boilerplate_cap_keeps_most_frequent(spark):
+    from case_uco_ontology_map_spark.operators.textstats import (
+        strip_boilerplate,
+    )
+
+    # hand-built boilerplate frame: "common" in 9 docs, "rare" in 3 —
+    # cap of 1 must keep "common"
+    bl = spark.createDataFrame(
+        [("example.com", None, "common", 9), ("example.com", None, "rare", 3)],
+        "domain string, line_md5 string, line string, n_docs long",
+    )
+    from pyspark.sql import functions as F
+
+    bl = bl.withColumn("line_md5", F.md5("line"))
+    docs = spark.createDataFrame(
+        [("https://example.com/p", "common\nbody\nrare")],
+        "url string, text string",
+    )
+    out = strip_boilerplate(docs, bl, max_lines_per_domain=1).collect()
+    assert out[0]["text_clean"] == "body\nrare"
