@@ -901,6 +901,123 @@ def main():
             "domain_graph (one key shuffle; map-side link sums + in-row domain CASE)": dg,
         }
     )
+
+    # ---- round-5 session-4 additions ----------------------------------
+    from case_uco_ontology_map_spark.functions.links import link_delta
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        landmark_distances,
+    )
+    from case_uco_ontology_map_spark.operators.textstats import (
+        boilerplate_lines,
+        domain_quality_prior,
+        strip_boilerplate,
+    )
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_census,
+        sameas_smush,
+    )
+
+    bl_docs = docs.select(
+        F.concat(
+            F.lit("https://d"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    bl = boilerplate_lines(bl_docs, min_docs=3)
+    stripped = strip_boilerplate(bl_docs, bl)
+    strip_plan = plan_of(stripped)
+    assert not re.findall(_no_python, strip_plan), (
+        "strip_boilerplate must stay JVM-side (higher-order filter, "
+        "never a Python crossing)"
+    )
+    assert "BroadcastHashJoin" in strip_plan, (
+        "strip_boilerplate per-domain md5 arrays must broadcast"
+    )
+
+    dqp = domain_quality_prior(bl_docs)
+    dqp_plan = plan_of(dqp)
+    assert not re.findall(_no_python, dqp_plan), (
+        "domain_quality_prior must stay JVM-side"
+    )
+    assert "partial" in dqp_plan.lower() or "HashAggregate" in dqp_plan, (
+        "domain_quality_prior totals must pre-aggregate map-side"
+    )
+
+    smush_in = spark.createDataFrame(
+        [
+            ("kb:b", "owl:sameAs", "kb:a", True, None),
+            ("kb:b", "ex:name", "x", False, None),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string",
+    )
+    smushed = sameas_smush(smush_in)
+    smush_plan = plan_of(smushed)
+    assert not re.findall(_no_python, smush_plan), (
+        "sameas_smush rewrite must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in smush_plan, (
+        "sameas_smush alias map must broadcast into the rewrite joins"
+    )
+
+    census = kg_census(trip)
+    census_plan = plan_of(census)
+    assert not re.findall(_no_python, census_plan), (
+        "kg_census must stay JVM-side"
+    )
+
+    pr_warm = pagerank(
+        graph_edges,
+        iterations=1,
+        checkpoint_every=0,
+        init_ranks=docs.select(
+            F.col("doc_id").alias("node"), F.lit(1.0).alias("rank")
+        ),
+    )
+    prw_plan = plan_of(pr_warm)
+    assert "CartesianProduct" not in prw_plan, (
+        "warm-start renormalization scalar must broadcast, not shuffle a "
+        "cartesian product"
+    )
+    assert not re.findall(_no_python, prw_plan), (
+        "pagerank warm start must stay JVM-side"
+    )
+
+    ld = link_delta(
+        graph_edges, graph_edges.filter(F.col("src") % 2 == 0)
+    )
+    ld_plan = plan_of(ld)
+    assert not re.findall(_no_python, ld_plan), (
+        "link_delta must stay JVM-side"
+    )
+
+    lmd = landmark_distances(
+        graph_edges.limit(50),
+        docs.limit(2).select(F.col("doc_id").alias("node")),
+        max_hops=2,
+        checkpoint_every=0,
+    )
+    lmd_plan = plan_of(lmd)
+    assert not re.findall(_no_python, lmd_plan), (
+        "landmark_distances round shape must stay JVM-side"
+    )
+    assert "Cartesian" not in lmd_plan, (
+        "landmark_distances planned a cartesian join"
+    )
+
+    sections.update(
+        {
+            "strip_boilerplate (broadcast per-domain md5 arrays; in-row HOF filter)": stripped,
+            "domain_quality_prior (map-side integer partials; one domain shuffle)": dqp,
+            "sameas_smush rewrite (broadcast alias map; literals guarded)": smushed,
+            "kg_census (three map-side-combined grouped scans)": census,
+            "pagerank warm start (renormalization scalar rides a broadcast)": pr_warm,
+            "link_delta (one co-partitioned full-outer join)": ld,
+            "landmark_distances round shape (frontier equi-join + anti-join, JVM-only)": lmd,
+        }
+    )
+
     lines = [
         "# PLANS — physical-plan review",
         "",
