@@ -741,6 +741,47 @@ def bench_queries(spark, sf_dir: str):
             )
         return sums[1]
 
+    def q_boilerplate():
+        """Per-domain boilerplate detection + in-row strip over every
+        corpus page: urls keyed into 97 hash-mod domain families, each
+        page wrapped with its family's nav header and copyright footer
+        (so each family shares 2 template lines across n_docs/97 pages).
+        Detection shuffles (domain, md5(line)) digests once; the strip
+        is a broadcast array probe with zero Python. Guards exact: one
+        output row per page and ZERO pages still carrying the nav
+        marker after the strip."""
+        from case_uco_ontology_map_spark.operators.textstats import (
+            boilerplate_lines,
+            strip_boilerplate,
+        )
+
+        fam = F.pmod(F.xxhash64("url"), F.lit(97)).cast("string")
+        pages = corpus.select(
+            F.concat(
+                F.lit("https://d"), fam, F.lit(".test/p/"),
+                F.monotonically_increasing_id().cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("NAV home d"), fam, F.lit("\n"),
+                F.col("text"),
+                F.lit("\n(c) footer d"), fam,
+            ).alias("text"),
+        )
+        bl = boilerplate_lines(pages, min_docs=3)
+        out = strip_boilerplate(pages, bl)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("text_clean").startswith("NAV home").cast("long")
+            ).alias("leftover"),
+        ).collect()[0]
+        if agg["n"] != n_docs or agg["leftover"] != 0:
+            raise RuntimeError(
+                f"boilerplate: {agg['n']}/{n_docs} rows, "
+                f"{agg['leftover']} pages kept their nav header"
+            )
+        return agg["n"]
+
     def q_wat_export():
         """WAT metadata assembly over every corpus page (same 3-anchor
         shape): in-row link extraction + JSON string concat, zero
@@ -1308,6 +1349,7 @@ def bench_queries(spark, sf_dir: str):
         "graph_spam_mass": q_graph_spam_mass,
         "graph_bfs": q_graph_bfs,
         "domain_rollup": q_domain_rollup,
+        "boilerplate": q_boilerplate,
         "wat_export": q_wat_export,
         "sparql_query": q_sparql_query,
         "ann_index_build": q_ann_index_build,
@@ -1479,7 +1521,7 @@ TIER2_STAGES = (
     "ann_index_build", "ann_brute_topk", "ann_ivf_topk",
     "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
     "host_rollup", "wat_export", "graph_spam_mass", "graph_bfs",
-    "domain_rollup",
+    "domain_rollup", "boilerplate",
 )
 
 
