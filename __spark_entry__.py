@@ -6235,6 +6235,152 @@ def _oracle_kg_census() -> str:
     )
 
 
+def q_nquads_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads provenance export (operators/render.nquads_lines): the
+    full structural emission with each record's graph IRI
+    (kb:record-<md5(fingerprint)>) as the fourth term — per-triple
+    provenance without reification blow-up, byte-identical strings
+    replayed by the same prefix-expansion + ECHAR chain as nt_lines."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.render import nquads_lines
+
+    t = q_triples_structural(spark, sf_dir).withColumn(
+        "graph", F.concat(F.lit("kb:record-"), F.col("record_ref"))
+    )
+    return nquads_lines(t).orderBy("line")
+
+
+def _oracle_nquads_export() -> str:
+    def expand(x: str) -> str:
+        return (
+            f"COALESCE((SELECT ns FROM pfx WHERE p = split_part({x}, ':', 1))"
+            f" || substr({x}, length(split_part({x}, ':', 1)) + 2), {x})"
+        )
+
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+pfx(p, ns) AS (VALUES
+  ('kb', 'http://example.org/kb/'),
+  ('rdf', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#'),
+  ('uco-core', 'https://ontology.unifiedcyberontology.org/uco/core/'),
+  ('uco-observable',
+   'https://ontology.unifiedcyberontology.org/uco/observable/'),
+  ('dfc-ext', 'https://www.w3.org/dfc-ext/'),
+  ('xsd', 'http://www.w3.org/2001/XMLSchema#'))
+SELECT '<' || {expand('subj')} || '> <' || {expand('pred')} || '> '
+       || CASE WHEN obj_is_iri THEN '<' || {expand('obj')} || '>'
+               ELSE '"' || {esc} || '"'
+                    || CASE WHEN obj_datatype IS NOT NULL
+                            THEN '^^<' || {expand('obj_datatype')} || '>'
+                            ELSE '' END
+          END
+       || ' <' || {expand("('kb:record-' || record_ref)")} || '> .' AS line
+FROM t ORDER BY line
+"""
+
+
+def q_unresolved_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-reference QA report (operators/triples.unresolved_refs)
+    over a deterministically CORRUPTED structural graph: every
+    contentdatafacet node whose surrogate md5 starts ≤ '7' loses its
+    subject rows (the facet node vanishes), so its hasFacet reference
+    dangles with n_refs=1 — the exact broken-edge shape a dropped-node
+    bug produces. DuckDB replays corruption, namespace filter, and the
+    anti-join."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        unresolved_refs,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    residue = F.substring(
+        F.regexp_extract("subj", r"^kb:contentdatafacet-(.*)$", 1), 1, 1
+    )
+    corrupted = t.filter(
+        ~(F.col("subj").startswith("kb:contentdatafacet-") & (residue <= "7"))
+    )
+    return unresolved_refs(corrupted).orderBy("iri")
+
+
+def _oracle_unresolved_refs() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        unresolved_refs_sql,
+    )
+
+    return f"""
+WITH t0 AS ({_oracle_triples_structural()}),
+t AS (
+  SELECT * FROM t0
+  WHERE NOT (subj LIKE 'kb:contentdatafacet-%'
+             AND substr(subj, length('kb:contentdatafacet-') + 1, 1) <= '7')
+)
+SELECT * FROM ({unresolved_refs_sql()}) z ORDER BY iri
+"""
+
+
+def q_latest_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins assertion refresh (operators/triples.
+    latest_assertions): 5 crawl generations of 100 pages (doc_id % 100
+    keys title + lang assertions; generation = doc_id DIV 100 CAPPED at
+    3 so the last two generations TIE on the winning timestamp and the
+    deterministic min-object break decides) — the multi-crawl KG
+    freshness operator. DuckDB replays max-ts join + min-obj break."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        latest_assertions,
+    )
+
+    d = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit("kb:page"), (F.col("doc_id") % 100).cast("string")
+    )
+    gen = F.least(F.expr("doc_id DIV 100"), F.lit(3)).cast("long")
+    titles = d.select(
+        page.alias("subj"), F.lit("ex:title").alias("pred"),
+        F.concat(F.lit("title v"), F.col("doc_id").cast("string"))
+        .alias("obj"),
+        gen.alias("ts"),
+    )
+    langs = d.select(
+        page.alias("subj"), F.lit("ex:lang").alias("pred"),
+        F.col("lang").alias("obj"), gen.alias("ts"),
+    )
+    return latest_assertions(titles.unionByName(langs)).orderBy(
+        "subj", "pred"
+    )
+
+
+def _oracle_latest_assertions() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        latest_assertions_sql,
+    )
+
+    build = """
+SELECT 'kb:page' || (doc_id % 100) AS subj, 'ex:title' AS pred,
+       'title v' || doc_id AS obj,
+       CAST(LEAST(doc_id // 100, 3) AS BIGINT) AS ts
+FROM documents
+UNION ALL
+SELECT 'kb:page' || (doc_id % 100), 'ex:lang', lang,
+       CAST(LEAST(doc_id // 100, 3) AS BIGINT)
+FROM documents
+"""
+    return (
+        f"WITH t AS ({build})\n"
+        "SELECT * FROM ("
+        + latest_assertions_sql()
+        + ") z ORDER BY subj, pred"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6353,6 +6499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm": q_pagerank_warm,
         "boilerplate_strip": q_boilerplate_strip,
         "kg_census": q_kg_census,
+        "nquads_export": q_nquads_export,
+        "unresolved_refs": q_unresolved_refs,
+        "latest_assertions": q_latest_assertions,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6482,6 +6631,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_warm": _oracle_pagerank_warm(),
         "boilerplate_strip": _oracle_boilerplate_strip(),
         "kg_census": _oracle_kg_census(),
+        "nquads_export": _oracle_nquads_export(),
+        "unresolved_refs": _oracle_unresolved_refs(),
+        "latest_assertions": _oracle_latest_assertions(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -138,6 +138,7 @@ def ntriples_lines(
     obj_col: str = "obj",
     obj_is_iri_col: str = "obj_is_iri",
     obj_datatype_col: str = "obj_datatype",
+    graph_col: Optional[str] = None,
 ) -> DataFrame:
     """Triples table → one N-Triples line per row (``line: string``) — the
     line-oriented W3C interchange format every web-scale RDF consumer
@@ -151,6 +152,9 @@ def ntriples_lines(
     absolute IRIs — pass through verbatim. Literals get the W3C ECHAR
     escapes and an optional ``^^<datatype IRI>`` tag. All pure JVM string
     expressions (whole-stage codegen; no UDF, no shuffle).
+
+    ``graph_col`` names a CURIE/IRI column to emit as a fourth term
+    (expanded through the same prefix table) — see ``nquads_lines``.
     """
     pfx = dict(prefixes or NT_PREFIXES)
     pairs = []
@@ -179,13 +183,50 @@ def ntriples_lines(
             F.concat(F.lit("^^<"), expand(dt), F.lit(">")),
         ).otherwise(F.lit("")),
     )
+    graph_term = (
+        F.concat(F.lit(" <"), expand(F.col(graph_col)), F.lit(">"))
+        if graph_col is not None
+        else F.lit("")
+    )
     line = F.concat(
         F.lit("<"), expand(s), F.lit("> "),
         F.lit("<"), expand(p), F.lit("> "),
         F.when(F.col(obj_is_iri_col), iri_obj).otherwise(lit_obj),
+        graph_term,
         F.lit(" ."),
     )
     return triples.select(line.alias("line"))
+
+
+def nquads_lines(
+    triples: DataFrame,
+    graph_col: str = "graph",
+    prefixes: Optional[Dict[str, str]] = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: str = "obj_is_iri",
+    obj_datatype_col: str = "obj_datatype",
+) -> DataFrame:
+    """Triples + a graph-IRI column → one N-Quads line per row — the
+    provenance-carrying sibling of ``ntriples_lines`` (same statement
+    assembly, one extra ``<graph>`` term before the dot). The fourth
+    term is how web-scale KG dumps ship per-record provenance WITHOUT
+    reification blow-up: this pipeline's natural graph IRI is the
+    record node (one named graph per source page), so a consumer can
+    trace any triple to the crawl record that asserted it and drop or
+    re-weight whole sources in one partition-pruned pass. Same scale
+    shape: pure JVM string expressions, zero shuffle."""
+    return ntriples_lines(
+        triples,
+        prefixes=prefixes,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+        obj_is_iri_col=obj_is_iri_col,
+        obj_datatype_col=obj_datatype_col,
+        graph_col=graph_col,
+    )
 
 
 def write_ntriples(

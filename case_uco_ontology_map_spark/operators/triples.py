@@ -537,3 +537,116 @@ SELECT 'class', {o},
        CAST(1 AS BIGINT)
 FROM {table} WHERE {p} = '{type_pred}' GROUP BY {o}
 """
+
+
+def unresolved_refs(
+    triples: DataFrame,
+    namespace: Optional[str] = "kb:",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: Optional[str] = "obj_is_iri",
+) -> DataFrame:
+    """Dangling-reference report → ``(iri, n_refs)``: every IRI that
+    appears as an OBJECT but never as a SUBJECT — the broken-edge QA
+    check a KG consumer runs after materialization (a facet id whose
+    node was dropped, a relationship target that never emitted, a
+    sameAs alias pointing outside the graph). ``namespace`` restricts
+    the check to instance IRIs (default the emitter's ``kb:`` space) so
+    vocabulary terms — classes, datatypes, external ontology IRIs,
+    which are object-only by design — don't flood the report; pass
+    ``None`` to audit everything.
+
+    Scale shape: one map-side-combined groupBy over the (filtered)
+    object column plus one left-anti join against the distinct subject
+    set — both shuffle only IRI strings, never full triples. An empty
+    result IS the pass condition."""
+    o = F.col(obj_col)
+    refs = triples
+    if obj_is_iri_col is not None:
+        refs = refs.filter(F.col(obj_is_iri_col))
+    if namespace is not None:
+        refs = refs.filter(o.startswith(namespace))
+    counted = refs.groupBy(o.alias("iri")).agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    subjects = triples.select(F.col(subj_col).alias("iri")).distinct()
+    return counted.join(subjects, on="iri", how="left_anti")
+
+
+def unresolved_refs_sql(
+    table: str = "t",
+    namespace: Optional[str] = "kb:",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: Optional[str] = "obj_is_iri",
+) -> str:
+    """ANSI replay of ``unresolved_refs``."""
+    conds = []
+    if obj_is_iri_col is not None:
+        conds.append(obj_is_iri_col)
+    if namespace is not None:
+        conds.append(f"{obj_col} LIKE '{namespace}%'")
+    where = ("WHERE " + " AND ".join(conds)) if conds else ""
+    return f"""
+SELECT {obj_col} AS iri, CAST(count(*) AS BIGINT) AS n_refs
+FROM {table} {where}
+GROUP BY {obj_col}
+HAVING {obj_col} NOT IN (SELECT DISTINCT {subj_col} FROM {table})
+"""
+
+
+def latest_assertions(
+    triples: DataFrame,
+    ts_col: str = "ts",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Latest-wins assertion refresh → ``(subj, pred, obj, ts)``: for
+    each (subject, predicate) keep the assertion from the NEWEST
+    observation, ties broken by MIN object (deterministic under
+    re-crawls landing in the same snapshot) — how a KG built from
+    repeated crawls of the same pages stays current: yesterday's title
+    is superseded, not accumulated. Functional-property semantics by
+    construction (one object survives per key); multi-valued predicates
+    should bypass this operator.
+
+    Scale shape: the window-free argmax discipline (hub subjects never
+    serialize through one window partition) — one groupBy-max for the
+    winning timestamp, one co-partitioned join back, one groupBy-min
+    for the tie break; object strings cross a shuffle once."""
+    s, p, o, t = (
+        F.col(subj_col), F.col(pred_col), F.col(obj_col), F.col(ts_col)
+    )
+    latest = triples.groupBy(
+        s.alias("subj"), p.alias("pred")
+    ).agg(F.max(t).alias("ts"))
+    cand = triples.select(
+        s.alias("subj"), p.alias("pred"), o.alias("obj"), t.alias("ts")
+    ).join(latest, on=["subj", "pred", "ts"])
+    return cand.groupBy("subj", "pred", "ts").agg(
+        F.min("obj").alias("obj")
+    ).select("subj", "pred", "obj", "ts")
+
+
+def latest_assertions_sql(
+    table: str = "t",
+    ts_col: str = "ts",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """ANSI replay of ``latest_assertions``."""
+    return f"""
+SELECT c.{subj_col} AS subj, c.{pred_col} AS pred,
+       MIN(c.{obj_col}) AS obj, c.{ts_col} AS ts
+FROM {table} c
+JOIN (
+  SELECT {subj_col}, {pred_col}, MAX({ts_col}) AS mts
+  FROM {table} GROUP BY {subj_col}, {pred_col}
+) w ON c.{subj_col} = w.{subj_col} AND c.{pred_col} = w.{pred_col}
+   AND c.{ts_col} = w.mts
+GROUP BY c.{subj_col}, c.{pred_col}, c.{ts_col}
+"""

@@ -1433,3 +1433,122 @@ def test_boilerplate_cap_keeps_most_frequent(spark):
     )
     out = strip_boilerplate(docs, bl, max_lines_per_domain=1).collect()
     assert out[0]["text_clean"] == "body\nrare"
+
+
+def test_nquads_lines_fourth_term_and_escape(spark):
+    """N-Quads: graph IRI expands through the same prefix table, rides
+    before the dot; literal lines keep ECHAR escapes + datatype tags;
+    ntriples_lines output is the exact prefix of every quad line."""
+    from case_uco_ontology_map_spark.operators.render import (
+        nquads_lines,
+        ntriples_lines,
+    )
+
+    rows = [
+        ("kb:a", "rdf:type", "uco-observable:URL", True, None, "kb:rec1"),
+        ("kb:a", "dfc-ext:lang", 'li"ne\n1', False, "xsd:string", "kb:rec1"),
+        ("http://x/y", "ex:p", "kb:b", True, None, "http://g/1"),
+    ]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, graph string"
+    )
+    t = spark.createDataFrame(rows, cols)
+    quads = [r["line"] for r in nquads_lines(t).collect()]
+    trips = [r["line"] for r in ntriples_lines(t).collect()]
+    assert quads[0] == (
+        "<http://example.org/kb/a> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<https://ontology.unifiedcyberontology.org/uco/observable/URL> "
+        "<http://example.org/kb/rec1> ."
+    )
+    assert '"li\\"ne\\n1"^^<http://www.w3.org/2001/XMLSchema#string>' in quads[1]
+    assert quads[2].endswith("<http://g/1> .")  # absolute graph passthrough
+    for q, nt in zip(quads, trips):
+        assert q == nt[:-1] + f"<{q.rsplit('<', 1)[1]}"
+        assert q.startswith(nt[:-2])
+
+
+def test_unresolved_refs_report_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        unresolved_refs,
+        unresolved_refs_sql,
+    )
+
+    rows = [
+        ("kb:a", "rdf:type", "ex:Thing", True, None),
+        ("kb:a", "ex:ref", "kb:gone", True, None),     # dangling ×2
+        ("kb:b", "ex:ref", "kb:gone", True, None),
+        ("kb:a", "ex:ref", "kb:b", True, None),        # resolved
+        ("kb:a", "ex:label", "kb:gone", False, None),  # literal — ignored
+        ("kb:b", "ex:ext", "http://other/x", True, None),  # outside kb:
+    ]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    t = spark.createDataFrame(rows, cols)
+    got = {(r.iri, r.n_refs) for r in unresolved_refs(t).collect()}
+    assert got == {("kb:gone", 2)}
+    # namespace=None also reports the vocabulary + external IRIs
+    got_all = {r.iri for r in unresolved_refs(t, namespace=None).collect()}
+    assert got_all == {"kb:gone", "ex:Thing", "http://other/x"}
+    con = duckdb.connect()
+    con.register(
+        "t_src",
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "obj_is_iri",
+                                    "obj_datatype"]),
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src) "
+            f"SELECT * FROM ({unresolved_refs_sql()}) z"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_latest_assertions_supersede_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        latest_assertions,
+        latest_assertions_sql,
+    )
+
+    rows = [
+        ("kb:a", "ex:title", "old title", 1),
+        ("kb:a", "ex:title", "new title", 5),
+        ("kb:a", "ex:title", "also new", 5),   # tie at ts=5 → min obj
+        ("kb:a", "ex:lang", "en", 2),
+        ("kb:b", "ex:title", "only", 3),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts long"
+    )
+    got = {
+        (r.subj, r.pred): (r.obj, r.ts)
+        for r in latest_assertions(t).collect()
+    }
+    assert got == {
+        ("kb:a", "ex:title"): ("also new", 5),
+        ("kb:a", "ex:lang"): ("en", 2),
+        ("kb:b", "ex:title"): ("only", 3),
+    }
+    con = duckdb.connect()
+    con.register(
+        "t_src", pd.DataFrame(rows, columns=["subj", "pred", "obj", "ts"])
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src) "
+            f"SELECT * FROM ({latest_assertions_sql()}) z"
+        ).fetchall()
+    }
+    assert got == want
