@@ -6381,6 +6381,106 @@ FROM documents
     )
 
 
+_SUBCLASS_ROWS = [
+    # the CASE/UCO upper-hierarchy shape over the classes the pipeline
+    # actually emits (uco-core.ttl subclass chains; dictionary SET2 uses
+    # the same closure for lookups — here it materializes entailments)
+    ("uco-observable:URL", "uco-observable:ObservableObject"),
+    ("uco-observable:ObservableObject", "uco-core:UcoObject"),
+    ("uco-core:UcoObject", "uco-core:UcoThing"),
+    ("uco-observable:URLFacet", "uco-core:Facet"),
+    ("uco-observable:ContentDataFacet", "uco-core:Facet"),
+    ("uco-observable:WebPageExtensionFacet", "uco-core:Facet"),
+    ("uco-core:Facet", "uco-core:UcoInherentCharacterizationThing"),
+    ("uco-core:UcoInherentCharacterizationThing", "uco-core:UcoThing"),
+]
+
+
+def q_rdfs_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS rdfs9 type materialization (operators/triples.
+    rdfs_infer_types): the structural emission's four emitted classes
+    close over the real CASE/UCO upper hierarchy (URL →
+    ObservableObject → UcoObject → UcoThing; the three facets → Facet →
+    UcoInherentCharacterizationThing → UcoThing), so every record node
+    gains its 3 superclass types and every facet node its 3 — the
+    forward-chaining step that lets the dump answer `?x a
+    core:UcoObject` without query-time closure. DuckDB replays the
+    recursive closure + join + distinct."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        rdfs_infer_types,
+    )
+
+    t = q_triples_structural(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    sc = spark.createDataFrame(_SUBCLASS_ROWS, "sub string, sup string")
+    return rdfs_infer_types(t, sc).orderBy("subj", "pred", "obj")
+
+
+def _oracle_rdfs_infer() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        rdfs_infer_types_sql,
+    )
+
+    values = ",\n  ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_ROWS)
+    return f"""
+WITH t0 AS ({_oracle_triples_structural()}),
+t AS (SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM t0),
+sc(sub, sup) AS (VALUES
+  {values})
+SELECT * FROM ({rdfs_infer_types_sql()}) z ORDER BY subj, pred, obj
+"""
+
+
+def q_transitive_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:TransitiveProperty materialization (operators/triples.
+    infer_transitive): ex:partOf over the doc provenance TREE (parent
+    edge d → (d-1) DIV 2 — acyclic, depth ~log2 N), bounded at 4 hops —
+    every node asserts its ≤4 nearest ancestors, the materialized twin
+    of the SPARQL p+ path for path-blind consumers. DuckDB replays the
+    bounded recursive closure + union + distinct."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_transitive,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = d.where(F.col("doc_id") > 0).select(
+        F.concat(F.lit("kb:n"), F.col("doc_id").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("ex:partOf").alias("pred"),
+        F.concat(
+            F.lit("kb:n"), F.expr("(doc_id - 1) DIV 2").cast("string")
+        ).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    return infer_transitive(t, "ex:partOf", max_hops=4).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+def _oracle_transitive_materialize() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_transitive_sql,
+    )
+
+    build = """
+SELECT 'kb:n' || doc_id AS subj, 'ex:partOf' AS pred,
+       'kb:n' || ((doc_id - 1) // 2) AS obj,
+       TRUE AS obj_is_iri, NULL::VARCHAR AS obj_datatype
+FROM documents WHERE doc_id > 0
+"""
+    return (
+        f"WITH t AS ({build})\n"
+        "SELECT * FROM ("
+        + infer_transitive_sql("ex:partOf", max_hops=4)
+        + ") z ORDER BY subj, pred, obj"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6502,6 +6602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_export": q_nquads_export,
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
+        "rdfs_infer": q_rdfs_infer,
+        "transitive_materialize": q_transitive_materialize,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6634,6 +6736,8 @@ def oracle_sql() -> dict[str, str]:
         "nquads_export": _oracle_nquads_export(),
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
+        "rdfs_infer": _oracle_rdfs_infer(),
+        "transitive_materialize": _oracle_transitive_materialize(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -650,3 +650,150 @@ JOIN (
    AND c.{ts_col} = w.mts
 GROUP BY c.{subj_col}, c.{pred_col}, c.{ts_col}
 """
+
+
+def rdfs_infer_types(
+    triples: DataFrame,
+    subclass_edges: DataFrame,
+    type_pred: str = "rdf:type",
+    sub_col: str = "sub",
+    sup_col: str = "sup",
+    max_hops: Optional[int] = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """RDFS type-entailment materialization (rule **rdfs9**): from
+    instance triples and an ``rdfs:subClassOf`` edge set, every
+    ``(x, rdf:type, C)`` with ``C subClassOf+ D`` additionally asserts
+    ``(x, rdf:type, D)`` — the standard forward-chaining step that makes
+    a materialized KG answer superclass queries (``?x a core:UcoObject``)
+    without query-time closure. Input schema is the 5-column core frame
+    ``(subj, pred, obj, obj_is_iri, obj_datatype)``; inferred rows carry
+    ``obj_is_iri=true`` / null datatype, and the result is the input ∪
+    entailments DISTINCT (set semantics — re-asserting an explicit type
+    is a no-op).
+
+    Scale shape: the subclass closure runs on the ONTOLOGY graph
+    (thousands of classes, not instances) via the frontier-iterating
+    ``transitive_closure``; the closure then broadcasts into one hash
+    join against the type-triple subset — instance rows shuffle only for
+    the final distinct. Cites the reference's superclass handling
+    (ontology_parser builds the subclass maps the dictionary compiles;
+    SURVEY §2 SET2) — this operator applies the same closure to
+    INSTANCE data instead of dictionary lookups."""
+    from .graphquery import transitive_closure
+
+    closure = transitive_closure(
+        subclass_edges.select(
+            F.col(sub_col).alias("src"), F.col(sup_col).alias("dst")
+        ),
+        max_hops=max_hops,
+    ).select(F.col("src").alias("_sub"), F.col("dst").alias("_sup"))
+    cl = F.broadcast(closure) if broadcast else closure
+    types = triples.filter(F.col("pred") == type_pred)
+    inferred = (
+        types.join(cl, on=types["obj"] == cl["_sub"])
+        .select(
+            "subj",
+            F.lit(type_pred).alias("pred"),
+            F.col("_sup").alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+    )
+    core = triples.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    return core.unionByName(inferred).distinct()
+
+
+def rdfs_infer_types_sql(
+    table: str = "t",
+    subclass: str = "sc",
+    type_pred: str = "rdf:type",
+    sub_col: str = "sub",
+    sup_col: str = "sup",
+) -> str:
+    """Recursive-CTE replay of ``rdfs_infer_types``."""
+    return f"""
+WITH RECURSIVE
+closure({sub_col}, {sup_col}) AS (
+  SELECT {sub_col}, {sup_col} FROM {subclass}
+  WHERE {sub_col} IS NOT NULL AND {sup_col} IS NOT NULL
+  UNION
+  SELECT c.{sub_col}, s.{sup_col}
+  FROM closure c JOIN {subclass} s ON c.{sup_col} = s.{sub_col}
+)
+SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
+  SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM {table}
+  UNION ALL
+  SELECT t.subj, '{type_pred}', c.{sup_col}, TRUE, NULL::VARCHAR
+  FROM {table} t JOIN closure c ON t.obj = c.{sub_col}
+  WHERE t.pred = '{type_pred}'
+) z
+"""
+
+
+def infer_transitive(
+    triples: DataFrame,
+    pred: str,
+    max_hops: Optional[int] = None,
+) -> DataFrame:
+    """owl:TransitiveProperty materialization: close ONE predicate's edge
+    set (``containedWithin``, ``derivedFrom``, partOf-style hierarchies)
+    and assert every implied pair as an explicit triple — the
+    materialized twin of the SPARQL ``p+`` path, for consumers that read
+    the dump without a path-capable engine. Result = input ∪ inferred
+    DISTINCT on the 5-column core frame; only IRI-object rows of
+    ``pred`` participate (a literal can't be a path step).
+
+    Scale shape: ``transitive_closure`` on the single-predicate subset
+    (frontier-iterating, edges partitioned once); the caution from
+    VERDICT r4 applies — output is O(N·diameter) pairs by definition, so
+    ``max_hops`` should be set for deep chains."""
+    from .graphquery import transitive_closure
+
+    edges = triples.filter(
+        (F.col("pred") == pred) & F.col("obj_is_iri")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    closed = transitive_closure(edges, max_hops=max_hops).select(
+        F.col("src").alias("subj"),
+        F.lit(pred).alias("pred"),
+        F.col("dst").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    core = triples.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    return core.unionByName(closed).distinct()
+
+
+def infer_transitive_sql(
+    pred: str,
+    table: str = "t",
+    max_hops: Optional[int] = None,
+) -> str:
+    """Recursive-CTE replay of ``infer_transitive`` (bounded when
+    ``max_hops`` is given, mirroring the engine's cap)."""
+    guard = (
+        f"WHERE r.hops < {int(max_hops)}" if max_hops is not None else ""
+    )
+    return f"""
+WITH RECURSIVE
+pe AS (
+  SELECT subj AS src, obj AS dst FROM {table}
+  WHERE pred = '{pred}' AND obj_is_iri
+),
+reach(src, dst, hops) AS (
+  SELECT src, dst, 1 AS hops FROM pe
+  UNION
+  SELECT r.src, pe.dst, r.hops + 1
+  FROM reach r JOIN pe ON r.dst = pe.src
+  {guard}
+)
+SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
+  SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM {table}
+  UNION ALL
+  SELECT src, '{pred}', dst, TRUE, NULL::VARCHAR FROM reach
+) z
+"""

@@ -1552,3 +1552,109 @@ def test_latest_assertions_supersede_and_oracle(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_rdfs_infer_types_diamond_and_oracle(spark):
+    """rdfs9 over a diamond hierarchy (B ⊑ A, C ⊑ A, D ⊑ B, D ⊑ C):
+    an instance typed D gains B, C, and A exactly once; explicit
+    re-assertions are no-ops; non-type triples pass through."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        rdfs_infer_types,
+        rdfs_infer_types_sql,
+    )
+
+    triples = [
+        ("kb:x", "rdf:type", "ex:D", True, None),
+        ("kb:x", "rdf:type", "ex:A", True, None),   # explicit — no dup
+        ("kb:y", "rdf:type", "ex:B", True, None),
+        ("kb:x", "ex:name", "thing", False, None),
+    ]
+    sub = [("ex:B", "ex:A"), ("ex:C", "ex:A"), ("ex:D", "ex:B"),
+           ("ex:D", "ex:C")]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    t = spark.createDataFrame(triples, cols)
+    sc = spark.createDataFrame(sub, "sub string, sup string")
+    got = {
+        (r.subj, r.pred, r.obj) for r in rdfs_infer_types(t, sc).collect()
+    }
+    assert got == {
+        ("kb:x", "rdf:type", "ex:D"),
+        ("kb:x", "rdf:type", "ex:B"),
+        ("kb:x", "rdf:type", "ex:C"),
+        ("kb:x", "rdf:type", "ex:A"),
+        ("kb:y", "rdf:type", "ex:B"),
+        ("kb:y", "rdf:type", "ex:A"),
+        ("kb:x", "ex:name", "thing"),
+    }
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(
+        triples,
+        columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+    ))
+    con.register("sc_src", pd.DataFrame(sub, columns=["sub", "sup"]))
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src), sc AS (SELECT * FROM sc_src) "
+            f"SELECT * FROM ({rdfs_infer_types_sql()}) z"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_infer_transitive_chain_cycle_and_oracle(spark):
+    """Transitive materialization over a 4-chain (a→b→c→d) asserts all 6
+    implied pairs; a 2-cycle terminates (engine: minimal-hop anti-join)
+    including the self-pairs the cycle implies; literal objects of the
+    same predicate never participate."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_transitive,
+        infer_transitive_sql,
+    )
+
+    rows = [
+        ("kb:a", "ex:in", "kb:b", True, None),
+        ("kb:b", "ex:in", "kb:c", True, None),
+        ("kb:c", "ex:in", "kb:d", True, None),
+        ("kb:p", "ex:in", "kb:q", True, None),
+        ("kb:q", "ex:in", "kb:p", True, None),   # cycle
+        ("kb:a", "ex:in", "not-an-iri", False, None),
+        ("kb:a", "ex:other", "kb:z", True, None),
+    ]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    t = spark.createDataFrame(rows, cols)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in infer_transitive(t, "ex:in", max_hops=8).collect()
+    }
+    chain = {("kb:a", "ex:in", x) for x in ("kb:b", "kb:c", "kb:d")}
+    chain |= {("kb:b", "ex:in", x) for x in ("kb:c", "kb:d")}
+    chain |= {("kb:c", "ex:in", "kb:d")}
+    cyc = {("kb:p", "ex:in", x) for x in ("kb:q", "kb:p")}
+    cyc |= {("kb:q", "ex:in", x) for x in ("kb:p", "kb:q")}
+    passthru = {("kb:a", "ex:in", "not-an-iri"), ("kb:a", "ex:other", "kb:z")}
+    assert got == chain | cyc | passthru
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(
+        rows, columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+    ))
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src) "
+            f"SELECT * FROM ({infer_transitive_sql('ex:in', max_hops=8)}) z"
+        ).fetchall()
+    }
+    assert got == want
