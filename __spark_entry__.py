@@ -6481,6 +6481,77 @@ FROM documents WHERE doc_id > 0
     )
 
 
+def q_snapshot_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff lifecycle (operators/triples.diff_graphs +
+    apply_diff): old = the structural emission; new = old minus every
+    dfc-ext row plus one synthetic ex:crawled assertion per record;
+    the query DIFFS the snapshots and APPLIES the patch back to old.
+    The oracle is fully INDEPENDENT — DuckDB constructs the NEW
+    snapshot directly and never replays diff or apply, so the row only
+    passes if patch∘diff is the identity."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        apply_diff,
+        diff_graphs,
+    )
+
+    old = q_triples_structural(spark, sf_dir).select("subj", "pred", "obj")
+    rec = q_triples_structural(spark, sf_dir).select(
+        F.col("record_ref").alias("r")
+    ).distinct()
+    new = old.filter(~F.col("pred").startswith("dfc-ext:")).unionByName(
+        rec.select(
+            F.concat(F.lit("kb:record-"), F.col("r")).alias("subj"),
+            F.lit("ex:crawled").alias("pred"),
+            F.lit("true").alias("obj"),
+        )
+    )
+    return apply_diff(old, diff_graphs(old, new)).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+def _oracle_snapshot_patch() -> str:
+    return f"""
+WITH t AS ({_oracle_triples_structural()})
+SELECT DISTINCT subj, pred, obj FROM t WHERE pred NOT LIKE 'dfc-ext:%'
+UNION
+SELECT DISTINCT 'kb:record-' || record_ref, 'ex:crawled', 'true' FROM t
+ORDER BY subj, pred, obj
+"""
+
+
+def q_kg_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive graph digest (operators/triples.kg_fingerprint)
+    of the structural emission: 60-bit md5 row keys XOR-combined in one
+    map-side scan — the replica/resume equality check at 100 TB. DuckDB
+    reproduces the digest BIT-EXACTLY (same encoding, same hex slice,
+    same fold)."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_fingerprint,
+    )
+
+    t = q_triples_structural(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    return kg_fingerprint(t)
+
+
+def _oracle_kg_digest() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_fingerprint_sql,
+    )
+
+    return (
+        f"WITH t0 AS ({_oracle_triples_structural()}),\n"
+        "t AS (SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM t0)\n"
+        "SELECT * FROM ("
+        + kg_fingerprint_sql()
+        + ") z"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6604,6 +6675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
         "transitive_materialize": q_transitive_materialize,
+        "snapshot_patch": q_snapshot_patch,
+        "kg_digest": q_kg_digest,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6738,6 +6811,8 @@ def oracle_sql() -> dict[str, str]:
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),
         "transitive_materialize": _oracle_transitive_materialize(),
+        "snapshot_patch": _oracle_snapshot_patch(),
+        "kg_digest": _oracle_kg_digest(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

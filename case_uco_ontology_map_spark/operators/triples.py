@@ -797,3 +797,83 @@ SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
   SELECT src, '{pred}', dst, TRUE, NULL::VARCHAR FROM reach
 ) z
 """
+
+
+def apply_diff(
+    base: DataFrame,
+    diff: DataFrame,
+    key_cols: Sequence[str] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """Apply a ``diff_graphs`` patch to a snapshot → the updated triple
+    SET (``key_cols`` only): removed rows anti-join away, added rows
+    union in — the consumer side of the snapshot-diff lifecycle
+    (``new ≡ apply_diff(old, diff_graphs(old, new))``), and how an
+    incremental downstream index ingests a day's KG change without
+    re-reading the full graph.
+
+    Scale shape: one anti-join against the (small, day-sized) removed
+    set plus a union — the base scans once; with both sides bucketed on
+    the key columns the exchange co-locates. Output is DISTINCT by
+    construction (the diff is computed on sets)."""
+    keys = list(key_cols)
+    removed = diff.filter(F.col("change") == "removed").select(*keys)
+    added = diff.filter(F.col("change") == "added").select(*keys)
+    return (
+        base.select(*keys)
+        .distinct()
+        .join(removed, on=keys, how="left_anti")
+        .unionByName(added)
+    )
+
+
+def kg_fingerprint(
+    triples: DataFrame,
+    cols: Sequence[str] = ("subj", "pred", "obj", "obj_is_iri",
+                           "obj_datatype"),
+) -> DataFrame:
+    """Order-insensitive graph digest → ONE row ``(n_triples, digest)``:
+    each DISTINCT triple hashes to a 60-bit integer (md5 over a
+    null-sentineled unit-separator row encoding) and the digests
+    XOR-combine — a commutative, associative fold, so the result is
+    partition-, order-, and engine-invariant with NO global sort and NO
+    driver-side state. The equality check two 100 TB replicas (or a
+    resume vs a from-scratch run) compare in one map-side-combined scan;
+    any single-triple difference flips the digest.
+
+    XOR cancels duplicate rows, which is why the fold runs on the
+    DISTINCT set (RDF graphs are sets; multiplicity is not part of graph
+    identity)."""
+    enc = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(enc), 1, 15), 16, 10).cast("long")
+    return (
+        triples.select(*cols)
+        .distinct()
+        .select(h.alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.expr("bit_xor(_h)").alias("digest"),
+        )
+    )
+
+
+def kg_fingerprint_sql(
+    table: str = "t",
+    cols: Sequence[str] = ("subj", "pred", "obj", "obj_is_iri",
+                           "obj_datatype"),
+) -> str:
+    """DuckDB replay of ``kg_fingerprint`` — same row encoding (booleans
+    render 'true'/'false' on both engines), same 60-bit md5 slice, same
+    XOR fold."""
+    enc = " || '\x1f' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in cols
+    )
+    sel = ", ".join(cols)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       bit_xor(CAST(('0x' || substr(md5({enc}), 1, 15)) AS BIGINT))
+         AS digest
+FROM (SELECT DISTINCT {sel} FROM {table}) z
+"""

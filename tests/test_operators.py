@@ -1658,3 +1658,76 @@ def test_infer_transitive_chain_cycle_and_oracle(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_apply_diff_roundtrip_identity(spark):
+    """new ≡ apply_diff(old, diff_graphs(old, new)) — the snapshot-diff
+    lifecycle closes; duplicate assertions in either snapshot never
+    produce phantom rows (set semantics end to end)."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        apply_diff,
+        diff_graphs,
+    )
+
+    cols = "subj string, pred string, obj string"
+    old = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "1"), ("a", "q", "2"), ("b", "p", "3")],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "1"), ("b", "p", "4"), ("c", "r", "5")], cols
+    )
+    patched = {
+        tuple(r) for r in apply_diff(old, diff_graphs(old, new)).collect()
+    }
+    assert patched == {("a", "p", "1"), ("b", "p", "4"), ("c", "r", "5")}
+
+
+def test_kg_fingerprint_invariance_and_oracle(spark):
+    """Digest is order/partition/multiplicity-invariant, flips on any
+    single-triple change, distinguishes null datatype from the string
+    'None', and DuckDB reproduces it bit-exactly."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_fingerprint,
+        kg_fingerprint_sql,
+    )
+
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    rows = [
+        ("kb:a", "ex:p", "v", False, None),
+        ("kb:a", "ex:q", "kb:b", True, None),
+        ("kb:b", "ex:p", "3", False, "xsd:integer"),
+    ]
+    t = spark.createDataFrame(rows, cols)
+    base = kg_fingerprint(t).collect()[0]
+    assert base["n_triples"] == 3
+    # multiplicity + partitioning invariance
+    dup = kg_fingerprint(t.unionByName(t).repartition(7)).collect()[0]
+    assert (dup["n_triples"], dup["digest"]) == (
+        base["n_triples"], base["digest"]
+    )
+    # single-char change flips the digest
+    mut = spark.createDataFrame(
+        [rows[0], rows[1], ("kb:b", "ex:p", "4", False, "xsd:integer")], cols
+    )
+    assert kg_fingerprint(mut).collect()[0]["digest"] != base["digest"]
+    # null datatype ≠ the literal string "None"
+    noneish = spark.createDataFrame(
+        [rows[0][:4] + ("None",), rows[1], rows[2]], cols
+    )
+    assert kg_fingerprint(noneish).collect()[0]["digest"] != base["digest"]
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(
+        rows, columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+    ))
+    want = con.execute(
+        "WITH t AS (SELECT * FROM t_src) "
+        f"SELECT * FROM ({kg_fingerprint_sql()}) z"
+    ).fetchall()[0]
+    assert (base["n_triples"], base["digest"]) == want
