@@ -6552,6 +6552,42 @@ def _oracle_kg_digest() -> str:
     )
 
 
+_UPDATE_TEXT = (
+    "DELETE { ?f rdf:type uco-observable:WebPageExtensionFacet } "
+    "INSERT { ?f rdf:type dfc-ext:WebPageFacetV2 . ?r ex:hasExt ?f } "
+    "WHERE { ?r uco-core:hasFacet ?f . "
+    "?f rdf:type uco-observable:WebPageExtensionFacet }"
+)
+
+
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update (operators/sparql.sparql_update): a schema
+    migration over the structural graph — every WebPageExtensionFacet
+    re-types to dfc-ext:WebPageFacetV2 and its record gains an
+    ex:hasExt shortcut edge; bindings evaluate against the ORIGINAL
+    graph, DELETE leaves, INSERT enters (spec modify order). DuckDB
+    replays the same parse through sparql_update_sql's pure set algebra
+    ((g EXCEPT del) UNION ins)."""
+    from case_uco_ontology_map_spark.operators.sparql import sparql_update
+
+    t = q_triples_structural(spark, sf_dir).select("subj", "pred", "obj")
+    return sparql_update(t, _UPDATE_TEXT).orderBy("subj", "pred", "obj")
+
+
+def _oracle_sparql_update() -> str:
+    from case_uco_ontology_map_spark.operators.sparql import (
+        sparql_update_sql,
+    )
+
+    return (
+        f"WITH t0 AS ({_oracle_triples_structural()}),\n"
+        "t AS (SELECT subj, pred, obj FROM t0)\n"
+        "SELECT * FROM ("
+        + sparql_update_sql(_UPDATE_TEXT)
+        + ") z ORDER BY subj, pred, obj"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6677,6 +6713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitive_materialize": q_transitive_materialize,
         "snapshot_patch": q_snapshot_patch,
         "kg_digest": q_kg_digest,
+        "sparql_update": q_sparql_update,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6813,6 +6850,7 @@ def oracle_sql() -> dict[str, str]:
         "transitive_materialize": _oracle_transitive_materialize(),
         "snapshot_patch": _oracle_snapshot_patch(),
         "kg_digest": _oracle_kg_digest(),
+        "sparql_update": _oracle_sparql_update(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

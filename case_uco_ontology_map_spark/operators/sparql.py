@@ -38,6 +38,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame
 
 from .graphquery import (
+    _is_var,
+    _var,
     bgp_ask,
     bgp_query,
     bgp_sql,
@@ -903,3 +905,292 @@ def sparql_to_sql(
         distinct=spec["distinct"],
         **cols,
     )
+
+
+def _template_check(group: Dict, where: str) -> List[Pattern]:
+    """Validate an UPDATE template/data group: triple patterns only
+    (SPARQL 1.1 Update QuadPattern — no OPTIONAL/FILTER/MINUS/EXISTS/
+    BIND/VALUES/UNION), and no property paths (paths are query
+    syntax, illegal in templates)."""
+    from .graphquery import _is_alternation, _is_path, _is_sequence
+
+    if "__union__" in group:
+        raise SparqlSyntaxError(f"UNION is not allowed in {where}")
+    for extra in ("optional", "minus", "exists", "bind", "filters"):
+        if group.get(extra):
+            raise SparqlSyntaxError(
+                f"{where} must contain only triple patterns "
+                f"(found {extra})"
+            )
+    for s, p, o in group["patterns"]:
+        if not _is_var(p) and (
+            _is_path(p) or _is_alternation(p) or _is_sequence(p)
+            or p.startswith(("^", "!"))
+        ):
+            raise SparqlSyntaxError(
+                f"property path {p!r} is not allowed in {where}"
+            )
+    return list(group["patterns"])
+
+
+def _ground_check(patterns: Sequence[Pattern], where: str) -> None:
+    for pat in patterns:
+        for t in pat:
+            if _is_var(t):
+                raise SparqlSyntaxError(
+                    f"{where} takes ground triples only (found {t!r})"
+                )
+
+
+def parse_sparql_update(text: str) -> Dict:
+    """Parse a SPARQL 1.1 Update request → a spec dict ``{"op", "data",
+    "delete", "insert", "where", "prefixes"}``. Supported subset (one
+    operation per request):
+
+    * ``INSERT DATA { ground triples }`` / ``DELETE DATA { ... }``
+    * ``DELETE WHERE { bgp }`` (the pattern is both template and match,
+      so it must be triples-only, per spec)
+    * ``DELETE { tpl } INSERT { tpl } WHERE { group }`` with either
+      part optional — the WHERE group takes the full single-block
+      algebra (OPTIONAL/FILTER/MINUS/EXISTS/BIND/VALUES); UNION and
+      named graphs (``WITH``/``GRAPH``/``USING``) are out of the
+      subset and refuse loudly.
+    """
+    p = _Parser(_tokenize(text))
+    prefixes: Dict[str, str] = {}
+    while p.kw("PREFIX"):
+        p.take()
+        name = p.take()
+        iri = p.take()
+        prefixes[name.rstrip(":")] = _term(iri)
+    if p.kw("WITH") or p.kw("USING"):
+        raise SparqlSyntaxError(
+            "named-graph updates (WITH/USING/GRAPH) are out of the subset"
+        )
+    spec: Dict = {
+        "op": None, "data": None, "delete": None, "insert": None,
+        "where": None, "prefixes": prefixes,
+    }
+    tok = p.take().upper() if p.peek() else ""
+    if tok == "INSERT":
+        if p.kw("DATA"):
+            p.take()
+            g = p.parse_group()
+            spec["data"] = _template_check(g, "INSERT DATA")
+            _ground_check(spec["data"], "INSERT DATA")
+            spec["op"] = "insert_data"
+        else:
+            spec["insert"] = _template_check(
+                p.parse_group(), "the INSERT template"
+            )
+            if not p.kw("WHERE"):
+                raise SparqlSyntaxError("INSERT template needs WHERE")
+            p.take()
+            spec["where"] = p.parse_group()
+            spec["op"] = "modify"
+    elif tok == "DELETE":
+        if p.kw("DATA"):
+            p.take()
+            g = p.parse_group()
+            spec["data"] = _template_check(g, "DELETE DATA")
+            _ground_check(spec["data"], "DELETE DATA")
+            spec["op"] = "delete_data"
+        elif p.kw("WHERE"):
+            p.take()
+            g = p.parse_group()
+            spec["delete"] = _template_check(g, "DELETE WHERE")
+            spec["where"] = {
+                "patterns": list(spec["delete"]), "optional": [],
+                "minus": [], "exists": [], "bind": [], "filters": [],
+            }
+            spec["op"] = "modify"
+        else:
+            spec["delete"] = _template_check(
+                p.parse_group(), "the DELETE template"
+            )
+            if p.kw("INSERT"):
+                p.take()
+                spec["insert"] = _template_check(
+                    p.parse_group(), "the INSERT template"
+                )
+            if not p.kw("WHERE"):
+                raise SparqlSyntaxError("DELETE template needs WHERE")
+            p.take()
+            spec["where"] = p.parse_group()
+            spec["op"] = "modify"
+    else:
+        raise SparqlSyntaxError(
+            f"unknown update form {tok!r} (INSERT/DELETE)"
+        )
+    if p.peek() is not None:
+        raise SparqlSyntaxError(
+            f"one operation per update request (trailing {p.peek()!r})"
+        )
+    if spec["op"] == "modify" and "__union__" in spec["where"]:
+        raise SparqlSyntaxError("UNION in an update WHERE is not supported")
+    return spec
+
+
+def _instantiate_templates(bindings: DataFrame, template: Sequence[Pattern]):
+    """Bind each template row against the binding frame — the
+    bgp_construct projection loop, shared by delete and insert sets.
+    Rows touching an unbound (NULL) variable drop, per spec."""
+    from pyspark.sql import functions as F
+
+    bound = set(bindings.columns)
+
+    def term(t: str):
+        if _is_var(t):
+            v = _var(t)
+            if v not in bound:
+                raise SparqlSyntaxError(
+                    f"template references unbound variable ?{v}"
+                )
+            return F.col(v)
+        return F.lit(t)
+
+    out = None
+    for s, pr, o in template:
+        row = bindings.select(
+            term(s).alias("subj"), term(pr).alias("pred"),
+            term(o).alias("obj"),
+        ).filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.distinct()
+
+
+def sparql_update(
+    triples: DataFrame,
+    text: str,
+    path_max_hops: Optional[int] = DEFAULT_PATH_MAX_HOPS,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Execute a SPARQL 1.1 Update request against a triple frame →
+    the UPDATED graph as a new ``(subj, pred, obj)`` SET (functional —
+    the input frame is never mutated; write the result wherever the
+    graph lives). Semantics per the spec's modify order: the WHERE
+    bindings are evaluated against the ORIGINAL graph, the DELETE set
+    leaves, then the INSERT set enters — so a request that deletes and
+    re-derives the same triple keeps it.
+
+    Scale shape: ground DATA forms are driver-literal frames (tiny by
+    definition) riding one anti-join/union; template forms cost the
+    WHERE query (the bgp compiler's plan: greedy equi-join order,
+    broadcast-scaled) plus per-template projections and ONE distinct —
+    the base graph scans once and shuffles once. Closure paths in the
+    WHERE are bounded by ``path_max_hops`` exactly like
+    ``sparql_query``."""
+    from pyspark.sql import functions as F
+
+    spec = parse_sparql_update(text)
+    spark = triples.sparkSession
+    g = triples.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    schema = "subj string, pred string, obj string"
+    if spec["op"] == "insert_data":
+        data = spark.createDataFrame(list(spec["data"]), schema)
+        return g.unionByName(data).distinct()
+    if spec["op"] == "delete_data":
+        data = spark.createDataFrame(list(spec["data"]), schema)
+        return g.join(data, on=["subj", "pred", "obj"], how="left_anti")
+    bounded = _closure_paths({"blocks": [spec["where"]]})
+    hops_kw = (
+        {"path_max_hops": path_max_hops}
+        if bounded and path_max_hops is not None
+        else {}
+    )
+    if bounded and path_max_hops is not None:
+        import warnings
+
+        warnings.warn(
+            f"property path(s) {sorted(set(bounded))} bounded at "
+            f"{path_max_hops} hops in the update WHERE",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    bindings = bgp_query(
+        g, select=None, **_block_kwargs(spec["where"]), **hops_kw
+    )
+    out = g
+    if spec["delete"]:
+        dels = _instantiate_templates(bindings, spec["delete"])
+        out = out.join(dels, on=["subj", "pred", "obj"], how="left_anti")
+    if spec["insert"]:
+        ins = _instantiate_templates(bindings, spec["insert"])
+        out = out.unionByName(ins).distinct()
+    return out
+
+
+def sparql_update_sql(text: str, table: str = "t") -> str:
+    """DuckDB/ANSI replay of ``sparql_update`` — mirrors the engine's
+    guards (same parse, same subset refusals), then expresses the modify
+    as pure set algebra: ``(g EXCEPT del) UNION ins``. Property paths in
+    the WHERE raise (``bgp_sql`` restriction) exactly as the SELECT
+    oracle twin does."""
+    spec = parse_sparql_update(text)
+
+    def lit(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    def ground_values(patterns: Sequence[Pattern]) -> str:
+        return ", ".join(
+            f"({lit(s)}, {lit(p)}, {lit(o)})" for s, p, o in patterns
+        )
+
+    base = f"SELECT DISTINCT subj, pred, obj FROM {table}"
+    if spec["op"] == "insert_data":
+        return (
+            f"SELECT subj, pred, obj FROM ({base}) g\n"
+            f"UNION\n"
+            f"SELECT * FROM (VALUES {ground_values(spec['data'])}) "
+            "v(subj, pred, obj)"
+        )
+    if spec["op"] == "delete_data":
+        return (
+            f"SELECT subj, pred, obj FROM ({base}) g\n"
+            f"EXCEPT\n"
+            f"SELECT * FROM (VALUES {ground_values(spec['data'])}) "
+            "v(subj, pred, obj)"
+        )
+    # bindings evaluate over the raw table (the engine uses the
+    # distinct'd set — equal binding SETS, and the template arms UNION
+    # away any multiplicity difference)
+    inner = bgp_sql(select=None, table=table, **_block_kwargs(spec["where"]))
+
+    def tpl_arm(patterns: Sequence[Pattern]) -> str:
+        arms = []
+        for s, p, o in patterns:
+            def term(t: str) -> str:
+                return _var(t) if _is_var(t) else lit(t)
+
+            guards = [
+                f"{_var(t)} IS NOT NULL" for t in (s, p, o) if _is_var(t)
+            ]
+            w = (" WHERE " + " AND ".join(guards)) if guards else ""
+            arms.append(
+                f"SELECT {term(s)} AS subj, {term(p)} AS pred, "
+                f"{term(o)} AS obj FROM ({inner}) b{w}"
+            )
+        return "\nUNION\n".join(arms)
+
+    sql = f"SELECT subj, pred, obj FROM ({base}) gg"
+    if spec["delete"]:
+        sql += (
+            "\nEXCEPT\nSELECT subj, pred, obj FROM (\n"
+            f"{tpl_arm(spec['delete'])}\n) dels"
+        )
+    if spec["insert"]:
+        sql = (
+            f"SELECT subj, pred, obj FROM (\n{sql}\n) kept"
+            "\nUNION\nSELECT subj, pred, obj FROM (\n"
+            f"{tpl_arm(spec['insert'])}\n) ins"
+        )
+    return sql

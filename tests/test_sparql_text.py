@@ -322,3 +322,161 @@ class TestDefaultHopBound:
             warnings.simplefilter("always")
             sparql_query(chain, "SELECT ?a WHERE { ?a derivedFrom ?b }")
         assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
+
+
+class TestSparqlUpdate:
+    """SPARQL 1.1 Update subset: hand-pinned result sets (independent of
+    both engines), cross-engine twin equality, and the loud refusals."""
+
+    ROWS = [
+        ("kb:a", "rdf:type", "ex:Old"),
+        ("kb:b", "rdf:type", "ex:Old"),
+        ("kb:a", "ex:name", "alpha"),
+        ("kb:c", "rdf:type", "ex:New"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def graph(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "subj string, pred string, obj string"
+        )
+
+    def _duck(self):
+        con = duckdb.connect()
+        con.register(
+            "t_src", pd.DataFrame(self.ROWS, columns=["subj", "pred", "obj"])
+        )
+        return con
+
+    def _both(self, graph, q):
+        from case_uco_ontology_map_spark.operators.sparql import (
+            sparql_update,
+            sparql_update_sql,
+        )
+
+        got = {tuple(r) for r in sparql_update(graph, q).collect()}
+        want = {
+            tuple(r)
+            for r in self._duck().execute(
+                "WITH t AS (SELECT * FROM t_src) " + sparql_update_sql(q)
+            ).fetchall()
+        }
+        assert got == want
+        return got
+
+    def test_insert_data_set_semantics(self, graph):
+        # re-asserting an existing triple is a no-op (graph is a set)
+        got = self._both(
+            graph,
+            "INSERT DATA { kb:d rdf:type ex:New . kb:a rdf:type ex:Old }",
+        )
+        assert got == set(self.ROWS) | {("kb:d", "rdf:type", "ex:New")}
+
+    def test_delete_data_exact_rows_only(self, graph):
+        got = self._both(
+            graph, "DELETE DATA { kb:a ex:name alpha . kb:x ex:p y }"
+        )
+        assert got == set(self.ROWS) - {("kb:a", "ex:name", "alpha")}
+
+    def test_delete_where_pattern_is_template(self, graph):
+        got = self._both(graph, "DELETE WHERE { ?x rdf:type ex:Old }")
+        assert got == {
+            ("kb:a", "ex:name", "alpha"), ("kb:c", "rdf:type", "ex:New")
+        }
+
+    def test_modify_delete_insert_original_state(self, graph):
+        # schema migration: Old → Migrated; bindings evaluate against
+        # the ORIGINAL graph (spec §3.1.3), delete leaves, insert enters
+        got = self._both(
+            graph,
+            "DELETE { ?x rdf:type ex:Old } "
+            "INSERT { ?x rdf:type ex:Migrated } "
+            "WHERE { ?x rdf:type ex:Old }",
+        )
+        assert got == {
+            ("kb:a", "rdf:type", "ex:Migrated"),
+            ("kb:b", "rdf:type", "ex:Migrated"),
+            ("kb:a", "ex:name", "alpha"),
+            ("kb:c", "rdf:type", "ex:New"),
+        }
+
+    def test_insert_where_with_optional_null_drop(self, graph):
+        # unbound OPTIONAL var → that template row drops, per spec
+        got = self._both(
+            graph,
+            "INSERT { ?x ex:label ?n } "
+            "WHERE { ?x rdf:type ex:Old . OPTIONAL { ?x ex:name ?n } }",
+        )
+        assert got == set(self.ROWS) | {("kb:a", "ex:label", "alpha")}
+
+    def test_delete_insert_rederive_keeps_triple(self, graph):
+        # delete + re-insert the same triple: INSERT wins (G\D ∪ I)
+        got = self._both(
+            graph,
+            "DELETE { ?x ex:name ?n } INSERT { ?x ex:name ?n } "
+            "WHERE { ?x ex:name ?n }",
+        )
+        assert got == set(self.ROWS)
+
+    def test_refusals_mirror_both_engines(self, graph):
+        from case_uco_ontology_map_spark.operators.sparql import (
+            SparqlSyntaxError,
+            sparql_update,
+            sparql_update_sql,
+        )
+
+        bad = [
+            # UNION in WHERE
+            "DELETE { ?x ?p ?o } WHERE { { ?x ?p ?o } UNION { ?o ?p ?x } }",
+            # property path in a template
+            "INSERT { ?x ex:anc+ ?y } WHERE { ?x ex:anc ?y }",
+            # variable in ground DATA
+            "INSERT DATA { ?x rdf:type ex:T }",
+            # FILTER inside DELETE WHERE (pattern doubles as template)
+            'DELETE WHERE { ?x ?p ?o FILTER(?p = "rdf:type") }',
+            # named-graph forms
+            "WITH kb:g DELETE { ?x ?p ?o } WHERE { ?x ?p ?o }",
+            # two operations in one request
+            "DELETE DATA { kb:a ex:name alpha } ; INSERT DATA { kb:d ex:p v }",
+        ]
+        for q in bad:
+            with pytest.raises(SparqlSyntaxError):
+                sparql_update(graph, q)
+            with pytest.raises(SparqlSyntaxError):
+                sparql_update_sql(q)
+
+    def test_unbound_template_variable_raises(self, graph):
+        from case_uco_ontology_map_spark.operators.sparql import (
+            SparqlSyntaxError,
+            sparql_update,
+        )
+
+        with pytest.raises(SparqlSyntaxError):
+            sparql_update(
+                graph,
+                "INSERT { ?x ex:p ?missing } WHERE { ?x rdf:type ex:Old }",
+            ).collect()
+
+    def test_bounded_path_in_where_warns(self, spark):
+        import warnings
+
+        from case_uco_ontology_map_spark.operators.sparql import (
+            sparql_update,
+        )
+
+        chain = spark.createDataFrame(
+            [(f"n{i}", "ex:anc", f"n{i+1}") for i in range(6)],
+            "subj string, pred string, obj string",
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = sparql_update(
+                chain,
+                "INSERT { ?a ex:reach ?b } WHERE { ?a ex:anc+ ?b }",
+                path_max_hops=2,
+            )
+            got = {tuple(r) for r in out.collect()}
+        assert [x for x in w if issubclass(x.category, RuntimeWarning)]
+        # hops ≤ 2 only
+        assert ("n0", "ex:reach", "n2") in got
+        assert ("n0", "ex:reach", "n3") not in got
