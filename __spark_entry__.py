@@ -6588,6 +6588,114 @@ def _oracle_sparql_update() -> str:
     )
 
 
+def q_kg_maintenance_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: the nightly KG-maintenance chain in its real order —
+    (1) latest_assertions collapses 5 crawl generations of page titles
+    to the freshest per (page, pred); (2) the surviving assertions gain
+    deterministic one-way sameAs chains (every page u with u % 10 < 3
+    aliases u+1); (3) sameas_smush collapses the aliases through
+    connected components; (4) rdfs_infer closes the fresh type triples
+    over a 3-level hierarchy; (5) kg_census reports the result. ONE
+    DuckDB oracle replays the whole chain, so the COMPOSITION — stage
+    boundaries, set semantics between steps — is cross-engine-verified,
+    not just each operator (the frontier_pipeline philosophy applied to
+    KG maintenance)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_census,
+        latest_assertions,
+        rdfs_infer_types,
+        sameas_smush,
+    )
+
+    d = _docs(spark, sf_dir)
+    page = F.concat(F.lit("kb:page"), (F.col("doc_id") % 100).cast("string"))
+    gen = F.least(F.expr("doc_id DIV 100"), F.lit(3)).cast("long")
+    multi = d.select(
+        page.alias("subj"), F.lit("ex:title").alias("pred"),
+        F.concat(F.lit("title v"), F.col("doc_id").cast("string"))
+        .alias("obj"), gen.alias("ts"),
+    ).unionByName(
+        d.select(
+            page.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ex:Article"))
+            .otherwise(F.lit("ex:Forum")).alias("obj"),
+            gen.alias("ts"),
+        )
+    )
+    fresh = latest_assertions(multi).select(
+        "subj", "pred", "obj",
+        (F.col("pred") == "rdf:type").alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    pid = F.regexp_extract("subj", r"^kb:page(\d+)$", 1).cast("long")
+    sames = (
+        fresh.select("subj").distinct()
+        .where(pid % 10 < 3)
+        .select(
+            "subj", F.lit("owl:sameAs").alias("pred"),
+            F.concat(F.lit("kb:page"), (pid + 1).cast("string"))
+            .alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+    )
+    smushed = sameas_smush(fresh.unionByName(sames))
+    sc = spark.createDataFrame(
+        [("ex:Article", "ex:Page"), ("ex:Forum", "ex:Page"),
+         ("ex:Page", "ex:Document")],
+        "sub string, sup string",
+    )
+    closed = rdfs_infer_types(smushed, sc)
+    return kg_census(closed).orderBy("kind", "name")
+
+
+def _oracle_kg_maintenance_pipeline() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_census_sql,
+        latest_assertions_sql,
+        rdfs_infer_types_sql,
+        sameas_smush_sql,
+    )
+
+    multi = """
+SELECT 'kb:page' || (doc_id % 100) AS subj, 'ex:title' AS pred,
+       'title v' || doc_id AS obj,
+       CAST(LEAST(doc_id // 100, 3) AS BIGINT) AS ts
+FROM documents
+UNION ALL
+SELECT 'kb:page' || (doc_id % 100), 'rdf:type',
+       CASE WHEN doc_id % 2 = 0 THEN 'ex:Article' ELSE 'ex:Forum' END,
+       CAST(LEAST(doc_id // 100, 3) AS BIGINT)
+FROM documents
+"""
+    return f"""
+WITH multi AS ({multi}),
+fresh AS (
+  SELECT subj, pred, obj, pred = 'rdf:type' AS obj_is_iri,
+         NULL::VARCHAR AS obj_datatype
+  FROM ({latest_assertions_sql(table="multi")}) la
+),
+sames AS (
+  SELECT DISTINCT subj, 'owl:sameAs' AS pred,
+         'kb:page' || (CAST(regexp_extract(subj, '^kb:page(\\d+)$', 1)
+                            AS BIGINT) + 1) AS obj,
+         TRUE AS obj_is_iri, NULL::VARCHAR AS obj_datatype
+  FROM fresh
+  WHERE CAST(regexp_extract(subj, '^kb:page(\\d+)$', 1) AS BIGINT)
+        % 10 < 3
+),
+gall AS (SELECT * FROM fresh UNION ALL SELECT * FROM sames),
+smushed AS ({sameas_smush_sql(table="gall")}),
+sc(sub, sup) AS (VALUES
+  ('ex:Article', 'ex:Page'), ('ex:Forum', 'ex:Page'),
+  ('ex:Page', 'ex:Document')),
+closed AS ({rdfs_infer_types_sql(table="smushed")})
+SELECT * FROM ({kg_census_sql(table="closed")}) z ORDER BY kind, name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6714,6 +6822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_patch": q_snapshot_patch,
         "kg_digest": q_kg_digest,
         "sparql_update": q_sparql_update,
+        "kg_maintenance_pipeline": q_kg_maintenance_pipeline,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6851,6 +6960,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_patch": _oracle_snapshot_patch(),
         "kg_digest": _oracle_kg_digest(),
         "sparql_update": _oracle_sparql_update(),
+        "kg_maintenance_pipeline": _oracle_kg_maintenance_pipeline(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),
