@@ -1018,6 +1018,122 @@ def main():
         }
     )
 
+
+    # ---- round-5 session-4 batch 2 -------------------------------------
+    from case_uco_ontology_map_spark.operators.render import nquads_lines
+    from case_uco_ontology_map_spark.operators.sparql import sparql_update
+    from case_uco_ontology_map_spark.operators.triples import (
+        apply_diff,
+        kg_fingerprint,
+        latest_assertions,
+        rdfs_infer_types,
+        unresolved_refs,
+    )
+
+    trip5 = spark.createDataFrame(
+        [
+            ("kb:a", "rdf:type", "ex:D", True, None, "kb:rec1"),
+            ("kb:a", "ex:ref", "kb:gone", True, None, "kb:rec1"),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string, graph string",
+    )
+
+    nq = nquads_lines(trip5)
+    nq_plan = plan_of(nq)
+    assert not re.findall(_no_python, nq_plan), (
+        "nquads_lines must stay JVM-side"
+    )
+    assert "Exchange" not in nq_plan, (
+        "nquads_lines is a pure projection — zero Exchange"
+    )
+
+    ur = unresolved_refs(trip5)
+    ur_plan = plan_of(ur)
+    assert not re.findall(_no_python, ur_plan), (
+        "unresolved_refs must stay JVM-side"
+    )
+
+    la = latest_assertions(
+        docs.select(
+            F.concat(F.lit("kb:p"), (F.col("doc_id") % 50).cast("string"))
+            .alias("subj"),
+            F.lit("ex:t").alias("pred"),
+            F.col("doc_id").cast("string").alias("obj"),
+            F.col("doc_id").alias("ts"),
+        )
+    )
+    la_plan = plan_of(la)
+    assert not re.findall(_no_python, la_plan), (
+        "latest_assertions must stay JVM-side"
+    )
+    assert "Window" not in la_plan, (
+        "latest_assertions must use the window-free argmax "
+        "(groupBy-max + join + groupBy-min), never a window"
+    )
+
+    sc = spark.createDataFrame(
+        [("ex:D", "ex:B"), ("ex:B", "ex:A")], "sub string, sup string"
+    )
+    ri = rdfs_infer_types(trip5.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    ), sc)
+    ri_plan = plan_of(ri)
+    assert not re.findall(_no_python, ri_plan), (
+        "rdfs_infer_types must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in ri_plan, (
+        "rdfs_infer_types subclass closure must broadcast into the "
+        "type-triple join"
+    )
+
+    diff3 = spark.createDataFrame(
+        [("kb:x", "ex:p", "1", "added"), ("kb:a", "rdf:type", "ex:D",
+                                          "removed")],
+        "subj string, pred string, obj string, change string",
+    )
+    ad = apply_diff(trip5, diff3)
+    ad_plan = plan_of(ad)
+    assert not re.findall(_no_python, ad_plan), (
+        "apply_diff must stay JVM-side"
+    )
+
+    fp = kg_fingerprint(trip5.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    ))
+    fp_plan = plan_of(fp)
+    assert not re.findall(_no_python, fp_plan), (
+        "kg_fingerprint must stay JVM-side"
+    )
+    assert "partial" in fp_plan.lower() or "HashAggregate" in fp_plan, (
+        "kg_fingerprint XOR fold must pre-aggregate map-side"
+    )
+
+    su = sparql_update(
+        trip5.select("subj", "pred", "obj"),
+        "DELETE { ?x rdf:type ex:D } INSERT { ?x rdf:type ex:D2 } "
+        "WHERE { ?x rdf:type ex:D }",
+    )
+    su_plan = plan_of(su)
+    assert not re.findall(_no_python, su_plan), (
+        "sparql_update must stay JVM-side"
+    )
+    assert "Cartesian" not in su_plan, (
+        "sparql_update planned a cartesian join"
+    )
+
+    sections.update(
+        {
+            "nquads_lines (pure projection: zero Exchange)": nq,
+            "unresolved_refs (grouped object scan + one anti-join)": ur,
+            "latest_assertions (window-free argmax: max-join-min)": la,
+            "rdfs_infer_types (broadcast subclass closure into type join)": ri,
+            "apply_diff (one anti-join + union over the patch)": ad,
+            "kg_fingerprint (map-side XOR fold, one row out)": fp,
+            "sparql_update modify ((G anti del) union ins, equi-joins only)": su,
+        }
+    )
+
     lines = [
         "# PLANS — physical-plan review",
         "",
