@@ -6696,6 +6696,57 @@ SELECT * FROM ({kg_census_sql(table="closed")}) z ORDER BY kind, name
 """
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graphstats.pagerank(weight_col=)):
+    the doc graph with a deterministic anchor-multiplicity weight
+    ((src·3 + dst) % 7, so ~1/7 of edges carry weight 0 and must DROP
+    like the engine's positive-weight gate demands) — rank splits
+    proportionally to weight, the host_graph n_links mode. DuckDB
+    replays the weight gate + proportional split (pagerank_sql(
+    weight=)). Comparison note: N=500 and d=0.85 make many true ranks
+    DECIMAL-TERMINATING (e.g. exactly 0.0009339725), and weighted
+    aggregation introduces order-dependent ±1-ULP summation noise — so
+    raw values straddle the hash's rounding boundary on opposite sides
+    per engine. Both sides therefore compare ROUND(rank + 1e-15, 9):
+    the epsilon (10^4 × the noise, 10^-6 × the rounding step) moves the
+    boundary off every representable decimal, making the rounding
+    deterministic without hiding real disagreement (a genuine semantic
+    difference is ≥ 1e-9 here, six orders above the epsilon).
+    m = 0 maps to weight 0 to keep the positive-weight gate
+    exercised."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import pagerank
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    m = ((F.col("src") * 3 + F.col("dst")) % 7).cast("double")
+    w = edges.withColumn(
+        "n_links",
+        F.when(m == 0, F.lit(0.0)).otherwise(F.lit(1.0) + m * F.lit(0.1)),
+    )
+    pr = pagerank(w, iterations=3, weight_col="n_links")
+    return pr.select(
+        "node", F.round(F.col("rank") + F.lit(1e-15), 9).alias("rank")
+    ).orderBy("node")
+
+
+def _oracle_pagerank_weighted() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        pagerank_sql,
+    )
+
+    return (
+        f"WITH e0 AS ({_DOC_GRAPH_SQL}),\n"
+        "e AS (SELECT src, dst,\n"
+        "      CASE WHEN (src * 3 + dst) % 7 = 0 THEN 0.0\n"
+        "           ELSE 1.0 + CAST((src * 3 + dst) % 7 AS DOUBLE) * 0.1\n"
+        "      END AS n_links FROM e0)\n"
+        "SELECT node, ROUND(rank + 1e-15, 9) AS rank FROM ("
+        + pagerank_sql(iterations=3, weight="n_links")
+        + ") z ORDER BY node"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6823,6 +6874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_digest": q_kg_digest,
         "sparql_update": q_sparql_update,
         "kg_maintenance_pipeline": q_kg_maintenance_pipeline,
+        "pagerank_weighted": q_pagerank_weighted,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -6961,6 +7013,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_digest": _oracle_kg_digest(),
         "sparql_update": _oracle_sparql_update(),
         "kg_maintenance_pipeline": _oracle_kg_maintenance_pipeline(),
+        "pagerank_weighted": _oracle_pagerank_weighted(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

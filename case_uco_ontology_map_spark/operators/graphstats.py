@@ -69,8 +69,18 @@ def pagerank(
     dst: str = "dst",
     checkpoint_every: int = 1,
     init_ranks: Optional[DataFrame] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Power-iteration PageRank → ``(node, rank)``; ranks sum to 1.
+
+    ``weight_col`` names a positive edge-weight column (e.g. the
+    ``n_links`` anchor multiplicity of ``host_graph``): each node's rank
+    then splits over its out-edges PROPORTIONALLY to weight instead of
+    evenly — the standard weighted-PageRank formulation for rolled-up
+    graphs where one edge row stands for many links. Non-positive and
+    null weights drop (an edge that carries nothing is no edge);
+    unweighted calls keep the exact original arithmetic (existing
+    results are bit-stable).
 
     Semantics (the classic formulation, so the unrolled-SQL oracle can
     replay it exactly): nodes are every id appearing as ``src`` or
@@ -96,10 +106,15 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    weighted = weight_col is not None
+    cols = [F.col(src).alias("_s"), F.col(dst).alias("_d")]
+    if weighted:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    e = edges.select(*cols).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
     )
+    if weighted:
+        e = e.where(F.col("_w").isNotNull() & (F.col("_w") > 0))
     spark = edges.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = e.repartition(shuffle, "_s").persist()
@@ -115,7 +130,7 @@ def pagerank(
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy(F.col("_s").alias("node")).agg(
-        F.count("*").alias("_deg")
+        (F.sum("_w") if weighted else F.count("*")).alias("_deg")
     )
     with_deg = nodes.join(out_deg, on="node", how="left").persist()
     if init_ranks is not None:
@@ -135,12 +150,14 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     for it in range(iterations):
         rd = ranks.join(with_deg.select("node", "_deg"), on="node", how="left")
+        share = (
+            (F.col("rank") * F.col("_w") / F.col("_deg"))
+            if weighted
+            else (F.col("rank") / F.col("_deg"))
+        )
         contrib = (
             rd.join(e, on=rd["node"] == e["_s"])
-            .select(
-                F.col("_d").alias("node"),
-                (F.col("rank") / F.col("_deg")).alias("_c"),
-            )
+            .select(F.col("_d").alias("node"), share.alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_recv"))
         )
@@ -180,14 +197,27 @@ def pagerank_sql(
     src: str = "src",
     dst: str = "dst",
     init: Optional[str] = None,
+    weight: Optional[str] = None,
 ) -> str:
     """Unrolled-CTE replay of ``pagerank`` (one CTE per round — standard
     SQL forbids aggregation in a recursive term, so the oracle unrolls;
     fine for the fixed iteration counts a contract query pins). Emits a
     full query ``(node, rank)``; prepend the edge CTE ``table``.
     ``init`` names a ``(node, rank)`` table/CTE replaying the
-    warm-start: missing nodes at 1/N, renormalized to sum 1."""
+    warm-start: missing nodes at 1/N, renormalized to sum 1.
+    ``weight`` names the edge-weight column replaying the weighted
+    split (callers must pre-filter non-positive weights like the
+    engine, or accept the ew CTE's filter)."""
     d = float(damping)
+    if weight is not None:
+        # filtered+projected edge CTE mirroring the engine's weight gate
+        edge_cte = (
+            f"ew AS (SELECT {src}, {dst}, CAST({weight} AS DOUBLE) AS w "
+            f"FROM {table} WHERE {weight} IS NOT NULL AND {weight} > 0)"
+        )
+        table = "ew"
+    else:
+        edge_cte = None
     if init is None:
         r0 = "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
         ctes_init: List[str] = [r0]
@@ -199,14 +229,22 @@ def pagerank_sql(
             "r0 AS (SELECT node, w / (SELECT SUM(w) FROM w0) AS rank "
             "FROM w0)",
         ]
+    deg_expr = (
+        "SUM(w)" if weight is not None else "CAST(count(*) AS DOUBLE)"
+    )
+    share = "p.rank * {t}.w / od.deg" if weight is not None else (
+        "p.rank / od.deg"
+    )
     ctes: List[str] = [
+        *([edge_cte] if edge_cte else []),
         f"nodes AS (SELECT {src} AS node FROM {table} "
         f"UNION SELECT {dst} AS node FROM {table})",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        f"od AS (SELECT {src} AS node, CAST(count(*) AS DOUBLE) AS deg "
+        f"od AS (SELECT {src} AS node, {deg_expr} AS deg "
         f"FROM {table} GROUP BY 1)",
         *ctes_init,
     ]
+    share = share.format(t=table)
     for i in range(iterations):
         prev, cur = f"r{i}", f"r{i + 1}"
         ctes.append(
@@ -221,7 +259,7 @@ def pagerank_sql(
            ) AS rank
   FROM nodes
   LEFT JOIN (
-    SELECT {table}.{dst} AS node, SUM(p.rank / od.deg) AS recv
+    SELECT {table}.{dst} AS node, SUM({share}) AS recv
     FROM {table}
     JOIN {prev} p ON {table}.{src} = p.node
     JOIN od ON {table}.{src} = od.node

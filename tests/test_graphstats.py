@@ -999,3 +999,59 @@ def test_pagerank_warm_matches_sql_oracle(edges):
     assert set(got) == set(want)
     for n in want:
         assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    """One weighted round by hand: a→b (w=3), a→c (w=1); b, c dangling.
+    After round 1: recv(b)=1/3·3/4, recv(c)=1/3·1/4, dangling 2/3
+    redistributes uniformly. Zero/negative-weight edges drop."""
+    e = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("a", "z", 0.0),
+         ("a", "z", -5.0)],
+        "src string, dst string, n_links double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=1, weight_col="n_links").collect()
+    }
+    assert set(got) == {"a", "b", "c"}   # z's edges carried nothing
+    base = 0.15 / 3 + 0.85 * (2.0 / 3.0) / 3.0
+    assert got["a"] == pytest.approx(base, abs=1e-12)
+    assert got["b"] == pytest.approx(base + 0.85 * 0.25, abs=1e-12)
+    assert got["c"] == pytest.approx(base + 0.85 * (1.0 / 12.0), abs=1e-12)
+
+
+def test_pagerank_weighted_matches_sql_oracle(spark):
+    import pandas as pd
+
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("c", "a", 7),
+            ("b", "c", 5)]
+    e = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=4, weight_col="w").collect()
+    }
+    con = duckdb.connect()
+    con.register("we_src", pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    sql = (
+        "WITH e AS (SELECT * FROM we_src) SELECT node, rank FROM ("
+        + pagerank_sql(iterations=4, weight="w")
+        + ") z"
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_pagerank_uniform_weights_equal_unweighted(edges):
+    from pyspark.sql import functions as F
+
+    w = edges.withColumn("w", F.lit(2.0))
+    a = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(w, iterations=5, weight_col="w").collect()
+    }
+    for n in a:
+        assert b[n] == pytest.approx(a[n], abs=1e-12)
