@@ -6747,6 +6747,73 @@ def _oracle_pagerank_weighted() -> str:
     )
 
 
+def q_kg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding link-prediction eval (operators/negatives.
+    transe_ranks + kg_embedding_eval): the 500 real 64-dim embedding
+    vectors as entities (vec_id 0/1 doubling as the two relation
+    vectors), a functional triple per entity (e(i) --p(i%2)--> e((7i+1)
+    % 500)) with 3 deterministic corruptions each — filtered TransE L1
+    ranks over floor-quantized INTEGER arithmetic (no float decides a
+    rank) and exact-rational metrics (MRR as Σ lcm(1..4)/rank over a
+    common denominator; hits as counts). DuckDB replays quantization,
+    the 3-ary zip L1 fold, ranking, and the LCM fold bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.negatives import (
+        kg_embedding_eval,
+        transe_ranks,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ents = emb.select(
+        F.concat(F.lit("e"), F.col("vec_id").cast("string")).alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    rels = emb.where(F.col("vec_id") < 2).select(
+        F.concat(F.lit("p"), F.col("vec_id").cast("string")).alias("pred"),
+        F.col("embedding").alias("vec"),
+    )
+    v = F.col("vec_id")
+    negs = (
+        emb.select(v)
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("j")))
+        .select(
+            F.concat(F.lit("e"), v.cast("string")).alias("subj"),
+            F.concat(F.lit("p"), (v % 2).cast("string")).alias("pred"),
+            F.concat(F.lit("e"), ((v * 7 + 1) % 500).cast("string"))
+            .alias("obj"),
+            F.col("j").cast("int").alias("i"),
+            F.concat(
+                F.lit("e"), ((v * 11 + F.col("j") * F.col("j")) % 500)
+                .cast("string")
+            ).alias("neg_obj"),
+        )
+    )
+    ranks = transe_ranks(negs, ents, rels)
+    return kg_embedding_eval(ranks, max_rank=4)
+
+
+def _oracle_kg_embedding_eval() -> str:
+    from case_uco_ontology_map_spark.operators.negatives import (
+        kg_embedding_eval_sql,
+        transe_ranks_sql,
+    )
+
+    return f"""
+WITH e AS (SELECT 'e' || vec_id AS id, embedding AS vec FROM embeddings),
+r AS (SELECT 'p' || vec_id AS pred, embedding AS vec FROM embeddings
+      WHERE vec_id < 2),
+n AS (
+  SELECT 'e' || vec_id AS subj, 'p' || (vec_id % 2) AS pred,
+         'e' || ((vec_id * 7 + 1) % 500) AS obj, j.i AS i,
+         'e' || ((vec_id * 11 + j.i * j.i) % 500) AS neg_obj
+  FROM embeddings CROSS JOIN range(1, 4) j(i)
+),
+rk AS ({transe_ranks_sql()})
+{kg_embedding_eval_sql(max_rank=4)}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6875,6 +6942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update": q_sparql_update,
         "kg_maintenance_pipeline": q_kg_maintenance_pipeline,
         "pagerank_weighted": q_pagerank_weighted,
+        "kg_embedding_eval": q_kg_embedding_eval,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -7014,6 +7082,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update": _oracle_sparql_update(),
         "kg_maintenance_pipeline": _oracle_kg_maintenance_pipeline(),
         "pagerank_weighted": _oracle_pagerank_weighted(),
+        "kg_embedding_eval": _oracle_kg_embedding_eval(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

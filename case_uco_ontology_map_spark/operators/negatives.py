@@ -131,3 +131,181 @@ def negative_samples(
         )
         keys = ["neg_subj", "pred", "obj"]
     return drawn.join(true_side, on=keys, how="left_anti")
+
+
+def _quantized(col, scale: int):
+    return F.transform(
+        col, lambda x: F.floor(x * F.lit(float(scale))).cast("long")
+    )
+
+
+def transe_ranks(
+    negatives: DataFrame,
+    entity_emb: DataFrame,
+    relation_emb: DataFrame,
+    scale: int = 1000,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    rel_col: str = "pred",
+) -> DataFrame:
+    """TransE link-prediction ranking → ``(subj, pred, obj, n_neg,
+    rank)``: for each positive triple with its ``negative_samples``
+    corruptions, the filtered rank of the true object by L1 TransE
+    distance ``‖h + r − t‖₁`` (smaller is better; ``rank = 1 + #{
+    negatives strictly closer}``, so ties never demote the positive —
+    the deterministic convention). The standard KG-embedding eval
+    harness (Bordes 2013), downstream of ``random_walks`` /
+    ``neighbor_sample`` / ``negative_samples`` in the graph-ML training
+    loop.
+
+    **No float decides a rank**: embeddings are quantized ONCE to
+    integers (``floor(x·scale)``, the SQ8/gopher discipline) and every
+    distance is exact BIGINT arithmetic — Spark and DuckDB agree
+    bit-for-bit, and summation order cannot flip a comparison. Rows
+    missing an entity or relation embedding drop (inner joins — eval
+    over the embedded subgraph, the trainer's convention).
+
+    Scale shape: three equi-joins against the entity table (the only
+    shuffles — at 10^9 entities they co-partition on the id) plus one
+    BROADCAST relation join (relations are thousands, not billions);
+    distances fold in-row over the arrays; one groupBy on the triple
+    key emits the rank."""
+    q = entity_emb.select(
+        F.col(id_col).alias("_id"), _quantized(F.col(vec_col), scale).alias("_v")
+    )
+    r = relation_emb.select(
+        F.col(rel_col).alias("_rp"),
+        _quantized(F.col(vec_col), scale).alias("_rv"),
+    )
+    h = q.select(F.col("_id").alias("_hs"), F.col("_v").alias("_hv"))
+    t = q.select(F.col("_id").alias("_to"), F.col("_v").alias("_tv"))
+    tn = q.select(F.col("_id").alias("_tn"), F.col("_v").alias("_nv"))
+    j = (
+        negatives.join(h, on=negatives["subj"] == h["_hs"])
+        .join(F.broadcast(r), on=negatives["pred"] == r["_rp"])
+        .join(t, on=negatives["obj"] == t["_to"])
+        .join(tn, on=negatives["neg_obj"] == tn["_tn"])
+    )
+    hr = F.zip_with("_hv", "_rv", lambda a, b: a + b)
+
+    def l1(target):
+        diff = F.zip_with(hr, target, lambda a, b: F.abs(a - b))
+        return F.aggregate(
+            diff, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    scored = j.select(
+        "subj", "pred", "obj",
+        l1(F.col("_tv")).alias("_dp"),
+        l1(F.col("_nv")).alias("_dn"),
+    )
+    return scored.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_neg"),
+        (
+            1 + F.sum((F.col("_dn") < F.col("_dp")).cast("long"))
+        ).alias("rank"),
+    )
+
+
+def transe_ranks_sql(
+    negatives: str = "n",
+    entities: str = "e",
+    relations: str = "r",
+    scale: int = 1000,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    rel_col: str = "pred",
+) -> str:
+    """DuckDB replay of ``transe_ranks`` — identical floor quantization
+    and exact-integer L1 folds (3-ary ``list_zip`` + numeric struct
+    indexing)."""
+    qv = (
+        f"list_transform({vec_col}, x -> CAST(floor(x * {float(scale)}) "
+        "AS BIGINT))"
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(h.qv, rr.qv, {t}.qv), "
+        "s -> abs(s[1] + s[2] - s[3])))"
+    )
+    return f"""
+WITH q AS (SELECT {id_col} AS id, {qv} AS qv FROM {entities}),
+qr AS (SELECT {rel_col} AS pred, {qv} AS qv FROM {relations}),
+scored AS (
+  SELECT n.subj, n.pred, n.obj,
+         {dist.format(t='t')} AS dp,
+         {dist.format(t='tn')} AS dn
+  FROM {negatives} n
+  JOIN q h ON n.subj = h.id
+  JOIN qr rr ON n.pred = rr.pred
+  JOIN q t ON n.obj = t.id
+  JOIN q tn ON n.neg_obj = tn.id
+)
+SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_neg,
+       CAST(1 + SUM(CASE WHEN dn < dp THEN 1 ELSE 0 END) AS BIGINT)
+         AS rank
+FROM scored GROUP BY subj, pred, obj
+"""
+
+
+def _lcm_upto(n: int) -> int:
+    from math import gcd
+
+    out = 1
+    for i in range(2, n + 1):
+        out = out * i // gcd(out, i)
+    return out
+
+
+def kg_embedding_eval(
+    ranks: DataFrame,
+    max_rank: int,
+    ks: "tuple[int, ...]" = (1, 3, 10),
+) -> DataFrame:
+    """Link-prediction metrics from a ``transe_ranks`` frame → ONE row
+    ``(n_triples, hits_1, hits_3, hits_10, mrr_num, mrr_den)`` — all
+    EXACT integers: hits are counts, and MRR is the exact rational
+    ``mrr_num/mrr_den`` with ``mrr_num = Σ L/rank`` for
+    ``L = lcm(1..max_rank)`` (every rank divides L, so the division is
+    integer-exact and summation order cannot move the value — the
+    salted-aggregate discipline applied to an evaluation metric).
+    ``max_rank`` is k+1 for k corruptions per triple; ranks above it
+    are excluded from mrr_num and COUNTED LOUDLY in ``n_over_max``
+    (a nonzero value means the caller's max_rank claim was wrong)."""
+    L = _lcm_upto(int(max_rank))
+    r = F.col("rank")
+    guarded = F.when(r <= max_rank, F.expr(f"CAST({L} AS BIGINT) DIV rank"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_triples"),
+        *[
+            F.sum((r <= k).cast("long")).alias(f"hits_{k}")
+            for k in ks
+        ],
+        F.sum(guarded).alias("mrr_num"),
+        (F.count(F.lit(1)) * F.lit(L)).cast("long").alias("mrr_den"),
+        F.sum((r > max_rank).cast("long")).alias("n_over_max"),
+    ]
+    return ranks.agg(*aggs)
+
+
+def kg_embedding_eval_sql(
+    ranks: str = "rk",
+    max_rank: int = 9,
+    ks: "tuple[int, ...]" = (1, 3, 10),
+) -> str:
+    """ANSI replay of ``kg_embedding_eval``."""
+    L = _lcm_upto(int(max_rank))
+    hits = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN rank <= {k} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS hits_{k}"
+        for k in ks
+    )
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       {hits},
+       CAST(SUM(CASE WHEN rank <= {int(max_rank)} THEN {L} // rank
+                     ELSE NULL END) AS BIGINT) AS mrr_num,
+       CAST(count(*) * {L} AS BIGINT) AS mrr_den,
+       CAST(SUM(CASE WHEN rank > {int(max_rank)} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_over_max
+FROM {ranks}
+"""

@@ -124,3 +124,100 @@ def test_literal_only_subject_is_drawable(spark):
     ).collect()
     drawn = {r.neg_obj for r in out}
     assert "aaa" in drawn, drawn
+
+
+def test_transe_ranks_hand_computed(spark):
+    """2-dim integer embeddings worked by hand: h=(1,0), r=(0,1) →
+    h+r=(1,1); true tail t=(1,1) at L1 distance 0 beats every
+    corruption, so rank=1; a second triple whose true tail is FARTHER
+    than its one corruption ranks 2. A strictly-equal corruption never
+    demotes (ties keep the positive)."""
+    from case_uco_ontology_map_spark.operators.negatives import (
+        transe_ranks,
+    )
+
+    ents = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]), ("b", [1.0, 1.0]), ("c", [5.0, 5.0]),
+            ("d", [0.0, 0.0]), ("e", [1.0, 1.0]),
+        ],
+        "id string, vec array<double>",
+    )
+    rels = spark.createDataFrame(
+        [("p", [0.0, 1.0])], "pred string, vec array<double>"
+    )
+    negs = spark.createDataFrame(
+        [
+            # positive (a,p,b): dp=0; corruptions c (dist 8000) and
+            # e (dist 0 — tie, must NOT demote)
+            ("a", "p", "b", 1, "c"),
+            ("a", "p", "b", 2, "e"),
+            # positive (a,p,c): dp=8000; corruption d (dist 2000) beats it
+            ("a", "p", "c", 1, "d"),
+        ],
+        "subj string, pred string, obj string, i int, neg_obj string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_neg, r.rank)
+        for r in transe_ranks(negs, ents, rels).collect()
+    }
+    assert got == {("a", "p", "b"): (2, 1), ("a", "p", "c"): (1, 2)}
+
+
+def test_transe_eval_exact_rational_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.negatives import (
+        kg_embedding_eval,
+        kg_embedding_eval_sql,
+        transe_ranks,
+        transe_ranks_sql,
+    )
+
+    ents = [(f"e{i}", [0.1 * i, 0.2 * i, -0.05 * i]) for i in range(12)]
+    rels = [("p", [0.3, -0.1, 0.2]), ("q", [-0.7, 0.0, 0.15])]
+    negs = [
+        (f"e{i}", "p" if i % 2 == 0 else "q", f"e{(i * 3) % 12}",
+         j, f"e{(i * 5 + j) % 12}")
+        for i in range(12) for j in (1, 2, 3)
+    ]
+    e = spark.createDataFrame(ents, "id string, vec array<double>")
+    r = spark.createDataFrame(rels, "pred string, vec array<double>")
+    n = spark.createDataFrame(
+        negs, "subj string, pred string, obj string, i int, neg_obj string"
+    )
+    ranks = transe_ranks(n, e, r)
+    ev = kg_embedding_eval(ranks, max_rank=4).collect()[0]
+    assert ev["n_over_max"] == 0
+    assert ev["mrr_den"] == ev["n_triples"] * 12  # lcm(1..4) = 12
+    con = duckdb.connect()
+    con.register("n_src", pd.DataFrame(
+        negs, columns=["subj", "pred", "obj", "i", "neg_obj"]))
+    con.register("e_src", pd.DataFrame(ents, columns=["id", "vec"]))
+    con.register("r_src", pd.DataFrame(rels, columns=["pred", "vec"]))
+    want = con.execute(
+        "WITH n AS (SELECT * FROM n_src), e AS (SELECT * FROM e_src), "
+        "r AS (SELECT * FROM r_src), "
+        f"rk AS ({transe_ranks_sql()}) "
+        + kg_embedding_eval_sql(max_rank=4)
+    ).fetchall()[0]
+    got = (
+        ev["n_triples"], ev["hits_1"], ev["hits_3"], ev["hits_10"],
+        ev["mrr_num"], ev["mrr_den"], ev["n_over_max"],
+    )
+    assert got == want
+    # per-triple ranks are also bit-exact
+    got_r = {
+        (x.subj, x.pred, x.obj): (x.n_neg, x.rank)
+        for x in ranks.collect()
+    }
+    want_r = {
+        (a, b, c): (d, e_)
+        for a, b, c, d, e_ in con.execute(
+            "WITH n AS (SELECT * FROM n_src), e AS (SELECT * FROM e_src), "
+            f"r AS (SELECT * FROM r_src), rk AS ({transe_ranks_sql()}) "
+            "SELECT * FROM rk"
+        ).fetchall()
+    }
+    assert got_r == want_r
