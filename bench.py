@@ -741,6 +741,63 @@ def bench_queries(spark, sf_dir: str):
             )
         return sums[1]
 
+    def q_kg_entailment():
+        """rdfs9 type entailment at corpus scale: four typed nodes per
+        page (the structural emission's class shape) close over the
+        8-edge CASE/UCO upper hierarchy — broadcast closure join +
+        union + one distinct over ~4×n_docs type triples. Guard exact:
+        every typed node gains exactly its 3 superclasses (all ids
+        distinct), so |out| = 4·n_docs·4."""
+        from case_uco_ontology_map_spark.operators.triples import (
+            rdfs_infer_types,
+        )
+
+        hierarchy = spark.createDataFrame(
+            [
+                ("uco-observable:URL", "uco-observable:ObservableObject"),
+                ("uco-observable:ObservableObject", "uco-core:UcoObject"),
+                ("uco-core:UcoObject", "uco-core:UcoThing"),
+                ("uco-observable:URLFacet", "uco-core:Facet"),
+                ("uco-observable:ContentDataFacet", "uco-core:Facet"),
+                ("uco-observable:WebPageExtensionFacet", "uco-core:Facet"),
+                ("uco-core:Facet",
+                 "uco-core:UcoInherentCharacterizationThing"),
+                ("uco-core:UcoInherentCharacterizationThing",
+                 "uco-core:UcoThing"),
+            ],
+            "sub string, sup string",
+        )
+        base = corpus.select(F.md5("url").alias("h"))
+        parts = []
+        for slug, cls in (
+            ("url", "uco-observable:URL"),
+            ("urlfacet", "uco-observable:URLFacet"),
+            ("contentdatafacet", "uco-observable:ContentDataFacet"),
+            ("webpageextensionfacet",
+             "uco-observable:WebPageExtensionFacet"),
+        ):
+            parts.append(
+                base.select(
+                    F.concat(F.lit(f"kb:{slug}-"), F.col("h")).alias(
+                        "subj"
+                    ),
+                    F.lit("rdf:type").alias("pred"),
+                    F.lit(cls).alias("obj"),
+                    F.lit(True).alias("obj_is_iri"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                )
+            )
+        t = parts[0]
+        for p in parts[1:]:
+            t = t.unionByName(p)
+        n = rdfs_infer_types(t, hierarchy).count()
+        expect = 4 * n_docs * 4
+        if n != expect:
+            raise RuntimeError(
+                f"kg_entailment: {n} closed triples != expected {expect}"
+            )
+        return n
+
     def q_boilerplate():
         """Per-domain boilerplate detection + in-row strip over every
         corpus page: urls keyed into 97 hash-mod domain families, each
@@ -1350,6 +1407,7 @@ def bench_queries(spark, sf_dir: str):
         "graph_bfs": q_graph_bfs,
         "domain_rollup": q_domain_rollup,
         "boilerplate": q_boilerplate,
+        "kg_entailment": q_kg_entailment,
         "wat_export": q_wat_export,
         "sparql_query": q_sparql_query,
         "ann_index_build": q_ann_index_build,
@@ -1521,7 +1579,7 @@ TIER2_STAGES = (
     "ann_index_build", "ann_brute_topk", "ann_ivf_topk",
     "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
     "host_rollup", "wat_export", "graph_spam_mass", "graph_bfs",
-    "domain_rollup", "boilerplate",
+    "domain_rollup", "boilerplate", "kg_entailment",
 )
 
 

@@ -1134,6 +1134,40 @@ def main():
         }
     )
 
+
+    from case_uco_ontology_map_spark.operators.negatives import (
+        transe_ranks,
+    )
+
+    te_ents = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    te_rels = emb.limit(2).select(
+        F.lit("p").alias("pred"), F.col("embedding").alias("vec")
+    ).limit(1)
+    te_negs = docs.limit(50).select(
+        (F.col("doc_id") % 20).cast("string").alias("subj"),
+        F.lit("p").alias("pred"),
+        ((F.col("doc_id") + 1) % 20).cast("string").alias("obj"),
+        F.lit(1).alias("i"),
+        ((F.col("doc_id") + 2) % 20).cast("string").alias("neg_obj"),
+    )
+    tr = transe_ranks(te_negs, te_ents, te_rels)
+    tr_plan = plan_of(tr)
+    assert not re.findall(_no_python, tr_plan), (
+        "transe_ranks must stay JVM-side (higher-order L1 folds)"
+    )
+    assert "BroadcastHashJoin" in tr_plan, (
+        "transe_ranks relation join must broadcast"
+    )
+
+    sections.update(
+        {
+            "transe_ranks (3 entity equi-joins + broadcast relations; in-row integer L1 folds)": tr,
+        }
+    )
+
     lines = [
         "# PLANS — physical-plan review",
         "",
