@@ -6814,6 +6814,34 @@ rk AS ({transe_ranks_sql()})
 """
 
 
+def q_property_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph projection (operators/triples.
+    property_graph_nodes): the structural emission as one row per node
+    — sorted type labels + sorted pred=value literal props (IRI edges
+    excluded; they feed graphstats directly via
+    property_graph_edges) — the GraphX/Neo4j consumer bridge. DuckDB
+    replays the FILTERed list aggregates + sorts."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        property_graph_nodes,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return property_graph_nodes(t).orderBy("id")
+
+
+def _oracle_property_graph() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        property_graph_nodes_sql,
+    )
+
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT * FROM ("
+        + property_graph_nodes_sql()
+        + ") z ORDER BY id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6943,6 +6971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_maintenance_pipeline": q_kg_maintenance_pipeline,
         "pagerank_weighted": q_pagerank_weighted,
         "kg_embedding_eval": q_kg_embedding_eval,
+        "property_graph": q_property_graph,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
         "scalar_functions": q_scalar_functions,
@@ -7083,6 +7112,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_maintenance_pipeline": _oracle_kg_maintenance_pipeline(),
         "pagerank_weighted": _oracle_pagerank_weighted(),
         "kg_embedding_eval": _oracle_kg_embedding_eval(),
+        "property_graph": _oracle_property_graph(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
         "scalar_functions": _oracle_scalar_functions(),

@@ -877,3 +877,75 @@ SELECT CAST(count(*) AS BIGINT) AS n_triples,
          AS digest
 FROM (SELECT DISTINCT {sel} FROM {table}) z
 """
+
+
+def property_graph_nodes(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: str = "obj_is_iri",
+) -> DataFrame:
+    """RDF → property-graph node table ``(id, types, props)`` — the
+    bridge to GraphX/GraphFrames/Neo4j-style consumers, which want one
+    ROW per node with its labels and scalar properties rather than a
+    triple soup: ``types`` is the sorted array of ``rdf:type`` objects,
+    ``props`` the sorted array of ``pred=value`` strings for LITERAL
+    objects (IRI objects are edges — see ``property_graph_edges``).
+    Sorted arrays (not maps) keep the projection deterministic and
+    hash-comparable across engines; multi-valued predicates simply
+    contribute multiple entries.
+
+    Scale shape: ONE groupBy on the subject — per-node arrays are
+    bounded by that node's property count (the emission is ~15/node),
+    never by graph size; conditional collects fold map-side."""
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    is_type = p == type_pred
+    is_prop = (~F.col(obj_is_iri_col)) & ~is_type
+    return triples.groupBy(s.alias("id")).agg(
+        F.sort_array(
+            F.collect_list(F.when(is_type, o))
+        ).alias("types"),
+        F.sort_array(
+            F.collect_list(F.when(is_prop, F.concat(p, F.lit("="), o)))
+        ).alias("props"),
+    )
+
+
+def property_graph_nodes_sql(
+    table: str = "t",
+    type_pred: str = "rdf:type",
+) -> str:
+    """DuckDB replay of ``property_graph_nodes`` (FILTERed list
+    aggregates + list_sort)."""
+    return f"""
+SELECT subj AS id,
+       list_sort(COALESCE(
+         list(obj) FILTER (WHERE pred = '{type_pred}'), [])) AS types,
+       list_sort(COALESCE(
+         list(pred || '=' || obj)
+           FILTER (WHERE NOT obj_is_iri AND pred <> '{type_pred}'),
+         [])) AS props
+FROM {table} GROUP BY subj
+"""
+
+
+def property_graph_edges(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: str = "obj_is_iri",
+) -> DataFrame:
+    """RDF → property-graph edge table ``(src, rel, dst)``: IRI-object,
+    non-type triples. A pure zero-shuffle filter projection — feeds
+    ``graphstats.pagerank``/``label_propagation``/... directly."""
+    return triples.filter(
+        F.col(obj_is_iri_col) & (F.col(pred_col) != type_pred)
+    ).select(
+        F.col(subj_col).alias("src"),
+        F.col(pred_col).alias("rel"),
+        F.col(obj_col).alias("dst"),
+    )

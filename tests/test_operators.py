@@ -1731,3 +1731,52 @@ def test_kg_fingerprint_invariance_and_oracle(spark):
         f"SELECT * FROM ({kg_fingerprint_sql()}) z"
     ).fetchall()[0]
     assert (base["n_triples"], base["digest"]) == want
+
+
+def test_property_graph_projection_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        property_graph_edges,
+        property_graph_nodes,
+        property_graph_nodes_sql,
+    )
+
+    rows = [
+        ("kb:a", "rdf:type", "ex:Person", True, None),
+        ("kb:a", "rdf:type", "ex:Agent", True, None),     # multi-label
+        ("kb:a", "ex:name", "zeta", False, None),
+        ("kb:a", "ex:name", "alpha", False, None),        # multi-valued
+        ("kb:a", "ex:knows", "kb:b", True, None),          # edge
+        ("kb:b", "ex:age", "3", False, "xsd:integer"),    # no type row
+    ]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    t = spark.createDataFrame(rows, cols)
+    nodes = {
+        r.id: (list(r.types), list(r.props))
+        for r in property_graph_nodes(t).collect()
+    }
+    assert nodes == {
+        # IRI edge ex:knows is NOT a prop; multi-valued ex:name keeps both
+        "kb:a": (["ex:Agent", "ex:Person"],
+                 ["ex:name=alpha", "ex:name=zeta"]),
+        "kb:b": ([], ["ex:age=3"]),
+    }
+    edges = {tuple(r) for r in property_graph_edges(t).collect()}
+    assert edges == {("kb:a", "ex:knows", "kb:b")}
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(
+        rows, columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+    ))
+    want = {
+        r[0]: (list(r[1]), list(r[2]))
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src) "
+            f"SELECT * FROM ({property_graph_nodes_sql()}) z"
+        ).fetchall()
+    }
+    assert nodes == want
