@@ -6842,6 +6842,421 @@ def _oracle_property_graph() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# r5 session 5: on-page structured data (the WDC layer)
+# ---------------------------------------------------------------------------
+#
+# One deterministic annotated page per document: embedded JSON-LD blocks
+# (one minted-subject entity always; one @id entity when doc_id%4==0; one
+# malformed block when doc_id%5==0), OpenGraph/plain meta tags, a flat
+# microdata item, and a header-keyed table — all mod-varied so extraction
+# has to get ordering, subsetting, and drop policy right. The ORACLES
+# enumerate the expected output from the documents columns directly
+# (ground truth, independent of every regex/JSON function under test);
+# the Spark side runs the real extractors over the assembled html.
+
+_ANN_CLS_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Person' "
+    "ELSE 'Event' END"
+)
+
+
+def _annotated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    cls = (
+        F.when(did % 3 == 0, "Product")
+        .when(did % 3 == 1, "Person")
+        .otherwise("Event")
+    )
+    og_type = (
+        F.when(did % 3 == 0, "product")
+        .when(did % 3 == 1, "profile")
+        .otherwise("article")
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    jsonld0 = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"'), cls,
+        F.lit('","name":"Entity '), s(did),
+        F.lit('","rank":'), s(did % 100),
+        F.lit(',"active":'), F.when(did % 2 == 0, "true").otherwise("false"),
+        F.lit(',"homepage":"https://ent.example.net/'), s(did % 50),
+        F.lit('","brand":{"@id":"https://ex.org/brand/'), s(did % 11),
+        F.lit('"},"tags":["t'), s(did % 4), F.lit('","t'), s(did % 6),
+        F.lit('"]}</script>'),
+    )
+    jsonld1 = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'),
+            F.lit('{"@id":"https://ex.org/person/'), s(did % 77),
+            F.lit('","@type":"https://schema.org/Person","name":"P '),
+            s(did % 77), F.lit('"}</script>'),
+        ),
+    ).otherwise("")
+    broken = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">{broken '),
+            s(did), F.lit("</script>"),
+        ),
+    ).otherwise("")
+    meta = F.concat(
+        F.lit('<meta charset="utf-8">'),
+        F.lit('<meta property="og:title" content="Doc '), s(did),
+        F.lit('"><meta property="og:type" content="'), og_type,
+        F.lit('"><meta name="author" content="Writer '), s(did % 13),
+        F.lit('">'),
+    )
+    micro = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/'), cls,
+        F.lit('"><meta itemprop="sku" content="SKU-'), s(did % 97),
+        F.lit('"><span itemprop="color">'),
+        F.when(did % 2 == 0, "blue").otherwise("red"),
+        F.lit("</span></div>"),
+    )
+    table = F.concat(
+        F.lit("<table><tr><th>Key</th><th>Value</th></tr>"),
+        F.lit("<tr><td>size</td><td>"), s(did % 9),
+        F.lit("</td></tr><tr><td>grade</td><td>g"), s(did % 4),
+        F.lit("</td></tr></table>"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, jsonld0,
+        F.lit('<script type="text/javascript">var x = 1;</script>'),
+        jsonld1, broken,
+        F.lit("</head><body>"), micro, table,
+        F.lit("</body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+        s(did),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), html.alias("html")
+    )
+
+
+# Ground-truth triple enumeration for jsonld_triples over the annotated
+# corpus — shared by the annotations, typing, and census oracles.
+def _ann_jsonld_truth_sql() -> str:
+    return f"""
+SELECT doc_id, url, subj, pred, obj, obj_is_iri FROM (
+  WITH d AS (
+    SELECT doc_id, {_URL_SQL} AS url, {_ANN_CLS_SQL} AS cls
+    FROM documents
+  ), b0 AS (
+    SELECT doc_id, url, url || '#jsonld-0' AS subj FROM d
+  )
+  SELECT d.doc_id, d.url, b0.subj, 'rdf:type' AS pred,
+         'schema:' || d.cls AS obj, TRUE AS obj_is_iri
+  FROM d JOIN b0 USING (doc_id, url)
+  UNION ALL SELECT doc_id, url, url || '#jsonld-0', 'schema:name',
+         'Entity ' || doc_id, FALSE FROM d
+  UNION ALL SELECT doc_id, url, url || '#jsonld-0', 'schema:rank',
+         CAST(doc_id % 100 AS VARCHAR), FALSE FROM d
+  UNION ALL SELECT doc_id, url, url || '#jsonld-0', 'schema:active',
+         CASE doc_id % 2 WHEN 0 THEN 'true' ELSE 'false' END, FALSE FROM d
+  UNION ALL SELECT doc_id, url, url || '#jsonld-0', 'schema:homepage',
+         'https://ent.example.net/' || (doc_id % 50), TRUE FROM d
+  UNION ALL SELECT doc_id, url, url || '#jsonld-0', 'schema:brand',
+         'https://ex.org/brand/' || (doc_id % 11), TRUE FROM d
+  UNION ALL SELECT doc_id, url, url || '#jsonld-0', 'schema:tags',
+         '["t' || (doc_id % 4) || '","t' || (doc_id % 6) || '"]',
+         FALSE FROM d
+  UNION ALL SELECT doc_id, url, 'https://ex.org/person/' || (doc_id % 77),
+         'rdf:type', 'https://schema.org/Person', TRUE
+  FROM d WHERE doc_id % 4 = 0
+  UNION ALL SELECT doc_id, url, 'https://ex.org/person/' || (doc_id % 77),
+         'schema:name', 'P ' || (doc_id % 77), FALSE
+  FROM d WHERE doc_id % 4 = 0
+) z
+"""
+
+
+def q_jsonld_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded JSON-LD → triples (operators/structured.py): real regexp
+    block extraction + ONE from_json(map) parse per block, minted vs @id
+    subjects, literal normal forms, nested-@id IRIs, array literals,
+    null/malformed drops — all verified against a ground-truth oracle
+    that enumerates the expected triples from the documents columns
+    (independent of every JSON/regex function under test)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.structured import (
+        jsonld_blocks,
+        jsonld_triples,
+    )
+
+    pages = _annotated_pages(spark, sf_dir)
+    out = jsonld_triples(jsonld_blocks(pages))
+    return (
+        out.join(
+            pages.select("doc_id", "url"), "url"
+        )
+        .select("doc_id", "url", "subj", "pred", "obj", "obj_is_iri")
+        .orderBy("doc_id", "subj", "pred", "obj")
+    )
+
+
+def _oracle_jsonld_annotations() -> str:
+    return (
+        f"WITH truth AS ({_ann_jsonld_truth_sql()})\n"
+        "SELECT doc_id, url, subj, pred, obj, obj_is_iri FROM truth "
+        "ORDER BY doc_id, subj, pred, obj"
+    )
+
+
+def q_meta_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<meta> tag extraction → page-subject triples: property= and name=
+    forms match, charset-only meta stays out of the subset; namespaced
+    keys pass through as predicates, bare names qualify with meta:."""
+    from case_uco_ontology_map_spark.operators.structured import (
+        meta_tags,
+        meta_triples,
+    )
+
+    pages = _annotated_pages(spark, sf_dir).drop("doc_id")
+    return meta_triples(meta_tags(pages)).orderBy("url", "pred")
+
+
+def _oracle_meta_opengraph() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_URL_SQL} AS url,
+         CASE doc_id % 3 WHEN 0 THEN 'product' WHEN 1 THEN 'profile'
+         ELSE 'article' END AS og_type
+  FROM documents
+)
+SELECT url, subj, pred, obj, obj_is_iri FROM (
+  SELECT doc_id, url, url AS subj, 'og:title' AS pred,
+         'Doc ' || doc_id AS obj, FALSE AS obj_is_iri FROM d
+  UNION ALL SELECT doc_id, url, url, 'og:type', og_type, FALSE FROM d
+  UNION ALL SELECT doc_id, url, url, 'meta:author',
+         'Writer ' || (doc_id % 13), FALSE FROM d
+) z ORDER BY url, pred
+"""
+
+
+def q_microdata_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata itemscope items → triples: itemtype → rdf:type, prop
+    names resolve against the itemtype namespace directory (the WDC
+    rule), meta-form and span-form values."""
+    from case_uco_ontology_map_spark.operators.structured import (
+        microdata_triples,
+    )
+
+    pages = _annotated_pages(spark, sf_dir).drop("doc_id")
+    return microdata_triples(pages).orderBy("url", "pred", "obj")
+
+
+def _oracle_microdata_annotations() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_URL_SQL} AS url, {_ANN_CLS_SQL} AS cls
+  FROM documents
+)
+SELECT url, subj, pred, obj, obj_is_iri FROM (
+  SELECT doc_id, url, url || '#item-0' AS subj, 'rdf:type' AS pred,
+         'https://schema.org/' || cls AS obj, TRUE AS obj_is_iri FROM d
+  UNION ALL SELECT doc_id, url, url || '#item-0',
+         'https://schema.org/sku', 'SKU-' || (doc_id % 97), FALSE FROM d
+  UNION ALL SELECT doc_id, url, url || '#item-0',
+         'https://schema.org/color',
+         CASE doc_id % 2 WHEN 0 THEN 'blue' ELSE 'red' END, FALSE FROM d
+) z ORDER BY url, pred, obj
+"""
+
+
+def q_table_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction: three in-row posexplodes (table → tr →
+    td/th) produce the (table, row, col) grid with header marking and
+    inline-tag-stripped cell text."""
+    from case_uco_ontology_map_spark.operators.structured import (
+        html_tables,
+    )
+
+    pages = _annotated_pages(spark, sf_dir).drop("doc_id")
+    return html_tables(pages).orderBy("url", "table_idx", "row_idx", "col_idx")
+
+
+def _oracle_table_grid() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+SELECT url, table_idx, row_idx, col_idx, is_header, cell FROM (
+  SELECT doc_id, url, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx,
+         TRUE AS is_header, 'Key' AS cell FROM d
+  UNION ALL SELECT doc_id, url, 0, 0, 1, TRUE, 'Value' FROM d
+  UNION ALL SELECT doc_id, url, 0, 1, 0, FALSE, 'size' FROM d
+  UNION ALL SELECT doc_id, url, 0, 1, 1, FALSE,
+         CAST(doc_id % 9 AS VARCHAR) FROM d
+  UNION ALL SELECT doc_id, url, 0, 2, 0, FALSE, 'grade' FROM d
+  UNION ALL SELECT doc_id, url, 0, 2, 1, FALSE,
+         'g' || (doc_id % 4) FROM d
+) z ORDER BY url, table_idx, row_idx, col_idx
+"""
+
+
+def q_table_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables → KG: data cells keyed by their slugified column header
+    through ONE (url, table, col) equi-join; row subjects are
+    deterministic fragment IRIs."""
+    from case_uco_ontology_map_spark.operators.structured import (
+        html_tables,
+        table_triples,
+    )
+
+    pages = _annotated_pages(spark, sf_dir).drop("doc_id")
+    return table_triples(html_tables(pages)).orderBy("subj", "pred")
+
+
+def _oracle_table_kg() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+SELECT url, subj, pred, obj, obj_is_iri FROM (
+  SELECT doc_id, url, url || '#table-0-row-1' AS subj, 'col:key' AS pred,
+         'size' AS obj, FALSE AS obj_is_iri FROM d
+  UNION ALL SELECT doc_id, url, url || '#table-0-row-1', 'col:value',
+         CAST(doc_id % 9 AS VARCHAR), FALSE FROM d
+  UNION ALL SELECT doc_id, url, url || '#table-0-row-2', 'col:key',
+         'grade', FALSE FROM d
+  UNION ALL SELECT doc_id, url, url || '#table-0-row-2', 'col:value',
+         'g' || (doc_id % 4), FALSE FROM d
+) z ORDER BY subj, pred
+"""
+
+
+def q_hearst_isa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst-pattern hypernymy candidates (such_as / including / is_a)
+    over deterministic synthesized sentences; list heads split + explode
+    in-row."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.structured import hearst_isa
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.lit("Tools such as Alpha"), s(did % 5),
+        F.lit(", Beta"), s(did % 7),
+        F.lit(" and Gamma"), s(did % 3),
+        F.lit(" help. Sites, including Delta"), s(did % 4),
+        F.lit(" or Eps"), s(did % 6),
+        F.lit(", exist. Kit"), s(did % 11),
+        F.lit(" is a "),
+        F.when(did % 2 == 0, "gadget").otherwise("widget"),
+        F.lit("."),
+    )
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("u"), s(did)).alias("url"),
+        text.alias("text"),
+    )
+    return (
+        hearst_isa(df)
+        .join(df.select("doc_id", "url"), "url")
+        .select("doc_id", "hyponym", "hypernym", "pattern")
+        .orderBy("doc_id", "pattern", "hyponym")
+    )
+
+
+def _oracle_hearst_isa() -> str:
+    return """
+SELECT doc_id, hyponym, hypernym, pattern FROM (
+  SELECT doc_id, 'Alpha' || (doc_id % 5) AS hyponym, 'Tools' AS hypernym,
+         'such_as' AS pattern FROM documents
+  UNION ALL SELECT doc_id, 'Beta' || (doc_id % 7), 'Tools', 'such_as'
+  FROM documents
+  UNION ALL SELECT doc_id, 'Gamma' || (doc_id % 3), 'Tools', 'such_as'
+  FROM documents
+  UNION ALL SELECT doc_id, 'Delta' || (doc_id % 4), 'Sites', 'including'
+  FROM documents
+  UNION ALL SELECT doc_id, 'Eps' || (doc_id % 6), 'Sites', 'including'
+  FROM documents
+  UNION ALL SELECT doc_id, 'Kit' || (doc_id % 11),
+         CASE doc_id % 2 WHEN 0 THEN 'gadget' ELSE 'widget' END, 'is_a'
+  FROM documents
+) z ORDER BY doc_id, pattern, hyponym
+"""
+
+
+def q_literal_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xsd datatype inference over extracted web literals (KG literal
+    typing): integers, booleans, strings, and IRI passthrough over the
+    JSON-LD annotation output."""
+    from case_uco_ontology_map_spark.operators.structured import (
+        jsonld_blocks,
+        jsonld_triples,
+        typed_literals,
+    )
+
+    pages = _annotated_pages(spark, sf_dir).drop("doc_id")
+    out = typed_literals(jsonld_triples(jsonld_blocks(pages)))
+    return out.select("url", "subj", "pred", "obj", "dtype").orderBy(
+        "url", "subj", "pred", "obj"
+    )
+
+
+def _oracle_literal_typing() -> str:
+    return (
+        f"WITH truth AS ({_ann_jsonld_truth_sql()})\n"
+        """
+SELECT url, subj, pred, obj,
+       CASE WHEN obj_is_iri THEN NULL
+            WHEN regexp_matches(obj, '^-?[0-9]+$') THEN 'xsd:integer'
+            WHEN regexp_matches(obj, '^-?[0-9]*\\.[0-9]+$')
+              THEN 'xsd:decimal'
+            WHEN regexp_matches(obj, '^(true|false)$') THEN 'xsd:boolean'
+            ELSE 'xsd:string' END AS dtype
+FROM truth ORDER BY url, subj, pred, obj
+"""
+    )
+
+
+def q_structured_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite WDC chain: annotated pages → (JSON-LD ∪ microdata)
+    triples → per-(host, class) annotation census — the class-frequency
+    table WDC publishes per Common-Crawl release. Exact distinct-entity
+    counts via the two-phase pattern; the oracle replays the census over
+    the ground-truth triple enumeration."""
+    from case_uco_ontology_map_spark.operators.structured import (
+        annotation_census,
+        jsonld_blocks,
+        jsonld_triples,
+        microdata_triples,
+    )
+
+    pages = _annotated_pages(spark, sf_dir).drop("doc_id")
+    trip = jsonld_triples(jsonld_blocks(pages)).unionByName(
+        microdata_triples(pages)
+    )
+    return annotation_census(trip).orderBy("host", "class_iri")
+
+
+def _oracle_structured_pipeline() -> str:
+    return (
+        f"WITH truth AS ({_ann_jsonld_truth_sql()}),\n"
+        f"""d AS (
+  SELECT doc_id, {_URL_SQL} AS url, {_ANN_CLS_SQL} AS cls FROM documents
+), typed AS (
+  SELECT url, subj, obj AS class_iri FROM truth WHERE pred = 'rdf:type'
+  UNION ALL
+  SELECT url, url || '#item-0' AS subj,
+         'https://schema.org/' || cls AS class_iri FROM d
+), scoped AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]*)', 1) AS host,
+         class_iri, subj
+  FROM typed
+)
+SELECT host, class_iri,
+       COUNT(DISTINCT subj) AS n_entities,
+       COUNT(*) AS n_assertions
+FROM scoped GROUP BY host, class_iri ORDER BY host, class_iri
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -6986,6 +7401,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_detection_multiword": q_mention_detection_multiword,
         # composite curation pipeline
         "curation_pipeline": q_curation_pipeline,
+        # r5 session 5: on-page structured data (the WDC layer)
+        "jsonld_annotations": q_jsonld_annotations,
+        "meta_opengraph": q_meta_opengraph,
+        "microdata_annotations": q_microdata_annotations,
+        "table_grid": q_table_grid,
+        "table_kg": q_table_kg,
+        "hearst_isa": q_hearst_isa,
+        "literal_typing": q_literal_typing,
+        "structured_pipeline": q_structured_pipeline,
     }
 
 
@@ -7129,4 +7553,12 @@ def oracle_sql() -> dict[str, str]:
         "mention_detection_single": _oracle_mention_detection_single(),
         "mention_detection_multiword": _oracle_mention_detection_multiword(),
         "curation_pipeline": _oracle_curation(),
+        "jsonld_annotations": _oracle_jsonld_annotations(),
+        "meta_opengraph": _oracle_meta_opengraph(),
+        "microdata_annotations": _oracle_microdata_annotations(),
+        "table_grid": _oracle_table_grid(),
+        "table_kg": _oracle_table_kg(),
+        "hearst_isa": _oracle_hearst_isa(),
+        "literal_typing": _oracle_literal_typing(),
+        "structured_pipeline": _oracle_structured_pipeline(),
     }

@@ -1,0 +1,542 @@
+"""On-page structured data → triples: the Web-Data-Commons layer.
+
+A KG-construction pipeline over Common-Crawl-style pages gets most of
+its high-precision triples not from free text but from markup authors
+embedded on purpose: JSON-LD ``<script type="application/ld+json">``
+blocks, ``<meta property="og:...">`` tags, microdata ``itemscope``
+items, and relational ``<table>`` grids (the schema.org / Open Graph /
+WebTables families that Web Data Commons extracts from Common Crawl at
+exactly this scale). The reference pipeline maps *parsed artifact
+records* to CASE/UCO (services.py:23-64); this module supplies the
+missing front half for raw HTML inputs — deterministic, no LLM, no
+per-row Python.
+
+Scale stance (the 100 TB lens):
+
+* every extractor is a ``regexp_extract_all`` / ``get_json_object`` /
+  ``json_object_keys`` projection — whole-stage-codegen JVM, zero
+  shuffle, zero Python crossing (plan-asserted in
+  scripts/explain_plans.py);
+* regexes are written in the Java ∩ RE2 subset (no backrefs, no
+  lookaround) so the DuckDB contract oracles replay them verbatim;
+* JSON handling uses Spark's JSONPath built-ins, whose value normal
+  form (strings unquoted, numbers/bools/arrays/objects as compact JSON
+  text) matches DuckDB's ``json_extract_string`` exactly — the
+  cross-engine hash equality in the ``jsonld_triples`` contract row is
+  the proof;
+* the census/aggregation steps shuffle only (host, class) keys, never
+  page bodies.
+
+Documented subset (the honest 95% case, same policy as
+functions/links.py): attributes are double-quoted with the
+discriminating attribute (``type=``/``itemprop=``/``name=``/
+``property=``) before the value attribute; microdata items are flat
+(non-nested) ``<div itemscope ...>...</div>`` blocks; duplicate keys
+inside one JSON-LD object are out of scope.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# regex inventory (Java ∩ RE2; each is replayed verbatim by the oracles)
+# ---------------------------------------------------------------------------
+
+# JSON-LD script blocks; (?s) so blocks may span lines.
+SCRIPT_JSONLD_RE = (
+    r'(?s)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>'
+)
+
+# <meta property|name="k" ... content="v">  (OpenGraph / twitter / plain).
+META_RE = r'<meta\s[^>]*(?:property|name)="([^"]*)"[^>]*content="([^"]*)"'
+
+# Flat microdata item blocks and their parts.
+ITEMSCOPE_RE = r"(?s)(<div\s[^>]*itemscope[^>]*>.*?</div>)"
+ITEMTYPE_RE = r'itemtype="([^"]*)"'
+ITEMPROP_META_RE = r'<meta\s[^>]*itemprop="([^"]*)"[^>]*content="([^"]*)"'
+ITEMPROP_SPAN_RE = r'<span\s[^>]*itemprop="([^"]*)"[^>]*>([^<]*)</span>'
+
+# Relational tables.
+TABLE_RE = r"(?s)(<table[^>]*>.*?</table>)"
+TR_RE = r"(?s)<tr[^>]*>(.*?)</tr>"
+CELL_RE = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+_TAG_RE = r"<[^>]+>"
+
+_IRI_RE = r"^https?://"
+
+
+def _html_col(df: DataFrame, html_col: str) -> Column:
+    html = F.col(html_col)
+    if dict(df.dtypes)[html_col] == "binary":
+        html = F.decode(html, "UTF-8")
+    return html
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD (schema.org annotations)
+# ---------------------------------------------------------------------------
+
+def jsonld_blocks(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per embedded JSON-LD block: every input column except the
+    html, plus ``block_idx`` (0-based document order) and the raw
+    ``json`` text (trimmed). Zero shuffle, zero Python."""
+    blocks = F.regexp_extract_all(
+        _html_col(df, html_col), F.lit(SCRIPT_JSONLD_RE), F.lit(1)
+    )
+    return (
+        df.select("*", F.posexplode(blocks).alias("block_idx", "json"))
+        .withColumn("json", F.trim("json"))
+        .drop(html_col)
+    )
+
+
+def jsonld_triples(
+    blocks: DataFrame,
+    url_col: str = "url",
+    json_col: str = "json",
+    idx_col: str = "block_idx",
+    vocab_prefix: str = "schema:",
+) -> DataFrame:
+    """Embedded JSON-LD objects → ``(url, subj, pred, obj, obj_is_iri)``.
+
+    Semantics (the flat-entity subset WDC-style extractors target):
+
+    * blocks that are not valid JSON objects drop (P1 null-drop policy —
+      ``from_json`` to ``map<string,string>`` is NULL on malformed or
+      non-object input), as do JSON-null values;
+    * subject = ``@id`` when present, else a deterministic fragment IRI
+      ``<url>#jsonld-<block_idx>`` (no RNG — resumable and
+      engine-invariant);
+    * ``@type`` → one ``rdf:type`` triple; plain names qualify with
+      ``vocab_prefix``, absolute IRIs pass through;
+    * scalar values are literals in the ``map<string,string>`` coercion
+      normal form (strings unquoted/unescaped; numbers re-serialized —
+      ``0.50`` → ``0.5``, ``1e3`` → ``1000.0``) — verified IDENTICAL to
+      DuckDB's ``json_extract_string``, which is what makes the
+      contract row hash-exact cross-engine;
+    * object values contribute their ``@id`` as an IRI object (dropped
+      when absent — flat subset, no recursive blank-node emission);
+    * array values stay as compact JSON-text literals (both engines
+      re-serialize identically — verified);
+    * ``@context`` is skipped.
+
+    Plan: ONE ``from_json`` parse per block, then the map explodes
+    in-row; everything else is projection — zero shuffle, zero Python.
+    """
+    j = F.col(json_col)
+    parsed = F.from_json(j, "map<string,string>")
+    rows = (
+        blocks.where(j.startswith("{"))
+        .withColumn("_m", parsed)
+        .where(F.col("_m").isNotNull())
+        .select("*", F.explode("_m").alias("_key", "_raw"))
+    )
+    key = F.col("_key")
+    rows = rows.where(~key.isin("@context", "@id"))
+    raw = F.col("_raw")
+    nested_id = F.get_json_object(raw, "$['@id']")
+    subj = F.coalesce(
+        F.col("_m")["@id"],
+        F.concat(
+            F.col(url_col),
+            F.lit("#jsonld-"),
+            F.col(idx_col).cast("string"),
+        ),
+    )
+    is_type = key == "@type"
+    pred = F.when(is_type, F.lit("rdf:type")).otherwise(
+        F.concat(F.lit(vocab_prefix), key)
+    )
+    obj = (
+        F.when(
+            is_type,
+            F.when(raw.rlike(_IRI_RE), raw).otherwise(
+                F.concat(F.lit(vocab_prefix), raw)
+            ),
+        )
+        .when(raw.startswith("{"), nested_id)
+        .otherwise(raw)
+    )
+    obj_is_iri = is_type | raw.startswith("{") | raw.rlike(_IRI_RE)
+    return (
+        rows.select(
+            F.col(url_col).alias("url"),
+            subj.alias("subj"),
+            pred.alias("pred"),
+            obj.alias("obj"),
+            obj_is_iri.alias("obj_is_iri"),
+        )
+        .where(F.col("obj").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# <meta> tags (Open Graph / twitter cards / plain HTML metadata)
+# ---------------------------------------------------------------------------
+
+def meta_tags(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per ``<meta property|name="k" content="v">``: every input
+    column except the html, plus ``key`` and ``value``. Empty keys drop.
+    Zero shuffle, zero Python."""
+    html = _html_col(df, html_col)
+    pat = F.lit(META_RE)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, pat, 1).alias("key"),
+        F.regexp_extract_all(html, pat, 2).alias("value"),
+    )
+    return (
+        df.select("*", F.explode(pairs).alias("_kv"))
+        .withColumn("key", F.col("_kv.key"))
+        .withColumn("value", F.col("_kv.value"))
+        .where(F.col("key") != "")
+        .drop("_kv", html_col)
+    )
+
+
+def meta_triples(
+    tags: DataFrame,
+    url_col: str = "url",
+    keys: Optional[Sequence[str]] = None,
+    default_prefix: str = "meta:",
+) -> DataFrame:
+    """Meta tags → page-subject triples ``(url, subj, pred, obj,
+    obj_is_iri)``: subject is the page url; namespaced keys
+    (``og:title``, ``twitter:card``) are already CURIE-shaped and pass
+    through as predicates, bare names qualify with ``default_prefix``.
+    ``keys`` (optional) whitelists which meta keys become triples."""
+    out = tags
+    if keys is not None:
+        out = out.where(F.col("key").isin(*keys))
+    pred = F.when(
+        F.col("key").rlike(r"^[A-Za-z][A-Za-z0-9]*:"), F.col("key")
+    ).otherwise(F.concat(F.lit(default_prefix), F.col("key")))
+    return out.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("subj"),
+        pred.alias("pred"),
+        F.col("value").alias("obj"),
+        F.col("value").rlike(_IRI_RE).alias("obj_is_iri"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Microdata (itemscope/itemtype/itemprop)
+# ---------------------------------------------------------------------------
+
+def microdata_items(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per flat ``<div itemscope ...>...</div>`` block: every
+    input column except the html, plus ``item_idx`` and the raw
+    ``block`` markup. Zero shuffle, zero Python."""
+    items = F.regexp_extract_all(
+        _html_col(df, html_col), F.lit(ITEMSCOPE_RE), F.lit(1)
+    )
+    return df.select(
+        "*", F.posexplode(items).alias("item_idx", "block")
+    ).drop(html_col)
+
+
+def microdata_triples(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Microdata items → ``(url, subj, pred, obj, obj_is_iri)``.
+
+    Subject = ``<url>#item-<idx>`` (deterministic fragment IRI, same
+    minting policy as jsonld_triples). ``itemtype`` becomes an
+    ``rdf:type`` triple; each ``itemprop`` (meta-form ``content=`` or
+    span-form element text) becomes one triple whose predicate resolves
+    the prop name against the itemtype's namespace directory
+    (``https://schema.org/Product`` + ``name`` →
+    ``https://schema.org/name`` — the WDC resolution rule). Items
+    without an itemtype drop; empty values drop."""
+    items = microdata_items(df, url_col=url_col, html_col=html_col)
+    itemtype = F.regexp_extract(F.col("block"), ITEMTYPE_RE, 1)
+    items = items.where(itemtype != "").withColumn("_itype", itemtype)
+    subj = F.concat(
+        F.col(url_col), F.lit("#item-"), F.col("item_idx").cast("string")
+    )
+    base = items.withColumn("_subj", subj)
+
+    type_triples = base.select(
+        F.col(url_col).alias("url"),
+        F.col("_subj").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.col("_itype").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+    )
+
+    ns_dir = F.regexp_replace(F.col("_itype"), r"/[^/]*$", "")
+
+    def _prop_form(pattern: str) -> DataFrame:
+        pat = F.lit(pattern)
+        pairs = F.arrays_zip(
+            F.regexp_extract_all(F.col("block"), pat, 1).alias("prop"),
+            F.regexp_extract_all(F.col("block"), pat, 2).alias("value"),
+        )
+        exploded = base.select(
+            url_col, "_subj", "_itype", F.explode(pairs).alias("_kv")
+        )
+        value = F.trim(F.col("_kv.value"))
+        return exploded.select(
+            F.col(url_col).alias("url"),
+            F.col("_subj").alias("subj"),
+            F.concat(ns_dir, F.lit("/"), F.col("_kv.prop")).alias("pred"),
+            value.alias("obj"),
+            value.rlike(_IRI_RE).alias("obj_is_iri"),
+        ).where((F.col("_kv.prop") != "") & (F.col("obj") != ""))
+
+    return type_triples.unionByName(
+        _prop_form(ITEMPROP_META_RE)
+    ).unionByName(_prop_form(ITEMPROP_SPAN_RE))
+
+
+# ---------------------------------------------------------------------------
+# HTML tables (WebTables)
+# ---------------------------------------------------------------------------
+
+def html_tables(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Relational grid extraction: one row per cell —
+    ``(url, table_idx, row_idx, col_idx, is_header, cell)``.
+
+    Three in-row posexplodes (table → tr → td/th); ``is_header`` marks
+    rows containing any ``<th``; cell text strips residual inline tags
+    and trims. Zero shuffle, zero Python — at 100 TB the page body
+    never leaves its partition until cells are reduced downstream."""
+    tables = F.regexp_extract_all(
+        _html_col(df, html_col), F.lit(TABLE_RE), F.lit(1)
+    )
+    t = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(tables).alias("table_idx", "_tbl"),
+    )
+    rows = t.select(
+        "url",
+        "table_idx",
+        F.col("_tbl"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("_tbl"), F.lit(TR_RE), F.lit(1))
+        ).alias("row_idx", "_row"),
+    )
+    cells = rows.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.col("_row").contains("<th").alias("is_header"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("_row"), F.lit(CELL_RE), F.lit(1))
+        ).alias("col_idx", "_cell"),
+    )
+    cell = F.trim(F.regexp_replace(F.col("_cell"), _TAG_RE, ""))
+    return cells.select(
+        "url", "table_idx", "row_idx", "col_idx", "is_header",
+        cell.alias("cell"),
+    )
+
+
+def table_triples(
+    cells: DataFrame,
+    pred_prefix: str = "col:",
+) -> DataFrame:
+    """WebTables → KG mapping: tables whose FIRST row is a header row
+    key each data cell by its column header.
+
+    ``(url, subj, pred, obj, obj_is_iri)`` with subject
+    ``<url>#table-<t>-row-<r>`` and predicate ``pred_prefix`` + the
+    slugified header. ONE equi-join on (url, table_idx, col_idx) —
+    headers are one row per column, so the join's build side stays tiny
+    relative to the data cells; empty cells drop."""
+    hdr = cells.where(
+        (F.col("row_idx") == 0) & F.col("is_header")
+    ).select(
+        "url",
+        "table_idx",
+        "col_idx",
+        F.regexp_replace(
+            F.lower(
+                F.regexp_replace(F.col("cell"), r"[^A-Za-z0-9]+", "_")
+            ),
+            r"^_+|_+$",
+            "",
+        ).alias("_col_name"),
+    )
+    data = cells.where((F.col("row_idx") > 0) & (F.col("cell") != ""))
+    joined = data.join(hdr, ["url", "table_idx", "col_idx"])
+    subj = F.concat(
+        F.col("url"),
+        F.lit("#table-"),
+        F.col("table_idx").cast("string"),
+        F.lit("-row-"),
+        F.col("row_idx").cast("string"),
+    )
+    return joined.select(
+        "url",
+        subj.alias("subj"),
+        F.concat(F.lit(pred_prefix), F.col("_col_name")).alias("pred"),
+        F.col("cell").alias("obj"),
+        F.col("cell").rlike(_IRI_RE).alias("obj_is_iri"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hearst patterns (free-text isA candidates)
+# ---------------------------------------------------------------------------
+
+# "Xs such as A, B and C" / "Xs including A, B" — group 1 = hypernym,
+# group 2 = the capitalized-name list (split afterwards).
+_NAME = r"[A-Z][A-Za-z0-9]*"
+_LIST = rf"{_NAME}(?:, {_NAME})*(?:,? (?:and|or) {_NAME})?"
+HEARST_SUCH_AS_RE = rf"([A-Za-z]+),? such as ({_LIST})"
+HEARST_INCLUDING_RE = rf"([A-Za-z]+),? including ({_LIST})"
+# "A is a|an x" — group 1 = hyponym (proper name), group 2 = hypernym.
+HEARST_IS_A_RE = rf"({_NAME}) is an? ([a-z]+)"
+_LIST_SPLIT_RE = r",? (?:and|or) |, "
+
+
+def hearst_isa(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Hearst-pattern hypernymy candidates over page text:
+    ``(url, hyponym, hypernym, pattern)`` with pattern ∈
+    {such_as, including, is_a} — the classic bootstrap source for
+    taxonomy edges in web-scale KG construction (Hearst 1992; the same
+    family WebIsA/WebIsALOD mined from Common Crawl).
+
+    List heads explode in-row after a regex split; everything is JVM
+    expressions replayable in DuckDB (the ``hearst_isa`` contract row
+    replays all three patterns + the split)."""
+    text = F.col(text_col)
+
+    def _list_form(pattern: str, tag: str) -> DataFrame:
+        pat = F.lit(pattern)
+        pairs = F.arrays_zip(
+            F.regexp_extract_all(text, pat, 1).alias("hyper"),
+            F.regexp_extract_all(text, pat, 2).alias("lst"),
+        )
+        return (
+            df.select(
+                F.col(url_col).alias("url"),
+                F.explode(pairs).alias("_m"),
+            )
+            .select(
+                "url",
+                F.col("_m.hyper").alias("hypernym"),
+                F.explode(
+                    F.split(F.col("_m.lst"), _LIST_SPLIT_RE)
+                ).alias("hyponym"),
+            )
+            .where(F.col("hyponym") != "")
+            .select(
+                "url", "hyponym", "hypernym", F.lit(tag).alias("pattern")
+            )
+        )
+
+    is_a_pat = F.lit(HEARST_IS_A_RE)
+    is_a_pairs = F.arrays_zip(
+        F.regexp_extract_all(text, is_a_pat, 1).alias("hypo"),
+        F.regexp_extract_all(text, is_a_pat, 2).alias("hyper"),
+    )
+    is_a = df.select(
+        F.col(url_col).alias("url"), F.explode(is_a_pairs).alias("_m")
+    ).select(
+        "url",
+        F.col("_m.hypo").alias("hyponym"),
+        F.col("_m.hyper").alias("hypernym"),
+        F.lit("is_a").alias("pattern"),
+    )
+    return (
+        _list_form(HEARST_SUCH_AS_RE, "such_as")
+        .unionByName(_list_form(HEARST_INCLUDING_RE, "including"))
+        .unionByName(is_a)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Census + literal typing
+# ---------------------------------------------------------------------------
+
+def annotation_census(
+    triples: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """The WDC headline table: per (host, class) — how many annotated
+    entities and type assertions each site publishes.
+
+    ``(host, class_iri, n_entities, n_assertions)``; exact distinct
+    entities via the two-phase pattern (distinct on the pair first, so
+    the count is a plain groupBy — no count(distinct) skew on hot
+    hosts). Shuffles only grouped keys, never page content."""
+    typed = triples.where(F.col("pred") == "rdf:type").select(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]*)", 1).alias(
+            "host"
+        ),
+        F.col("obj").alias("class_iri"),
+        F.col("subj"),
+    )
+    assertions = typed.groupBy("host", "class_iri").agg(
+        F.count(F.lit(1)).alias("n_assertions")
+    )
+    entities = (
+        typed.select("host", "class_iri", "subj")
+        .distinct()
+        .groupBy("host", "class_iri")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+    return assertions.join(entities, ["host", "class_iri"]).select(
+        "host", "class_iri", "n_entities", "n_assertions"
+    )
+
+
+# xsd datatype inference for literal objects — KG literal typing.
+_INT_RE = r"^-?[0-9]+$"
+_DEC_RE = r"^-?[0-9]*\.[0-9]+$"
+_BOOL_RE = r"^(true|false)$"
+_DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+_DATETIME_RE = (
+    r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$"
+)
+
+
+def literal_datatype(obj: Column) -> Column:
+    """xsd datatype inferred from a literal's lexical form (the N-Triples
+    typing step for extracted web literals)."""
+    return (
+        F.when(obj.rlike(_INT_RE), F.lit("xsd:integer"))
+        .when(obj.rlike(_DEC_RE), F.lit("xsd:decimal"))
+        .when(obj.rlike(_BOOL_RE), F.lit("xsd:boolean"))
+        .when(obj.rlike(_DATETIME_RE), F.lit("xsd:dateTime"))
+        .when(obj.rlike(_DATE_RE), F.lit("xsd:date"))
+        .otherwise(F.lit("xsd:string"))
+    )
+
+
+def typed_literals(triples: DataFrame) -> DataFrame:
+    """Annotate literal triples with their inferred xsd datatype
+    (IRI objects pass through with dtype NULL). Pure projection."""
+    dtype = F.when(
+        ~F.col("obj_is_iri"), literal_datatype(F.col("obj"))
+    ).otherwise(F.lit(None).cast("string"))
+    return triples.withColumn("dtype", dtype)
