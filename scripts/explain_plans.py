@@ -1168,6 +1168,100 @@ def main():
         }
     )
 
+    # ---- round-5 session-5: on-page structured data (WDC layer) --------
+    from case_uco_ontology_map_spark.operators.structured import (
+        annotation_census,
+        hearst_isa,
+        html_tables,
+        jsonld_blocks,
+        jsonld_triples,
+        meta_tags,
+        meta_triples,
+        microdata_triples,
+        table_triples,
+    )
+
+    ann_pages = docs.select(
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".test/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<meta property="og:t" content="v">'
+                  '<script type="application/ld+json">{"@type":"P","n":'),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit('}</script><div itemscope itemtype="https://s.org/T">'
+                  '<span itemprop="a">x</span></div>'
+                  "<table><tr><th>H</th></tr><tr><td>c</td></tr></table>"),
+        ).alias("html"),
+        "text",
+    )
+
+    # extraction family: zero Exchange, zero Python — the page body
+    # never leaves its partition and never crosses into Python
+    jt = jsonld_triples(jsonld_blocks(ann_pages.drop("text")))
+    jt_plan = plan_of(jt)
+    assert not re.findall(_no_python, jt_plan), (
+        "jsonld_triples must stay JVM-side (from_json + in-row explode)"
+    )
+    assert "Exchange" not in jt_plan, (
+        "jsonld_triples is a pure in-row extraction — zero Exchange"
+    )
+
+    mt = meta_triples(meta_tags(ann_pages.drop("text")))
+    mt_plan = plan_of(mt)
+    assert not re.findall(_no_python, mt_plan) and "Exchange" not in mt_plan, (
+        "meta extraction must be a zero-shuffle JVM projection"
+    )
+
+    md = microdata_triples(ann_pages.drop("text"))
+    md_plan = plan_of(md)
+    assert not re.findall(_no_python, md_plan) and "Exchange" not in md_plan, (
+        "microdata extraction must be a zero-shuffle JVM projection"
+    )
+
+    tg = html_tables(ann_pages.drop("text"))
+    tg_plan = plan_of(tg)
+    assert not re.findall(_no_python, tg_plan) and "Exchange" not in tg_plan, (
+        "html_tables (three posexplodes) must be zero-shuffle JVM"
+    )
+
+    tk = table_triples(tg)
+    tk_plan = plan_of(tk)
+    assert not re.findall(_no_python, tk_plan), (
+        "table_triples must stay JVM-side"
+    )
+    assert "Cartesian" not in tk_plan, (
+        "table_triples header join must be an equi-join"
+    )
+
+    hi_df = hearst_isa(ann_pages.select("url", "text"))
+    hi_plan = plan_of(hi_df)
+    assert not re.findall(_no_python, hi_plan) and "Exchange" not in hi_plan, (
+        "hearst_isa must be a zero-shuffle JVM extraction"
+    )
+
+    ac = annotation_census(jt)
+    ac_plan = plan_of(ac)
+    assert not re.findall(_no_python, ac_plan), (
+        "annotation_census must stay JVM-side"
+    )
+    assert "partial" in ac_plan.lower() or "HashAggregate" in ac_plan, (
+        "annotation_census counts must pre-aggregate map-side"
+    )
+
+    sections.update(
+        {
+            "jsonld_triples (one from_json parse + in-row map explode, zero Exchange)": jt,
+            "meta_tags -> meta_triples (zipped regexp pairs, zero Exchange)": mt,
+            "microdata_triples (flat itemscope blocks, zero Exchange)": md,
+            "html_tables (three in-row posexplodes, zero Exchange)": tg,
+            "table_triples (header equi-join keys data cells)": tk,
+            "hearst_isa (three pattern scans + in-row list split, zero Exchange)": hi_df,
+            "annotation_census (two-phase distinct; map-side count partials)": ac,
+        }
+    )
+
     lines = [
         "# PLANS — physical-plan review",
         "",
