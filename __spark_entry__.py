@@ -7257,6 +7257,342 @@ FROM scoped GROUP BY host, class_iri ORDER BY host, class_iri
     )
 
 
+# ---------------------------------------------------------------------------
+# r5 session 5: knowledge fusion (corroboration / truth discovery /
+# schema alignment — operators/fusion.py)
+# ---------------------------------------------------------------------------
+
+# DuckDB replay of functions/columns.py::tokenize_col (camelCase split +
+# separator translate + lower + split), verified term-for-term.
+def _duck_tokens(expr: str) -> str:
+    return (
+        "list_distinct(list_filter(string_split_regex(lower(translate("
+        f"regexp_replace({expr}, '([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+        "'_-:', '   ')), ' +'), t -> t <> ''))"
+    )
+
+
+_ALIGN_VOCAB = [
+    ("File", "fileName"),
+    ("File", "createdTime"),
+    ("File", "filePath"),
+    ("ObservableObject", "sizeInBytes"),
+    ("ContentData", "mimeType"),
+    ("ContentData", "hash"),
+    ("Event", "sequenceNumber"),
+    ("Event", "entryID"),
+]
+
+
+def _align_replay_sql(props_cte: str) -> str:
+    """Token-overlap alignment replay over a CTE named ``props(prop)``:
+    emits scored/best/tied/win CTE chain ending in ``aligned``."""
+    vocab_rows = ", ".join(f"('{o}', '{p}')" for o, p in _ALIGN_VOCAB)
+    return f"""
+vocab(owner, prop_name) AS (VALUES {vocab_rows}),
+ptok AS (
+  SELECT prop, unnest({_duck_tokens('prop')}) AS tok FROM {props_cte}
+), vtok AS (
+  SELECT owner, prop_name, unnest({_duck_tokens('prop_name')}) AS tok
+  FROM vocab
+), scored AS (
+  SELECT prop, owner, prop_name, CAST(COUNT(*) AS BIGINT) AS score
+  FROM ptok JOIN vtok USING (tok) GROUP BY prop, owner, prop_name
+), best AS (
+  SELECT prop, MAX(score) AS score FROM scored GROUP BY prop
+), tied AS (
+  SELECT s.* FROM scored s JOIN best USING (prop, score)
+), aligned AS (
+  SELECT prop, (min({{'o': owner, 'p': prop_name}})).o AS owner,
+         (min({{'o': owner, 'p': prop_name}})).p AS prop_name, score
+  FROM tied GROUP BY prop, score
+)"""
+
+
+def _align_vocab_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _ALIGN_VOCAB, "owner string, prop_name string"
+    )
+
+
+def q_predicate_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema alignment (operators/fusion.py::align_predicates): extracted
+    property names → ontology vocabulary by token-overlap argmax (the
+    distributed counterpart of the reference matcher,
+    uuid_planner.py:104-127), lexicographic (owner, prop_name)
+    tie-break; unmatched props absent. DuckDB replays the tokenizer,
+    the overlap count, and the struct-min tie-break."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        align_predicates,
+    )
+
+    did = F.col("doc_id")
+    prop = F.element_at(
+        F.array(
+            F.lit("fileSize"), F.lit("created_time"), F.lit("mimeType"),
+            F.lit("contentHash"), F.lit("entrySequence"),
+            F.lit("totally_unknown"),
+        ),
+        (did % 6 + 1).cast("int"),
+    )
+    props = _docs(spark, sf_dir).select(prop.alias("prop")).distinct()
+    return align_predicates(props, _align_vocab_df(spark)).orderBy("prop")
+
+
+def _oracle_predicate_alignment() -> str:
+    return f"""
+WITH props AS (
+  SELECT DISTINCT CASE doc_id % 6
+    WHEN 0 THEN 'fileSize' WHEN 1 THEN 'created_time'
+    WHEN 2 THEN 'mimeType' WHEN 3 THEN 'contentHash'
+    WHEN 4 THEN 'entrySequence' ELSE 'totally_unknown' END AS prop
+  FROM documents
+), {_align_replay_sql('props')}
+SELECT prop, owner, prop_name, score FROM aligned ORDER BY prop
+"""
+
+
+def q_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery (operators/fusion.py::fuse_assertions): three
+    sources with integer trust weights vote per (subj, pred); winner by
+    max score, lexicographic-min object on ties; window-free argmax.
+    DuckDB replays the vote/argmax chain."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        fuse_assertions,
+    )
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    subj = F.concat(F.lit("e"), s(did % 40))
+    rows = F.array(
+        F.struct(
+            F.concat(F.lit("v"), s(did % 5)).alias("obj"),
+            F.lit("src_a").alias("source"),
+        ),
+        F.struct(
+            F.concat(F.lit("v"), s(did % 5)).alias("obj"),
+            F.lit("src_b").alias("source"),
+        ),
+        F.struct(
+            F.concat(F.lit("x"), s(did % 7)).alias("obj"),
+            F.lit("src_c").alias("source"),
+        ),
+    )
+    assertions = (
+        _docs(spark, sf_dir)
+        .select(subj.alias("subj"), F.explode(rows).alias("_r"))
+        .select(
+            "subj",
+            F.lit("name").alias("pred"),
+            F.col("_r.obj").alias("obj"),
+            F.col("_r.source").alias("source"),
+        )
+    )
+    trust = spark.createDataFrame(
+        [("src_a", 1), ("src_b", 1), ("src_c", 3)],
+        "source string, weight int",
+    )
+    return fuse_assertions(assertions, trust).orderBy("subj")
+
+
+def _oracle_triple_fusion() -> str:
+    return """
+WITH a AS (
+  SELECT 'e' || (doc_id % 40) AS subj, 'name' AS pred,
+         'v' || (doc_id % 5) AS obj, 1 AS w, 'src_a' AS src
+  FROM documents
+  UNION ALL SELECT 'e' || (doc_id % 40), 'name', 'v' || (doc_id % 5),
+         1, 'src_b' FROM documents
+  UNION ALL SELECT 'e' || (doc_id % 40), 'name', 'x' || (doc_id % 7),
+         3, 'src_c' FROM documents
+), votes AS (
+  SELECT subj, pred, obj, CAST(SUM(w) AS BIGINT) AS score,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+  FROM a GROUP BY subj, pred, obj
+), best AS (
+  SELECT subj, pred, MAX(score) AS score FROM votes GROUP BY subj, pred
+), tied AS (
+  SELECT v.* FROM votes v JOIN best USING (subj, pred, score)
+), win AS (
+  SELECT subj, pred, score, MIN(obj) AS obj
+  FROM tied GROUP BY subj, pred, score
+)
+SELECT w.subj, w.pred, w.obj, w.score, v.n_sources
+FROM win w JOIN votes v USING (subj, pred, obj)
+ORDER BY subj
+"""
+
+
+def q_extraction_corroboration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-Vault corroboration signal: pages where JSON-LD, a meta
+    tag, and a microdata span all assert the same name → the
+    (url, prop, obj) agreement count across tagged extraction channels.
+    Ground-truth oracle enumerates the 6 expected rows per page."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        extractor_corroboration,
+    )
+    from case_uco_ontology_map_spark.operators.structured import (
+        jsonld_blocks,
+        jsonld_triples,
+        meta_tags,
+        meta_triples,
+        microdata_triples,
+    )
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    name = F.concat(F.lit("Entity "), s(did % 50))
+    html = F.concat(
+        F.lit('<html><head><meta name="name" content="'), name,
+        F.lit('"><meta property="og:locale" content="en">'),
+        F.lit('<script type="application/ld+json">{"@type":"Thing",'
+              '"name":"'), name,
+        F.lit('","rank":'), s(did % 9),
+        F.lit("}</script></head><body>"),
+        F.lit('<div itemscope itemtype="https://schema.org/Thing">'
+              '<span itemprop="name">'), name,
+        F.lit('</span><meta itemprop="sku" content="SKU-'), s(did % 7),
+        F.lit('"></div></body></html>'),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+        s(did),
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    tagged = (
+        jsonld_triples(jsonld_blocks(pages))
+        .withColumn("extractor", F.lit("jsonld"))
+        .unionByName(
+            meta_triples(meta_tags(pages)).withColumn(
+                "extractor", F.lit("meta")
+            )
+        )
+        .unionByName(
+            microdata_triples(pages).withColumn(
+                "extractor", F.lit("microdata")
+            )
+        )
+    )
+    return extractor_corroboration(tagged).orderBy("url", "prop", "obj")
+
+
+def _oracle_extraction_corroboration() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_URL_SQL} AS url, 'Entity ' || (doc_id % 50) AS name
+  FROM documents
+)
+SELECT url, prop, obj, n_extractors, extractors FROM (
+  SELECT doc_id, url, 'name' AS prop, name AS obj,
+         CAST(3 AS BIGINT) AS n_extractors,
+         'jsonld,meta,microdata' AS extractors FROM d
+  UNION ALL SELECT doc_id, url, 'locale', 'en', 1, 'meta' FROM d
+  UNION ALL SELECT doc_id, url, 'rank', CAST(doc_id % 9 AS VARCHAR),
+         1, 'jsonld' FROM d
+  UNION ALL SELECT doc_id, url, 'sku', 'SKU-' || (doc_id % 7),
+         1, 'microdata' FROM d
+  UNION ALL SELECT doc_id, url, 'type', 'schema:Thing', 1, 'jsonld'
+  FROM d
+  UNION ALL SELECT doc_id, url, 'type', 'https://schema.org/Thing',
+         1, 'microdata' FROM d
+) z ORDER BY url, prop, obj
+"""
+
+
+def q_uco_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite WDC→UCO bridge: JSON-LD annotations → distinct property
+    local names → token-overlap alignment against a UCO-style vocabulary
+    → broadcast predicate rewrite → per-predicate census. Aligned props
+    rewrite to uco-observable:*; unmatched (homepage, tags — no token
+    overlap) pass through; rdf:type is excluded from rewriting. The
+    oracle replays the whole chain including the alignment."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        align_predicates,
+        pred_local,
+        rewrite_predicates,
+    )
+    from case_uco_ontology_map_spark.operators.structured import (
+        jsonld_blocks,
+        jsonld_triples,
+    )
+
+    vocab = spark.createDataFrame(
+        [
+            ("Item", "fullName"),
+            ("Item", "rankOrder"),
+            ("Item", "isActive"),
+            ("Item", "brandName"),
+        ],
+        "owner string, prop_name string",
+    )
+    pages = _annotated_pages(spark, sf_dir).drop("doc_id")
+    trip = jsonld_triples(jsonld_blocks(pages)).where(
+        F.col("pred") != "rdf:type"
+    )
+    props = trip.select(
+        pred_local(F.col("pred")).alias("prop")
+    ).distinct()
+    alignment = align_predicates(props, vocab)
+    bridged = rewrite_predicates(trip, alignment)
+    return (
+        bridged.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred")
+    )
+
+
+def _oracle_uco_bridge() -> str:
+    # truth preds per doc: schema:{name,rank,active,homepage,brand,tags}
+    # always; schema:name again for the @id person when doc_id%4=0.
+    vocab_rows = (
+        "('Item', 'fullName'), ('Item', 'rankOrder'), "
+        "('Item', 'isActive'), ('Item', 'brandName')"
+    )
+    return f"""
+WITH preds AS (
+  SELECT doc_id, p AS pred FROM documents,
+    unnest(['schema:name', 'schema:rank', 'schema:active',
+            'schema:homepage', 'schema:brand', 'schema:tags']) AS t(p)
+  UNION ALL SELECT doc_id, 'schema:name' FROM documents
+  WHERE doc_id % 4 = 0
+), props AS (
+  SELECT DISTINCT regexp_extract(pred, '([^#/:]+)$', 1) AS prop
+  FROM preds
+), vocab(owner, prop_name) AS (VALUES {vocab_rows}),
+ptok AS (
+  SELECT prop, unnest({_duck_tokens('prop')}) AS tok FROM props
+), vtok AS (
+  SELECT owner, prop_name, unnest({_duck_tokens('prop_name')}) AS tok
+  FROM vocab
+), scored AS (
+  SELECT prop, owner, prop_name, CAST(COUNT(*) AS BIGINT) AS score
+  FROM ptok JOIN vtok USING (tok) GROUP BY prop, owner, prop_name
+), best AS (
+  SELECT prop, MAX(score) AS score FROM scored GROUP BY prop
+), tied AS (
+  SELECT s.* FROM scored s JOIN best USING (prop, score)
+), aligned AS (
+  SELECT prop, (min({{'o': owner, 'p': prop_name}})).p AS prop_name
+  FROM tied GROUP BY prop, score
+), bridged AS (
+  SELECT COALESCE('uco-observable:' || a.prop_name, p.pred) AS pred
+  FROM (SELECT pred, regexp_extract(pred, '([^#/:]+)$', 1) AS prop
+        FROM preds) p
+  LEFT JOIN aligned a USING (prop)
+)
+SELECT pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM bridged GROUP BY pred ORDER BY pred
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -7410,6 +7746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_isa": q_hearst_isa,
         "literal_typing": q_literal_typing,
         "structured_pipeline": q_structured_pipeline,
+        # r5 session 5: knowledge fusion
+        "predicate_alignment": q_predicate_alignment,
+        "triple_fusion": q_triple_fusion,
+        "extraction_corroboration": q_extraction_corroboration,
+        "uco_bridge": q_uco_bridge,
     }
 
 
@@ -7561,4 +7902,8 @@ def oracle_sql() -> dict[str, str]:
         "hearst_isa": _oracle_hearst_isa(),
         "literal_typing": _oracle_literal_typing(),
         "structured_pipeline": _oracle_structured_pipeline(),
+        "predicate_alignment": _oracle_predicate_alignment(),
+        "triple_fusion": _oracle_triple_fusion(),
+        "extraction_corroboration": _oracle_extraction_corroboration(),
+        "uco_bridge": _oracle_uco_bridge(),
     }

@@ -1040,6 +1040,58 @@ def bench_queries(spark, sf_dir: str):
             raise RuntimeError(f"link_extract: {n} != {3 * n_docs} edges")
         return n
 
+    def q_structured_extract():
+        """On-page structured-data throughput (the WDC layer): every
+        corpus page augmented with one JSON-LD block, two meta tags, a
+        flat microdata item, and a header-keyed table, then the FULL
+        extraction family runs — jsonld_triples (regexp block scan +
+        from_json), meta_triples, microdata_triples, table_triples —
+        and the union is counted. Exact-count guard: 4 jsonld + 2 meta
+        + 3 microdata + 2 table triples per page. All four extractors
+        are zero-shuffle JVM scans; this measures the regexp + JSON
+        parse cost, the honest center of annotation extraction at
+        100 TB."""
+        from case_uco_ontology_map_spark.operators.structured import (
+            jsonld_blocks,
+            jsonld_triples,
+            meta_tags,
+            meta_triples,
+            microdata_triples,
+            table_triples,
+            html_tables,
+        )
+
+        snippet = (
+            '<meta property="og:title" content="T">'
+            '<meta name="author" content="W">'
+            '<script type="application/ld+json">'
+            '{"@type":"Product","name":"E","rank":3,'
+            '"brand":{"@id":"https://ex.org/b"}}</script>'
+            '<div itemscope itemtype="https://schema.org/Thing">'
+            '<meta itemprop="sku" content="S">'
+            '<span itemprop="color">blue</span></div>'
+            "<table><tr><th>K</th><th>V</th></tr>"
+            "<tr><td>a</td><td>1</td></tr></table>"
+        )
+        pages = corpus.select(
+            "url",
+            F.concat(F.lit(snippet), F.col("html").cast("string")).alias(
+                "html"
+            ),
+        )
+        trip = (
+            jsonld_triples(jsonld_blocks(pages))
+            .unionByName(meta_triples(meta_tags(pages)))
+            .unionByName(microdata_triples(pages))
+            .unionByName(table_triples(html_tables(pages)))
+        )
+        n = trip.count()
+        if n != 11 * n_docs:
+            raise RuntimeError(
+                f"structured_extract: {n} != {11 * n_docs} triples"
+            )
+        return n
+
     def q_frontier_sched():
         """Frontier gate + politeness scheduling at corpus scale: every
         corpus url through the robots broadcast LIKE/argmax fold (one
@@ -1416,6 +1468,7 @@ def bench_queries(spark, sf_dir: str):
         "ann_sq8_topk": q_ann_sq8_topk,
         "warc_ingest": q_warc_ingest,
         "link_extract": q_link_extract,
+        "structured_extract": q_structured_extract,
         "frontier_sched": q_frontier_sched,
         "materialize": q_materialize,
     }, post_metrics

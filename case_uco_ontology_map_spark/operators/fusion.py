@@ -1,0 +1,204 @@
+"""Knowledge fusion: corroboration, truth discovery, schema alignment.
+
+Extraction (operators/structured.py) produces triples from four
+independent on-page channels (JSON-LD, microdata, meta tags, tables)
+and from many crawl sources. Before those assertions enter the KG they
+need the fusion layer every web-scale constructor runs (the Knowledge
+Vault recipe: Dong et al., KDD 2014):
+
+* ``extractor_corroboration`` — how many independent extractors assert
+  the same (page, property, value)? Agreement is the strongest
+  precision signal available without human labels.
+* ``fuse_assertions`` — trust-weighted truth discovery: one winning
+  object per (subj, pred) by source-trust vote, deterministic
+  tie-break. Integer weights so no float ever decides a fact.
+* ``align_predicates`` — schema alignment: map extracted property
+  names onto an ontology vocabulary by token overlap (the distributed
+  counterpart of the reference's property matcher,
+  uuid_planner.py:104-127 — same tokenization, set-overlap argmax; the
+  tie-break here is lexicographic (owner, prop) because a distributed
+  argmax has no "insertion order").
+* ``rewrite_predicates`` — apply an alignment: broadcast predicate
+  rewrite into ontology-qualified names, bridging the WDC layer into
+  the CASE/UCO graph.
+
+Scale notes: every aggregation groups on (subj, pred[, obj]) — the
+three shuffles in ``fuse_assertions`` are key-compatible, so AQE/
+co-partitioning reuses the exchange. Trust tables and vocabularies are
+broadcast dimensions. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import tokenize_col
+
+# Local name of a predicate in any of its spellings:
+# 'https://schema.org/name' / 'uco-observable:hash' / 'og:title'.
+_LOCAL_RE = r"([^#/:]+)$"
+
+
+def pred_local(col: Column) -> Column:
+    """Predicate → local name (text after the last '#', '/' or ':')."""
+    return F.regexp_extract(col, _LOCAL_RE, 1)
+
+
+def extractor_corroboration(
+    triples: DataFrame,
+    url_col: str = "url",
+    extractor_col: str = "extractor",
+) -> DataFrame:
+    """Per (url, property local name, value): how many distinct
+    extractors assert it, and which (sorted, comma-joined — a stable
+    cross-engine encoding).
+
+    ONE shuffle on the group key; collect_set stays bounded by the
+    number of extraction channels (≤ a handful), never by corpus size.
+    """
+    return (
+        triples.select(
+            F.col(url_col).alias("url"),
+            pred_local(F.col("pred")).alias("prop"),
+            F.col("obj"),
+            F.col(extractor_col).alias("_ex"),
+        )
+        .groupBy("url", "prop", "obj")
+        .agg(
+            F.count_distinct("_ex").alias("n_extractors"),
+            F.array_join(
+                F.sort_array(F.collect_set("_ex")), ","
+            ).alias("extractors"),
+        )
+    )
+
+
+def fuse_assertions(
+    assertions: DataFrame,
+    trust: DataFrame = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    source_col: str = "source",
+) -> DataFrame:
+    """Truth discovery: one object per (subj, pred) by source-trust
+    vote — ``(subj, pred, obj, score, n_sources)``.
+
+    ``trust`` is an optional small ``(source, weight:int)`` dimension
+    (broadcast); absent, every source votes 1. The winner is the
+    max-score object; score ties break to the lexicographically
+    smallest object (engine/partition-invariant). Window-free argmax:
+    vote groupBy → per-key max join → min-object collapse → one join
+    back for the winner's counts — all shuffles on co-partitioned
+    (subj, pred[, obj]) keys; a hot subject never ships its assertion
+    list anywhere.
+    """
+    a = assertions.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        F.col(source_col).alias("_src"),
+    )
+    if trust is not None:
+        a = a.join(
+            F.broadcast(
+                trust.select(
+                    F.col("source").alias("_src"),
+                    F.col("weight").cast("long").alias("_w"),
+                )
+            ),
+            "_src",
+        )
+    else:
+        a = a.withColumn("_w", F.lit(1).cast("long"))
+    votes = a.groupBy("subj", "pred", "obj").agg(
+        F.sum("_w").alias("score"),
+        F.count_distinct("_src").alias("n_sources"),
+    )
+    best = votes.groupBy("subj", "pred").agg(F.max("score").alias("score"))
+    tied = votes.join(best, ["subj", "pred", "score"])
+    winner = tied.groupBy("subj", "pred", "score").agg(
+        F.min("obj").alias("obj")
+    )
+    return winner.join(
+        votes.select("subj", "pred", "obj", "n_sources"),
+        ["subj", "pred", "obj"],
+    ).select("subj", "pred", "obj", "score", "n_sources")
+
+
+def align_predicates(
+    props: DataFrame,
+    vocab: DataFrame,
+    prop_col: str = "prop",
+    owner_col: str = "owner",
+    vocab_prop_col: str = "prop_name",
+) -> DataFrame:
+    """Schema alignment by token overlap: for every extracted property
+    name, the vocabulary property sharing the most name tokens —
+    ``(prop, owner, prop_name, score)``; unmatched props are absent.
+
+    Both sides tokenize with the engine's camelCase/separator splitter
+    (functions/columns.py::tokenize_col — the JVM twin of the
+    reference's tokenize, uuid_planner.py:86-89); overlap is SET
+    semantics (array_distinct before explode). The vocabulary is a
+    broadcast dimension, so scoring is one broadcast join on token +
+    one groupBy; ties break to the lexicographically smallest
+    (owner, prop_name). ``props`` should already be distinct property
+    names (aggregate upstream — at web scale distinct props are ~1e5,
+    not corpus-sized)."""
+    p = props.select(
+        F.col(prop_col).alias("prop"),
+        F.explode(
+            F.array_distinct(tokenize_col(F.col(prop_col)))
+        ).alias("_tok"),
+    )
+    v = vocab.select(
+        F.col(owner_col).alias("owner"),
+        F.col(vocab_prop_col).alias("prop_name"),
+        F.explode(
+            F.array_distinct(tokenize_col(F.col(vocab_prop_col)))
+        ).alias("_tok"),
+    )
+    scored = (
+        p.join(F.broadcast(v), "_tok")
+        .groupBy("prop", "owner", "prop_name")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    best = scored.groupBy("prop").agg(F.max("score").alias("score"))
+    tied = scored.join(best, ["prop", "score"])
+    return (
+        tied.groupBy("prop", "score")
+        .agg(
+            F.min(F.struct("owner", "prop_name")).alias("_win")
+        )
+        .select(
+            "prop",
+            F.col("_win.owner").alias("owner"),
+            F.col("_win.prop_name").alias("prop_name"),
+            "score",
+        )
+    )
+
+
+def rewrite_predicates(
+    triples: DataFrame,
+    alignment: DataFrame,
+    default_prefix: str = "uco-observable:",
+) -> DataFrame:
+    """Apply a schema alignment to extracted triples: predicates whose
+    local name is aligned rewrite to ``<prefix><prop_name>``; unaligned
+    predicates pass through unchanged. Broadcast left join — the triple
+    stream never shuffles."""
+    aligned = alignment.select(
+        F.col("prop").alias("_prop"),
+        F.concat(F.lit(default_prefix), F.col("prop_name")).alias(
+            "_mapped"
+        ),
+    )
+    out = triples.withColumn("_prop", pred_local(F.col("pred")))
+    return (
+        out.join(F.broadcast(aligned), "_prop", "left")
+        .withColumn("pred", F.coalesce(F.col("_mapped"), F.col("pred")))
+        .drop("_prop", "_mapped")
+    )

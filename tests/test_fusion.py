@@ -1,0 +1,171 @@
+"""Knowledge fusion (operators/fusion.py): corroboration counts,
+trust-weighted truth discovery, token-overlap schema alignment, and the
+predicate rewrite — expectations hand-computed."""
+
+from pyspark.sql import functions as F
+
+from case_uco_ontology_map_spark.operators.fusion import (
+    align_predicates,
+    extractor_corroboration,
+    fuse_assertions,
+    pred_local,
+    rewrite_predicates,
+)
+
+
+def test_pred_local_spellings(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://schema.org/name",),
+            ("uco-observable:hash",),
+            ("og:title",),
+            ("http://ex.org/v#frag",),
+            ("plain",),
+        ],
+        "p string",
+    )
+    got = [r.l for r in df.select(pred_local(F.col("p")).alias("l")).collect()]
+    assert got == ["name", "hash", "title", "frag", "plain"]
+
+
+def test_extractor_corroboration(spark):
+    rows = [
+        # three channels agree on name=Widget; json adds rank
+        ("u1", "s1", "schema:name", "Widget", "jsonld"),
+        ("u1", "u1", "meta:name", "Widget", "meta"),
+        ("u1", "s2", "https://schema.org/name", "Widget", "microdata"),
+        ("u1", "s1", "schema:rank", "3", "jsonld"),
+        # same channel twice is ONE extractor
+        ("u2", "s3", "schema:name", "Gad", "jsonld"),
+        ("u2", "s4", "schema:name", "Gad", "jsonld"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, "
+        "extractor string"
+    )
+    got = {
+        (r.url, r.prop, r.obj, r.n_extractors, r.extractors)
+        for r in extractor_corroboration(df).collect()
+    }
+    assert got == {
+        ("u1", "name", "Widget", 3, "jsonld,meta,microdata"),
+        ("u1", "rank", "3", 1, "jsonld"),
+        ("u2", "name", "Gad", 1, "jsonld"),
+    }
+
+
+def test_fuse_assertions_exact(spark):
+    rows = [
+        ("e1", "p", "good", "curated"),
+        ("e1", "p", "bad", "scrape1"),
+        ("e1", "p", "bad", "scrape2"),
+        # true tie: two weight-1 sources each side
+        ("e2", "p", "bbb", "scrape1"),
+        ("e2", "p", "aaa", "scrape2"),
+        ("e3", "q", "only", "scrape1"),
+    ]
+    a = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, source string"
+    )
+    trust = spark.createDataFrame(
+        [("curated", 3), ("scrape1", 1), ("scrape2", 1)],
+        "source string, weight int",
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.score, r.n_sources)
+        for r in fuse_assertions(a, trust).collect()
+    }
+    assert got == {
+        ("e1", "p", "good", 3, 1),
+        ("e2", "p", "aaa", 1, 1),  # 1 vs 1 tie → min object
+        ("e3", "q", "only", 1, 1),
+    }
+    # without a trust table every source votes 1 → majority wins
+    got2 = {
+        (r.subj, r.pred, r.obj, r.score)
+        for r in fuse_assertions(a).collect()
+    }
+    assert ("e1", "p", "bad", 2) in got2
+
+
+def test_align_predicates_overlap_and_ties(spark):
+    props = spark.createDataFrame(
+        [("fileSize",), ("created_time",), ("zzz",)], "prop string"
+    )
+    vocab = spark.createDataFrame(
+        [
+            ("File", "fileName"),
+            ("File", "createdTime"),
+            ("ObservableObject", "sizeInBytes"),
+        ],
+        "owner string, prop_name string",
+    )
+    got = {
+        (r.prop, r.owner, r.prop_name, r.score)
+        for r in align_predicates(props, vocab).collect()
+    }
+    assert got == {
+        # {file,size}: fileName and sizeInBytes both overlap 1 →
+        # lexicographic (owner, prop_name) tie-break picks File/fileName
+        ("fileSize", "File", "fileName", 1),
+        # {created,time} ∩ {created,time} = 2 — unique best
+        ("created_time", "File", "createdTime", 2),
+        # zzz matches nothing → absent
+    }
+
+
+def test_rewrite_predicates_bridge(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s", "schema:contentSize", "9", False),
+            ("s", "schema:unmappable", "x", False),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    alignment = spark.createDataFrame(
+        [("contentSize", "ObservableObject", "sizeInBytes", 2)],
+        "prop string, owner string, prop_name string, score long",
+    )
+    got = {
+        (r.pred, r.obj) for r in rewrite_predicates(triples, alignment).collect()
+    }
+    assert got == {
+        ("uco-observable:sizeInBytes", "9"),
+        ("schema:unmappable", "x"),
+    }
+
+
+def test_fusion_plans(spark):
+    """Scale guards: trust and vocab ride broadcasts; no Python; no
+    cartesian joins; fuse/align argmax is window-free."""
+    a = spark.createDataFrame(
+        [("s", "p", "o", "src")],
+        "subj string, pred string, obj string, source string",
+    )
+    trust = spark.createDataFrame(
+        [("src", 2)], "source string, weight int"
+    )
+    fused = fuse_assertions(a, trust)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Cartesian" not in plan
+    assert "Window" not in plan, "fuse argmax must be window-free"
+    assert "BroadcastHashJoin" in plan, "trust must broadcast"
+
+    props = spark.createDataFrame([("ab",)], "prop string")
+    vocab = spark.createDataFrame(
+        [("O", "ab")], "owner string, prop_name string"
+    )
+    al = align_predicates(props, vocab)
+    plan2 = al._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan2 and "Window" not in plan2
+    assert "BroadcastHashJoin" in plan2, "vocab must broadcast"
+
+    rw = rewrite_predicates(
+        spark.createDataFrame(
+            [("s", "p:x", "o", False)],
+            "subj string, pred string, obj string, obj_is_iri boolean",
+        ),
+        al,
+    )
+    plan3 = rw._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan3, "alignment map must broadcast"
