@@ -1250,8 +1250,82 @@ def main():
         "annotation_census counts must pre-aggregate map-side"
     )
 
+    # fusion layer: trust/vocab/alignment are broadcast dimensions;
+    # the vote argmax is window-free
+    from case_uco_ontology_map_spark.operators.fusion import (
+        align_predicates,
+        extractor_corroboration,
+        fuse_assertions,
+        rewrite_predicates,
+    )
+
+    fus_a = docs.select(
+        F.concat(F.lit("e"), (F.col("doc_id") % 40).cast("string"))
+        .alias("subj"),
+        F.lit("name").alias("pred"),
+        (F.col("doc_id") % 5).cast("string").alias("obj"),
+        F.when(F.col("doc_id") % 2 == 0, "src_a")
+        .otherwise("src_b")
+        .alias("source"),
+    )
+    fus_trust = spark.createDataFrame(
+        [("src_a", 1), ("src_b", 3)], "source string, weight int"
+    )
+    fu = fuse_assertions(fus_a, fus_trust)
+    fu_plan = plan_of(fu)
+    assert not re.findall(_no_python, fu_plan), (
+        "fuse_assertions must stay JVM-side"
+    )
+    assert "Window" not in fu_plan, (
+        "fuse_assertions argmax must be window-free"
+    )
+    assert "BroadcastHashJoin" in fu_plan, (
+        "fuse_assertions trust table must broadcast"
+    )
+
+    al_props = docs.select(
+        F.concat(F.lit("prop"), (F.col("doc_id") % 9).cast("string"))
+        .alias("prop")
+    ).distinct()
+    al_vocab = spark.createDataFrame(
+        [("O", "prop1"), ("O", "prop2")], "owner string, prop_name string"
+    )
+    al = align_predicates(al_props, al_vocab)
+    al_plan = plan_of(al)
+    assert not re.findall(_no_python, al_plan), (
+        "align_predicates must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in al_plan and "Window" not in al_plan, (
+        "align_predicates: broadcast vocab + window-free argmax"
+    )
+
+    rw = rewrite_predicates(jt, al)
+    rw_plan = plan_of(rw)
+    assert "BroadcastHashJoin" in rw_plan, (
+        "rewrite_predicates alignment map must broadcast — the triple "
+        "stream never shuffles"
+    )
+    assert "Exchange hashpartitioning(url" not in rw_plan, (
+        "rewrite_predicates must not shuffle the triple stream"
+    )
+
+    ec = extractor_corroboration(
+        jt.withColumn("extractor", F.lit("jsonld"))
+    )
+    ec_plan = plan_of(ec)
+    assert not re.findall(_no_python, ec_plan), (
+        "extractor_corroboration must stay JVM-side"
+    )
+    assert "partial" in ec_plan.lower() or "HashAggregate" in ec_plan, (
+        "extractor_corroboration must pre-aggregate map-side"
+    )
+
     sections.update(
         {
+            "fuse_assertions (broadcast trust; window-free vote argmax)": fu,
+            "align_predicates (broadcast vocab token join; struct-min tie-break)": al,
+            "rewrite_predicates (broadcast alignment; stream never shuffles)": rw,
+            "extractor_corroboration (one group-key shuffle; bounded collect_set)": ec,
             "jsonld_triples (one from_json parse + in-row map explode, zero Exchange)": jt,
             "meta_tags -> meta_triples (zipped regexp pairs, zero Exchange)": mt,
             "microdata_triples (flat itemscope blocks, zero Exchange)": md,
