@@ -7593,6 +7593,74 @@ FROM bridged GROUP BY pred ORDER BY pred
 """
 
 
+def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
+    isA candidates over synthesized sentences → unweighted majority vote
+    per hyponym (fuse_assertions with every page voting 1) → one
+    hypernym per term with its support. Pattern collisions are real:
+    Kit<k> draws is_a votes for both 'gadget' and 'widget' across pages,
+    so the vote actually decides something; ties break to the
+    lexicographically smaller hypernym. The oracle replays candidate
+    enumeration AND the vote/argmax chain."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        fuse_assertions,
+    )
+    from case_uco_ontology_map_spark.operators.structured import hearst_isa
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.lit("Tools such as Alpha"), s(did % 5),
+        F.lit(" and Beta"), s(did % 7),
+        F.lit(" help. Kit"), s(did % 11),
+        F.lit(" is a "),
+        F.when(did % 3 == 0, "gadget").otherwise("widget"),
+        F.lit("."),
+    )
+    df = _docs(spark, sf_dir).select(
+        F.concat(F.lit("u"), s(did)).alias("url"), text.alias("text")
+    )
+    cand = hearst_isa(df)
+    fused = fuse_assertions(
+        cand.select(
+            F.col("hyponym").alias("subj"),
+            F.lit("isa").alias("pred"),
+            F.col("hypernym").alias("obj"),
+            F.col("url").alias("source"),
+        )
+    )
+    return fused.select(
+        F.col("subj").alias("term"),
+        F.col("obj").alias("hypernym"),
+        F.col("score").alias("support"),
+    ).orderBy("term")
+
+
+def _oracle_taxonomy_induction() -> str:
+    return """
+WITH cand AS (
+  SELECT 'Alpha' || (doc_id % 5) AS hypo, 'Tools' AS hyper,
+         'u' || doc_id AS src FROM documents
+  UNION ALL SELECT 'Beta' || (doc_id % 7), 'Tools', 'u' || doc_id
+  FROM documents
+  UNION ALL SELECT 'Kit' || (doc_id % 11),
+         CASE WHEN doc_id % 3 = 0 THEN 'gadget' ELSE 'widget' END,
+         'u' || doc_id FROM documents
+), votes AS (
+  SELECT hypo, hyper, CAST(COUNT(*) AS BIGINT) AS score
+  FROM cand GROUP BY hypo, hyper
+), best AS (
+  SELECT hypo, MAX(score) AS score FROM votes GROUP BY hypo
+), tied AS (
+  SELECT v.* FROM votes v JOIN best USING (hypo, score)
+)
+SELECT hypo AS term, MIN(hyper) AS hypernym, score AS support
+FROM tied GROUP BY hypo, score ORDER BY term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (north_star path)
@@ -7751,6 +7819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_fusion": q_triple_fusion,
         "extraction_corroboration": q_extraction_corroboration,
         "uco_bridge": q_uco_bridge,
+        "taxonomy_induction": q_taxonomy_induction,
     }
 
 
@@ -7906,4 +7975,5 @@ def oracle_sql() -> dict[str, str]:
         "triple_fusion": _oracle_triple_fusion(),
         "extraction_corroboration": _oracle_extraction_corroboration(),
         "uco_bridge": _oracle_uco_bridge(),
+        "taxonomy_induction": _oracle_taxonomy_induction(),
     }

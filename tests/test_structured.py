@@ -245,3 +245,63 @@ def test_structured_extractors_stay_jvm_side(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan, plan
         assert "Exchange" not in plan, plan
+
+
+def test_structured_extraction_stream_equals_batch(spark, tmp_path):
+    """ST3 parity for the WDC layer: the extractors are stateless
+    projections, so they run unchanged on a file-source stream — the
+    streamed triple set must equal the batch run."""
+    import os
+
+    pages = [
+        (
+            f"https://h{i % 3}.org/p{i}",
+            '<meta property="og:title" content="T%d">'
+            '<script type="application/ld+json">'
+            '{"@type":"Thing","name":"E%d","rank":%d}</script>'
+            "<table><tr><th>K</th></tr><tr><td>v%d</td></tr></table>"
+            % (i, i, i % 7, i),
+        )
+        for i in range(24)
+    ]
+    src = str(tmp_path / "pages")
+    df = spark.createDataFrame(pages, "url string, html string")
+    df.repartition(4).write.parquet(src)
+
+    def extract(frame):
+        return (
+            jsonld_triples(jsonld_blocks(frame))
+            .unionByName(meta_triples(meta_tags(frame)))
+            .unionByName(table_triples(html_tables(frame)))
+        )
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        extract(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    exp = {
+        tuple(r)
+        for r in extract(spark.read.parquet(src))
+        .select("subj", "pred", "obj")
+        .collect()
+    }
+    # 5 triples per page: 3 jsonld (@type/name/rank) + og:title + 1
+    # header-keyed table cell
+    assert got == exp and len(exp) == 24 * 5
