@@ -7593,6 +7593,63 @@ FROM bridged GROUP BY pred ORDER BY pred
 """
 
 
+def q_rdfa_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa Lite extraction (the third WDC annotation syntax): vocab=
+    prefixing of plain typeof/property names, absolute IRIs passing
+    through, meta-form and span-form values, default vocab when the
+    block has none. Ground-truth oracle (5 rows per page)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.structured import (
+        rdfa_triples,
+    )
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    cls = (
+        F.when(did % 3 == 0, "Product")
+        .when(did % 3 == 1, "Person")
+        .otherwise("Event")
+    )
+    html = F.concat(
+        F.lit('<html><body><div vocab="https://schema.org/" typeof="'),
+        cls,
+        F.lit('"><meta property="sku" content="R-'), s(did % 13),
+        F.lit('"><span property="name">Item '), s(did % 21),
+        F.lit('</span></div><div typeof="https://ex.org/T">'
+              '<span property="https://ex.org/p">val'), s(did % 3),
+        F.lit("</span></div></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+        s(did),
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+    return rdfa_triples(pages).orderBy("url", "subj", "pred")
+
+
+def _oracle_rdfa_annotations() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_URL_SQL} AS url, {_ANN_CLS_SQL} AS cls
+  FROM documents
+)
+SELECT url, subj, pred, obj, obj_is_iri FROM (
+  SELECT doc_id, url, url || '#rdfa-0' AS subj, 'rdf:type' AS pred,
+         'https://schema.org/' || cls AS obj, TRUE AS obj_is_iri FROM d
+  UNION ALL SELECT doc_id, url, url || '#rdfa-0',
+         'https://schema.org/sku', 'R-' || (doc_id % 13), FALSE FROM d
+  UNION ALL SELECT doc_id, url, url || '#rdfa-0',
+         'https://schema.org/name', 'Item ' || (doc_id % 21), FALSE
+  FROM d
+  UNION ALL SELECT doc_id, url, url || '#rdfa-1', 'rdf:type',
+         'https://ex.org/T', TRUE FROM d
+  UNION ALL SELECT doc_id, url, url || '#rdfa-1', 'https://ex.org/p',
+         'val' || (doc_id % 3), FALSE FROM d
+) z ORDER BY url, subj, pred
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -7820,6 +7877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_corroboration": q_extraction_corroboration,
         "uco_bridge": q_uco_bridge,
         "taxonomy_induction": q_taxonomy_induction,
+        "rdfa_annotations": q_rdfa_annotations,
     }
 
 
@@ -7976,4 +8034,5 @@ def oracle_sql() -> dict[str, str]:
         "extraction_corroboration": _oracle_extraction_corroboration(),
         "uco_bridge": _oracle_uco_bridge(),
         "taxonomy_induction": _oracle_taxonomy_induction(),
+        "rdfa_annotations": _oracle_rdfa_annotations(),
     }

@@ -308,6 +308,93 @@ def microdata_triples(
 
 
 # ---------------------------------------------------------------------------
+# RDFa Lite (vocab/typeof/property)
+# ---------------------------------------------------------------------------
+
+RDFA_SCOPE_RE = r'(?s)(<div\s[^>]*typeof="[^"]*"[^>]*>.*?</div>)'
+TYPEOF_RE = r'typeof="([^"]*)"'
+VOCAB_RE = r'vocab="([^"]*)"'
+RDFA_META_RE = r'<meta\s[^>]*property="([^"]*)"[^>]*content="([^"]*)"'
+RDFA_SPAN_RE = r'<span\s[^>]*property="([^"]*)"[^>]*>([^<]*)</span>'
+
+
+def rdfa_triples(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    default_vocab: str = "https://schema.org/",
+) -> DataFrame:
+    """RDFa Lite items → ``(url, subj, pred, obj, obj_is_iri)`` — the
+    third on-page annotation syntax WDC extracts (after JSON-LD and
+    microdata; RDFa is the most common of the three on Common Crawl).
+
+    Subset mirrors microdata: flat ``<div ... typeof="T">...</div>``
+    blocks; ``vocab=`` on the block (else ``default_vocab``) prefixes
+    both the type and plain property names; properties come from
+    meta-form ``content=`` or tag-free ``<span property=...>`` text.
+    Subject = ``<url>#rdfa-<idx>``; absolute-IRI typeof/property pass
+    through unprefixed. Zero shuffle, zero Python."""
+    blocks = F.regexp_extract_all(
+        _html_col(df, html_col), F.lit(RDFA_SCOPE_RE), F.lit(1)
+    )
+    items = df.select(
+        "*", F.posexplode(blocks).alias("item_idx", "block")
+    ).drop(html_col)
+    typeof = F.regexp_extract(F.col("block"), TYPEOF_RE, 1)
+    vocab_attr = F.regexp_extract(F.col("block"), VOCAB_RE, 1)
+    vocab = F.when(vocab_attr != "", vocab_attr).otherwise(
+        F.lit(default_vocab)
+    )
+
+    def _qualify(name: Column) -> Column:
+        return F.when(name.rlike(_IRI_RE), name).otherwise(
+            F.concat(vocab, name)
+        )
+
+    subj = F.concat(
+        F.col(url_col), F.lit("#rdfa-"), F.col("item_idx").cast("string")
+    )
+    base = items.where(typeof != "").select(
+        url_col, "block",
+        subj.alias("_subj"), vocab.alias("_vocab"),
+        _qualify(typeof).alias("_type"),
+    )
+    type_triples = base.select(
+        F.col(url_col).alias("url"),
+        F.col("_subj").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.col("_type").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+    )
+
+    def _prop_form(pattern: str) -> DataFrame:
+        pat = F.lit(pattern)
+        pairs = F.arrays_zip(
+            F.regexp_extract_all(F.col("block"), pat, 1).alias("prop"),
+            F.regexp_extract_all(F.col("block"), pat, 2).alias("value"),
+        )
+        exploded = base.select(
+            url_col, "_subj", "_vocab", F.explode(pairs).alias("_kv")
+        )
+        prop = F.col("_kv.prop")
+        qualified = F.when(prop.rlike(_IRI_RE), prop).otherwise(
+            F.concat(F.col("_vocab"), prop)
+        )
+        value = F.trim(F.col("_kv.value"))
+        return exploded.select(
+            F.col(url_col).alias("url"),
+            F.col("_subj").alias("subj"),
+            qualified.alias("pred"),
+            value.alias("obj"),
+            value.rlike(_IRI_RE).alias("obj_is_iri"),
+        ).where((prop != "") & (F.col("obj") != ""))
+
+    return type_triples.unionByName(
+        _prop_form(RDFA_META_RE)
+    ).unionByName(_prop_form(RDFA_SPAN_RE))
+
+
+# ---------------------------------------------------------------------------
 # HTML tables (WebTables)
 # ---------------------------------------------------------------------------
 

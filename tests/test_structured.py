@@ -305,3 +305,84 @@ def test_structured_extraction_stream_equals_batch(spark, tmp_path):
     # 5 triples per page: 3 jsonld (@type/name/rank) + og:title + 1
     # header-keyed table cell
     assert got == exp and len(exp) == 24 * 5
+
+
+def test_rdfa_triples(spark):
+    from case_uco_ontology_map_spark.operators.structured import (
+        rdfa_triples,
+    )
+
+    html = (
+        '<div vocab="https://schema.org/" typeof="Product">'
+        '<meta property="sku" content="R-1">'
+        '<span property="name">Item A</span>'
+        "</div>"
+        # no vocab → default; absolute typeof/property pass through
+        '<div typeof="https://ex.org/T">'
+        '<span property="https://ex.org/p">v</span>'
+        '<span property="plain">w</span>'
+        "</div>"
+        # typeof-less div is not an RDFa item
+        '<div class="x"><span property="ignored">z</span></div>'
+    )
+    df = spark.createDataFrame(
+        [("https://h.org/p", html)], "url string, html string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_iri)
+        for r in rdfa_triples(df).collect()
+    }
+    s0 = "https://h.org/p#rdfa-0"
+    s1 = "https://h.org/p#rdfa-1"
+    assert got == {
+        (s0, "rdf:type", "https://schema.org/Product", True),
+        (s0, "https://schema.org/sku", "R-1", False),
+        (s0, "https://schema.org/name", "Item A", False),
+        (s1, "rdf:type", "https://ex.org/T", True),
+        (s1, "https://ex.org/p", "v", False),
+        (s1, "https://schema.org/plain", "w", False),
+    }
+    plan = rdfa_triples(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_extraction_to_canonicalize_composition(spark):
+    """The full WDC→KG path: extract JSON-LD entities from pages, then
+    canonicalize name variants of the same real-world entity across
+    pages with the engine's LSH→CC canonicalizer. Four pages annotate
+    two entities under near-duplicate names → two components."""
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        canonicalize_entities,
+    )
+
+    names = [
+        "Acme Corporation",
+        "Acme Corporation Inc",
+        "Globex Widgets Limited",
+        "Globex Widgets Ltd",
+    ]
+    pages = spark.createDataFrame(
+        [
+            (
+                i,
+                f"https://h{i}.org/p",
+                '<script type="application/ld+json">'
+                '{"@type":"Organization","name":"%s"}</script>' % n,
+            )
+            for i, n in enumerate(names)
+        ],
+        "page_id long, url string, html string",
+    )
+    trip = jsonld_triples(jsonld_blocks(pages))
+    ents = (
+        trip.where(F.col("pred") == "schema:name")
+        .join(pages.select("page_id", "url"), "url")
+        .select(
+            F.col("page_id").alias("entity_id"),
+            F.col("obj").alias("entity_key"),
+        )
+    )
+    out = canonicalize_entities(ents, jaccard_threshold=0.5)
+    comp = {r.entity_id: r.canonical_id for r in out.collect()}
+    assert comp[0] == comp[1] and comp[2] == comp[3]
+    assert comp[0] != comp[2]
