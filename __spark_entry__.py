@@ -7650,6 +7650,49 @@ SELECT url, subj, pred, obj, obj_is_iri FROM (
 """
 
 
+def q_property_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the engine's own structural emission:
+    per-predicate cardinality profile with functional /
+    inverse-functional flags (the owl:FunctionalProperty /
+    identifier-key mining step). DuckDB replays the two grouped counts
+    over the independently-constructed structural truth."""
+    from case_uco_ontology_map_spark.operators.fusion import (
+        property_profile,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return property_profile(t).orderBy("pred")
+
+
+def _oracle_property_profile() -> str:
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+pairs AS (SELECT DISTINCT subj, pred, obj FROM t),
+per_subj AS (
+  SELECT pred, subj, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY pred, subj
+), ps AS (
+  SELECT pred, MAX(n) AS max_objs_per_subj,
+         CAST(COUNT(*) AS BIGINT) AS n_subjects,
+         CAST(SUM(n) AS BIGINT) AS n_assertions
+  FROM per_subj GROUP BY pred
+), per_obj AS (
+  SELECT pred, obj, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY pred, obj
+), po AS (
+  SELECT pred, MAX(n) AS max_subjs_per_obj,
+         CAST(COUNT(*) AS BIGINT) AS n_objects
+  FROM per_obj GROUP BY pred
+)
+SELECT ps.pred, n_assertions, n_subjects, n_objects,
+       max_objs_per_subj, max_subjs_per_obj,
+       max_objs_per_subj = 1 AS is_functional,
+       max_subjs_per_obj = 1 AS is_inverse_functional
+FROM ps JOIN po ON ps.pred = po.pred
+ORDER BY ps.pred
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -7878,6 +7921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uco_bridge": q_uco_bridge,
         "taxonomy_induction": q_taxonomy_induction,
         "rdfa_annotations": q_rdfa_annotations,
+        "property_profile": q_property_profile,
     }
 
 
@@ -8035,4 +8079,5 @@ def oracle_sql() -> dict[str, str]:
         "uco_bridge": _oracle_uco_bridge(),
         "taxonomy_induction": _oracle_taxonomy_induction(),
         "rdfa_annotations": _oracle_rdfa_annotations(),
+        "property_profile": _oracle_property_profile(),
     }

@@ -1633,6 +1633,7 @@ TIER2_STAGES = (
     "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
     "host_rollup", "wat_export", "graph_spam_mass", "graph_bfs",
     "domain_rollup", "boilerplate", "kg_entailment",
+    "structured_extract",
 )
 
 

@@ -86,7 +86,10 @@ def fuse_assertions(
     vote — ``(subj, pred, obj, score, n_sources)``.
 
     ``trust`` is an optional small ``(source, weight:int)`` dimension
-    (broadcast); absent, every source votes 1. The winner is the
+    (broadcast); absent, every source votes 1. With a trust table,
+    assertions from sources NOT in the table are dropped (inner join —
+    an unknown source has no standing to vote; give it weight 1
+    explicitly to include it). The winner is the
     max-score object; score ties break to the lexicographically
     smallest object (engine/partition-invariant). Window-free argmax:
     vote groupBy → per-key max join → min-object collapse → one join
@@ -178,6 +181,53 @@ def align_predicates(
             F.col("_win.prop_name").alias("prop_name"),
             "score",
         )
+    )
+
+
+def property_profile(triples: DataFrame) -> DataFrame:
+    """Schema discovery over an extracted KG: per predicate —
+    ``(pred, n_assertions, n_subjects, n_objects, max_objs_per_subj,
+    max_subjs_per_obj, is_functional, is_inverse_functional)``.
+
+    The profile every web-KG constructor computes before committing a
+    schema: a predicate whose every subject has exactly one object is a
+    functional-property candidate (``owl:FunctionalProperty``); one
+    whose every object has one subject is inverse-functional (an
+    IDENTIFIER — the strongest entity-resolution key markup can give
+    you, e.g. sku/isbn). Exact integers end to end; set semantics
+    (duplicate assertions collapse first). All aggregations group on
+    predicate-prefixed keys — map-side partials everywhere, and the
+    per-subject/per-object counts shuffle (pred, subj)/(pred, obj)
+    pairs, never assertion lists."""
+    pairs = triples.select("subj", "pred", "obj").distinct()
+    per_subj = (
+        pairs.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("pred")
+        .agg(
+            F.max("_n").alias("max_objs_per_subj"),
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum("_n").alias("n_assertions"),
+        )
+    )
+    per_obj = (
+        pairs.groupBy("pred", "obj")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("pred")
+        .agg(
+            F.max("_n").alias("max_subjs_per_obj"),
+            F.count(F.lit(1)).alias("n_objects"),
+        )
+    )
+    return per_subj.join(per_obj, "pred").select(
+        "pred",
+        "n_assertions",
+        "n_subjects",
+        "n_objects",
+        "max_objs_per_subj",
+        "max_subjs_per_obj",
+        (F.col("max_objs_per_subj") == 1).alias("is_functional"),
+        (F.col("max_subjs_per_obj") == 1).alias("is_inverse_functional"),
     )
 
 

@@ -126,7 +126,11 @@ def jsonld_triples(
       when absent — flat subset, no recursive blank-node emission);
     * array values stay as compact JSON-text literals (both engines
       re-serialize identically — verified);
-    * ``@context`` is skipped.
+    * ``@context`` is skipped;
+    * caveat of the map coercion: a STRING value whose text itself
+      starts with ``{`` is indistinguishable from a nested object here
+      and follows the nested-@id path (usually dropping) — acceptable
+      for annotation payloads, noted for exactness.
 
     Plan: ONE ``from_json`` parse per block, then the map explodes
     in-row; everything else is projection — zero shuffle, zero Python.

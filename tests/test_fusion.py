@@ -169,3 +169,34 @@ def test_fusion_plans(spark):
     )
     plan3 = rw._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan3, "alignment map must broadcast"
+
+
+def test_property_profile(spark):
+    from case_uco_ontology_map_spark.operators.fusion import (
+        property_profile,
+    )
+
+    rows = [
+        # sku: functional AND inverse-functional (1:1), dup collapses
+        ("a", "sku", "S1"), ("b", "sku", "S2"), ("b", "sku", "S2"),
+        # color: a has two colors → not functional; 'red' shared → not
+        # inverse-functional
+        ("a", "color", "red"), ("a", "color", "blue"),
+        ("b", "color", "red"),
+        # type: functional but many subjects share one object
+        ("a", "type", "T"), ("b", "type", "T"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (
+            r.pred, r.n_assertions, r.n_subjects, r.n_objects,
+            r.max_objs_per_subj, r.max_subjs_per_obj,
+            r.is_functional, r.is_inverse_functional,
+        )
+        for r in property_profile(df).collect()
+    }
+    assert got == {
+        ("sku", 2, 2, 2, 1, 1, True, True),
+        ("color", 3, 2, 2, 2, 2, False, False),
+        ("type", 2, 2, 1, 1, 2, True, False),
+    }
