@@ -1320,8 +1320,45 @@ def main():
         "extractor_corroboration must pre-aggregate map-side"
     )
 
+    from case_uco_ontology_map_spark.operators.fusion import (
+        property_profile,
+    )
+    from case_uco_ontology_map_spark.operators.structured import (
+        rdfa_triples,
+    )
+
+    ra_pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(
+            F.lit('<div vocab="https://s.org/" typeof="T">'
+                  '<span property="a">'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("</span></div>"),
+        ).alias("html"),
+    )
+    ra = rdfa_triples(ra_pages)
+    ra_plan = plan_of(ra)
+    assert not re.findall(_no_python, ra_plan) and "Exchange" not in ra_plan, (
+        "rdfa_triples must be a zero-shuffle JVM projection"
+    )
+
+    pp = property_profile(jt)
+    pp_plan = plan_of(pp)
+    assert not re.findall(_no_python, pp_plan), (
+        "property_profile must stay JVM-side"
+    )
+    assert "Window" not in pp_plan, (
+        "property_profile cardinality maxima must be grouped aggregates, "
+        "not windows"
+    )
+    assert "partial" in pp_plan.lower() or "HashAggregate" in pp_plan, (
+        "property_profile counts must pre-aggregate map-side"
+    )
+
     sections.update(
         {
+            "rdfa_triples (flat typeof blocks, vocab prefixing, zero Exchange)": ra,
+            "property_profile (two grouped passes on (pred,subj)/(pred,obj) keys)": pp,
             "fuse_assertions (broadcast trust; window-free vote argmax)": fu,
             "align_predicates (broadcast vocab token join; struct-min tie-break)": al,
             "rewrite_predicates (broadcast alignment; stream never shuffles)": rw,
