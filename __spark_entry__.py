@@ -7400,15 +7400,20 @@ def q_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_triple_fusion() -> str:
+    # DISTINCT mirrors the one-vote-per-(fact, source) rule: docs with
+    # congruent (doc_id % 40, % 5/7) re-assert the same row through the
+    # same source and must not multiply its vote.
     return """
 WITH a AS (
-  SELECT 'e' || (doc_id % 40) AS subj, 'name' AS pred,
-         'v' || (doc_id % 5) AS obj, 1 AS w, 'src_a' AS src
-  FROM documents
-  UNION ALL SELECT 'e' || (doc_id % 40), 'name', 'v' || (doc_id % 5),
-         1, 'src_b' FROM documents
-  UNION ALL SELECT 'e' || (doc_id % 40), 'name', 'x' || (doc_id % 7),
-         3, 'src_c' FROM documents
+  SELECT DISTINCT * FROM (
+    SELECT 'e' || (doc_id % 40) AS subj, 'name' AS pred,
+           'v' || (doc_id % 5) AS obj, 1 AS w, 'src_a' AS src
+    FROM documents
+    UNION ALL SELECT 'e' || (doc_id % 40), 'name', 'v' || (doc_id % 5),
+           1, 'src_b' FROM documents
+    UNION ALL SELECT 'e' || (doc_id % 40), 'name', 'x' || (doc_id % 7),
+           3, 'src_c' FROM documents
+  ) raw
 ), votes AS (
   SELECT subj, pred, obj, CAST(SUM(w) AS BIGINT) AS score,
          CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources

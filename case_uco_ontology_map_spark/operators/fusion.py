@@ -30,6 +30,8 @@ broadcast dimensions. No Python anywhere.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,11 +58,17 @@ def extractor_corroboration(
 
     ONE shuffle on the group key; collect_set stays bounded by the
     number of extraction channels (≤ a handful), never by corpus size.
+    Predicates with an empty local name (separator-terminated
+    artifacts) group under their FULL spelling rather than a shared
+    empty key.
     """
+    local = pred_local(F.col("pred"))
     return (
         triples.select(
             F.col(url_col).alias("url"),
-            pred_local(F.col("pred")).alias("prop"),
+            F.when(local == "", F.col("pred")).otherwise(local).alias(
+                "prop"
+            ),
             F.col("obj"),
             F.col(extractor_col).alias("_ex"),
         )
@@ -89,7 +97,10 @@ def fuse_assertions(
     (broadcast); absent, every source votes 1. With a trust table,
     assertions from sources NOT in the table are dropped (inner join —
     an unknown source has no standing to vote; give it weight 1
-    explicitly to include it). The winner is the
+    explicitly to include it). A source votes each fact AT MOST ONCE:
+    duplicate (subj, pred, obj, source) rows collapse before weighting,
+    so a source re-asserting the same value across many pages cannot
+    multiply its own vote. The winner is the
     max-score object; score ties break to the lexicographically
     smallest object (engine/partition-invariant). Window-free argmax:
     vote groupBy → per-key max join → min-object collapse → one join
@@ -102,7 +113,7 @@ def fuse_assertions(
         F.col(pred_col).alias("pred"),
         F.col(obj_col).alias("obj"),
         F.col(source_col).alias("_src"),
-    )
+    ).distinct()
     if trust is not None:
         a = a.join(
             F.broadcast(
@@ -235,18 +246,30 @@ def rewrite_predicates(
     triples: DataFrame,
     alignment: DataFrame,
     default_prefix: str = "uco-observable:",
+    protected: Sequence[str] = ("rdf:type",),
 ) -> DataFrame:
     """Apply a schema alignment to extracted triples: predicates whose
     local name is aligned rewrite to ``<prefix><prop_name>``; unaligned
     predicates pass through unchanged. Broadcast left join — the triple
-    stream never shuffles."""
+    stream never shuffles.
+
+    ``protected`` predicates are exempt from rewriting regardless of
+    alignment — by default ``rdf:type``, whose local name ('type') is a
+    common extracted prop and must never be remapped (it would destroy
+    every class assertion in the bridged graph). Predicates with an
+    empty local name (separator-terminated artifacts) also pass
+    through."""
     aligned = alignment.select(
         F.col("prop").alias("_prop"),
         F.concat(F.lit(default_prefix), F.col("prop_name")).alias(
             "_mapped"
         ),
     )
-    out = triples.withColumn("_prop", pred_local(F.col("pred")))
+    local = pred_local(F.col("pred"))
+    key = F.when(
+        F.col("pred").isin(*protected) | (local == ""), F.lit(None)
+    ).otherwise(local)
+    out = triples.withColumn("_prop", key)
     return (
         out.join(F.broadcast(aligned), "_prop", "left")
         .withColumn("pred", F.coalesce(F.col("_mapped"), F.col("pred")))

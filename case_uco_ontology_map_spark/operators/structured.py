@@ -188,7 +188,6 @@ def jsonld_triples(
 
 def meta_tags(
     df: DataFrame,
-    url_col: str = "url",
     html_col: str = "html",
 ) -> DataFrame:
     """One row per ``<meta property|name="k" content="v">``: every input
@@ -456,7 +455,9 @@ def table_triples(
     ``<url>#table-<t>-row-<r>`` and predicate ``pred_prefix`` + the
     slugified header. ONE equi-join on (url, table_idx, col_idx) —
     headers are one row per column, so the join's build side stays tiny
-    relative to the data cells; empty cells drop."""
+    relative to the data cells; empty cells drop, as do columns whose
+    header slugs to nothing (symbol-only headers like '#'/'%' would
+    otherwise merge into one shared predicate)."""
     hdr = cells.where(
         (F.col("row_idx") == 0) & F.col("is_header")
     ).select(
@@ -470,7 +471,7 @@ def table_triples(
             r"^_+|_+$",
             "",
         ).alias("_col_name"),
-    )
+    ).where(F.col("_col_name") != "")
     data = cells.where((F.col("row_idx") > 0) & (F.col("cell") != ""))
     joined = data.join(hdr, ["url", "table_idx", "col_idx"])
     subj = F.concat(
@@ -575,10 +576,11 @@ def annotation_census(
     """The WDC headline table: per (host, class) — how many annotated
     entities and type assertions each site publishes.
 
-    ``(host, class_iri, n_entities, n_assertions)``; exact distinct
-    entities via the two-phase pattern (distinct on the pair first, so
-    the count is a plain groupBy — no count(distinct) skew on hot
-    hosts). Shuffles only grouped keys, never page content."""
+    ``(host, class_iri, n_entities, n_assertions)``; ONE scan of the
+    triple stream: per-(host, class, subj) counts first (exact distinct
+    entities with no count(distinct) skew on hot hosts), then one
+    key-compatible rollup taking count + sum — no self-join, page
+    content never shuffles."""
     typed = triples.where(F.col("pred") == "rdf:type").select(
         F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]*)", 1).alias(
             "host"
@@ -586,17 +588,12 @@ def annotation_census(
         F.col("obj").alias("class_iri"),
         F.col("subj"),
     )
-    assertions = typed.groupBy("host", "class_iri").agg(
-        F.count(F.lit(1)).alias("n_assertions")
+    per_entity = typed.groupBy("host", "class_iri", "subj").agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    entities = (
-        typed.select("host", "class_iri", "subj")
-        .distinct()
-        .groupBy("host", "class_iri")
-        .agg(F.count(F.lit(1)).alias("n_entities"))
-    )
-    return assertions.join(entities, ["host", "class_iri"]).select(
-        "host", "class_iri", "n_entities", "n_assertions"
+    return per_entity.groupBy("host", "class_iri").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("_n").alias("n_assertions"),
     )
 
 

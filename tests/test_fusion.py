@@ -200,3 +200,56 @@ def test_property_profile(spark):
         ("color", 3, 2, 2, 2, 2, False, False),
         ("type", 2, 2, 1, 1, 2, True, False),
     }
+
+
+def test_fuse_assertions_one_vote_per_fact_and_source(spark):
+    """A source re-asserting the same fact on many pages votes once;
+    two independent sources beat one spammy source."""
+    rows = [
+        ("s", "p", "wrong", "A"), ("s", "p", "wrong", "A"),
+        ("s", "p", "wrong", "A"),
+        ("s", "p", "right", "B"), ("s", "p", "right", "C"),
+    ]
+    a = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, source string"
+    )
+    got = fuse_assertions(a).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.obj, r.score, r.n_sources) == ("right", 2, 2)
+
+
+def test_rewrite_predicates_protects_rdf_type(spark):
+    """rdf:type must never be remapped even when 'type' is aligned
+    (e.g. to mimeType); empty-local-name predicates pass through."""
+    triples = spark.createDataFrame(
+        [
+            ("s", "rdf:type", "schema:Thing", True),
+            ("s", "og:type", "article", False),
+            ("s", "https://schema.org/", "artifact", False),
+        ],
+        "subj string, pred string, obj string, obj_is_iri boolean",
+    )
+    alignment = spark.createDataFrame(
+        [("type", "ContentData", "mimeType", 1)],
+        "prop string, owner string, prop_name string, score long",
+    )
+    got = {
+        (r.pred, r.obj)
+        for r in rewrite_predicates(triples, alignment).collect()
+    }
+    assert got == {
+        ("rdf:type", "schema:Thing"),  # protected
+        ("uco-observable:mimeType", "article"),  # og:type DOES map
+        ("https://schema.org/", "artifact"),  # empty local: untouched
+    }
+
+
+def test_corroboration_empty_local_name_keeps_full_pred(spark):
+    df = spark.createDataFrame(
+        [("u", "s", "https://schema.org/", "x", "jsonld")],
+        "url string, subj string, pred string, obj string, "
+        "extractor string",
+    )
+    got = extractor_corroboration(df).collect()
+    assert got[0].prop == "https://schema.org/"

@@ -386,3 +386,20 @@ def test_extraction_to_canonicalize_composition(spark):
     comp = {r.entity_id: r.canonical_id for r in out.collect()}
     assert comp[0] == comp[1] and comp[2] == comp[3]
     assert comp[0] != comp[2]
+
+
+def test_table_triples_symbol_only_headers_drop(spark):
+    """'#' and '%' headers slug to nothing — their columns must drop
+    rather than merge into one shared 'col:' predicate."""
+    html = (
+        "<table><tr><th>#</th><th>Name</th></tr>"
+        "<tr><td>1</td><td>A</td></tr></table>"
+    )
+    df = spark.createDataFrame(
+        [("https://h.org/p", html)], "url string, html string"
+    )
+    got = {
+        (r.pred, r.obj)
+        for r in table_triples(html_tables(df)).collect()
+    }
+    assert got == {("col:name", "A")}
