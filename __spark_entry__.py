@@ -7698,6 +7698,105 @@ ORDER BY ps.pred
 """
 
 
+def q_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-property QA (fusion.functional_violations): triples
+    synthesized so subjects accumulate up to 3 distinct objects on the
+    functional predicates (fp:a, fp:b) while the multi-valued mv:c
+    slice must be ignored; re-assertions collapse under set semantics.
+    DuckDB replays the distinct → group → HAVING chain plus the sorted
+    ``|``-joined evidence sample."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        functional_violations,
+    )
+
+    did = F.col("doc_id")
+    t = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s"), (did % 50).cast("string")).alias("subj"),
+        F.element_at(
+            F.array(F.lit("fp:a"), F.lit("fp:b"), F.lit("mv:c")),
+            (did % 3 + 1).cast("int"),
+        ).alias("pred"),
+        F.concat(F.lit("v"), (did % 7).cast("string")).alias("obj"),
+    )
+    return functional_violations(t, ["fp:a", "fp:b"], sample_k=2).orderBy(
+        "pred", "subj"
+    )
+
+
+def _oracle_functional_violations() -> str:
+    return """
+WITH t AS (
+  SELECT 's' || (doc_id % 50) AS subj,
+         CASE doc_id % 3 WHEN 0 THEN 'fp:a' WHEN 1 THEN 'fp:b'
+              ELSE 'mv:c' END AS pred,
+         'v' || (doc_id % 7) AS obj
+  FROM documents
+)
+SELECT pred, subj, CAST(count(*) AS BIGINT) AS n_objects,
+       array_to_string(
+         list_slice(list_sort(list(obj)), 1, 2), '|'
+       ) AS objects
+FROM (SELECT DISTINCT pred, subj, obj FROM t
+      WHERE pred IN ('fp:a', 'fp:b'))
+GROUP BY pred, subj HAVING count(*) > 1
+ORDER BY pred, subj
+"""
+
+
+def q_ifp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-functional identity candidates
+    (fusion.ifp_sameas_candidates): id:key values shared across ~1/37
+    of the corpus's nodes form real multi-subject groups (star sameAs
+    rows, canonical = MIN subject), every %5 node shares the junk key
+    'NA' whose group exceeds max_group and must drop, and the
+    schema:name slice must be ignored. Oracle replays distinct →
+    group/min/count → cap → join-back."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        ifp_sameas_candidates,
+    )
+
+    did = F.col("doc_id")
+    t = _docs(spark, sf_dir).select(
+        F.concat(F.lit("n"), did.cast("string")).alias("subj"),
+        F.when(did % 11 == 10, F.lit("schema:name"))
+        .otherwise(F.lit("id:key")).alias("pred"),
+        F.when(did % 5 == 0, F.lit("NA"))
+        .otherwise(F.concat(F.lit("K"), (did % 37).cast("string")))
+        .alias("obj"),
+    )
+    return ifp_sameas_candidates(t, ["id:key"], max_group=64).orderBy(
+        "key", "subj"
+    )
+
+
+def _oracle_ifp_candidates() -> str:
+    return """
+WITH t AS (
+  SELECT 'n' || doc_id AS subj,
+         CASE WHEN doc_id % 11 = 10 THEN 'schema:name'
+              ELSE 'id:key' END AS pred,
+         CASE WHEN doc_id % 5 = 0 THEN 'NA'
+              ELSE 'K' || (doc_id % 37) END AS obj
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT pred, obj AS key, subj FROM t
+  WHERE pred IN ('id:key')
+), groups AS (
+  SELECT pred, key, MIN(subj) AS canonical,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM pairs GROUP BY pred, key
+  HAVING count(*) > 1 AND count(*) <= 64
+)
+SELECT p.pred, p.key, p.subj, g.canonical, g.group_size
+FROM pairs p JOIN groups g ON p.pred = g.pred AND p.key = g.key
+ORDER BY p.key, p.subj
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -7927,6 +8026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_induction": q_taxonomy_induction,
         "rdfa_annotations": q_rdfa_annotations,
         "property_profile": q_property_profile,
+        "functional_violations": q_functional_violations,
+        "ifp_candidates": q_ifp_candidates,
     }
 
 
@@ -8085,4 +8186,6 @@ def oracle_sql() -> dict[str, str]:
         "taxonomy_induction": _oracle_taxonomy_induction(),
         "rdfa_annotations": _oracle_rdfa_annotations(),
         "property_profile": _oracle_property_profile(),
+        "functional_violations": _oracle_functional_violations(),
+        "ifp_candidates": _oracle_ifp_candidates(),
     }

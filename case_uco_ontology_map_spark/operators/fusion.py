@@ -275,3 +275,144 @@ def rewrite_predicates(
         .withColumn("pred", F.coalesce(F.col("_mapped"), F.col("pred")))
         .drop("_prop", "_mapped")
     )
+
+
+def functional_violations(
+    triples: DataFrame,
+    functional_preds: Sequence[str],
+    sample_k: int = 3,
+) -> DataFrame:
+    """Functional-property QA: subjects asserting MORE than one distinct
+    object for a declared (or ``property_profile``-mined)
+    ``owl:FunctionalProperty`` → ``(pred, subj, n_objects, objects)``,
+    where ``objects`` is the ``|``-joined first ``sample_k`` objects in
+    lexicographic order (a bounded, deterministic evidence sample — the
+    violating group itself may be huge and must never be fully
+    collected).
+
+    This is the fusion layer's post-commit audit: ``fuse_assertions``
+    picks one winner per key at write time, but assertions arriving
+    through paths that bypass fusion (imports, entailment, patches) can
+    re-introduce multi-values; a web-KG runs this rule nightly over the
+    functional slice. (The reference reaches the same class of rule via
+    pySHACL ``sh:maxCount 1`` shapes, tools.py:357-390 — here it is a
+    set-semantics groupBy over the declared predicate slice.)
+
+    Scale shape: the ``isin`` filter on a handful of predicate IRIs is
+    pushed to the scan (dictionary-encoded parquet column — row-group
+    skippable); distinct pairs collapse duplicates before any
+    per-subject state exists; the one real shuffle groups
+    ``(pred, subj)``. ``sort_array(collect_set)`` keeps at most the
+    group's distinct objects per key — bounded further upstream by
+    fusion; the emitted sample is sliced to ``sample_k``."""
+    if not functional_preds:
+        raise ValueError("functional_violations needs >=1 predicate")
+    pairs = (
+        triples.where(F.col("pred").isin(*functional_preds))
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("pred", "subj")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.concat_ws(
+                "|",
+                F.slice(F.sort_array(F.collect_set("obj")), 1, sample_k),
+            ).alias("objects"),
+        )
+        .where(F.col("n_objects") > 1)
+    )
+
+
+def functional_violations_sql(
+    functional_preds: Sequence[str],
+    sample_k: int = 3,
+    table: str = "t",
+) -> str:
+    """ANSI replay of ``functional_violations`` (DuckDB: list_sort +
+    list_slice + array_to_string mirror sort_array/slice/concat_ws)."""
+    preds = ", ".join("'" + p.replace("'", "''") + "'"
+                      for p in functional_preds)
+    return f"""
+SELECT pred, subj, CAST(count(*) AS BIGINT) AS n_objects,
+       array_to_string(
+         list_slice(list_sort(list(obj)), 1, {sample_k}), '|'
+       ) AS objects
+FROM (SELECT DISTINCT pred, subj, obj FROM {table}
+      WHERE pred IN ({preds}))
+GROUP BY pred, subj HAVING count(*) > 1
+"""
+
+
+def ifp_sameas_candidates(
+    triples: DataFrame,
+    ifp_preds: Sequence[str],
+    max_group: int = 64,
+) -> DataFrame:
+    """Inverse-functional identity resolution: two nodes asserting the
+    SAME value for an inverse-functional predicate (isbn, sku, email —
+    the identifier keys ``property_profile`` flags) denote the same
+    entity, so each shared key value yields ``owl:sameAs`` candidates →
+    ``(pred, key, subj, canonical, group_size)`` — one row per member of
+    every multi-subject key group, ``canonical`` = the group's MIN
+    subject. This is the OWL-semantics twin of the LSH blocking step in
+    ``operators/canonicalize.py``: candidates feed the same
+    connected-components pass (star edges subj→canonical), and the
+    markup-given key is the highest-precision block any web KG gets.
+
+    Star emission keeps output LINEAR in group size (never C(n,2)
+    pairs). Groups larger than ``max_group`` are dropped — a key value
+    shared by thousands of subjects is a junk identifier (empty string,
+    "N/A", a parked-domain phone number), exactly the capped-bucket
+    discipline of the LSH path; drops are observable via the
+    ``group_size`` column of a pre-cap run or the census below.
+
+    Scale shape: predicate isin pushed to scan; distinct
+    (pred, obj, subj) collapses re-assertions; one groupBy on
+    (pred, obj) computes (min, count) — window-free, hub-safe; the
+    join back is on the same key, so the exchange is reused."""
+    if not ifp_preds:
+        raise ValueError("ifp_sameas_candidates needs >=1 predicate")
+    pairs = (
+        triples.where(F.col("pred").isin(*ifp_preds))
+        .select("pred", F.col("obj").alias("key"), "subj")
+        .distinct()
+    )
+    groups = (
+        pairs.groupBy("pred", "key")
+        .agg(
+            F.min("subj").alias("canonical"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .where(
+            (F.col("group_size") > 1)
+            & (F.col("group_size") <= max_group)
+        )
+    )
+    return pairs.join(groups, ["pred", "key"]).select(
+        "pred", "key", "subj", "canonical", "group_size"
+    )
+
+
+def ifp_sameas_candidates_sql(
+    ifp_preds: Sequence[str],
+    max_group: int = 64,
+    table: str = "t",
+) -> str:
+    """ANSI replay of ``ifp_sameas_candidates``."""
+    preds = ", ".join("'" + p.replace("'", "''") + "'"
+                      for p in ifp_preds)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT pred, obj AS key, subj FROM {table}
+  WHERE pred IN ({preds})
+), groups AS (
+  SELECT pred, key, MIN(subj) AS canonical,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM pairs GROUP BY pred, key
+  HAVING count(*) > 1 AND count(*) <= {max_group}
+)
+SELECT p.pred, p.key, p.subj, g.canonical, g.group_size
+FROM pairs p JOIN groups g ON p.pred = g.pred AND p.key = g.key
+"""

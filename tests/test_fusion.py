@@ -253,3 +253,76 @@ def test_corroboration_empty_local_name_keeps_full_pred(spark):
     )
     got = extractor_corroboration(df).collect()
     assert got[0].prop == "https://schema.org/"
+
+
+def test_functional_violations_hand_computed(spark):
+    from case_uco_ontology_map_spark.operators.fusion import (
+        functional_violations,
+    )
+
+    rows = [
+        # s1 violates fp:title with 3 distinct objects (one duplicated)
+        ("s1", "fp:title", "B"),
+        ("s1", "fp:title", "A"),
+        ("s1", "fp:title", "C"),
+        ("s1", "fp:title", "A"),
+        # s2 is clean (one object, re-asserted)
+        ("s2", "fp:title", "X"),
+        ("s2", "fp:title", "X"),
+        # multi-valued predicate not in the functional set: ignored
+        ("s1", "mv:tag", "t1"),
+        ("s1", "mv:tag", "t2"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.pred, r.subj, r.n_objects, r.objects)
+        for r in functional_violations(df, ["fp:title"], sample_k=2).collect()
+    }
+    assert got == {("fp:title", "s1", 3, "A|B")}
+
+
+def test_functional_violations_requires_preds(spark):
+    import pytest
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        functional_violations,
+    )
+
+    df = spark.createDataFrame([("s", "p", "o")],
+                               "subj string, pred string, obj string")
+    with pytest.raises(ValueError):
+        functional_violations(df, [])
+
+
+def test_ifp_sameas_candidates_star_and_cap(spark):
+    from case_uco_ontology_map_spark.operators.fusion import (
+        ifp_sameas_candidates,
+    )
+
+    rows = [
+        # isbn K1 shared by 3 subjects -> 3 star rows, canonical = a
+        ("a", "id:isbn", "K1"),
+        ("c", "id:isbn", "K1"),
+        ("b", "id:isbn", "K1"),
+        ("b", "id:isbn", "K1"),      # re-assertion collapses
+        # isbn K2 held by one subject -> no candidates
+        ("z", "id:isbn", "K2"),
+        # junk key shared by 4 subjects > max_group=3 -> dropped
+        ("j1", "id:isbn", "N/A"),
+        ("j2", "id:isbn", "N/A"),
+        ("j3", "id:isbn", "N/A"),
+        ("j4", "id:isbn", "N/A"),
+        # non-IFP predicate ignored entirely
+        ("a", "schema:name", "K1"),
+        ("b", "schema:name", "K1"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.pred, r.key, r.subj, r.canonical, r.group_size)
+        for r in ifp_sameas_candidates(df, ["id:isbn"], max_group=3).collect()
+    }
+    assert got == {
+        ("id:isbn", "K1", "a", "a", 3),
+        ("id:isbn", "K1", "b", "a", 3),
+        ("id:isbn", "K1", "c", "a", 3),
+    }
