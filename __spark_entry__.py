@@ -7797,6 +7797,91 @@ ORDER BY p.key, p.subj
 """
 
 
+def q_prior_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite anchor-text entity-linking chain (functions/links.py
+    alias_priors → link_by_prior): links synthesized so each surface
+    family Name<k> votes across several targets (real ambiguity — the
+    argmax decides), every %10 doc emits the generic anchor 'here'
+    naming more than max_entities entities (dropped whole), and the
+    mention stream draws surfaces mod 9 so Name8 is unlinkable (NULL
+    entity, confident=false). DuckDB replays vote counting, the cap,
+    the ranked dictionary, the left join, and the integer
+    cross-multiplied confidence test end to end."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.functions.links import (
+        alias_priors,
+        link_by_prior,
+    )
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    links = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://s"), s(did)).alias("src"),
+        F.concat(F.lit("http://t"), s(did % 20)).alias("dst"),
+        F.when(did % 10 == 9, F.lit("here"))
+        .otherwise(F.concat(F.lit("Name"), s(did % 8)))
+        .alias("anchor"),
+    )
+    pe = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://t"), s(did % 20)).alias("url"),
+        F.concat(F.lit("E"), s(did % 20 % 6)).alias("entity"),
+    )
+    priors = alias_priors(links, pe, top_k=2, max_entities=4)
+    mentions = _docs(spark, sf_dir).select(
+        F.concat(F.lit("m"), s(did)).alias("doc"),
+        F.concat(F.lit("Name"), s(did % 9)).alias("surface"),
+    )
+    return link_by_prior(mentions, priors).orderBy("doc")
+
+
+def _oracle_prior_linking() -> str:
+    return """
+WITH links AS (
+  SELECT 'http://t' || (doc_id % 20) AS dst,
+         CASE WHEN doc_id % 10 = 9 THEN 'here'
+              ELSE 'Name' || (doc_id % 8) END AS anchor
+  FROM documents
+), pe AS (
+  SELECT DISTINCT 'http://t' || (doc_id % 20) AS url,
+         'E' || (doc_id % 20 % 6) AS entity
+  FROM documents
+), votes AS (
+  SELECT lower(trim(anchor)) AS surface, dst,
+         CAST(count(*) AS BIGINT) AS n
+  FROM links WHERE lower(trim(anchor)) <> '' GROUP BY 1, 2
+), counts AS (
+  SELECT v.surface, pe.entity, CAST(SUM(v.n) AS BIGINT) AS n_links
+  FROM votes v JOIN pe ON v.dst = pe.url GROUP BY 1, 2
+), totals AS (
+  SELECT surface, CAST(SUM(n_links) AS BIGINT) AS n_surface,
+         count(*) AS n_entities
+  FROM counts GROUP BY surface
+), ranked AS (
+  SELECT surface, entity, n_links, n_surface, rank FROM (
+    SELECT c.surface, c.entity, c.n_links, t.n_surface,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.surface
+             ORDER BY c.n_links DESC, c.entity ASC
+           ) AS rank
+    FROM counts c JOIN totals t ON c.surface = t.surface
+    WHERE t.n_entities <= 4
+  ) WHERE rank <= 2
+), mentions AS (
+  SELECT 'm' || doc_id AS doc, 'Name' || (doc_id % 9) AS surface
+  FROM documents
+)
+SELECT m.doc, m.surface, r.entity, r.n_links, r.n_surface,
+       CASE WHEN r.entity IS NULL THEN FALSE
+            ELSE r.n_links >= 2 AND r.n_links * 2 >= r.n_surface * 1
+       END AS confident
+FROM mentions m
+LEFT JOIN (SELECT * FROM ranked WHERE rank = 1) r
+  ON lower(trim(m.surface)) = r.surface
+ORDER BY m.doc
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8028,6 +8113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_profile": q_property_profile,
         "functional_violations": q_functional_violations,
         "ifp_candidates": q_ifp_candidates,
+        "prior_linking": q_prior_linking,
     }
 
 
@@ -8188,4 +8274,5 @@ def oracle_sql() -> dict[str, str]:
         "property_profile": _oracle_property_profile(),
         "functional_violations": _oracle_functional_violations(),
         "ifp_candidates": _oracle_ifp_candidates(),
+        "prior_linking": _oracle_prior_linking(),
     }

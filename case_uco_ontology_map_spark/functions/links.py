@@ -406,3 +406,161 @@ FULL OUTER JOIN
      (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {current}) cc
 ON pp.src = cc.src AND pp.dst = cc.dst
 """
+
+
+def alias_priors(
+    links: DataFrame,
+    page_entity: DataFrame,
+    top_k: int = 3,
+    max_entities: int = 256,
+    url_col: str = "url",
+    entity_col: str = "entity",
+) -> DataFrame:
+    """Anchor-text commonness priors — the alias dictionary every
+    web-KG entity linker starts from (the P(entity | surface form)
+    table of the classic Wikipedia-anchor linkers): join each link's
+    TARGET page to the entity that page describes, so every anchor
+    string becomes a vote "this surface form names that entity" →
+    ``(surface, entity, n_links, n_surface, rank)`` with ``rank`` over
+    (n_links DESC, entity ASC) and ``n_surface`` the surface's total
+    vote count — exact integers, P(e|s) = n_links/n_surface is the
+    caller's division, never ours.
+
+    Surfaces are case/whitespace-normalized (lower + trim); empty
+    anchors never vote. Surfaces naming MORE than ``max_entities``
+    distinct entities are dropped whole — a generic anchor ("click
+    here", "read more") is noise with per-entity probability ~0, and
+    the cap is also what bounds the ranking window (same capped-bucket
+    discipline as the LSH and IFP paths).
+
+    Scale shape: (surface, entity) counts pre-aggregate map-side
+    BEFORE the page_entity join ships anything; the join on target url
+    is a key equi-join of two aggregated frames (never the raw link
+    stream against pages); the surface totals/entity-count groupBy and
+    the join back are key-compatible with the ranking window's
+    partitioning, and the window itself is bounded by ``max_entities``
+    rows per key by construction."""
+    from pyspark.sql.window import Window
+
+    surface = F.lower(F.trim(F.col("anchor")))
+    votes = (
+        links.where(F.col("anchor").isNotNull())
+        .select(
+            surface.alias("surface"), F.col("dst").alias("_dst")
+        )
+        .where(F.col("surface") != "")
+        .groupBy("surface", "_dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    ent = page_entity.select(
+        F.col(url_col).alias("_dst"), F.col(entity_col).alias("entity")
+    ).distinct()
+    counts = (
+        votes.join(ent, "_dst")
+        .groupBy("surface", "entity")
+        .agg(F.sum("_n").alias("n_links"))
+    )
+    totals = counts.groupBy("surface").agg(
+        F.sum("n_links").alias("n_surface"),
+        F.count(F.lit(1)).alias("_n_entities"),
+    )
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("n_links"), F.asc("entity")
+    )
+    return (
+        counts.join(
+            totals.where(F.col("_n_entities") <= max_entities), "surface"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("surface", "entity", "n_links", "n_surface", "rank")
+    )
+
+
+def alias_priors_sql(
+    links: str = "l",
+    page_entity: str = "pe",
+    top_k: int = 3,
+    max_entities: int = 256,
+    url_col: str = "url",
+    entity_col: str = "entity",
+) -> str:
+    """ANSI replay of ``alias_priors``."""
+    return f"""
+WITH votes AS (
+  SELECT lower(trim(anchor)) AS surface, dst,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {links} WHERE anchor IS NOT NULL AND lower(trim(anchor)) <> ''
+  GROUP BY 1, 2
+), counts AS (
+  SELECT v.surface, pe.{entity_col} AS entity,
+         CAST(SUM(v.n) AS BIGINT) AS n_links
+  FROM votes v
+  JOIN (SELECT DISTINCT {url_col}, {entity_col} FROM {page_entity}) pe
+    ON v.dst = pe.{url_col}
+  GROUP BY 1, 2
+), totals AS (
+  SELECT surface, CAST(SUM(n_links) AS BIGINT) AS n_surface,
+         count(*) AS n_entities
+  FROM counts GROUP BY surface
+)
+SELECT surface, entity, n_links, n_surface, rank FROM (
+  SELECT c.surface, c.entity, c.n_links, t.n_surface,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.surface ORDER BY c.n_links DESC, c.entity ASC
+         ) AS rank
+  FROM counts c JOIN totals t ON c.surface = t.surface
+  WHERE t.n_entities <= {max_entities}
+) WHERE rank <= {top_k}
+"""
+
+
+def link_by_prior(
+    mentions: DataFrame,
+    priors: DataFrame,
+    surface_col: str = "surface",
+    min_links: int = 2,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Commonness-prior entity linking: resolve each mention to the
+    TOP-ranked entity of its (normalized) surface form when the prior
+    is decisive — keeps every input column and adds ``entity``,
+    ``n_links``, ``n_surface``, ``confident``. A mention whose surface
+    has no dictionary entry gets NULLs (unlinkable by prior — route to
+    the embedding linker, operators/mentions.py); ``confident`` is
+    true iff the winner has ≥ ``min_links`` votes AND commonness
+    n_links/n_surface ≥ threshold_num/threshold_den — tested by integer
+    cross-multiplication (``n_links·den ≥ n_surface·num``), so no
+    float ever decides a link (house rule, cf. textstats thresholds).
+
+    Scale shape: the dictionary side is rank-1 rows only — one row per
+    surviving surface, orders of magnitude smaller than the mention
+    stream; the join is a plain equi-join on the normalized surface so
+    AQE broadcasts it once stats confirm it is small (at dictionary
+    sizes past executor memory it degrades to a hash join on the same
+    key, still one shuffle of the SMALL side only — mentions carry
+    their normalized key without moving)."""
+    top = priors.where(F.col("rank") == 1).select(
+        F.col("surface").alias("_skey"),
+        "entity", "n_links", "n_surface",
+    )
+    key = F.lower(F.trim(F.col(surface_col)))
+    confident = (
+        (F.col("n_links") >= min_links)
+        & (
+            F.col("n_links") * threshold_den
+            >= F.col("n_surface") * threshold_num
+        )
+    )
+    return (
+        mentions.withColumn("_skey", key)
+        .join(top, "_skey", "left")
+        .withColumn(
+            "confident",
+            F.when(F.col("entity").isNull(), F.lit(False)).otherwise(
+                confident
+            ),
+        )
+        .drop("_skey")
+    )

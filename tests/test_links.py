@@ -258,3 +258,81 @@ def test_link_delta_statuses_and_oracle(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_alias_priors_hand_computed(spark):
+    from case_uco_ontology_map_spark.functions.links import alias_priors
+
+    links = spark.createDataFrame(
+        [
+            # "acme" → t1 twice (case/space-normalized), t2 once
+            ("s1", "t1", "Acme"),
+            ("s2", "t1", " acme "),
+            ("s3", "t2", "ACME"),
+            # empty and null anchors never vote
+            ("s4", "t1", ""),
+            ("s5", "t1", None),
+            # "widget" → t2 once
+            ("s6", "t2", "widget"),
+            # generic surface naming 3 entities with max_entities=2: drop
+            ("s7", "t1", "here"),
+            ("s8", "t2", "here"),
+            ("s9", "t3", "here"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    pe = spark.createDataFrame(
+        [("t1", "E1"), ("t2", "E2"), ("t3", "E3")],
+        "url string, entity string",
+    )
+    got = {
+        (r.surface, r.entity, r.n_links, r.n_surface, r.rank)
+        for r in alias_priors(links, pe, top_k=2, max_entities=2).collect()
+    }
+    assert got == {
+        ("acme", "E1", 2, 3, 1),
+        ("acme", "E2", 1, 3, 2),
+        ("widget", "E2", 1, 1, 1),
+    }
+
+
+def test_link_by_prior_confidence(spark):
+    from case_uco_ontology_map_spark.functions.links import (
+        alias_priors,
+        link_by_prior,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("s1", "t1", "acme"), ("s2", "t1", "acme"),
+            ("s3", "t2", "acme"),
+            # "rare": one vote only -> fails min_links=2
+            ("s4", "t1", "rare"),
+            # "split": 1/2 commonness at threshold 1/2 -> confident
+            ("s5", "t1", "split"), ("s6", "t2", "split"),
+            ("s7", "t2", "split"), ("s8", "t1", "split"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    pe = spark.createDataFrame(
+        [("t1", "E1"), ("t2", "E2")], "url string, entity string"
+    )
+    priors = alias_priors(links, pe)
+    mentions = spark.createDataFrame(
+        [("d1", "Acme"), ("d2", "rare"), ("d3", "SPLIT"), ("d4", "nope")],
+        "doc string, surface string",
+    )
+    got = {
+        (r.doc, r.entity, r.confident)
+        for r in link_by_prior(mentions, priors).collect()
+    }
+    # acme: E1 2/3 >= 1/2 and 2 votes -> confident
+    # rare: E1 1 vote -> not confident (min_links)
+    # split: tie 2/2 -> E1 by entity ASC, 2/4 = 1/2 -> confident
+    # nope: no dictionary entry -> NULL entity, confident=false
+    assert got == {
+        ("d1", "E1", True),
+        ("d2", "E1", False),
+        ("d3", "E1", True),
+        ("d4", None, False),
+    }
