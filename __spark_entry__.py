@@ -7882,6 +7882,74 @@ ORDER BY m.doc
 """
 
 
+def q_kg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction (triples.kg_as_of): an op log
+    synthesized as three generations per document (add, a delete that
+    LANDS ON THE SAME TIMESTAMP as the add for every %3==0 doc —
+    exercising the delete-wins tie — and a later re-add whose offset
+    pushes some docs past the as_of bound), with subj/pred/obj drawn
+    mod 40/3/5 so many docs write the same triple's history. DuckDB
+    replays filter → max-ts → same-ts MAX(op) → add-only verbatim."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import kg_as_of
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s"), s(did % 40)).alias("subj"),
+        F.concat(F.lit("p"), s(did % 3)).alias("pred"),
+        F.concat(F.lit("o"), s(did % 5)).alias("obj"),
+        did.alias("_d"),
+    )
+    d = F.col("_d")
+    adds = base.select(
+        "subj", "pred", "obj", F.lit("add").alias("op"),
+        (d % 10).cast("long").alias("ts"),
+    )
+    dels = base.select(
+        "subj", "pred", "obj", F.lit("del").alias("op"),
+        (d % 10 + d % 3).cast("long").alias("ts"),
+    )
+    readds = base.select(
+        "subj", "pred", "obj", F.lit("add").alias("op"),
+        (d % 10 + 2 * (d % 4)).cast("long").alias("ts"),
+    )
+    log = adds.unionByName(dels).unionByName(readds)
+    return kg_as_of(log, 12).orderBy("subj", "pred", "obj")
+
+
+def _oracle_kg_as_of() -> str:
+    return """
+WITH base AS (
+  SELECT 's' || (doc_id % 40) AS subj, 'p' || (doc_id % 3) AS pred,
+         'o' || (doc_id % 5) AS obj, doc_id AS d
+  FROM documents
+), log AS (
+  SELECT subj, pred, obj, 'add' AS op,
+         CAST(d % 10 AS BIGINT) AS ts FROM base
+  UNION ALL
+  SELECT subj, pred, obj, 'del' AS op,
+         CAST(d % 10 + d % 3 AS BIGINT) AS ts FROM base
+  UNION ALL
+  SELECT subj, pred, obj, 'add' AS op,
+         CAST(d % 10 + 2 * (d % 4) AS BIGINT) AS ts FROM base
+), f AS (
+  SELECT subj, pred, obj, ts, op FROM log
+  WHERE ts <= 12 AND op IN ('add', 'del')
+), w AS (
+  SELECT subj, pred, obj, MAX(ts) AS ts FROM f GROUP BY 1, 2, 3
+), last AS (
+  SELECT f.subj, f.pred, f.obj, f.ts, MAX(f.op) AS op
+  FROM f JOIN w ON f.subj = w.subj AND f.pred = w.pred
+              AND f.obj = w.obj AND f.ts = w.ts
+  GROUP BY 1, 2, 3, 4
+)
+SELECT subj, pred, obj, ts FROM last WHERE op = 'add'
+ORDER BY subj, pred, obj
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8114,6 +8182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_violations": q_functional_violations,
         "ifp_candidates": q_ifp_candidates,
         "prior_linking": q_prior_linking,
+        "kg_as_of": q_kg_as_of,
     }
 
 
@@ -8275,4 +8344,5 @@ def oracle_sql() -> dict[str, str]:
         "functional_violations": _oracle_functional_violations(),
         "ifp_candidates": _oracle_ifp_candidates(),
         "prior_linking": _oracle_prior_linking(),
+        "kg_as_of": _oracle_kg_as_of(),
     }

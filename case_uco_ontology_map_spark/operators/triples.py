@@ -949,3 +949,78 @@ def property_graph_edges(
         F.col(pred_col).alias("rel"),
         F.col(obj_col).alias("dst"),
     )
+
+
+def kg_as_of(
+    log: DataFrame,
+    as_of,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Point-in-time KG reconstruction from an assertion log — the
+    time-travel read the snapshot/patch lifecycle implies
+    (``diff_graphs``/``apply_diff`` move the graph forward; this
+    answers "what did the graph say at T?"): over rows
+    ``(subj, pred, obj, op ∈ {'add','del'}, ts)``, a triple is IN the
+    graph as of ``as_of`` iff its latest operation at or before that
+    time is an add → ``(subj, pred, obj, ts)`` with ``ts`` = that
+    winning operation's time. Ties at the same timestamp resolve
+    delete-wins (MAX over the op string — 'del' > 'add'): a
+    delete and re-add landing in one snapshot reads as absent, the
+    conservative answer for an auditable store.
+
+    Scale shape: the ``ts <= as_of`` filter is pushed to the scan — on
+    a date-partitioned log it prunes whole partitions, the natural
+    layout for an append-only assertion log; one groupBy on the triple
+    key takes ``max(struct(ts, op))`` (map-side partials, single
+    shuffle, window-free), and the add/del verdict is a filter on the
+    struct — no join back, the struct carries everything."""
+    valid = F.col(op_col).isin("add", "del")
+    filtered = log.where((F.col(ts_col) <= F.lit(as_of)) & valid)
+    return (
+        filtered.groupBy(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        )
+        .agg(
+            F.max(
+                F.struct(F.col(ts_col).alias("ts"),
+                         F.col(op_col).alias("op"))
+            ).alias("_last")
+        )
+        .where(F.col("_last.op") == "add")
+        .select("subj", "pred", "obj", F.col("_last.ts").alias("ts"))
+    )
+
+
+def kg_as_of_sql(
+    as_of: str,
+    table: str = "t",
+    op_col: str = "op",
+    ts_col: str = "ts",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> str:
+    """ANSI replay of ``kg_as_of`` (``as_of`` is a SQL literal,
+    e.g. ``"42"`` or ``"TIMESTAMP '2026-01-01'"``)."""
+    return f"""
+WITH f AS (
+  SELECT {subj_col} AS subj, {pred_col} AS pred, {obj_col} AS obj,
+         {ts_col} AS ts, {op_col} AS op
+  FROM {table}
+  WHERE {ts_col} <= {as_of} AND {op_col} IN ('add', 'del')
+), w AS (
+  SELECT subj, pred, obj, MAX(ts) AS ts FROM f GROUP BY 1, 2, 3
+), last AS (
+  SELECT f.subj, f.pred, f.obj, f.ts, MAX(f.op) AS op
+  FROM f JOIN w ON f.subj = w.subj AND f.pred = w.pred
+              AND f.obj = w.obj AND f.ts = w.ts
+  GROUP BY 1, 2, 3, 4
+)
+SELECT subj, pred, obj, ts FROM last WHERE op = 'add'
+"""

@@ -1780,3 +1780,41 @@ def test_property_graph_projection_and_oracle(spark):
         ).fetchall()
     }
     assert nodes == want
+
+
+class TestKgAsOf:
+    def test_hand_computed_timeline(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import kg_as_of
+
+        log = spark.createDataFrame(
+            [
+                # t1: added at 1, deleted at 3, re-added at 5
+                ("s", "p", "a", "add", 1),
+                ("s", "p", "a", "del", 3),
+                ("s", "p", "a", "add", 5),
+                # t2: added at 2, never touched again
+                ("s", "p", "b", "add", 2),
+                # t3: add+del at the SAME ts -> delete wins (absent)
+                ("s", "p", "c", "add", 4),
+                ("s", "p", "c", "del", 4),
+                # t4: only a delete (imported tombstone) -> absent
+                ("s", "p", "d", "del", 1),
+                # future op must not leak into as_of=4
+                ("s", "p", "e", "add", 9),
+                # invalid op is ignored
+                ("s", "p", "f", "noop", 1),
+            ],
+            "subj string, pred string, obj string, op string, ts long",
+        )
+        as_of_4 = {
+            tuple(r) for r in kg_as_of(log, 4).collect()
+        }
+        assert as_of_4 == {("s", "p", "b", 2)}
+        as_of_5 = {
+            tuple(r) for r in kg_as_of(log, 5).collect()
+        }
+        assert as_of_5 == {("s", "p", "a", 5), ("s", "p", "b", 2)}
+        as_of_2 = {
+            tuple(r) for r in kg_as_of(log, 2).collect()
+        }
+        assert as_of_2 == {("s", "p", "a", 1), ("s", "p", "b", 2)}
