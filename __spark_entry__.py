@@ -7950,6 +7950,127 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity cards (serving.entity_summary): top-3 facts per node of
+    the structural emission ranked by global predicate rarity with
+    exact integer dominance (freq ASC, pred ASC, obj ASC). DuckDB
+    replays the frequency dimension and the ranking window over the
+    independently-constructed structural truth."""
+    from case_uco_ontology_map_spark.operators.serving import (
+        entity_summary,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return entity_summary(t, k=3).orderBy("subj", "rank")
+
+
+def _oracle_entity_summary() -> str:
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+facts AS (SELECT DISTINCT subj, pred, obj FROM t),
+freq AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS pred_freq
+  FROM facts GROUP BY pred
+)
+SELECT subj, pred, obj, pred_freq, rank FROM (
+  SELECT f.subj, f.pred, f.obj, q.pred_freq,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.subj
+           ORDER BY q.pred_freq ASC, f.pred ASC, f.obj ASC
+         ) AS rank
+  FROM facts f JOIN freq q ON f.pred = q.pred
+) WHERE rank <= 3
+ORDER BY subj, rank
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval (serving.build_postings → posting_stats →
+    bm25_topk) over the REAL documents text: three queries of mixed
+    selectivity scored in one pass, k1/b as exact rationals so each
+    (doc, term) partial is bit-identical cross-engine; the per-doc sum
+    rounds to 6 decimals before ranking (summation-order ULPs — the
+    pagerank_weighted discipline, documented in serving.py). DuckDB
+    replays tokenize → postings → stats → score → window end to end
+    from the same parquet text."""
+    from case_uco_ontology_map_spark.operators.serving import (
+        bm25_topk,
+        build_postings,
+        posting_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    postings = build_postings(docs)
+    stats = posting_stats(postings)
+    queries = spark.createDataFrame(
+        [
+            ("q1", "spark"), ("q1", "window"),
+            ("q2", "hash"), ("q2", "merge"), ("q2", "vector"),
+            ("q3", "customer"),
+        ],
+        "query_id string, term string",
+    )
+    return bm25_topk(postings, stats, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _oracle_bm25_search() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t
+  FROM toks WHERE len(t) > 0
+), postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, MAX(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+  GROUP BY term, doc_id
+), q AS (
+  SELECT * FROM (VALUES
+    ('q1', 'spark'), ('q1', 'window'),
+    ('q2', 'hash'), ('q2', 'merge'), ('q2', 'vector'),
+    ('q3', 'customer')
+  ) AS v(query_id, term)
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM (SELECT doc_id, MAX(dl) AS dl FROM postings GROUP BY doc_id)
+), matched AS (
+  SELECT p.* FROM postings p WHERE p.term IN (SELECT term FROM q)
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM matched GROUP BY term
+), per_doc AS (
+  SELECT q.query_id, m.doc_id,
+         ROUND(SUM(
+           (22 * CAST(m.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE))
+           / (10 * CAST(m.tf AS DOUBLE) * CAST(s.total_len AS DOUBLE)
+              + 3 * CAST(s.total_len AS DOUBLE)
+              + 9 * CAST(m.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+           * ((2 * CAST(s.n_docs AS DOUBLE) - 2 * CAST(d.df AS DOUBLE)
+               + 1) / (2 * CAST(d.df AS DOUBLE) + 1))
+         ) + 1e-12, 6) AS score
+  FROM matched m
+  JOIN dfreq d ON m.term = d.term
+  JOIN q ON m.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, m.doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM per_doc
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8183,6 +8304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ifp_candidates": q_ifp_candidates,
         "prior_linking": q_prior_linking,
         "kg_as_of": q_kg_as_of,
+        "entity_summary": q_entity_summary,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -8345,4 +8468,6 @@ def oracle_sql() -> dict[str, str]:
         "ifp_candidates": _oracle_ifp_candidates(),
         "prior_linking": _oracle_prior_linking(),
         "kg_as_of": _oracle_kg_as_of(),
+        "entity_summary": _oracle_entity_summary(),
+        "bm25_search": _oracle_bm25_search(),
     }

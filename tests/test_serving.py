@@ -1,0 +1,105 @@
+"""Serving layer (operators/serving.py): entity cards and batch BM25 —
+expectations hand-computed (BM25 partials derived from the exact-rational
+formula in pure Python)."""
+
+from case_uco_ontology_map_spark.operators.serving import (
+    bm25_topk,
+    build_postings,
+    entity_summary,
+    posting_stats,
+)
+
+
+def test_entity_summary_rarity_rank(spark):
+    rows = [
+        # rdf:type is the common predicate (3 uses) — least informative
+        ("e1", "rdf:type", "T"),
+        ("e2", "rdf:type", "T"),
+        ("e3", "rdf:type", "T"),
+        # isbn appears once — most informative
+        ("e1", "id:isbn", "979-1"),
+        # name appears twice
+        ("e1", "schema:name", "Widget"),
+        ("e2", "schema:name", "Gadget"),
+        # duplicate assertion collapses before counting
+        ("e1", "schema:name", "Widget"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.subj, r.pred, r.rank)
+        for r in entity_summary(t, k=2).collect()
+    }
+    assert got == {
+        ("e1", "id:isbn", 1),       # freq 1
+        ("e1", "schema:name", 2),   # freq 2
+        ("e2", "schema:name", 1),
+        ("e2", "rdf:type", 2),
+        ("e3", "rdf:type", 1),
+    }
+
+
+def _expected_score(parts, round_to=6):
+    return round(sum(parts) + 1e-12, round_to)
+
+
+def test_bm25_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Apple banana  apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry cherry"),
+            (4, "   "),  # empty after tokenization: never indexed
+        ],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    got_postings = {
+        (r.term, r.doc_id, r.tf, r.dl) for r in postings.collect()
+    }
+    assert got_postings == {
+        ("apple", 1, 2, 3), ("banana", 1, 1, 3),
+        ("banana", 2, 1, 2), ("cherry", 2, 1, 2),
+        ("cherry", 3, 4, 4),
+    }
+    stats = posting_stats(postings)
+    assert [tuple(r) for r in stats.collect()] == [(3, 9)]
+
+    queries = spark.createDataFrame(
+        [("q1", "apple"), ("q1", "cherry"), ("q2", "banana")],
+        "query_id string, term string",
+    )
+    out = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk(postings, stats, queries, k=10).collect()
+    }
+
+    def sat(tf, dl, n=3.0, L=9.0):
+        return (22 * tf * L) / (10 * tf * L + 3 * L + 9 * dl * n)
+
+    def idf(df, n=3.0):
+        return (2 * n - 2 * df + 1) / (2 * df + 1)
+
+    d1 = _expected_score([sat(2.0, 3.0) * idf(1.0)])       # apple
+    d2 = _expected_score([sat(1.0, 2.0) * idf(2.0)])       # cherry
+    d3 = _expected_score([sat(4.0, 4.0) * idf(2.0)])       # cherry
+    b1 = _expected_score([sat(1.0, 3.0) * idf(2.0)])       # banana d1
+    b2 = _expected_score([sat(1.0, 2.0) * idf(2.0)])       # banana d2
+    assert out == {
+        ("q1", 1, d1, 1), ("q1", 3, d3, 2), ("q1", 2, d2, 3),
+        ("q2", 2, b2, 1), ("q2", 1, b1, 2),
+    }
+
+
+def test_bm25_max_df_prunes_stopwords(spark):
+    docs = spark.createDataFrame(
+        [(1, "the apple"), (2, "the pear"), (3, "the fig")],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    stats = posting_stats(postings)
+    queries = spark.createDataFrame(
+        [("q", "the"), ("q", "apple")], "query_id string, term string"
+    )
+    out = bm25_topk(postings, stats, queries, k=10, max_df=2).collect()
+    # 'the' (df=3) is pruned: only doc 1 matches, via 'apple' alone
+    assert [(r.query_id, r.doc_id, r.rank) for r in out] == [("q", 1, 1)]
