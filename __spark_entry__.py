@@ -8071,6 +8071,62 @@ ORDER BY query_id, rank
 """
 
 
+def q_graph_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH ?g clause (graphquery.quad_query): a quad store
+    where every doc writes hop-1 into graph g(doc%4) but every ODD doc
+    writes hop-2 into the NEXT graph — so the 2-hop join succeeds only
+    where both hops share a graph and the scoping actually decides the
+    result (a graph-oblivious join would return twice the rows). The
+    oracle is a hand-written SQL self-join carrying the graph equality
+    — no generated SQL."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphquery import (
+        quad_query,
+    )
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = _docs(spark, sf_dir)
+    hop1 = d.select(
+        F.concat(F.lit("g"), s(did % 4)).alias("graph"),
+        F.concat(F.lit("a"), s(did % 30)).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("b"), s(did % 30)).alias("obj"),
+    )
+    hop2 = d.select(
+        F.concat(F.lit("g"), s((did + did % 2) % 4)).alias("graph"),
+        F.concat(F.lit("b"), s(did % 30)).alias("subj"),
+        F.lit("q").alias("pred"),
+        F.concat(F.lit("c"), s(did % 30)).alias("obj"),
+    )
+    quads = hop1.unionByName(hop2)
+    return quad_query(
+        quads, "?g", [("?s", "p", "?o"), ("?o", "q", "?x")],
+        distinct=True,
+    ).orderBy("g", "s")
+
+
+def _oracle_graph_scoped() -> str:
+    return """
+WITH quads AS (
+  SELECT 'g' || (doc_id % 4) AS graph, 'a' || (doc_id % 30) AS subj,
+         'p' AS pred, 'b' || (doc_id % 30) AS obj
+  FROM documents
+  UNION ALL
+  SELECT 'g' || ((doc_id + doc_id % 2) % 4) AS graph,
+         'b' || (doc_id % 30) AS subj,
+         'q' AS pred, 'c' || (doc_id % 30) AS obj
+  FROM documents
+)
+SELECT DISTINCT t1.graph AS g, t1.subj AS s, t1.obj AS o, t2.obj AS x
+FROM quads t1
+JOIN quads t2 ON t1.graph = t2.graph AND t1.obj = t2.subj
+WHERE t1.pred = 'p' AND t2.pred = 'q'
+ORDER BY g, s
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8306,6 +8362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_as_of": q_kg_as_of,
         "entity_summary": q_entity_summary,
         "bm25_search": q_bm25_search,
+        "graph_scoped": q_graph_scoped,
     }
 
 
@@ -8470,4 +8527,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_as_of": _oracle_kg_as_of(),
         "entity_summary": _oracle_entity_summary(),
         "bm25_search": _oracle_bm25_search(),
+        "graph_scoped": _oracle_graph_scoped(),
     }

@@ -71,6 +71,15 @@ def pattern_vars(pattern: Pattern) -> List[str]:
 
 
 def _pattern_score(pattern: Pattern) -> int:
+    if len(pattern) == 4:
+        # quad pattern (graph, subj, pred, obj) — a constant graph
+        # prunes to one named graph's partitions: between subject and
+        # object selectivity
+        cols4 = ("graph", "subj", "pred", "obj")
+        w = dict(_BOUND_WEIGHT, graph=3)
+        return sum(
+            w[c] for c, t in zip(cols4, pattern) if not _is_var(t)
+        )
     cols = ("subj", "pred", "obj")
     return sum(
         _BOUND_WEIGHT[c] for c, t in zip(cols, pattern) if not _is_var(t)
@@ -1454,3 +1463,155 @@ def bgp_ask_sql(
         obj_col=obj_col,
     )
     return f"SELECT EXISTS (SELECT 1 FROM ({inner}) a) AS matched"
+
+
+def _compile_quad_pattern(
+    quads: DataFrame,
+    pattern: Tuple[str, str, str, str],
+    cols: Tuple[str, str, str, str],
+) -> DataFrame:
+    """One (graph, subj, pred, obj) pattern → scan + constant equality
+    filters (+ repeated-variable intra-row equality), projected to its
+    variable columns. Deliberately NO property-path / alternation /
+    negated-set syntax — ``quad_query`` validates and raises before
+    this runs, so a constant containing ``|`` or leading ``!`` here is
+    just a literal value."""
+    out = quads
+    position_of: Dict[str, str] = {}
+    for col, term in zip(cols, pattern):
+        if _is_var(term):
+            v = _var(term)
+            if v in position_of:
+                out = out.filter(F.col(col) == F.col(position_of[v]))
+            else:
+                position_of[v] = col
+        else:
+            out = out.filter(F.col(col) == F.lit(term))
+    if not position_of:
+        return out.select(F.lit(1).alias("_ground")).limit(1)
+    return out.select(
+        *[F.col(c).alias(v) for v, c in position_of.items()]
+    )
+
+
+def quad_query(
+    quads: DataFrame,
+    graph: str,
+    patterns: Sequence[Pattern],
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    filters: Sequence[str] = (),
+    order_by: Sequence[str] = (),
+    limit: Optional[int] = None,
+    offset: int = 0,
+    allow_cartesian: bool = False,
+    graph_col: str = "graph",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL ``GRAPH`` clause over a quad table — named-graph-scoped
+    BGP evaluation (SPARQL 1.1 §13.3), pairing with the N-Quads
+    interchange side (``render.nquads_lines``): ``graph`` is either a
+    constant graph IRI or a variable ``?g``.
+
+    * **Constant graph** (``GRAPH <g> {...}``): the quad frame filters
+      to that graph (partition pruning on a graph-partitioned store —
+      the natural layout for a multi-source KG, one graph per crawl/
+      provenance source) and the block delegates to the full
+      ``bgp_query`` — every feature (OPTIONAL/MINUS/EXISTS/BIND,
+      property paths, modifiers) is available via ``**bgp_kwargs``.
+    * **Variable graph** (``GRAPH ?g {...}``): per the spec the WHOLE
+      block matches inside a single named graph per solution, with
+      ``?g`` bound to it — the graph variable joins across every
+      pattern (it is prepended to each pattern, so the greedy
+      selectivity order still applies and the block can never be
+      disconnected). Documented subset: plain triple patterns,
+      ``filters``, projection/distinct and the solution modifiers —
+      property-path / alternation / negated-set / inverse syntax and
+      the OPTIONAL/MINUS/EXISTS/BIND blocks raise (evaluate those
+      per-graph with a constant ``graph``, or pre-materialize).
+
+    Scale shape identical to ``bgp_query``: each pattern is one
+    filtered scan (constant graph/subject reach the parquet scan as
+    pushed filters), joins are equi-joins on binding columns — the
+    graph variable simply rides as one more join column, which also
+    CO-PARTITIONS every join by graph (a skewed mega-graph is exactly
+    the AQE skew-join case)."""
+    if not _is_var(graph):
+        scoped = quads.where(F.col(graph_col) == F.lit(graph))
+        return bgp_query(
+            scoped,
+            patterns,
+            select=select,
+            distinct=distinct,
+            filters=filters,
+            order_by=order_by,
+            limit=limit,
+            offset=offset,
+            allow_cartesian=allow_cartesian,
+            subj_col=subj_col,
+            pred_col=pred_col,
+            obj_col=obj_col,
+            **bgp_kwargs,
+        )
+    if bgp_kwargs:
+        raise ValueError(
+            "GRAPH ?var blocks support plain patterns + filters + "
+            f"modifiers only — {sorted(bgp_kwargs)} require a constant "
+            "graph (evaluate per graph) or pre-materialization"
+        )
+    if not patterns:
+        raise ValueError("quad_query needs at least one pattern")
+    for p in patterns:
+        t = p[1]
+        if not _is_var(t) and (
+            t.endswith(_PATH_MODS)
+            or t.startswith(("!", "^"))
+            or "|" in t
+            or "/" in t
+        ):
+            raise ValueError(
+                f"predicate {t!r} uses path/alternation/negation syntax "
+                "— unsupported inside GRAPH ?var (documented subset)"
+            )
+    cols4 = (graph_col, subj_col, pred_col, obj_col)
+    qpatterns = [(graph, *p) for p in patterns]
+    order = join_order(qpatterns)
+    compiled = [
+        _compile_quad_pattern(quads, qp, cols4) for qp in qpatterns
+    ]
+    out = compiled[order[0]]
+    bound = set(out.columns)
+    for i in order[1:]:
+        nxt = compiled[i]
+        shared = sorted(bound & set(nxt.columns))
+        out = out.join(nxt, on=shared)
+        bound |= set(nxt.columns)
+    for f in filters:
+        out = out.filter(F.expr(f))
+    all_vars: List[str] = []
+    for qp in qpatterns:
+        for v in pattern_vars(qp):
+            if v not in all_vars:
+                all_vars.append(v)
+    keep = list(select) if select is not None else all_vars
+    missing = [v for v in keep if v not in bound]
+    if missing:
+        raise ValueError(f"select references unbound variables: {missing}")
+    out = out.select(*keep)
+    if distinct:
+        out = out.distinct()
+    if (limit is not None or offset) and not order_by:
+        raise ValueError(
+            "limit/offset without order_by is nondeterministic — give a "
+            "total order (append a unique variable)"
+        )
+    if order_by:
+        out = out.orderBy(*[_order_col(o, keep) for o in order_by])
+    if offset:
+        out = out.offset(int(offset))
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out

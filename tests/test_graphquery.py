@@ -1332,3 +1332,97 @@ def test_full_iri_predicate_not_a_sequence(spark):
         g, [("?s", "https://example.org/ns/p", "?o")], select=["s", "o"]
     ).collect()
     assert [tuple(r) for r in got] == [("s", "o")]
+
+
+class TestQuadQuery:
+    """SPARQL 1.1 §13.3 GRAPH semantics, hand-enumerated on a tiny quad
+    store — including the cross-graph trap a broken scoping would hit."""
+
+    def _quads(self, spark):
+        rows = [
+            ("g1", "a", "p", "b"),
+            ("g1", "b", "q", "c"),
+            ("g2", "a", "p", "b2"),
+            ("g2", "b2", "q", "c2"),
+            # trap: joins ACROSS graphs (g1's b with g2's q-edge) must
+            # never match inside GRAPH ?g
+            ("g2", "b", "q", "X"),
+        ]
+        return spark.createDataFrame(
+            rows, "graph string, subj string, pred string, obj string"
+        )
+
+    def test_variable_graph_scopes_the_block(self, spark):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            quad_query,
+        )
+
+        out = quad_query(
+            self._quads(spark), "?g",
+            [("?s", "p", "?o"), ("?o", "q", "?x")],
+        )
+        got = {tuple(r) for r in out.collect()}
+        assert got == {
+            ("g1", "a", "b", "c"),
+            ("g2", "a", "b2", "c2"),
+        }
+
+    def test_constant_graph_delegates_full_bgp(self, spark):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            quad_query,
+        )
+
+        out = quad_query(
+            self._quads(spark), "g2",
+            [("?s", "p", "?o")],
+            optional=[("?o", "q", "?x")],
+        )
+        got = {tuple(r) for r in out.collect()}
+        assert got == {("a", "b2", "c2")}
+
+    def test_graph_var_repeated_in_pattern_position(self, spark):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            quad_query,
+        )
+
+        quads = spark.createDataFrame(
+            [("a", "a", "p", "x"), ("g", "a", "p", "y")],
+            "graph string, subj string, pred string, obj string",
+        )
+        # GRAPH ?s { ?s p ?o }: graph must EQUAL the subject
+        out = quad_query(quads, "?s", [("?s", "p", "?o")])
+        assert {tuple(r) for r in out.collect()} == {("a", "x")}
+
+    def test_variable_graph_subset_refusals(self, spark):
+        import pytest
+
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            quad_query,
+        )
+
+        q = self._quads(spark)
+        with pytest.raises(ValueError, match="constant graph"):
+            quad_query(q, "?g", [("?s", "p", "?o")],
+                       optional=[("?o", "q", "?x")])
+        with pytest.raises(ValueError, match="path/alternation"):
+            quad_query(q, "?g", [("?s", "p+", "?o")])
+        with pytest.raises(ValueError, match="path/alternation"):
+            quad_query(q, "?g", [("?s", "p|q", "?o")])
+        with pytest.raises(ValueError, match="unbound"):
+            quad_query(q, "?g", [("?s", "p", "?o")], select=["nope"])
+        with pytest.raises(ValueError, match="nondeterministic"):
+            quad_query(q, "?g", [("?s", "p", "?o")], limit=1)
+
+    def test_filters_and_modifiers(self, spark):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            quad_query,
+        )
+
+        out = quad_query(
+            self._quads(spark), "?g",
+            [("?s", "p", "?o")],
+            filters=["o <> 'b'"],
+            order_by=["g DESC"],
+            limit=1,
+        )
+        assert [tuple(r) for r in out.collect()] == [("g2", "a", "b2")]
