@@ -8127,6 +8127,43 @@ ORDER BY g, s
 """
 
 
+def q_graph_scoped_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same graph-scoped 2-hop as ``graph_scoped``, but PASTED as
+    SPARQL text through the front end (``GRAPH ?g { ... }`` →
+    quad_query) — proving the parser adds nothing and the scoping
+    survives the text path. Same hand-written quad-join oracle."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.sparql import sparql_query
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = _docs(spark, sf_dir)
+    hop1 = d.select(
+        F.concat(F.lit("g"), s(did % 4)).alias("graph"),
+        F.concat(F.lit("a"), s(did % 30)).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("b"), s(did % 30)).alias("obj"),
+    )
+    hop2 = d.select(
+        F.concat(F.lit("g"), s((did + did % 2) % 4)).alias("graph"),
+        F.concat(F.lit("b"), s(did % 30)).alias("subj"),
+        F.lit("q").alias("pred"),
+        F.concat(F.lit("c"), s(did % 30)).alias("obj"),
+    )
+    quads = hop1.unionByName(hop2)
+    return sparql_query(
+        quads,
+        "SELECT DISTINCT ?g ?s ?o ?x "
+        "WHERE { GRAPH ?g { ?s p ?o . ?o q ?x } } "
+        "ORDER BY ?g ?s",
+    )
+
+
+def _oracle_graph_scoped_text() -> str:
+    return _oracle_graph_scoped()
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8363,6 +8400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_summary": q_entity_summary,
         "bm25_search": q_bm25_search,
         "graph_scoped": q_graph_scoped,
+        "graph_scoped_text": q_graph_scoped_text,
     }
 
 
@@ -8528,4 +8566,5 @@ def oracle_sql() -> dict[str, str]:
         "entity_summary": _oracle_entity_summary(),
         "bm25_search": _oracle_bm25_search(),
         "graph_scoped": _oracle_graph_scoped(),
+        "graph_scoped_text": _oracle_graph_scoped_text(),
     }

@@ -285,6 +285,41 @@ class _Parser:
                     raise SparqlSyntaxError("BIND alias must be a variable")
                 expr = self._rewrite_expr(toks[:-2])
                 out["bind"].append((expr, alias[1:]))
+            elif u == "GRAPH":
+                # SPARQL 1.1 §13.3 — named-graph scoping. Text subset:
+                # the GRAPH block must be the ONLY element of its
+                # enclosing group (GRAPH <g> {...} / GRAPH ?g {...} as
+                # the whole WHERE clause); mixing it with sibling
+                # patterns would need dataset-merge semantics the quad
+                # compiler deliberately does not guess at.
+                if any(
+                    out[k]
+                    for k in ("patterns", "optional", "filters",
+                              "minus", "exists", "bind")
+                ):
+                    raise SparqlSyntaxError(
+                        "GRAPH must be the only element of its group "
+                        "(text subset)"
+                    )
+                self.take()
+                gtok = self.take()
+                gterm = gtok if gtok.startswith("?") else _term(gtok)
+                sub = self.parse_group()
+                if "__union__" in sub:
+                    raise SparqlSyntaxError(
+                        "UNION inside GRAPH is not supported "
+                        "(text subset)"
+                    )
+                if "graph" in sub:
+                    raise SparqlSyntaxError("nested GRAPH is not supported")
+                sub["graph"] = gterm
+                if not self.kw("}"):
+                    raise SparqlSyntaxError(
+                        "GRAPH must be the only element of its group "
+                        "(text subset)"
+                    )
+                self.expect("}")
+                return sub
             elif u == "VALUES":
                 self.take()
                 out["filters"].append(self._parse_values())
@@ -302,6 +337,11 @@ class _Parser:
         if "__union__" in sub:
             raise SparqlSyntaxError(
                 f"UNION inside {key.upper()} is not supported"
+            )
+        if "graph" in sub:
+            raise SparqlSyntaxError(
+                f"GRAPH inside {key.upper()} is not supported "
+                "(text subset)"
             )
         for extra in ("optional", "minus", "exists", "bind", "filters"):
             if sub[extra]:
@@ -659,6 +699,7 @@ def sparql_query(
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
+    graph_col: str = "graph",
 ) -> DataFrame:
     """Execute a SPARQL text query (all four forms) against a triple
     frame via the BGP compiler. The plan is exactly what the
@@ -666,6 +707,13 @@ def sparql_query(
     runtime. DESCRIBE returns the bounded subgraph (hops=1; use
     ``describe_nodes`` directly for deeper bounds); CONSTRUCT returns
     the instantiated ``(subj, pred, obj)`` graph.
+
+    A SELECT whose WHERE clause is a single ``GRAPH <g> {...}`` /
+    ``GRAPH ?g {...}`` block routes to ``graphquery.quad_query`` —
+    ``triples`` must then be a QUAD frame carrying ``graph_col``;
+    constant graphs keep the full feature set (delegation), variable
+    graphs take quad_query's documented subset, and GRAPH under
+    ASK/CONSTRUCT/aggregates/UNION raises.
 
     **Closure paths are bounded by default.** A pasted ``p+``/``p*``
     compiles to ``transitive_closure`` — unbounded, that is
@@ -711,6 +759,10 @@ def sparql_query(
                 "OPTIONAL/FILTER (programmatic bgp_construct has the "
                 "same surface)"
             )
+        if b.get("graph"):
+            raise SparqlSyntaxError(
+                "GRAPH under CONSTRUCT is not supported (SELECT-only)"
+            )
         return bgp_construct(
             triples,
             b["patterns"],
@@ -726,6 +778,10 @@ def sparql_query(
         b = spec["blocks"][0]
         if b["bind"]:
             raise SparqlSyntaxError("ASK with BIND is not supported")
+        if b.get("graph"):
+            raise SparqlSyntaxError(
+                "GRAPH under ASK is not supported (SELECT-only)"
+            )
         return bgp_ask(
             triples,
             b["patterns"],
@@ -743,6 +799,10 @@ def sparql_query(
 
         _check_agg_spec(spec)
         b = spec["blocks"][0]
+        if b.get("graph"):
+            raise SparqlSyntaxError(
+                "GRAPH with aggregates is not supported (SELECT-only)"
+            )
         df = bgp_aggregate(
             triples,
             b["patterns"],
@@ -774,6 +834,28 @@ def sparql_query(
             df = df.limit(int(spec["limit"]))
         return df
     if len(spec["blocks"]) == 1:
+        b = spec["blocks"][0]
+        if b.get("graph"):
+            from .graphquery import quad_query
+
+            kwargs = _block_kwargs(b)
+            patterns = kwargs.pop("patterns", [])
+            filters = kwargs.pop("filters", ())
+            return quad_query(
+                triples,
+                b["graph"],
+                patterns,
+                select=spec["select"],
+                distinct=spec["distinct"],
+                filters=filters,
+                order_by=spec["order_by"],
+                limit=spec["limit"],
+                offset=spec["offset"],
+                graph_col=graph_col,
+                **kwargs,
+                **hops_kw,
+                **cols,
+            )
         return bgp_query(
             triples,
             select=spec["select"],
@@ -781,7 +863,7 @@ def sparql_query(
             order_by=spec["order_by"],
             limit=spec["limit"],
             offset=spec["offset"],
-            **_block_kwargs(spec["blocks"][0]),
+            **_block_kwargs(b),
             **hops_kw,
             **cols,
         )
@@ -789,6 +871,10 @@ def sparql_query(
         raise SparqlSyntaxError(
             "modifiers over UNION are not supported — order/limit the "
             "returned frame"
+        )
+    if any(b.get("graph") for b in spec["blocks"]):
+        raise SparqlSyntaxError(
+            "GRAPH inside UNION branches is not supported (text subset)"
         )
     return bgp_union(
         triples,
@@ -815,6 +901,13 @@ def sparql_to_sql(
     from .graphquery import bgp_ask_sql
 
     spec = parse_sparql(text)
+    if any(b.get("graph") for b in spec.get("blocks", ())):
+        raise SparqlSyntaxError(
+            "GRAPH needs a quad-aware oracle — out of the SQL-twin "
+            "subset (write the quad join by hand, cf. the "
+            "graph_scoped contract row); emitting graph-blind SQL "
+            "would silently change the semantics"
+        )
     cols = dict(
         table=table, subj_col=subj_col, pred_col=pred_col, obj_col=obj_col
     )

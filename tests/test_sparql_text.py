@@ -480,3 +480,100 @@ class TestSparqlUpdate:
         # hops ≤ 2 only
         assert ("n0", "ex:reach", "n2") in got
         assert ("n0", "ex:reach", "n3") not in got
+
+
+class TestGraphClause:
+    """GRAPH <g> / GRAPH ?g through the text front end — parity with the
+    programmatic quad_query, plus the documented-subset refusals on BOTH
+    the engine and the SQL twin."""
+
+    def _quads(self, spark):
+        rows = [
+            ("g1", "a", "p", "b"),
+            ("g1", "b", "q", "c"),
+            ("g2", "a", "p", "b2"),
+            ("g2", "b2", "q", "c2"),
+            ("g2", "b", "q", "X"),
+        ]
+        return spark.createDataFrame(
+            rows, "graph string, subj string, pred string, obj string"
+        )
+
+    def test_variable_graph_text(self, spark):
+        from case_uco_ontology_map_spark.operators.sparql import (
+            sparql_query,
+        )
+
+        out = sparql_query(
+            self._quads(spark),
+            "SELECT ?g ?s ?x WHERE { GRAPH ?g { ?s p ?o . ?o q ?x } }",
+        )
+        assert {tuple(r) for r in out.collect()} == {
+            ("g1", "a", "c"), ("g2", "a", "c2")
+        }
+
+    def test_constant_graph_text_full_features(self, spark):
+        from case_uco_ontology_map_spark.operators.sparql import (
+            sparql_query,
+        )
+
+        out = sparql_query(
+            self._quads(spark),
+            "SELECT ?s ?x WHERE { GRAPH g2 { ?s p ?o "
+            "OPTIONAL { ?o q ?x } } }",
+        )
+        assert {tuple(r) for r in out.collect()} == {("a", "c2")}
+
+    def test_graph_refusals_mirror(self, spark):
+        import pytest
+
+        from case_uco_ontology_map_spark.operators.sparql import (
+            SparqlSyntaxError,
+            sparql_query,
+            sparql_to_sql,
+        )
+
+        q = self._quads(spark)
+        ask = "ASK WHERE { GRAPH ?g { ?s p ?o } }"
+        with pytest.raises(SparqlSyntaxError, match="SELECT-only"):
+            sparql_query(q, ask)
+        mixed = ("SELECT ?s WHERE { ?s p ?o . "
+                 "GRAPH ?g { ?o q ?x } }")
+        with pytest.raises(SparqlSyntaxError, match="only element"):
+            sparql_query(q, mixed)
+        inside_opt = ("SELECT ?s WHERE { ?s p ?o "
+                      "OPTIONAL { GRAPH ?g { ?o q ?x } } }")
+        with pytest.raises(SparqlSyntaxError, match="GRAPH inside"):
+            sparql_query(q, inside_opt)
+        var_with_opt = ("SELECT ?s WHERE { GRAPH ?g { ?s p ?o "
+                        "OPTIONAL { ?o q ?x } } }")
+        with pytest.raises(ValueError, match="constant graph"):
+            sparql_query(q, var_with_opt)
+        # the SQL twin refuses loudly instead of emitting
+        # graph-blind SQL
+        with pytest.raises(SparqlSyntaxError, match="quad-aware"):
+            sparql_to_sql(
+                "SELECT ?s WHERE { GRAPH ?g { ?s p ?o } }"
+            )
+
+    def test_graph_text_matches_programmatic(self, spark):
+        from case_uco_ontology_map_spark.operators.graphquery import (
+            quad_query,
+        )
+        from case_uco_ontology_map_spark.operators.sparql import (
+            sparql_query,
+        )
+
+        q = self._quads(spark)
+        text = sparql_query(
+            q,
+            "SELECT DISTINCT ?g ?s ?o WHERE { GRAPH ?g { ?s p ?o } } "
+            "ORDER BY ?g LIMIT 2",
+        )
+        prog = quad_query(
+            q, "?g", [("?s", "p", "?o")],
+            distinct=True, order_by=["g"], limit=2,
+        )
+        assert [tuple(r) for r in text.collect()] == [
+            tuple(r) for r in prog.collect()
+        ]
