@@ -1355,6 +1355,175 @@ def main():
         "property_profile counts must pre-aggregate map-side"
     )
 
+    # ---- session-6 batch: identity QA, EL priors, serving, quads ----
+    from case_uco_ontology_map_spark.functions.links import (
+        alias_priors,
+        link_by_prior,
+    )
+    from case_uco_ontology_map_spark.operators.fusion import (
+        functional_violations,
+        ifp_sameas_candidates,
+    )
+    from case_uco_ontology_map_spark.operators.graphquery import quad_query
+    from case_uco_ontology_map_spark.operators.serving import (
+        bm25_topk,
+        build_postings,
+        entity_summary,
+        posting_stats,
+    )
+    from case_uco_ontology_map_spark.operators.triples import kg_as_of
+
+    fv = functional_violations(jt, ["a", "b"])
+    fv_plan = plan_of(fv)
+    assert not re.findall(_no_python, fv_plan), (
+        "functional_violations must stay JVM-side"
+    )
+    assert "Window" not in fv_plan and "Join" not in fv_plan, (
+        "functional_violations is one grouped pass — no window, no join"
+    )
+    assert " IN (" in fv_plan or "INSET" in fv_plan, (
+        "functional_violations predicate isin must appear as a "
+        "pushable IN filter at the scan side of the plan"
+    )
+
+    ifp = ifp_sameas_candidates(jt, ["a", "b"])
+    ifp_plan = plan_of(ifp)
+    assert not re.findall(_no_python, ifp_plan), (
+        "ifp_sameas_candidates must stay JVM-side"
+    )
+    assert "Window" not in ifp_plan, (
+        "ifp group canonical/min must be groupBy, not a window"
+    )
+
+    ap_links = docs.select(
+        F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")).alias(
+            "dst"
+        ),
+        F.concat(F.lit("A"), (F.col("doc_id") % 3).cast("string")).alias(
+            "anchor"
+        ),
+    )
+    ap_pe = docs.select(
+        F.concat(F.lit("t"), (F.col("doc_id") % 7).cast("string")).alias(
+            "url"
+        ),
+        F.concat(F.lit("E"), (F.col("doc_id") % 3).cast("string")).alias(
+            "entity"
+        ),
+    )
+    ap = alias_priors(ap_links, ap_pe)
+    ap_plan = plan_of(ap)
+    assert not re.findall(_no_python, ap_plan), (
+        "alias_priors must stay JVM-side"
+    )
+    assert "partial" in ap_plan.lower() or "HashAggregate" in ap_plan, (
+        "alias_priors vote counts must pre-aggregate map-side"
+    )
+
+    lp_mentions = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.concat(F.lit("A"), (F.col("doc_id") % 4).cast("string")).alias(
+            "surface"
+        ),
+    )
+    lp = link_by_prior(lp_mentions, ap)
+    lp_plan = plan_of(lp)
+    assert not re.findall(_no_python, lp_plan), (
+        "link_by_prior must stay JVM-side"
+    )
+    assert "CartesianProduct" not in lp_plan, (
+        "link_by_prior must join on the normalized surface key"
+    )
+
+    ao_log = jt.select(
+        "subj", "pred", "obj",
+        F.when(F.col("obj") > "m", F.lit("del")).otherwise(
+            F.lit("add")
+        ).alias("op"),
+        (F.length("obj") % 10).cast("long").alias("ts"),
+    )
+    ao = kg_as_of(ao_log, 5)
+    ao_plan = plan_of(ao)
+    assert not re.findall(_no_python, ao_plan), (
+        "kg_as_of must stay JVM-side"
+    )
+    assert "Window" not in ao_plan and "Join" not in ao_plan, (
+        "kg_as_of is one grouped max(struct) pass — no window, no "
+        "join-back"
+    )
+
+    es = entity_summary(jt, k=3)
+    es_plan = plan_of(es)
+    assert not re.findall(_no_python, es_plan), (
+        "entity_summary must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in es_plan, (
+        "entity_summary predicate-frequency dimension must broadcast"
+    )
+
+    sv_docs = docs.select("doc_id", "text")
+    sv_postings = build_postings(sv_docs)
+    sv_plan = plan_of(sv_postings)
+    assert not re.findall(_no_python, sv_plan), (
+        "build_postings must tokenize in-row JVM-side"
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", sv_plan)) == 1, (
+        "build_postings is one (term, doc_id) shuffle"
+    )
+    sv_stats = posting_stats(sv_postings)
+    sv_queries = spark.createDataFrame(
+        [("q", "data"), ("q", "spark")], "query_id string, term string"
+    )
+    bm = bm25_topk(sv_postings, sv_stats, sv_queries, k=5)
+    bm_plan = plan_of(bm)
+    assert not re.findall(_no_python, bm_plan), (
+        "bm25_topk must stay JVM-side"
+    )
+    assert "CartesianProduct" not in bm_plan, (
+        "bm25_topk's only cross join is the broadcast 1-row stats"
+    )
+
+    qq_quads = docs.select(
+        F.concat(F.lit("g"), (F.col("doc_id") % 4).cast("string")).alias(
+            "graph"
+        ),
+        F.concat(F.lit("n"), (F.col("doc_id") % 9).cast("string")).alias(
+            "subj"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("p")).otherwise(
+            F.lit("q")
+        ).alias("pred"),
+        F.concat(F.lit("n"), ((F.col("doc_id") + 1) % 9).cast(
+            "string"
+        )).alias("obj"),
+    )
+    qq = quad_query(
+        qq_quads, "?g", [("?s", "p", "?o"), ("?o", "q", "?x")]
+    )
+    qq_plan = plan_of(qq)
+    assert not re.findall(_no_python, qq_plan), (
+        "quad_query must stay JVM-side"
+    )
+    assert "CartesianProduct" not in qq_plan, (
+        "GRAPH ?g joins must carry the graph variable as a join key — "
+        "never a cartesian"
+    )
+
+    sections.update(
+        {
+            "functional_violations (pred isin pushed; one grouped pass)": fv,
+            "ifp_sameas_candidates (groupBy min/count + key join-back)": ifp,
+            "alias_priors (map-side vote partials; capped ranking window)": ap,
+            "link_by_prior (rank-1 dictionary equi-join on surface key)": lp,
+            "kg_as_of (one grouped max(struct) pass, no join-back)": ao,
+            "entity_summary (broadcast pred-frequency; bounded window)": es,
+            "build_postings (in-row tokenize; one (term,doc) shuffle)": sv_postings,
+            "bm25_topk (broadcast terms/df/stats; bounded top-k window)": bm,
+            "quad_query GRAPH ?g (graph var as join key on every pattern)": qq,
+        }
+    )
+
     sections.update(
         {
             "rdfa_triples (flat typeof blocks, vocab prefixing, zero Exchange)": ra,
