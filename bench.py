@@ -1438,6 +1438,99 @@ def bench_queries(spark, sf_dir: str):
             raise RuntimeError(f"warc ingest returned {n} != {n_docs} docs")
         return n
 
+    def q_text_index():
+        """Batch BM25 retrieval over the amplified corpus: build the
+        inverted index from scratch (the dominant cost at 100 TB — one
+        (term, doc) shuffle with map-side partials), derive the 1-row
+        corpus stats, then score 8 two-term queries in ONE pass
+        through the matched postings. Guard: every query returns
+        exactly k rows (the synthetic vocabulary guarantees ≥k matching
+        docs per probed term)."""
+        from case_uco_ontology_map_spark.operators.serving import (
+            bm25_topk,
+            build_postings,
+            posting_stats,
+        )
+
+        postings = build_postings(corpus, id_col="url", text_col="text")
+        stats = posting_stats(postings)
+        qterms = [
+            ("q1", "spark"), ("q1", "window"),
+            ("q2", "hash"), ("q2", "merge"),
+            ("q3", "vector"), ("q3", "customer"),
+            ("q4", "table"), ("q4", "scan"),
+            ("q5", "join"), ("q5", "filter"),
+            ("q6", "batch"), ("q6", "row"),
+            ("q7", "sort"), ("q7", "group"),
+            ("q8", "key"), ("q8", "value"),
+        ]
+        queries = spark.createDataFrame(
+            qterms, "query_id string, term string"
+        )
+        n = bm25_topk(postings, stats, queries, k=10).count()
+        if n != 8 * 10:
+            raise RuntimeError(f"bm25 returned {n} != 80 rows")
+        return n
+
+    def q_entity_linking():
+        """Commonness-prior entity linking at corpus scale: anchor
+        votes synthesized per page (8 surface families over 64 targets,
+        xxhash64-derived so the distribution is deterministic), the
+        alias-dictionary build (two key-compatible vote shuffles +
+        bounded ranking window), then the rank-1 dictionary joins back
+        over EVERY corpus url as a mention. Guards: exactly one output
+        row per mention (left join), and the confident slice is
+        non-empty (the priors actually decide something)."""
+        from case_uco_ontology_map_spark.functions.links import (
+            alias_priors,
+            link_by_prior,
+        )
+
+        h = F.abs(F.xxhash64("url"))
+        tnum = h % 64
+        # 7/8 of anchors are ALIGNED (surface s names targets ≡ s mod 8,
+        # which all map to entity E<s>), 1/8 are noise — so the rank-1
+        # entity holds ≥7/8 of each surface's votes and the confidence
+        # test actually fires, while the noise keeps the argmax honest.
+        noise = (h / 13).cast("long") % 8 == 0
+        links = corpus.select(
+            F.col("url").alias("src"),
+            F.concat(F.lit("t"), tnum.cast("string")).alias("dst"),
+            F.when(
+                noise,
+                F.concat(
+                    F.lit("Name"),
+                    ((h / 7).cast("long") % 8).cast("string"),
+                ),
+            ).otherwise(
+                F.concat(F.lit("Name"), (tnum % 8).cast("string"))
+            ).alias("anchor"),
+        )
+        pe = corpus.select(
+            F.concat(F.lit("t"), tnum.cast("string")).alias("url"),
+            F.concat(F.lit("E"), (tnum % 8).cast("string")).alias(
+                "entity"
+            ),
+        )
+        mentions = corpus.select(
+            F.col("url").alias("doc"),
+            F.concat(
+                F.lit("Name"), ((h / 11).cast("long") % 9).cast("string")
+            ).alias("surface"),
+        )
+        out = link_by_prior(mentions, alias_priors(links, pe))
+        agg = out.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("confident").cast("long")).alias("n_conf"),
+        ).collect()[0]
+        if agg["n"] != n_docs:
+            raise RuntimeError(
+                f"linking returned {agg['n']} != {n_docs} mentions"
+            )
+        if not agg["n_conf"]:
+            raise RuntimeError("no confident links — priors undecided")
+        return agg["n"]
+
     return stage_dir, n_docs, {
         "extract_text": q_extract,
         "kg_triples": q_triples,
@@ -1469,6 +1562,8 @@ def bench_queries(spark, sf_dir: str):
         "warc_ingest": q_warc_ingest,
         "link_extract": q_link_extract,
         "structured_extract": q_structured_extract,
+        "text_index": q_text_index,
+        "entity_linking": q_entity_linking,
         "frontier_sched": q_frontier_sched,
         "materialize": q_materialize,
     }, post_metrics
@@ -1633,7 +1728,7 @@ TIER2_STAGES = (
     "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
     "host_rollup", "wat_export", "graph_spam_mass", "graph_bfs",
     "domain_rollup", "boilerplate", "kg_entailment",
-    "structured_extract",
+    "structured_extract", "text_index",
 )
 
 
