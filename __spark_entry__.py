@@ -8164,6 +8164,122 @@ def _oracle_graph_scoped_text() -> str:
     return _oracle_graph_scoped()
 
 
+def q_identity_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The markup-key identity chain END TO END under one oracle:
+    triples (two inverse-functional key families + names + links) →
+    ifp_sameas_candidates (both IFPs; the 'NA' junk group exceeds
+    max_group and drops) → connected components over the star edges
+    (nodes chain ACROSS the isbn- and mail-key spaces, so CC does real
+    merging, not just star flattening) → rewrite_canonical over the
+    full graph with the literal guard (a literal textually equal to an
+    alias IRI must survive). DuckDB replays candidates, closes the
+    component graph with a recursive min-reachable CTE, and re-derives
+    the rewritten triple SET."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from case_uco_ontology_map_spark.operators.fusion import (
+        ifp_sameas_candidates,
+    )
+    from case_uco_ontology_map_spark.operators.triples import (
+        rewrite_canonical,
+    )
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = _docs(spark, sf_dir)
+    node = F.concat(F.lit("n"), s(did))
+
+    def fam(df, pred, obj, is_iri):
+        return df.select(
+            node.alias("subj"), F.lit(pred).alias("pred"),
+            obj.alias("obj"), F.lit(is_iri).alias("obj_is_iri"),
+        )
+
+    isbn = fam(d.where(did % 5 != 0), "id:key",
+               F.concat(F.lit("K"), s(did % 37)), False)
+    junk = fam(d.where(did % 5 == 0), "id:key", F.lit("NA"), False)
+    mail = fam(d.where(did % 3 != 0), "id:mail",
+               F.concat(F.lit("M"), s(did % 23)), False)
+    name = fam(d, "schema:name",
+               F.concat(F.lit("n"), s((did + 1) % 40)), False)
+    link = fam(d, "kb:linksTo",
+               F.concat(F.lit("n"), s((did + 7) % 40)), True)
+    base = isbn.unionByName(junk).unionByName(mail) \
+               .unionByName(name).unionByName(link)
+    cands = ifp_sameas_candidates(
+        base, ["id:key", "id:mail"], max_group=64
+    )
+    comp = connected_components(
+        cands.select(F.col("subj").alias("src"),
+                     F.col("canonical").alias("dst"))
+    )
+    mapping = comp.select(
+        F.col("id").alias("from_iri"),
+        F.col("component").alias("to_iri"),
+    )
+    return rewrite_canonical(
+        base, mapping, obj_is_iri_col="obj_is_iri"
+    ).orderBy("subj", "pred", "obj")
+
+
+def _oracle_identity_pipeline() -> str:
+    return """
+WITH RECURSIVE base AS (
+  SELECT 'n' || doc_id AS subj, 'id:key' AS pred,
+         'K' || (doc_id % 37) AS obj, FALSE AS obj_is_iri
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'n' || doc_id, 'id:key', 'NA', FALSE
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'n' || doc_id, 'id:mail', 'M' || (doc_id % 23), FALSE
+  FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT 'n' || doc_id, 'schema:name', 'n' || ((doc_id + 1) % 40), FALSE
+  FROM documents
+  UNION ALL
+  SELECT 'n' || doc_id, 'kb:linksTo', 'n' || ((doc_id + 7) % 40), TRUE
+  FROM documents
+), ipairs AS (
+  SELECT DISTINCT pred, obj AS key, subj FROM base
+  WHERE pred IN ('id:key', 'id:mail')
+), igroups AS (
+  SELECT pred, key, MIN(subj) AS canonical, count(*) AS n
+  FROM ipairs GROUP BY pred, key
+  HAVING count(*) > 1 AND count(*) <= 64
+), edges AS (
+  SELECT p.subj AS src, g.canonical AS dst
+  FROM ipairs p JOIN igroups g ON p.pred = g.pred AND p.key = g.key
+), sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION SELECT dst, src FROM edges
+  UNION SELECT src, src FROM edges
+  UNION SELECT dst, dst FROM edges
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+), remap AS (
+  SELECT node AS f, component AS t FROM comp WHERE node <> component
+)
+SELECT DISTINCT
+  COALESCE(ms.t, b.subj) AS subj,
+  b.pred,
+  CASE WHEN b.obj_is_iri AND mo.t IS NOT NULL THEN mo.t
+       ELSE b.obj END AS obj,
+  b.obj_is_iri
+FROM base b
+LEFT JOIN remap ms ON b.subj = ms.f
+LEFT JOIN remap mo ON b.obj = mo.f
+ORDER BY subj, pred, obj
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8401,6 +8517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "graph_scoped": q_graph_scoped,
         "graph_scoped_text": q_graph_scoped_text,
+        "identity_pipeline": q_identity_pipeline,
     }
 
 
@@ -8567,4 +8684,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _oracle_bm25_search(),
         "graph_scoped": _oracle_graph_scoped(),
         "graph_scoped_text": _oracle_graph_scoped_text(),
+        "identity_pipeline": _oracle_identity_pipeline(),
     }
