@@ -7890,33 +7890,11 @@ def q_kg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes some docs past the as_of bound), with subj/pred/obj drawn
     mod 40/3/5 so many docs write the same triple's history. DuckDB
     replays filter → max-ts → same-ts MAX(op) → add-only verbatim."""
-    from pyspark.sql import functions as F
-
     from case_uco_ontology_map_spark.operators.triples import kg_as_of
 
-    did = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    base = _docs(spark, sf_dir).select(
-        F.concat(F.lit("s"), s(did % 40)).alias("subj"),
-        F.concat(F.lit("p"), s(did % 3)).alias("pred"),
-        F.concat(F.lit("o"), s(did % 5)).alias("obj"),
-        did.alias("_d"),
+    return kg_as_of(_as_of_log(spark, sf_dir), 12).orderBy(
+        "subj", "pred", "obj"
     )
-    d = F.col("_d")
-    adds = base.select(
-        "subj", "pred", "obj", F.lit("add").alias("op"),
-        (d % 10).cast("long").alias("ts"),
-    )
-    dels = base.select(
-        "subj", "pred", "obj", F.lit("del").alias("op"),
-        (d % 10 + d % 3).cast("long").alias("ts"),
-    )
-    readds = base.select(
-        "subj", "pred", "obj", F.lit("add").alias("op"),
-        (d % 10 + 2 * (d % 4)).cast("long").alias("ts"),
-    )
-    log = adds.unionByName(dels).unionByName(readds)
-    return kg_as_of(log, 12).orderBy("subj", "pred", "obj")
 
 
 def _oracle_kg_as_of() -> str:
@@ -8280,6 +8258,266 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_kg_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-completeness census (triples.kg_completeness): typed
+    instances synthesized so Person fills 'name' on 2/3 of instances
+    and 'email' on families %4==1 only, Org fills nothing, a Ghost
+    class has no instances (absent), an untyped stray subject never
+    counts, and multi-valued names count once. DuckDB replays the
+    type/property distinct projections, the EXISTS fill test, and the
+    zero-fill left join."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        kg_completeness,
+    )
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = _docs(spark, sf_dir)
+    node = F.concat(F.lit("n"), s(did))
+    types = d.where(did % 7 != 6).select(
+        node.alias("subj"), F.lit("rdf:type").alias("pred"),
+        F.when(did % 2 == 0, F.lit("Person")).otherwise(
+            F.lit("Org")
+        ).alias("obj"),
+    )
+    names = d.where(did % 3 != 0).select(
+        node.alias("subj"), F.lit("name").alias("pred"),
+        F.concat(F.lit("N"), s(did % 5)).alias("obj"),
+    )
+    names2 = d.where(did % 6 == 1).select(
+        node.alias("subj"), F.lit("name").alias("pred"),
+        F.concat(F.lit("ALT"), s(did % 5)).alias("obj"),
+    )
+    emails = d.where(did % 4 == 1).select(
+        node.alias("subj"), F.lit("email").alias("pred"),
+        F.concat(F.lit("e"), s(did), F.lit("@x")).alias("obj"),
+    )
+    t = types.unionByName(names).unionByName(names2).unionByName(emails)
+    schema = spark.createDataFrame(
+        [("Person", "name"), ("Person", "email"), ("Org", "name"),
+         ("Org", "email"), ("Ghost", "name")],
+        "cls string, prop string",
+    )
+    return kg_completeness(t, schema).orderBy("cls", "prop")
+
+
+def _oracle_kg_completeness() -> str:
+    return """
+WITH t AS (
+  SELECT 'n' || doc_id AS subj, 'rdf:type' AS pred,
+         CASE WHEN doc_id % 2 = 0 THEN 'Person' ELSE 'Org' END AS obj
+  FROM documents WHERE doc_id % 7 <> 6
+  UNION ALL
+  SELECT 'n' || doc_id, 'name', 'N' || (doc_id % 5)
+  FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT 'n' || doc_id, 'name', 'ALT' || (doc_id % 5)
+  FROM documents WHERE doc_id % 6 = 1
+  UNION ALL
+  SELECT 'n' || doc_id, 'email', 'e' || doc_id || '@x'
+  FROM documents WHERE doc_id % 4 = 1
+), types AS (
+  SELECT DISTINCT subj, obj AS cls FROM t WHERE pred = 'rdf:type'
+), sch AS (
+  SELECT * FROM (VALUES
+    ('Person', 'name'), ('Person', 'email'), ('Org', 'name'),
+    ('Org', 'email'), ('Ghost', 'name')
+  ) AS v(cls, prop)
+), props AS (
+  SELECT DISTINCT subj, pred AS prop FROM t WHERE pred <> 'rdf:type'
+), filled AS (
+  SELECT e.cls, e.prop, CAST(count(*) AS BIGINT) AS n_filled
+  FROM (SELECT ty.subj, ty.cls, sc.prop
+        FROM types ty JOIN sch sc ON ty.cls = sc.cls) e
+  WHERE EXISTS (SELECT 1 FROM props p
+                WHERE p.subj = e.subj AND p.prop = e.prop)
+  GROUP BY e.cls, e.prop
+), instances AS (
+  SELECT cls, CAST(count(*) AS BIGINT) AS n_instances
+  FROM types GROUP BY cls
+)
+SELECT sc.cls, sc.prop,
+       COALESCE(f.n_filled, 0) AS n_filled,
+       i.n_instances
+FROM sch sc
+JOIN instances i ON sc.cls = i.cls
+LEFT JOIN filled f ON sc.cls = f.cls AND sc.prop = f.prop
+ORDER BY sc.cls, sc.prop
+"""
+
+
+def q_entity_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance postings over the LINKED mention stream — composes
+    the prior_linking chain with serving.entity_postings: per entity,
+    distinct supporting docs + the bounded sorted evidence sample;
+    NULL-entity (unlinkable) mentions never index. The oracle nests
+    the full prior_linking replay and re-derives the postings."""
+    from case_uco_ontology_map_spark.operators.serving import (
+        entity_postings,
+    )
+
+    linked = q_prior_linking(spark, sf_dir)
+    return entity_postings(linked, sample_k=3).orderBy("entity")
+
+
+def _oracle_entity_postings() -> str:
+    return f"""
+WITH linked AS ({_oracle_prior_linking()})
+SELECT entity, CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(
+         list_slice(list_sort(list(doc)), 1, 3), '|'
+       ) AS docs
+FROM (SELECT DISTINCT entity, doc FROM linked
+      WHERE entity IS NOT NULL)
+GROUP BY entity ORDER BY entity
+"""
+
+
+def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance
+    (serving.merge_postings): crawl-2 re-crawls every %3 doc with
+    CHANGED text (suffix token) and adds brand-new docs; the fold must
+    REPLACE the touched docs' postings (never sum frequencies across
+    crawls) and keep everything else. Probed on three terms — one
+    common, one introduced only by the re-crawl, one whose old
+    postings must survive untouched. The oracle replays the
+    replacement semantics as build(A∖touched ∪ B) from the raw text."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.serving import (
+        build_postings,
+        merge_postings,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    crawl2 = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" refreshed")).alias("text"),
+    ).unionByName(
+        d.where(F.col("doc_id") % 50 == 1).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    merged = merge_postings(build_postings(d), build_postings(crawl2))
+    return merged.where(
+        F.col("term").isin("spark", "refreshed", "customer")
+    ).orderBy("term", "doc_id")
+
+
+def _oracle_incremental_index() -> str:
+    return """
+WITH full_corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' refreshed' FROM documents
+  WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 1
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM full_corpus
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t
+  FROM toks WHERE len(t) > 0
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, MAX(dl) AS dl
+FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+WHERE term IN ('spark', 'refreshed', 'customer')
+GROUP BY term, doc_id
+ORDER BY term, doc_id
+"""
+
+
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel audit composite: the SAME op log as ``kg_as_of``
+    reconstructed at T=8 and T=12, then ``diff_graphs`` between the
+    two states — "what changed in the graph between Tuesday and
+    Friday", including rows whose presence flipped through delete/
+    re-add cycles. DuckDB replays both reconstructions and the
+    set-diff with EXCEPT."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        diff_graphs,
+        kg_as_of,
+    )
+
+    log = _as_of_log(spark, sf_dir)
+    old = kg_as_of(log, 8).drop("ts")
+    new = kg_as_of(log, 12).drop("ts")
+    return diff_graphs(old, new).orderBy("change", "subj", "pred", "obj")
+
+
+def _oracle_time_travel_diff() -> str:
+    asof = """
+  SELECT subj, pred, obj FROM (
+    SELECT f.subj, f.pred, f.obj, f.ts, MAX(f.op) AS op
+    FROM f JOIN (
+      SELECT subj, pred, obj, MAX(ts) AS ts FROM f
+      WHERE ts <= {bound} GROUP BY 1, 2, 3
+    ) w ON f.subj = w.subj AND f.pred = w.pred AND f.obj = w.obj
+       AND f.ts = w.ts
+    WHERE f.ts <= {bound}
+    GROUP BY 1, 2, 3, 4
+  ) WHERE op = 'add'
+"""
+    return f"""
+WITH base AS (
+  SELECT 's' || (doc_id % 40) AS subj, 'p' || (doc_id % 3) AS pred,
+         'o' || (doc_id % 5) AS obj, doc_id AS d
+  FROM documents
+), log AS (
+  SELECT subj, pred, obj, 'add' AS op,
+         CAST(d % 10 AS BIGINT) AS ts FROM base
+  UNION ALL
+  SELECT subj, pred, obj, 'del' AS op,
+         CAST(d % 10 + d % 3 AS BIGINT) AS ts FROM base
+  UNION ALL
+  SELECT subj, pred, obj, 'add' AS op,
+         CAST(d % 10 + 2 * (d % 4) AS BIGINT) AS ts FROM base
+), f AS (
+  SELECT subj, pred, obj, ts, op FROM log WHERE op IN ('add', 'del')
+), old AS ({asof.format(bound=8)}),
+   new AS ({asof.format(bound=12)})
+SELECT subj, pred, obj, 'added' AS change
+FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+UNION ALL
+SELECT subj, pred, obj, 'removed' AS change
+FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+ORDER BY change, subj, pred, obj
+"""
+
+
+def _as_of_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared synthetic op log of q_kg_as_of / q_time_travel_diff."""
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s"), s(did % 40)).alias("subj"),
+        F.concat(F.lit("p"), s(did % 3)).alias("pred"),
+        F.concat(F.lit("o"), s(did % 5)).alias("obj"),
+        did.alias("_d"),
+    )
+    d = F.col("_d")
+    adds = base.select(
+        "subj", "pred", "obj", F.lit("add").alias("op"),
+        (d % 10).cast("long").alias("ts"),
+    )
+    dels = base.select(
+        "subj", "pred", "obj", F.lit("del").alias("op"),
+        (d % 10 + d % 3).cast("long").alias("ts"),
+    )
+    readds = base.select(
+        "subj", "pred", "obj", F.lit("add").alias("op"),
+        (d % 10 + 2 * (d % 4)).cast("long").alias("ts"),
+    )
+    return adds.unionByName(dels).unionByName(readds)
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8518,6 +8756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scoped": q_graph_scoped,
         "graph_scoped_text": q_graph_scoped_text,
         "identity_pipeline": q_identity_pipeline,
+        "kg_completeness": q_kg_completeness,
+        "entity_postings": q_entity_postings,
+        "incremental_index": q_incremental_index,
+        "time_travel_diff": q_time_travel_diff,
     }
 
 
@@ -8685,4 +8927,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_scoped": _oracle_graph_scoped(),
         "graph_scoped_text": _oracle_graph_scoped_text(),
         "identity_pipeline": _oracle_identity_pipeline(),
+        "kg_completeness": _oracle_kg_completeness(),
+        "entity_postings": _oracle_entity_postings(),
+        "incremental_index": _oracle_incremental_index(),
+        "time_travel_diff": _oracle_time_travel_diff(),
     }

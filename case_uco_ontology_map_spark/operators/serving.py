@@ -257,3 +257,61 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM per_doc
 ) WHERE rank <= {k}
 """
+
+
+def entity_postings(
+    linked: DataFrame,
+    entity_col: str = "entity",
+    doc_col: str = "doc",
+    sample_k: int = 5,
+) -> DataFrame:
+    """Provenance postings — the entity→documents index a KG serves
+    alongside each entity card ("which pages support this node?"):
+    per entity, the number of DISTINCT supporting documents and a
+    bounded, deterministic evidence sample (``|``-joined first
+    ``sample_k`` doc ids in lexicographic order) →
+    ``(entity, n_docs, docs)``. NULL entities (unlinked mentions)
+    never index.
+
+    Scale shape: one distinct + one groupBy on entity — map-side
+    partials; the collected set is bounded by the entity's distinct
+    doc count and the emitted sample by ``sample_k`` (same evidence
+    discipline as fusion.functional_violations — a hub entity's full
+    posting list lives in the postings TABLE, never in one row)."""
+    pairs = (
+        linked.where(F.col(entity_col).isNotNull())
+        .select(
+            F.col(entity_col).alias("entity"),
+            F.col(doc_col).cast("string").alias("doc"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(
+            "|", F.slice(F.sort_array(F.collect_set("doc")), 1, sample_k)
+        ).alias("docs"),
+    )
+
+
+def merge_postings(
+    old: DataFrame,
+    delta: DataFrame,
+) -> DataFrame:
+    """Incremental index maintenance: fold a re-crawl's postings into
+    the standing inverted index. Document-replacement semantics — a
+    doc appearing in ``delta`` REPLACES its old postings wholesale
+    (its text changed; summing term frequencies across crawls would
+    corrupt every score), docs absent from the delta keep theirs. By
+    construction ``merge_postings(build(A), build(B)) ≡ build(A∖B ∪
+    B)`` — the incremental fold is exact, not approximate.
+
+    Scale shape: one anti-join of the standing index against the
+    delta's (small) distinct doc set — broadcast when the re-crawl is
+    a daily slice — plus a union; the standing index never shuffles
+    on anything but its own doc key, and with both sides bucketed by
+    term the downstream query path is unchanged."""
+    touched = delta.select("doc_id").distinct()
+    return old.join(
+        F.broadcast(touched), "doc_id", "left_anti"
+    ).unionByName(delta).select("term", "doc_id", "tf", "dl")

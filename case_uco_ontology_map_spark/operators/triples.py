@@ -1024,3 +1024,95 @@ WITH f AS (
 )
 SELECT subj, pred, obj, ts FROM last WHERE op = 'add'
 """
+
+
+def kg_completeness(
+    triples: DataFrame,
+    schema: DataFrame,
+    type_pred: str = "rdf:type",
+    class_col: str = "cls",
+    prop_col: str = "prop",
+) -> DataFrame:
+    """Schema-completeness census — the RECALL side of KG QA (the
+    functional/IFP rules audit precision; this answers "how much of
+    what the schema promises did extraction actually fill?"): for every
+    (class, expected property) row of ``schema``, the number of typed
+    instances carrying ≥1 assertion of that property →
+    ``(cls, prop, n_filled, n_instances)``. Exact integers — the fill
+    RATE is the caller's division (house rule). Instances typed into a
+    class with zero filled rows still report (n_filled = 0), which is
+    the whole point of a completeness audit.
+
+    Scale shape: ``schema`` is the broadcast dimension (classes ×
+    expected props — thousands of rows); the type slice and the
+    distinct (subj, pred) projection each shuffle on subject, so the
+    instance⋈property join co-partitions; counts group on the
+    (cls, prop) pair with map-side partials. No window, no per-entity
+    state."""
+    types = (
+        triples.where(F.col("pred") == type_pred)
+        .select(F.col("subj"), F.col("obj").alias("cls"))
+        .distinct()
+    )
+    sch = schema.select(
+        F.col(class_col).alias("cls"), F.col(prop_col).alias("prop")
+    ).distinct()
+    props = (
+        triples.where(F.col("pred") != type_pred)
+        .select("subj", F.col("pred").alias("prop"))
+        .distinct()
+    )
+    expected = types.join(F.broadcast(sch), "cls")
+    filled = (
+        expected.join(props, ["subj", "prop"], "left_semi")
+        .groupBy("cls", "prop")
+        .agg(F.count(F.lit(1)).alias("n_filled"))
+    )
+    instances = types.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_instances")
+    )
+    return (
+        sch.join(instances, "cls")
+        .join(filled, ["cls", "prop"], "left")
+        .select(
+            "cls", "prop",
+            F.coalesce("n_filled", F.lit(0)).alias("n_filled"),
+            "n_instances",
+        )
+    )
+
+
+def kg_completeness_sql(
+    schema_values: str,
+    type_pred: str = "rdf:type",
+    table: str = "t",
+) -> str:
+    """ANSI replay of ``kg_completeness``; ``schema_values`` is a
+    ``(VALUES ...) AS s(cls, prop)`` body or an equivalent CTE name."""
+    return f"""
+WITH types AS (
+  SELECT DISTINCT subj, obj AS cls FROM {table}
+  WHERE pred = '{type_pred}'
+), sch AS (
+  SELECT DISTINCT cls, prop FROM {schema_values}
+), props AS (
+  SELECT DISTINCT subj, pred AS prop FROM {table}
+  WHERE pred <> '{type_pred}'
+), filled AS (
+  SELECT e.cls, e.prop, CAST(count(*) AS BIGINT) AS n_filled
+  FROM (SELECT t.subj, t.cls, s.prop
+        FROM types t JOIN sch s ON t.cls = s.cls) e
+  WHERE EXISTS (SELECT 1 FROM props p
+                WHERE p.subj = e.subj AND p.prop = e.prop)
+  GROUP BY e.cls, e.prop
+), instances AS (
+  SELECT cls, CAST(count(*) AS BIGINT) AS n_instances
+  FROM types GROUP BY cls
+)
+SELECT s.cls, s.prop,
+       COALESCE(f.n_filled, 0) AS n_filled,
+       i.n_instances
+FROM sch s
+JOIN instances i ON s.cls = i.cls
+LEFT JOIN filled f ON s.cls = f.cls AND s.prop = f.prop
+"""

@@ -1818,3 +1818,36 @@ class TestKgAsOf:
             tuple(r) for r in kg_as_of(log, 2).collect()
         }
         assert as_of_2 == {("s", "p", "a", 1), ("s", "p", "b", 2)}
+
+
+class TestKgCompleteness:
+    def test_hand_computed_fill_rates(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            kg_completeness,
+        )
+
+        t = spark.createDataFrame(
+            [
+                ("p1", "rdf:type", "Person"),
+                ("p2", "rdf:type", "Person"),
+                ("p3", "rdf:type", "Person"),
+                ("o1", "rdf:type", "Org"),
+                ("p1", "name", "A"),
+                ("p2", "name", "B"),
+                ("p2", "name", "B2"),   # multi-value still counts ONCE
+                ("p1", "email", "a@x"),
+                ("stray", "name", "S"),  # untyped subject never counts
+            ],
+            "subj string, pred string, obj string",
+        )
+        schema = spark.createDataFrame(
+            [("Person", "name"), ("Person", "email"), ("Org", "name"),
+             ("Ghost", "name")],  # class with no instances: absent
+            "cls string, prop string",
+        )
+        got = {tuple(r) for r in kg_completeness(t, schema).collect()}
+        assert got == {
+            ("Person", "name", 2, 3),
+            ("Person", "email", 1, 3),
+            ("Org", "name", 0, 1),
+        }

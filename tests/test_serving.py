@@ -103,3 +103,47 @@ def test_bm25_max_df_prunes_stopwords(spark):
     out = bm25_topk(postings, stats, queries, k=10, max_df=2).collect()
     # 'the' (df=3) is pruned: only doc 1 matches, via 'apple' alone
     assert [(r.query_id, r.doc_id, r.rank) for r in out] == [("q", 1, 1)]
+
+
+def test_entity_postings_bounded_sample(spark):
+    from case_uco_ontology_map_spark.operators.serving import (
+        entity_postings,
+    )
+
+    rows = [
+        ("E1", "d2"), ("E1", "d1"), ("E1", "d3"), ("E1", "d1"),  # dup doc
+        ("E2", "d9"),
+        (None, "d5"),  # unlinked mention never indexes
+    ]
+    df = spark.createDataFrame(rows, "entity string, doc string")
+    got = {tuple(r) for r in entity_postings(df, sample_k=2).collect()}
+    assert got == {("E1", 3, "d1|d2"), ("E2", 1, "d9")}
+
+
+def test_merge_postings_equals_full_rebuild(spark):
+    from case_uco_ontology_map_spark.operators.serving import (
+        build_postings,
+        merge_postings,
+    )
+
+    crawl1 = spark.createDataFrame(
+        [(1, "apple banana"), (2, "cherry cherry"), (3, "fig")],
+        "doc_id long, text string",
+    )
+    # re-crawl: doc 2's text CHANGED, doc 4 is new
+    crawl2 = spark.createDataFrame(
+        [(2, "banana"), (4, "apple fig")], "doc_id long, text string"
+    )
+    merged = merge_postings(build_postings(crawl1), build_postings(crawl2))
+    full = build_postings(
+        spark.createDataFrame(
+            [(1, "apple banana"), (2, "banana"), (3, "fig"),
+             (4, "apple fig")],
+            "doc_id long, text string",
+        )
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    # the stale cherry postings are gone, not double-counted
+    assert merged.where("term = 'cherry'").count() == 0
