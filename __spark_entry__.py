@@ -8518,6 +8518,126 @@ def _as_of_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adds.unionByName(dels).unionByName(readds)
 
 
+def q_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-level schema summary (triples.schema_graph) of the
+    engine's own structural emission: record→facet wiring rolls up to
+    the (class, pred, class) usage graph, with the untyped sentinel
+    covering IRI objects that carry no rdf:type. DuckDB replays the
+    type map, the double class join, and the rollup over the
+    independently-constructed structural truth."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        schema_graph,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return schema_graph(t).orderBy("subj_cls", "pred", "obj_cls")
+
+
+def _oracle_schema_graph() -> str:
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+types AS (
+  SELECT DISTINCT subj AS n, obj AS cls FROM t
+  WHERE pred = 'rdf:type'
+), edges AS (
+  SELECT DISTINCT subj, pred, obj FROM t
+  WHERE pred <> 'rdf:type' AND obj_is_iri
+)
+SELECT COALESCE(st.cls, '__untyped__') AS subj_cls, e.pred,
+       COALESCE(ot.cls, '__untyped__') AS obj_cls,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM edges e
+LEFT JOIN types st ON e.subj = st.n
+LEFT JOIN types ot ON e.obj = ot.n
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_literal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-literal value profile (triples.literal_stats) of the
+    structural emission: the n_chars literals parse as integers
+    (exact BIGINT min/max/sum), every other literal family lands in
+    the n_nonint malformed-rate column. Regexp gate Java∩RE2-portable,
+    replayed verbatim."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        literal_stats,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return literal_stats(t).orderBy("pred")
+
+
+def _oracle_literal_stats() -> str:
+    return f"""
+WITH t AS ({_oracle_triples_structural()})
+SELECT pred,
+       CAST(count(iv) AS BIGINT) AS n_int,
+       CAST(count(*) - count(iv) AS BIGINT) AS n_nonint,
+       MIN(iv) AS min_value,
+       MAX(iv) AS max_value,
+       SUM(iv) AS sum_value
+FROM (
+  SELECT pred,
+         CASE WHEN regexp_matches(obj, '^-?[0-9]{{1,18}}$')
+              THEN CAST(obj AS BIGINT) END AS iv
+  FROM t WHERE NOT obj_is_iri
+)
+GROUP BY pred
+ORDER BY pred
+"""
+
+
+def q_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention compaction (triples.compact_log) over the shared op
+    log at horizon 8: everything at or before 8 collapses to one
+    synthetic add per triple alive at the horizon (tombstoned and
+    overwritten history prunes), later ops pass through verbatim —
+    as-of equivalence for t >= horizon is pinned by pytest; the
+    contract hashes the compacted log itself. DuckDB replays the
+    as-of state and the hot pass-through."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        compact_log,
+    )
+
+    log = _as_of_log(spark, sf_dir)
+    return compact_log(log, 8).orderBy("ts", "subj", "pred", "obj", "op")
+
+
+def _oracle_log_compaction() -> str:
+    return """
+WITH base AS (
+  SELECT 's' || (doc_id % 40) AS subj, 'p' || (doc_id % 3) AS pred,
+         'o' || (doc_id % 5) AS obj, doc_id AS d
+  FROM documents
+), log AS (
+  SELECT subj, pred, obj, 'add' AS op,
+         CAST(d % 10 AS BIGINT) AS ts FROM base
+  UNION ALL
+  SELECT subj, pred, obj, 'del' AS op,
+         CAST(d % 10 + d % 3 AS BIGINT) AS ts FROM base
+  UNION ALL
+  SELECT subj, pred, obj, 'add' AS op,
+         CAST(d % 10 + 2 * (d % 4) AS BIGINT) AS ts FROM base
+), f AS (
+  SELECT subj, pred, obj, ts, op FROM log
+  WHERE ts <= 8 AND op IN ('add', 'del')
+), w AS (
+  SELECT subj, pred, obj, MAX(ts) AS ts FROM f GROUP BY 1, 2, 3
+), last AS (
+  SELECT f.subj, f.pred, f.obj, f.ts, MAX(f.op) AS op
+  FROM f JOIN w ON f.subj = w.subj AND f.pred = w.pred
+              AND f.obj = w.obj AND f.ts = w.ts
+  GROUP BY 1, 2, 3, 4
+)
+SELECT subj, pred, obj, 'add' AS op, CAST(8 AS BIGINT) AS ts
+FROM last WHERE op = 'add'
+UNION ALL
+SELECT subj, pred, obj, op, ts FROM log WHERE ts > 8
+ORDER BY ts, subj, pred, obj, op
+"""
+
+
 def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text→taxonomy chain (the WebIsA recipe): Hearst-pattern
     isA candidates over synthesized sentences → unweighted majority vote
@@ -8760,6 +8880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_postings": q_entity_postings,
         "incremental_index": q_incremental_index,
         "time_travel_diff": q_time_travel_diff,
+        "schema_graph": q_schema_graph,
+        "literal_stats": q_literal_stats,
+        "log_compaction": q_log_compaction,
     }
 
 
@@ -8931,4 +9054,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_postings": _oracle_entity_postings(),
         "incremental_index": _oracle_incremental_index(),
         "time_travel_diff": _oracle_time_travel_diff(),
+        "schema_graph": _oracle_schema_graph(),
+        "literal_stats": _oracle_literal_stats(),
+        "log_compaction": _oracle_log_compaction(),
     }

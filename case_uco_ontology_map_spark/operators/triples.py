@@ -1116,3 +1116,193 @@ FROM sch s
 JOIN instances i ON s.cls = i.cls
 LEFT JOIN filled f ON s.cls = f.cls AND s.prop = f.prop
 """
+
+
+def schema_graph(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    untyped: str = "__untyped__",
+) -> DataFrame:
+    """Class-level schema summary of an instance graph — the
+    "ontology usage graph" a KG constructor reads before trusting a
+    crawl-extracted schema: every IRI-object triple rolls up to
+    ``(subj_cls, pred, obj_cls, n_edges)``, counting DISTINCT
+    instance edges between each class pair per predicate. Nodes
+    without a type contribute under the ``untyped`` sentinel (at web
+    scale the untyped mass IS the signal — it says which extractor
+    channel is dropping class assertions). Multi-typed nodes
+    contribute to every class they carry (standard rollup semantics —
+    the summary is a projection, not a partition).
+
+    Scale shape: the type map shuffles once on subject; the edge slice
+    joins it twice (subject side, then object side) on co-partitioned
+    keys; the final count groups the class-pair key with map-side
+    partials. Output is |classes|²·|preds| at most — dashboard-sized,
+    never corpus-sized."""
+    types = (
+        triples.where(F.col("pred") == type_pred)
+        .select(F.col("subj").alias("_n"), F.col("obj").alias("_cls"))
+        .distinct()
+    )
+    edges = (
+        triples.where(
+            (F.col("pred") != type_pred) & F.col("obj_is_iri")
+        )
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    st = types.withColumnRenamed("_cls", "subj_cls")
+    ot = types.withColumnRenamed("_cls", "obj_cls")
+    return (
+        edges.join(st, edges["subj"] == st["_n"], "left")
+        .drop("_n")
+        .join(ot, edges["obj"] == ot["_n"], "left")
+        .drop("_n")
+        .select(
+            F.coalesce("subj_cls", F.lit(untyped)).alias("subj_cls"),
+            "pred",
+            F.coalesce("obj_cls", F.lit(untyped)).alias("obj_cls"),
+        )
+        .groupBy("subj_cls", "pred", "obj_cls")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def schema_graph_sql(
+    type_pred: str = "rdf:type",
+    untyped: str = "__untyped__",
+    table: str = "t",
+) -> str:
+    """ANSI replay of ``schema_graph`` (``table`` carries
+    ``obj_is_iri``)."""
+    return f"""
+WITH types AS (
+  SELECT DISTINCT subj AS n, obj AS cls FROM {table}
+  WHERE pred = '{type_pred}'
+), edges AS (
+  SELECT DISTINCT subj, pred, obj FROM {table}
+  WHERE pred <> '{type_pred}' AND obj_is_iri
+)
+SELECT COALESCE(st.cls, '{untyped}') AS subj_cls, e.pred,
+       COALESCE(ot.cls, '{untyped}') AS obj_cls,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM edges e
+LEFT JOIN types st ON e.subj = st.n
+LEFT JOIN types ot ON e.obj = ot.n
+GROUP BY 1, 2, 3
+"""
+
+
+def compact_log(
+    log: DataFrame,
+    horizon,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Assertion-log compaction — the retention/maintenance pass of
+    the time-travel store (``kg_as_of``): replace everything at or
+    before ``horizon`` with ONE synthetic ``('add', horizon)`` row per
+    triple alive at the horizon (tombstones and overwritten history
+    prune away), keep every later op verbatim. The compacted log is
+    as-of-EQUIVALENT to the original for every ``t >= horizon`` —
+    pinned by test — while history before the horizon is deliberately
+    gone (that is the retention contract; archive the raw log first
+    if audits need it).
+
+    Scale shape: exactly ``kg_as_of``'s one grouped max(struct) pass
+    over the cold slice (the ``ts <= horizon`` filter prunes the
+    date-partitioned log) plus a pass-through filter for the hot
+    slice — union, no joins, no window."""
+    hot = log.where(F.col(ts_col) > F.lit(horizon)).select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        F.col(op_col).alias("op"),
+        F.col(ts_col).alias("ts"),
+    )
+    state = kg_as_of(
+        log, horizon, op_col=op_col, ts_col=ts_col,
+        subj_col=subj_col, pred_col=pred_col, obj_col=obj_col,
+    ).select(
+        "subj", "pred", "obj",
+        F.lit("add").alias("op"),
+        F.lit(horizon).cast("long").alias("ts"),
+    )
+    return state.unionByName(hot)
+
+
+def compact_log_sql(
+    horizon: str,
+    table: str = "t",
+) -> str:
+    """ANSI replay of ``compact_log`` over a ``(subj, pred, obj, op,
+    ts)`` table/CTE; ``horizon`` is a SQL literal."""
+    asof = kg_as_of_sql(horizon, table=table)
+    return f"""
+SELECT subj, pred, obj, 'add' AS op,
+       CAST({horizon} AS BIGINT) AS ts
+FROM ({asof}) state
+UNION ALL
+SELECT subj, pred, obj, op, ts FROM {table}
+WHERE ts > {horizon}
+"""
+
+
+def literal_stats(
+    triples: DataFrame,
+    int_pattern: str = "^-?[0-9]{1,18}$",
+) -> DataFrame:
+    """Per-predicate numeric-literal profile — the value-distribution
+    QA a crawl-extracted KG needs before anyone trusts a ``price`` or
+    ``rank`` column: over NON-IRI objects whose lexical form is a
+    plain integer (``int_pattern`` — bounded at 18 digits so the cast
+    stays in BIGINT), per predicate: ``(pred, n_int, n_nonint,
+    min_value, max_value, sum_value)``. Exact BIGINTs end to end —
+    mean/variance are the caller's division. ``n_nonint`` counts the
+    literals that did NOT parse: the malformed-value rate IS the QA
+    signal.
+
+    Scale shape: one regexp gate + one grouped pass with map-side
+    partials; predicates are the low-cardinality dimension so the
+    output is dashboard-sized. The pattern is Java∩RE2-portable
+    (links.py policy) and replayed verbatim by the oracle."""
+    lits = triples.where(~F.col("obj_is_iri")).select(
+        "pred", F.col("obj").alias("v")
+    )
+    is_int = F.col("v").rlike(int_pattern)
+    tagged = lits.select(
+        "pred",
+        F.when(is_int, F.col("v").cast("long")).alias("iv"),
+    )
+    return tagged.groupBy("pred").agg(
+        F.count("iv").alias("n_int"),
+        (F.count(F.lit(1)) - F.count("iv")).alias("n_nonint"),
+        F.min("iv").alias("min_value"),
+        F.max("iv").alias("max_value"),
+        F.sum("iv").alias("sum_value"),
+    )
+
+
+def literal_stats_sql(
+    int_pattern: str = "^-?[0-9]{1,18}$",
+    table: str = "t",
+) -> str:
+    """ANSI replay of ``literal_stats``."""
+    return f"""
+SELECT pred,
+       CAST(count(iv) AS BIGINT) AS n_int,
+       CAST(count(*) - count(iv) AS BIGINT) AS n_nonint,
+       MIN(iv) AS min_value,
+       MAX(iv) AS max_value,
+       SUM(iv) AS sum_value
+FROM (
+  SELECT pred,
+         CASE WHEN regexp_matches(obj, '{int_pattern}')
+              THEN CAST(obj AS BIGINT) END AS iv
+  FROM {table} WHERE NOT obj_is_iri
+)
+GROUP BY pred
+"""

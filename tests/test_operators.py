@@ -1851,3 +1851,81 @@ class TestKgCompleteness:
             ("Person", "email", 1, 3),
             ("Org", "name", 0, 1),
         }
+
+
+class TestSchemaGraphCompactionLiterals:
+    def test_schema_graph_rollup(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            schema_graph,
+        )
+
+        t = spark.createDataFrame(
+            [
+                ("a", "rdf:type", "Person", True),
+                ("b", "rdf:type", "Org", True),
+                ("b", "rdf:type", "Agent", True),   # multi-typed
+                ("a", "worksFor", "b", True),
+                ("a", "worksFor", "b", True),        # dup edge: once
+                ("a", "knows", "x", True),           # untyped object
+                ("a", "name", "lit", False),         # literal: excluded
+            ],
+            "subj string, pred string, obj string, obj_is_iri boolean",
+        )
+        got = {tuple(r) for r in schema_graph(t).collect()}
+        assert got == {
+            ("Person", "worksFor", "Org", 1),
+            ("Person", "worksFor", "Agent", 1),
+            ("Person", "knows", "__untyped__", 1),
+        }
+
+    def test_compact_log_as_of_equivalent(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            compact_log,
+            kg_as_of,
+        )
+
+        log = spark.createDataFrame(
+            [
+                ("s", "p", "a", "add", 1), ("s", "p", "a", "del", 3),
+                ("s", "p", "a", "add", 5),
+                ("s", "p", "b", "add", 2),
+                ("s", "p", "c", "add", 4), ("s", "p", "c", "del", 6),
+            ],
+            "subj string, pred string, obj string, op string, ts long",
+        )
+        compacted = compact_log(log, 4)
+        # pre-horizon history is gone: only one synthetic add per
+        # triple alive at 4, plus the verbatim hot ops
+        rows = {tuple(r) for r in compacted.collect()}
+        assert rows == {
+            ("s", "p", "b", "add", 4), ("s", "p", "c", "add", 4),
+            ("s", "p", "a", "add", 5), ("s", "p", "c", "del", 6),
+        }
+        for t in (4, 5, 6, 9):
+            full = {tuple(r) for r in kg_as_of(log, t).drop("ts").collect()}
+            comp = {
+                tuple(r) for r in kg_as_of(compacted, t).drop("ts").collect()
+            }
+            assert full == comp, f"as-of {t} diverged after compaction"
+
+    def test_literal_stats_exact(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            literal_stats,
+        )
+
+        t = spark.createDataFrame(
+            [
+                ("a", "rank", "3", False),
+                ("b", "rank", "-7", False),
+                ("c", "rank", "3.5", False),     # non-int
+                ("d", "rank", "1e3", False),     # non-int
+                ("e", "price", "100", False),
+                ("f", "linksTo", "100", True),   # IRI: excluded
+            ],
+            "subj string, pred string, obj string, obj_is_iri boolean",
+        )
+        got = {tuple(r) for r in literal_stats(t).collect()}
+        assert got == {
+            ("rank", 2, 2, -7, 3, -4),
+            ("price", 1, 0, 100, 100, 100),
+        }
