@@ -1510,6 +1510,119 @@ def main():
         "never a cartesian"
     )
 
+    from case_uco_ontology_map_spark.operators.serving import (
+        entity_postings,
+        merge_postings,
+    )
+    from case_uco_ontology_map_spark.operators.triples import (
+        compact_log,
+        kg_completeness,
+        literal_stats,
+        schema_graph,
+    )
+
+    typed = docs.select(
+        F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias(
+            "subj"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("rdf:type"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("kb:linksTo"))
+        .otherwise(F.lit("kb:rank")).alias("pred"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("Person")
+        ).when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("n"), (F.col("doc_id") % 9).cast("string")),
+        ).otherwise((F.col("doc_id") % 7).cast("string")).alias("obj"),
+        (F.col("doc_id") % 3 != 2).alias("obj_is_iri"),
+    )
+    sg = schema_graph(typed)
+    sg_plan = plan_of(sg)
+    assert not re.findall(_no_python, sg_plan), (
+        "schema_graph must stay JVM-side"
+    )
+    assert "Window" not in sg_plan, (
+        "schema_graph rollup is grouped counts, not windows"
+    )
+
+    ls = literal_stats(typed)
+    ls_plan = plan_of(ls)
+    assert not re.findall(_no_python, ls_plan), (
+        "literal_stats must stay JVM-side"
+    )
+    assert "Join" not in ls_plan and "Window" not in ls_plan, (
+        "literal_stats is one gated grouped pass"
+    )
+
+    cl_log = typed.select(
+        "subj", "pred", "obj",
+        F.lit("add").alias("op"),
+        (F.length("obj") % 9).cast("long").alias("ts"),
+    )
+    cl = compact_log(cl_log, 5)
+    cl_plan = plan_of(cl)
+    assert not re.findall(_no_python, cl_plan), (
+        "compact_log must stay JVM-side"
+    )
+    assert "Join" not in cl_plan and "Window" not in cl_plan, (
+        "compact_log is the as-of grouped pass plus a filter union — "
+        "no join, no window"
+    )
+
+    kc_schema = spark.createDataFrame(
+        [("Person", "kb:linksTo"), ("Person", "kb:rank")],
+        "cls string, prop string",
+    )
+    kc = kg_completeness(typed, kc_schema)
+    kc_plan = plan_of(kc)
+    assert not re.findall(_no_python, kc_plan), (
+        "kg_completeness must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in kc_plan, (
+        "kg_completeness schema dimension must broadcast"
+    )
+
+    ep = entity_postings(
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.concat(
+                F.lit("E"), (F.col("doc_id") % 9).cast("string")
+            ).alias("entity"),
+        ),
+        sample_k=3,
+    )
+    ep_plan = plan_of(ep)
+    assert not re.findall(_no_python, ep_plan), (
+        "entity_postings must stay JVM-side"
+    )
+    assert "Window" not in ep_plan, (
+        "entity_postings is a grouped bounded-sample pass"
+    )
+
+    mp = merge_postings(
+        sv_postings,
+        build_postings(sv_docs.limit(64)),
+    )
+    mp_plan = plan_of(mp)
+    assert not re.findall(_no_python, mp_plan), (
+        "merge_postings must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in mp_plan or "Broadcast" in mp_plan, (
+        "merge_postings anti-join against the touched-doc set must "
+        "broadcast the delta side"
+    )
+
+    sections.update(
+        {
+            "schema_graph (type map joined twice on co-partitioned keys)": sg,
+            "literal_stats (regexp gate + one grouped pass)": ls,
+            "compact_log (as-of grouped pass + hot filter union)": cl,
+            "kg_completeness (broadcast schema; subject-key semi-join)": kc,
+            "entity_postings (grouped bounded evidence sample)": ep,
+            "merge_postings (broadcast touched-doc anti-join + union)": mp,
+        }
+    )
+
     sections.update(
         {
             "functional_violations (pred isin pushed; one grouped pass)": fv,
