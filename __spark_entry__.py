@@ -1363,6 +1363,45 @@ def _oracle_sparql_agg() -> str:
     )
 
 
+#: GROUP_CONCAT + SAMPLE (r5s7): the aggregate tail of the SPARQL 1.1
+#: set. Both are nondeterministic per spec; the engine pins GROUP_CONCAT
+#: to SORTED element order and SAMPLE to min() on BOTH engines, so the
+#: result is engine/partitioning-invariant (compliant implementations —
+#: the spec says "any"). This is also the one aggregate pair whose two
+#: engines compile to DIFFERENT function names (collect_list/sort_array
+#: vs list/list_sort — the aggs/aggs_sql split), so DuckDB executes an
+#: independently-written expression, not a replayed one.
+_SPARQL_GC_TEXT = """
+SELECT ?rec (GROUP_CONCAT(DISTINCT ?t; SEPARATOR="|") AS ?facet_types)
+       (SAMPLE(?f) AS ?one_facet) (COUNT(*) AS ?n_facets)
+WHERE { ?rec uco-core:hasFacet ?f .
+        ?f a ?t . }
+GROUP BY ?rec
+ORDER BY ?rec
+"""
+
+
+def q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT/SAMPLE aggregates (operators/sparql.py →
+    bgp_aggregate): per-record facet-type list as one sorted
+    '|'-joined string plus a deterministic SAMPLE — the per-entity
+    "schema signature" rollup. Same one-exchange aggregate plan as
+    sparql_agg; the list never exceeds a record's facet count."""
+    from case_uco_ontology_map_spark.operators.sparql import sparql_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return sparql_query(t, _SPARQL_GC_TEXT)
+
+
+def _oracle_sparql_group_concat() -> str:
+    from case_uco_ontology_map_spark.operators.sparql import sparql_to_sql
+
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        + sparql_to_sql(_SPARQL_GC_TEXT)
+    )
+
+
 #: ASK: the 4th SPARQL query form. Two sub-questions folded into one
 #: 2-row result via UNION of the two 1-row ASK frames is NOT done here —
 #: one row per query form keeps the CollectLimit short-circuit visible.
@@ -8049,6 +8088,75 @@ ORDER BY query_id, rank
 """
 
 
+#: hard_negatives shares bm25_search's query mix; positives are each
+#: query's OWN top-1 doc (computed identically on both engines), so the
+#: rank-gap arithmetic is guaranteed to fire for every query.
+_HN_QUERIES = [
+    ("q1", "spark"), ("q1", "window"),
+    ("q2", "hash"), ("q2", "merge"), ("q2", "vector"),
+    ("q3", "customer"),
+]
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (serving.hard_negatives — the
+    DPR-style retrieval-training generator): top-(k+1) per query, the
+    known positive (here: the true top-1) anti-joined out, every row
+    below it moves up exactly one rank — arithmetic, not a re-rank.
+    DuckDB replays tokenize → postings → score → rank → anti-join →
+    rank-gap end to end from the same parquet text."""
+    from case_uco_ontology_map_spark.operators.serving import (
+        bm25_topk,
+        build_postings,
+        hard_negatives,
+        posting_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    postings = build_postings(docs)
+    stats = posting_stats(postings)
+    queries = spark.createDataFrame(
+        _HN_QUERIES, "query_id string, term string"
+    )
+    positives = bm25_topk(postings, stats, queries, k=1).select(
+        "query_id", "doc_id"
+    )
+    return hard_negatives(
+        postings, stats, queries, positives, k=5
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_hard_negatives() -> str:
+    from case_uco_ontology_map_spark.operators.serving import (
+        bm25_topk_sql,
+        hard_negatives_sql,
+    )
+
+    postings = """(
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, MAX(dl) AS dl
+  FROM (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ) WHERE len(t) > 0
+  ) GROUP BY term, doc_id
+)"""
+    values = ", ".join(f"('{q}', '{t}')" for q, t in _HN_QUERIES)
+    queries = f"(VALUES {values}) AS v(query_id, term)"
+    positives = (
+        "(SELECT query_id, doc_id FROM ("
+        + bm25_topk_sql(postings, queries, k=1)
+        + ") )"
+    )
+    return (
+        hard_negatives_sql(postings, queries, positives, k=5)
+        + "ORDER BY query_id, rank"
+    )
+
+
 def q_graph_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GRAPH ?g clause (graphquery.quad_query): a quad store
     where every doc writes hop-1 into graph g(doc%4) but every ODD doc
@@ -8554,6 +8662,35 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_characteristic_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (triples.characteristic_sets — Neumann &
+    Moerkotte's RDF cardinality-estimation statistic): subjects
+    partitioned by their exact distinct-predicate set; over the
+    structural emission the shapes are the URL-record star, the three
+    facet shapes, and the relationship nodes. Two grouped passes, no
+    window, no explode. DuckDB rebuilds the sets with its own
+    list/list_sort aggregation (different functions than Spark's
+    collect_set/sort_array — not shared SQL)."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        characteristic_sets,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return characteristic_sets(t).orderBy("cset")
+
+
+def _oracle_characteristic_sets() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        characteristic_sets_sql,
+    )
+
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        + characteristic_sets_sql(table="t")
+        + "ORDER BY cset"
+    )
+
+
 def q_literal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric-literal value profile (triples.literal_stats) of the
     structural emission: the n_chars literals parse as integers
@@ -8729,6 +8866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_ask": q_bgp_ask,
         "sparql_text": q_sparql_text,
         "sparql_agg": q_sparql_agg,
+        "sparql_group_concat": q_sparql_group_concat,
         "path_star": q_path_star,
         "path_bounded": q_path_bounded,
         "facet_owner_rule": q_facet_owner_rule,
@@ -8873,6 +9011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_as_of": q_kg_as_of,
         "entity_summary": q_entity_summary,
         "bm25_search": q_bm25_search,
+        "hard_negatives": q_hard_negatives,
         "graph_scoped": q_graph_scoped,
         "graph_scoped_text": q_graph_scoped_text,
         "identity_pipeline": q_identity_pipeline,
@@ -8881,6 +9020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_index": q_incremental_index,
         "time_travel_diff": q_time_travel_diff,
         "schema_graph": q_schema_graph,
+        "characteristic_sets": q_characteristic_sets,
         "literal_stats": q_literal_stats,
         "log_compaction": q_log_compaction,
     }
@@ -8907,6 +9047,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_ask": _oracle_bgp_ask(),
         "sparql_text": _oracle_sparql_text(),
         "sparql_agg": _oracle_sparql_agg(),
+        "sparql_group_concat": _oracle_sparql_group_concat(),
         "path_star": _oracle_path_star(),
         "path_bounded": _oracle_path_bounded(),
         "facet_owner_rule": _oracle_facet_owner_rule(),
@@ -9047,6 +9188,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_as_of": _oracle_kg_as_of(),
         "entity_summary": _oracle_entity_summary(),
         "bm25_search": _oracle_bm25_search(),
+        "hard_negatives": _oracle_hard_negatives(),
         "graph_scoped": _oracle_graph_scoped(),
         "graph_scoped_text": _oracle_graph_scoped_text(),
         "identity_pipeline": _oracle_identity_pipeline(),
@@ -9055,6 +9197,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_index": _oracle_incremental_index(),
         "time_travel_diff": _oracle_time_travel_diff(),
         "schema_graph": _oracle_schema_graph(),
+        "characteristic_sets": _oracle_characteristic_sets(),
         "literal_stats": _oracle_literal_stats(),
         "log_compaction": _oracle_log_compaction(),
     }

@@ -259,6 +259,97 @@ SELECT query_id, doc_id, score, rank FROM (
 """
 
 
+def hard_negatives(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    max_df: Optional[int] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 hard-negative mining for retrieval training (the DPR-style
+    generator): batch top-``k+1`` per query, drop each query's known
+    positive doc, close the rank gap in place, keep ``rank <= k`` →
+    ``(query_id, doc_id, score, rank)``.
+
+    ``positives`` is ``(query_id, doc_id)`` — ONE known-relevant doc
+    per query (extra rows collapse via distinct; only the one that
+    ranked matters). Rank adjustment is arithmetic, not a re-rank: at
+    most one positive row leaves each query's top list, so every row
+    that ranked BELOW it moves up exactly one — no re-sort. A positive
+    outside the top-(k+1) removes nothing and the ``rank <= k`` cut
+    restores the contract.
+
+    Scale shape: the expensive BM25 scoring pipeline is evaluated
+    ONCE — the positive's rank comes from a windowed ``min`` over the
+    already-query-partitioned top-(k+1) frame (unbounded frame, no
+    ORDER BY, so no sort; same partitioning as the rank window ⇒ no
+    extra Exchange), never from a self-join that would duplicate the
+    scoring subplan."""
+    from pyspark.sql import Window
+
+    topk = bm25_topk(
+        postings, stats, queries, k=k + 1, max_df=max_df,
+        round_to=round_to,
+    )
+    pos = positives.select("query_id", "doc_id").distinct()
+    marked = topk.join(
+        pos.withColumn("_is_pos", F.lit(True)),
+        ["query_id", "doc_id"], "left",
+    )
+    pos_rank = F.min(
+        F.when(F.col("_is_pos"), F.col("rank"))
+    ).over(Window.partitionBy("query_id"))
+    shift = F.when(
+        pos_rank.isNotNull() & (F.col("rank") > pos_rank), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        marked.withColumn("rank", (F.col("rank") - shift).cast("int"))
+        .where(F.col("_is_pos").isNull() & (F.col("rank") <= k))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def hard_negatives_sql(
+    postings: str,
+    queries: str,
+    positives: str,
+    k: int = 5,
+    max_df: Optional[int] = None,
+    round_to: int = 6,
+) -> str:
+    """ANSI replay of ``hard_negatives`` — ``bm25_topk_sql`` at k+1
+    with the positive marked by a left join and the rank gap closed by
+    the same windowed-min arithmetic (independently written, mirrors
+    the engine's single-evaluation shape)."""
+    inner = bm25_topk_sql(
+        postings, queries, k=k + 1, max_df=max_df, round_to=round_to
+    )
+    return f"""
+WITH topk AS ({inner}),
+pos AS (SELECT DISTINCT query_id, doc_id FROM {positives}),
+marked AS (
+  SELECT t.query_id, t.doc_id, t.score, t.rank,
+         p.doc_id IS NOT NULL AS is_pos,
+         MIN(CASE WHEN p.doc_id IS NOT NULL THEN t.rank END)
+           OVER (PARTITION BY t.query_id) AS pos_rank
+  FROM topk t
+  LEFT JOIN pos p
+    ON t.query_id = p.query_id AND t.doc_id = p.doc_id
+)
+SELECT query_id, doc_id, score,
+       CAST(rank - CASE
+         WHEN pos_rank IS NOT NULL AND rank > pos_rank
+         THEN 1 ELSE 0 END AS INT) AS rank
+FROM marked
+WHERE NOT is_pos
+  AND rank - CASE
+        WHEN pos_rank IS NOT NULL AND rank > pos_rank
+        THEN 1 ELSE 0 END <= {k}
+"""
+
+
 def entity_postings(
     linked: DataFrame,
     entity_col: str = "entity",

@@ -10,7 +10,10 @@ negated sets), OPTIONAL, FILTER (portable expression subset), FILTER
 [NOT] EXISTS, MINUS, BIND, VALUES, UNION (top-level alternation of
 groups), DISTINCT, ORDER BY / LIMIT / OFFSET, and the aggregate form
 (``SELECT ?g (COUNT(*) AS ?n) ... GROUP BY ?g HAVING (...)`` →
-``bgp_aggregate``; output column order is GROUP BY vars then aliases).
+``bgp_aggregate``; COUNT/SUM/MIN/MAX/AVG plus SAMPLE (pinned to min —
+the deterministic compliant choice) and GROUP_CONCAT (pinned to sorted
+element order; ``; SEPARATOR="..."`` supported); output column order
+is GROUP BY vars then aliases).
 
 Terms: prefixed names stay in CURIE space verbatim (the triple tables
 store CURIEs); ``<full-iri>`` terms are kept with the brackets stripped;
@@ -57,7 +60,7 @@ _TOKEN_RE = re.compile(
   | (?P<iri><[^<>\s]*>)
   | (?P<var>\?[A-Za-z_][\w]*)
   | (?P<punct>\{|\}|\(|\)|\.(?!\d)|;|,)
-  | (?P<word>[^\s{}(),;]+)
+  | (?P<word>[^\s{}(),;"']+)
     """,
     re.VERBOSE,
 )
@@ -484,6 +487,54 @@ class _Parser:
         return values_filter([v[1:]], rows)
 
 
+def _group_concat_exprs(
+    p: "_Parser", v: str, distinct: bool
+) -> "tuple[str, str]":
+    """Compile ``GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"])`` to the
+    (Spark, DuckDB) aggregate expression pair. The spec leaves element
+    order undefined; we pin SORTED order on both engines so the result
+    is deterministic and engine-invariant (the SAMPLE→min discipline).
+    This is the one aggregate whose two engines need different function
+    names (collect_list/sort_array/array_join vs list/list_sort/
+    array_to_string), hence the aggs/aggs_sql split in the spec.
+
+    Separator subset: a quoted string without quotes or backslashes
+    (those would need engine-specific escaping in the compiled
+    expressions) — anything else fails loudly."""
+    sep = " "
+    if p.peek() == ";":
+        p.take()
+        t = p.take()
+        if not re.match(r"(?i)^SEPARATOR=?$", t):
+            raise SparqlSyntaxError(
+                'expected SEPARATOR="..." after ";" in GROUP_CONCAT'
+            )
+        if not t.endswith("="):
+            p.expect("=")
+        lit = p.take()
+        if len(lit) < 2 or lit[0] not in "\"'" or not lit.endswith(lit[0]):
+            raise SparqlSyntaxError(
+                "GROUP_CONCAT SEPARATOR needs a quoted string"
+            )
+        sep = lit[1:-1]
+    if any(c in sep for c in "'\"\\"):
+        raise SparqlSyntaxError(
+            "GROUP_CONCAT separator with quotes/backslashes is not in "
+            "the subset"
+        )
+    coll = "collect_set" if distinct else "collect_list"
+    d = "DISTINCT " if distinct else ""
+    spark = f"array_join(sort_array({coll}({v})), '{sep}')"
+    # list() keeps NULLs (collect_list drops them) → FILTER them out;
+    # an all-NULL group yields NULL from list(...) FILTER but an empty
+    # array from collect_list → coalesce to [] so both sides emit ''
+    duck = (
+        f"array_to_string(list_sort(coalesce(list({d}{v}) "
+        f"FILTER (WHERE {v} IS NOT NULL), [])), '{sep}')"
+    )
+    return spark, duck
+
+
 def parse_sparql(text: str) -> Dict:
     """Parse a SPARQL query string → a spec dict:
     ``{"form": "select"|"ask"|"construct"|"describe",
@@ -511,7 +562,7 @@ def parse_sparql(text: str) -> Dict:
         "form": form_tok.lower(), "prefixes": prefixes, "distinct": False,
         "select": None, "order_by": [], "limit": None, "offset": 0,
         "template": None, "seeds": None,
-        "aggs": [], "group_by": [], "having": [],
+        "aggs": [], "aggs_sql": [], "group_by": [], "having": [],
     }
     if form_tok == "DESCRIBE":
         seeds = []
@@ -544,19 +595,24 @@ def parse_sparql(text: str) -> Dict:
         else:
             sel = []
             aggs = []
+            aggs_sql = []
             while p.peek() and (
                 p.peek().startswith("?") or p.peek() == "("
             ):
                 if p.peek().startswith("?"):
                     sel.append(p.take()[1:])
                     continue
-                # (AGG([DISTINCT] ?v|*) AS ?alias)
+                # (AGG([DISTINCT] ?v|*) AS ?alias) — GROUP_CONCAT also
+                # takes the spec's `; SEPARATOR="..."` tail
                 p.take()  # (
                 fn = p.take().upper()
-                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                if fn not in (
+                    "COUNT", "SUM", "MIN", "MAX", "AVG",
+                    "SAMPLE", "GROUP_CONCAT",
+                ):
                     raise SparqlSyntaxError(
-                        f"aggregate {fn} is not supported "
-                        "(COUNT/SUM/MIN/MAX/AVG)"
+                        f"aggregate {fn} is not supported (COUNT/SUM/"
+                        "MIN/MAX/AVG/SAMPLE/GROUP_CONCAT)"
                     )
                 p.expect("(")
                 distinct_kw = ""
@@ -567,9 +623,23 @@ def parse_sparql(text: str) -> Dict:
                 if arg == "*":
                     if fn != "COUNT" or distinct_kw:
                         raise SparqlSyntaxError("only COUNT(*) takes *")
-                    expr = "count(*)"
+                    expr = sql_expr = "count(*)"
                 elif arg.startswith("?"):
-                    expr = f"{fn.lower()}({distinct_kw}{arg[1:]})"
+                    v = arg[1:]
+                    if fn == "SAMPLE":
+                        # SAMPLE returns an arbitrary value per the
+                        # spec; min() is a compliant implementation and
+                        # the only deterministic one — pinned on BOTH
+                        # engines so the choice is engine-invariant
+                        expr = sql_expr = f"min({v})"
+                    elif fn == "GROUP_CONCAT":
+                        expr, sql_expr = _group_concat_exprs(
+                            p, v, bool(distinct_kw)
+                        )
+                    else:
+                        expr = sql_expr = (
+                            f"{fn.lower()}({distinct_kw}{v})"
+                        )
                 else:
                     raise SparqlSyntaxError(
                         f"aggregate argument must be ?var or *, got {arg!r}"
@@ -581,11 +651,13 @@ def parse_sparql(text: str) -> Dict:
                     raise SparqlSyntaxError("aggregate alias must be ?var")
                 p.expect(")")
                 aggs.append((expr, alias[1:]))
+                aggs_sql.append((sql_expr, alias[1:]))
             if not sel and not aggs:
                 raise SparqlSyntaxError("SELECT needs * or ?vars")
             spec["select"] = sel
             if aggs:
                 spec["aggs"] = aggs
+                spec["aggs_sql"] = aggs_sql
     if p.kw("WHERE"):
         p.take()
     # union either as WHERE { {A} UNION {B} } (standard) or the braces-
@@ -955,7 +1027,7 @@ def sparql_to_sql(
         sql = bgp_aggregate_sql(
             b["patterns"],
             group_by=spec["group_by"],
-            aggs=spec["aggs"],
+            aggs=spec["aggs_sql"] or spec["aggs"],
             optional=b["optional"],
             filters=b["filters"],
             minus=b["minus"],

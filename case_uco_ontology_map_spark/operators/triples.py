@@ -1193,6 +1193,74 @@ GROUP BY 1, 2, 3
 """
 
 
+def characteristic_sets(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    sep: str = " ",
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): partition
+    subjects by their exact set of DISTINCT predicates →
+    ``(cset, n_preds, n_subjects, n_triples)`` with ``cset`` the
+    ``sep``-joined sorted predicate list. This is the classic RDF
+    cardinality-estimation statistic — star-join selectivities come
+    from counting subjects whose predicate set is a superset of the
+    query star — and doubles as the entity-shape census (how many
+    subjects look like a URL record, a facet, a relationship node).
+
+    Determinism: the set is sorted before joining, so the key is
+    partitioning/engine-invariant; predicates are IRIs/CURIEs, which
+    cannot contain whitespace, so the default separator is unambiguous.
+
+    Scale shape: one groupBy on subject (bounded fan-in — a subject's
+    predicate count is its out-degree, ~15 in the emission), then one
+    groupBy on the set key with map-side partials. Output is
+    |distinct shapes| rows — statistics-sized, never corpus-sized; no
+    window, no explode, nothing leaves the JVM."""
+    per_subj = triples.groupBy(F.col(subj_col).alias("_s")).agg(
+        F.array_join(
+            F.sort_array(F.collect_set(pred_col)), sep
+        ).alias("cset"),
+        F.size(F.collect_set(pred_col)).alias("n_preds"),
+        F.count(F.lit(1)).alias("_nt"),
+    )
+    return (
+        per_subj.groupBy("cset", "n_preds")
+        .agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum("_nt").alias("n_triples"),
+        )
+        .select("cset", "n_preds", "n_subjects", "n_triples")
+    )
+
+
+def characteristic_sets_sql(
+    table: str = "t",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    sep: str = " ",
+) -> str:
+    """ANSI replay of ``characteristic_sets`` (DuckDB list/list_sort —
+    independently-written aggregation, not shared SQL). The per-subject
+    pass is an inline subquery, not a CTE, so callers can wrap this in
+    their own ``WITH t AS (...)`` without a double-WITH collision."""
+    return f"""
+SELECT cset, n_preds,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(SUM(nt) AS BIGINT) AS n_triples
+FROM (
+  SELECT {subj_col} AS s,
+         array_to_string(list_sort(list(DISTINCT {pred_col})), '{sep}')
+           AS cset,
+         CAST(count(DISTINCT {pred_col}) AS INT) AS n_preds,
+         count(*) AS nt
+  FROM {table}
+  GROUP BY {subj_col}
+) per_subj
+GROUP BY cset, n_preds
+"""
+
+
 def compact_log(
     log: DataFrame,
     horizon,

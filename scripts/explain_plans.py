@@ -1484,6 +1484,34 @@ def main():
         "bm25_topk's only cross join is the broadcast 1-row stats"
     )
 
+    from case_uco_ontology_map_spark.operators.serving import (
+        hard_negatives,
+    )
+
+    hn_pos = sv_queries.select("query_id").distinct().withColumn(
+        "doc_id", F.lit(1).cast("long")
+    )
+    hn = hard_negatives(sv_postings, sv_stats, sv_queries, hn_pos, k=5)
+    hn_plan = plan_of(hn)
+    assert not re.findall(_no_python, hn_plan), (
+        "hard_negatives must stay JVM-side"
+    )
+    n_gen = lambda p: len(  # noqa: E731 — local counter
+        re.findall(r"Generate \(\d", p.split("\n\n")[0])
+    )
+    assert n_gen(hn_plan) == n_gen(bm_plan), (
+        "hard_negatives must evaluate the BM25 scoring pipeline ONCE — "
+        "a self-join for the positive's rank would duplicate the "
+        "tokenize/explode subtree"
+    )
+    n_win = lambda p: len(  # noqa: E731
+        re.findall(r"Window \(\d", p.split("\n\n")[0])
+    )
+    assert n_win(hn_plan) == n_win(bm_plan) + 1, (
+        "hard_negatives adds exactly one windowed-min over the "
+        "bounded top-(k+1) frame — nothing else"
+    )
+
     qq_quads = docs.select(
         F.concat(F.lit("g"), (F.col("doc_id") % 4).cast("string")).alias(
             "graph"
@@ -1552,6 +1580,19 @@ def main():
     )
     assert "Join" not in ls_plan and "Window" not in ls_plan, (
         "literal_stats is one gated grouped pass"
+    )
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        characteristic_sets,
+    )
+
+    cs = characteristic_sets(typed)
+    cs_plan = plan_of(cs)
+    assert not re.findall(_no_python, cs_plan), (
+        "characteristic_sets must stay JVM-side"
+    )
+    assert "Join" not in cs_plan and "Window" not in cs_plan, (
+        "characteristic_sets is two grouped passes — no join, no window"
     )
 
     cl_log = typed.select(
@@ -1633,6 +1674,8 @@ def main():
             "entity_summary (broadcast pred-frequency; bounded window)": es,
             "build_postings (in-row tokenize; one (term,doc) shuffle)": sv_postings,
             "bm25_topk (broadcast terms/df/stats; bounded top-k window)": bm,
+            "hard_negatives (anti-join positives; arithmetic rank gap, no 2nd window)": hn,
+            "characteristic_sets (two grouped passes; no join, no window)": cs,
             "quad_query GRAPH ?g (graph var as join key on every pattern)": qq,
         }
     )

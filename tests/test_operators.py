@@ -1929,3 +1929,47 @@ class TestSchemaGraphCompactionLiterals:
             ("rank", 2, 2, -7, 3, -4),
             ("price", 1, 0, 100, 100, 100),
         }
+
+
+class TestCharacteristicSets:
+    """characteristic_sets (triples.py): subjects partitioned by their
+    exact distinct-predicate set — hand-pinned on a 4-shape fixture."""
+
+    def test_hand_pinned_shapes(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            characteristic_sets,
+        )
+
+        rows = [
+            # s1, s2: shape {a, b} — s1 asserts b twice (distinct set
+            # unchanged, triple count sees all rows)
+            ("s1", "a", "1"), ("s1", "b", "2"), ("s1", "b", "3"),
+            ("s2", "a", "4"), ("s2", "b", "5"),
+            # s3: shape {a} alone
+            ("s3", "a", "6"),
+            # s4: shape {b, c} — sorted join key is "b c"
+            ("s4", "c", "7"), ("s4", "b", "8"),
+        ]
+        t = spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+        got = {tuple(r) for r in characteristic_sets(t).collect()}
+        assert got == {
+            ("a b", 2, 2, 5),   # s1 (3 triples) + s2 (2)
+            ("a", 1, 1, 1),     # s3
+            ("b c", 2, 1, 2),   # s4 — set sorted regardless of order
+        }
+
+    def test_custom_separator_and_cols(self, spark):
+        from case_uco_ontology_map_spark.operators.triples import (
+            characteristic_sets,
+        )
+
+        t = spark.createDataFrame(
+            [("s", "p1", "x"), ("s", "p2", "y")],
+            "subject string, predicate string, obj string",
+        )
+        got = characteristic_sets(
+            t, subj_col="subject", pred_col="predicate", sep="|"
+        ).collect()
+        assert [tuple(r) for r in got] == [("p1|p2", 2, 1, 2)]

@@ -147,3 +147,64 @@ def test_merge_postings_equals_full_rebuild(spark):
     }
     # the stale cherry postings are gone, not double-counted
     assert merged.where("term = 'cherry'").count() == 0
+
+
+def test_hard_negatives_rank_gap_closes(spark):
+    """Positive is rank 2 of the top-(k+1): rows below it shift up by
+    exactly one; rows above it keep their rank; the rank<=k cut holds."""
+    from case_uco_ontology_map_spark.operators.serving import (
+        hard_negatives,
+    )
+
+    # one shared rare term per doc so BM25 ranks purely by tf
+    docs = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x x x"), (3, "x x"), (4, "x"),
+         (5, "y")],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    stats = posting_stats(postings)
+    queries = spark.createDataFrame(
+        [("q", "x")], "query_id string, term string"
+    )
+    # shorter docs score HIGHER for same tf=... actually tf differs:
+    # score grows with tf but shrinks with dl; verify the engine's own
+    # ordering first, then pin the gap arithmetic against it
+    base = bm25_topk(postings, stats, queries, k=3).collect()
+    order = [r.doc_id for r in sorted(base, key=lambda r: r.rank)]
+    positive = order[1]  # rank-2 doc is the known positive
+    positives = spark.createDataFrame(
+        [("q", positive)], "query_id string, doc_id long"
+    )
+    got = hard_negatives(
+        postings, stats, queries, positives, k=2
+    ).collect()
+    got_order = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    # rank 1 unchanged; old rank 3 became rank 2; positive absent
+    assert got_order == [order[0], order[2]]
+    assert positive not in got_order
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_hard_negatives_positive_outside_topk(spark):
+    """A positive that never ranked removes nothing and shifts nothing."""
+    from case_uco_ontology_map_spark.operators.serving import (
+        hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x x"), (2, "x"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    stats = posting_stats(postings)
+    queries = spark.createDataFrame(
+        [("q", "x")], "query_id string, term string"
+    )
+    positives = spark.createDataFrame(
+        [("q", 3)], "query_id string, doc_id long"  # doc 3 never matches
+    )
+    got = hard_negatives(
+        postings, stats, queries, positives, k=2
+    ).collect()
+    assert sorted((r.doc_id, r.rank) for r in got) == [(1, 1), (2, 2)]

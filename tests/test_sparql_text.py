@@ -577,3 +577,77 @@ class TestGraphClause:
         assert [tuple(r) for r in text.collect()] == [
             tuple(r) for r in prog.collect()
         ]
+
+
+class TestAggregateTail:
+    """GROUP_CONCAT + SAMPLE (r5s7): the spec leaves both
+    nondeterministic; the engine pins GROUP_CONCAT to sorted element
+    order and SAMPLE to min() on BOTH engines — hand-pinned here, and
+    cross-engine via the independently-written DuckDB expression
+    (collect_list/sort_array vs list/list_sort — no shared SQL)."""
+
+    def test_group_concat_hand_pinned(self, triples):
+        q = """
+        SELECT ?rec (GROUP_CONCAT(?t; SEPARATOR="|") AS ?types)
+        WHERE { ?rec uco-core:hasFacet ?f . ?f a ?t . }
+        GROUP BY ?rec ORDER BY ?rec
+        """
+        got = _both(triples, q)
+        assert got == [
+            ("kb:rec1",
+             "uco-observable:ContentDataFacet|uco-observable:URLFacet"),
+            ("kb:rec2", "uco-observable:ContentDataFacet"),
+        ]
+
+    def test_group_concat_distinct_default_sep(self, triples):
+        # two facets of rec1+rec2 share a type → DISTINCT collapses;
+        # default separator is a single space per the SPARQL spec
+        q = """
+        SELECT ?p (GROUP_CONCAT(DISTINCT ?t) AS ?types)
+        WHERE { ?s ?p ?f . ?f a ?t . }
+        GROUP BY ?p ORDER BY ?p
+        """
+        got = _both(triples, q)
+        assert got == [
+            ("uco-core:hasFacet",
+             "uco-observable:ContentDataFacet uco-observable:URLFacet"),
+        ]
+
+    def test_sample_is_min_both_engines(self, triples):
+        q = """
+        SELECT ?rec (SAMPLE(?f) AS ?one) (COUNT(*) AS ?n)
+        WHERE { ?rec uco-core:hasFacet ?f . }
+        GROUP BY ?rec ORDER BY ?rec
+        """
+        got = _both(triples, q)
+        assert got == [("kb:rec1", "kb:f1", 2), ("kb:rec2", "kb:f3", 1)]
+
+    def test_group_concat_optional_null_values_drop(self, triples):
+        # f2 has no hash → its NULL must not contribute an element (nor
+        # a leading separator) on EITHER engine (collect_list drops
+        # NULLs; the DuckDB twin FILTERs them explicitly)
+        q = """
+        SELECT ?rec (GROUP_CONCAT(?h; SEPARATOR=",") AS ?hashes)
+        WHERE { ?rec uco-core:hasFacet ?f .
+                OPTIONAL { ?f uco-observable:hash ?h . } }
+        GROUP BY ?rec ORDER BY ?rec
+        """
+        got = _both(triples, q)
+        assert got == [("kb:rec1", "abc"), ("kb:rec2", "def")]
+
+    def test_refusals(self, triples):
+        with pytest.raises(SparqlSyntaxError, match="SEPARATOR"):
+            parse_sparql(
+                'SELECT ?r (GROUP_CONCAT(?f; SEP="|") AS ?x) '
+                "WHERE { ?r uco-core:hasFacet ?f . } GROUP BY ?r"
+            )
+        with pytest.raises(SparqlSyntaxError, match="not supported"):
+            parse_sparql(
+                "SELECT ?r (MEDIAN(?f) AS ?x) "
+                "WHERE { ?r uco-core:hasFacet ?f . } GROUP BY ?r"
+            )
+        with pytest.raises(SparqlSyntaxError, match="quoted string"):
+            parse_sparql(
+                "SELECT ?r (GROUP_CONCAT(?f; SEPARATOR= bare) AS ?x) "
+                "WHERE { ?r uco-core:hasFacet ?f . } GROUP BY ?r"
+            )
