@@ -6520,6 +6520,199 @@ FROM documents WHERE doc_id > 0
     )
 
 
+#: subPropertyOf chain over the structural emission's REAL predicates:
+#: fullValue → ex:value → ex:prop exercises a 2-hop closure on a
+#: LITERAL-object property (the entailed rows must keep the datatype),
+#: hasFacet → ex:related generalises an IRI-object property.
+_SUBPROP_ROWS = [
+    ("uco-observable:fullValue", "ex:value"),
+    ("ex:value", "ex:prop"),
+    ("uco-core:hasFacet", "ex:related"),
+]
+
+
+def q_rdfs7_subproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS rdfs7 sub-property materialization (operators/triples.
+    infer_subproperties — the property-axis twin of rdfs_entailment's
+    rdfs9): the structural emission's fullValue generalises through a
+    2-hop subPropertyOf chain (ex:value, ex:prop — entailed rows KEEP
+    the literal's datatype) and hasFacet through a 1-hop one
+    (ex:related, IRI object). DuckDB replays the recursive property
+    closure + pred-keyed join + distinct."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_subproperties,
+    )
+
+    t = q_triples_structural(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    sp = spark.createDataFrame(_SUBPROP_ROWS, "sub string, sup string")
+    return infer_subproperties(t, sp).orderBy("subj", "pred", "obj")
+
+
+def _oracle_rdfs7_subproperties() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_subproperties_sql,
+    )
+
+    values = ",\n  ".join(f"('{a}', '{b}')" for a, b in _SUBPROP_ROWS)
+    return f"""
+WITH t0 AS ({_oracle_triples_structural()}),
+t AS (SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM t0),
+sp(sub, sup) AS (VALUES
+  {values})
+SELECT * FROM ({infer_subproperties_sql()}) z ORDER BY subj, pred, obj
+"""
+
+
+def q_inverse_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:inverseOf / owl:SymmetricProperty materialization
+    (operators/triples.infer_inverse): a deterministic link graph
+    (ex:linkTo d → d DIV 2) gains every reverse ex:linkFrom edge, the
+    symmetric ex:knows edges (even d → d+1) assert both directions,
+    and the per-node literal row (ex:label) proves literals never swap
+    into subject position. DuckDB replays the expanded VALUES rule
+    table + swap + distinct."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_inverse,
+    )
+
+    d = _docs(spark, sf_dir)
+    node = F.concat(F.lit("kb:n"), F.col("doc_id").cast("string"))
+    links = d.where(F.col("doc_id") > 0).select(
+        node.alias("subj"),
+        F.lit("ex:linkTo").alias("pred"),
+        F.concat(
+            F.lit("kb:n"), F.expr("doc_id DIV 2").cast("string")
+        ).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    knows = d.where(F.col("doc_id") % 2 == 0).select(
+        node.alias("subj"),
+        F.lit("ex:knows").alias("pred"),
+        F.concat(
+            F.lit("kb:n"), (F.col("doc_id") + 1).cast("string")
+        ).alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    labels = d.select(
+        node.alias("subj"),
+        F.lit("ex:label").alias("pred"),
+        F.concat(F.lit("L"), (F.col("doc_id") % 7).cast("string")).alias(
+            "obj"
+        ),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit("xsd:string").alias("obj_datatype"),
+    )
+    t = links.unionByName(knows).unionByName(labels)
+    return infer_inverse(
+        t,
+        inverse_pairs=[("ex:linkTo", "ex:linkFrom")],
+        symmetric_preds=["ex:knows"],
+    ).orderBy("subj", "pred", "obj")
+
+
+def _oracle_inverse_closure() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_inverse_sql,
+    )
+
+    build = """
+SELECT 'kb:n' || doc_id AS subj, 'ex:linkTo' AS pred,
+       'kb:n' || (doc_id // 2) AS obj,
+       TRUE AS obj_is_iri, NULL::VARCHAR AS obj_datatype
+FROM documents WHERE doc_id > 0
+UNION ALL
+SELECT 'kb:n' || doc_id, 'ex:knows', 'kb:n' || (doc_id + 1),
+       TRUE, NULL::VARCHAR
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'kb:n' || doc_id, 'ex:label', 'L' || (doc_id % 7),
+       FALSE, 'xsd:string'
+FROM documents
+"""
+    return (
+        f"WITH t AS ({build})\n"
+        "SELECT * FROM ("
+        + infer_inverse_sql(
+            inverse_pairs=[("ex:linkTo", "ex:linkFrom")],
+            symmetric_preds=["ex:knows"],
+        )
+        + ") z ORDER BY subj, pred, obj"
+    )
+
+
+def q_void_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID dataset description (operators/triples.void_summary) of the
+    structural emission: the dataset row plus one
+    void:propertyPartition row per predicate and one
+    void:classPartition row per emitted class (subject-membership
+    semantics — every record's 15 triples count under its classes).
+    DuckDB writes its own three grouped passes + the distinct-type
+    re-join."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        void_summary,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return void_summary(t).orderBy("scope", "key")
+
+
+def _oracle_void_summary() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        void_summary_sql,
+    )
+
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT * FROM ("
+        + void_summary_sql()
+        + ") z ORDER BY scope, key"
+    )
+
+
+#: SPARQL string builtins as pasted FILTER text: STRSTARTS compiles to
+#: the structural left(x,N)='lit' comparison (the engines disagree on
+#: the function NAME), CONTAINS/STRLEN/LCASE to verbatim cross-engine
+#: renames, and the negated !STRENDS exercises the glued-token split.
+_SPARQL_STR_TEXT = """
+SELECT ?rec ?t WHERE {
+  ?rec uco-core:hasFacet ?f .
+  ?f a ?t .
+  FILTER(STRSTARTS(?t, "uco-observable:") && CONTAINS(?t, "Facet"))
+  FILTER(!STRENDS(?t, "ExtensionFacet"))
+  FILTER(STRLEN(?t) >= STRLEN(LCASE(?t)) && UCASE(SUBSTR(?t, 1, 3)) = "UCO")
+}
+ORDER BY ?rec ?t
+"""
+
+
+def q_sparql_string_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 string builtins in FILTER (operators/sparql.py →
+    _rewrite_expr): STRSTARTS/STRENDS via the portable left/right
+    comparison, CONTAINS/STRLEN/LCASE via exact cross-engine renames —
+    over the structural emission's facet types; the nested
+    UCASE(SUBSTR(...)) call pins argument-position rewriting and the
+    negated !STRENDS pins the glued-token split."""
+    from case_uco_ontology_map_spark.operators.sparql import sparql_query
+
+    t = q_triples_structural(spark, sf_dir)
+    return sparql_query(t, _SPARQL_STR_TEXT)
+
+
+def _oracle_sparql_string_filters() -> str:
+    from case_uco_ontology_map_spark.operators.sparql import sparql_to_sql
+
+    return (
+        f"WITH g AS ({_oracle_triples_structural()})\n"
+        + sparql_to_sql(_SPARQL_STR_TEXT)
+    )
+
+
 def q_snapshot_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff lifecycle (operators/triples.diff_graphs +
     apply_diff): old = the structural emission; new = old minus every
@@ -8966,6 +9159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
+        "rdfs7_subproperties": q_rdfs7_subproperties,
+        "inverse_closure": q_inverse_closure,
+        "void_summary": q_void_summary,
+        "sparql_string_filters": q_sparql_string_filters,
         "transitive_materialize": q_transitive_materialize,
         "snapshot_patch": q_snapshot_patch,
         "kg_digest": q_kg_digest,
@@ -9143,6 +9340,10 @@ def oracle_sql() -> dict[str, str]:
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),
+        "rdfs7_subproperties": _oracle_rdfs7_subproperties(),
+        "inverse_closure": _oracle_inverse_closure(),
+        "void_summary": _oracle_void_summary(),
+        "sparql_string_filters": _oracle_sparql_string_filters(),
         "transitive_materialize": _oracle_transitive_materialize(),
         "snapshot_patch": _oracle_snapshot_patch(),
         "kg_digest": _oracle_kg_digest(),

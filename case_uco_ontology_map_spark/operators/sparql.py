@@ -26,8 +26,14 @@ property functions are out of scope and raise.
 
 FILTER/BIND expressions pass through as the compiler's portable strings
 after a conservative token rewrite (``?var``→``var``, ``&&``→AND,
-``||``→OR, ``!``→NOT except ``!=``) — anything the two engines would
-disagree on (REGEX, STR, LANG, ...) raises with the function name.
+``||``→OR, ``!``→NOT except ``!=``). SPARQL string builtins with an
+exact cross-engine equivalent compile in: STRLEN→length, UCASE→upper,
+LCASE→lower, SUBSTR→substring (1-based on both), CONTAINS→contains,
+and STRSTARTS/STRENDS→``left/right(x, N) = 'lit'`` (structural — the
+engines disagree on the function NAME, so the portable form is a
+prefix/suffix comparison; the needle must be a plain literal). Anything
+the two engines would disagree on (REGEX, STR, LANG, ...) raises with
+the function name.
 
 Scale: this is a front end; the plan is whatever ``bgp_query`` builds —
 parsing adds zero runtime cost to the query itself.
@@ -67,10 +73,26 @@ _TOKEN_RE = re.compile(
 
 _UNSUPPORTED_FUNCS = (
     "regex", "str", "lang", "datatype", "bound", "sameterm", "isiri",
-    "isliteral", "isblank", "bnode", "iri", "uri", "strlen", "substr",
-    "contains", "strstarts", "strends", "now", "rand", "uuid", "struuid",
+    "isliteral", "isblank", "bnode", "iri", "uri",
+    "now", "rand", "uuid", "struuid",
     "md5", "sha1", "sha256", "encode_for_uri", "langmatches",
 )
+
+#: SPARQL string builtins whose portable compilation is a pure function
+#: RENAME — the target name exists with identical semantics in BOTH
+#: Spark SQL and DuckDB (verified: contains/length/upper/lower/substring
+#: are 1-based and NULL-propagating on both engines), so the shared
+#: filter string stays engine-portable. STRSTARTS/STRENDS are handled
+#: structurally in ``_rewrite_expr`` (the engines disagree on the
+#: function name — startswith vs starts_with — so they compile to the
+#: portable ``left/right(x, N) = 'lit'`` comparison instead).
+_FUNC_RENAMES = {
+    "strlen": "length",
+    "ucase": "upper",
+    "lcase": "lower",
+    "substr": "substring",
+    "contains": "contains",
+}
 
 
 class SparqlSyntaxError(ValueError):
@@ -184,6 +206,61 @@ def _literal_end(tok: str) -> int:
     raise SparqlSyntaxError(f"unterminated literal {tok!r}")
 
 
+def _func_args(toks: List[str], i: int) -> "tuple[List[List[str]], int]":
+    """Split the balanced argument list of the function call starting at
+    ``toks[i]`` (name) ``toks[i+1]`` ("(") into top-level-comma-separated
+    token lists. Returns ``(args, index_after_closing_paren)``."""
+    if i + 1 >= len(toks) or toks[i + 1] != "(":
+        raise SparqlSyntaxError(f"{toks[i]} is not a function call")
+    j, depth = i + 2, 1
+    args: List[List[str]] = []
+    cur: List[str] = []
+    while j < len(toks):
+        t = toks[j]
+        if t == "(":
+            depth += 1
+            cur.append(t)
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                break
+            cur.append(t)
+        elif t == "," and depth == 1:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        j += 1
+    if depth != 0:
+        raise SparqlSyntaxError("unbalanced parens in function call")
+    args.append(cur)
+    return args, j + 1
+
+
+def _plain_literal(arg: List[str], fname: str) -> "tuple[str, int]":
+    """Require a single PLAIN string-literal token (no datatype/lang
+    tag, no backslash escapes — those would need engine-specific
+    escaping) → ``(sql_literal, char_count)``."""
+    if len(arg) != 1 or not arg[0] or arg[0][0] not in "\"'":
+        raise SparqlSyntaxError(
+            f"{fname} needs a plain string literal 2nd argument in the "
+            "portable subset"
+        )
+    tok = arg[0]
+    end = _literal_end(tok)
+    if end != len(tok) - 1:
+        raise SparqlSyntaxError(
+            f"{fname} literal must be plain (no datatype/lang tag)"
+        )
+    body = tok[1:end]
+    if "\\" in body:
+        raise SparqlSyntaxError(
+            f"{fname} literal with backslash escapes is not in the "
+            "portable subset"
+        )
+    return "'" + body.replace("'", "''") + "'", len(body)
+
+
 class _Parser:
     def __init__(self, toks: List[str]):
         self.toks = toks
@@ -258,15 +335,15 @@ class _Parser:
                 elif self.kw("("):
                     out["filters"].append(self._parse_expr_parens())
                 else:
-                    # FILTER func(args) — constraint as a direct call
+                    # FILTER func(args) — constraint as a direct call;
+                    # re-assemble the token stream so the rewriter sees
+                    # the function in call position (STRSTARTS & co need
+                    # structural, not textual, handling)
                     fname = self.take()
-                    if fname.lower() in _UNSUPPORTED_FUNCS:
-                        raise SparqlSyntaxError(
-                            f"function {fname.upper()}() is not in the "
-                            "portable expression subset"
-                        )
-                    inner = self._parse_expr_parens()
-                    out["filters"].append(f"{fname} ( {inner} )")
+                    toks = self._collect_parens()
+                    out["filters"].append(
+                        self._rewrite_expr([fname, "("] + toks + [")"])
+                    )
             elif u == "BIND":
                 self.take()
                 self.expect("(")
@@ -409,7 +486,7 @@ class _Parser:
 
     # ---- expressions --------------------------------------------------
 
-    def _parse_expr_parens(self) -> str:
+    def _collect_parens(self) -> List[str]:
         self.expect("(")
         depth, toks = 1, []
         while depth:
@@ -421,12 +498,41 @@ class _Parser:
                 if depth == 0:
                     break
             toks.append(t)
-        return self._rewrite_expr(toks)
+        return toks
+
+    def _parse_expr_parens(self) -> str:
+        return self._rewrite_expr(self._collect_parens())
 
     def _rewrite_expr(self, toks: List[str]) -> str:
         parts: List[str] = []
-        for t in toks:
+        i, n = 0, len(toks)
+        while i < n:
+            t = toks[i]
+            if len(t) > 1 and t[0] == "!" and t[1] != "=":
+                # the tokenizer glues prefix negation onto the next word
+                # (e.g. "!STRENDS") — split so both halves rewrite
+                toks = toks[:i] + ["!", t[1:]] + toks[i + 1:]
+                n = len(toks)
+                t = "!"
             low = t.lower().rstrip("(")
+            is_call = t.endswith("(") or (i + 1 < n and toks[i + 1] == "(")
+            if is_call and low in ("strstarts", "strends"):
+                args, i = _func_args(toks, i)
+                if len(args) != 2:
+                    raise SparqlSyntaxError(
+                        f"{low.upper()} takes exactly 2 arguments"
+                    )
+                arg1 = self._rewrite_expr(args[0])
+                lit, nchars = _plain_literal(args[1], low.upper())
+                fn = "left" if low == "strstarts" else "right"
+                parts.append(f"( {fn} ( {arg1} , {nchars} ) = {lit} )")
+                continue
+            if is_call and low in _FUNC_RENAMES:
+                parts.append(_FUNC_RENAMES[low])
+                if t.endswith("("):
+                    parts.append("(")
+                i += 1
+                continue
             if low in _UNSUPPORTED_FUNCS and t.endswith("("):
                 raise SparqlSyntaxError(
                     f"function {low.upper()}() is not in the portable "
@@ -450,6 +556,7 @@ class _Parser:
                         "expression subset"
                     )
                 parts.append(t)
+            i += 1
         return " ".join(parts)
 
     def _parse_values(self) -> str:

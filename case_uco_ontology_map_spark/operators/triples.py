@@ -799,6 +799,271 @@ SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
 """
 
 
+def infer_subproperties(
+    triples: DataFrame,
+    subprop_edges: DataFrame,
+    sub_col: str = "sub",
+    sup_col: str = "sup",
+    max_hops: Optional[int] = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """RDFS sub-property entailment (rule **rdfs7**): from instance
+    triples and an ``rdfs:subPropertyOf`` edge set, every ``(s, p, o)``
+    with ``p subPropertyOf+ q`` additionally asserts ``(s, q, o)`` — the
+    property-axis twin of :func:`rdfs_infer_types` (rdfs9), completing
+    the RDFS entailment pair a materialized web KG needs (query
+    ``?s core:hasFacet ?o`` and see rows asserted through any
+    specialised sub-property). Inferred rows keep the source row's
+    ``obj_is_iri`` / ``obj_datatype`` — the OBJECT is unchanged, only
+    the predicate generalises (a literal-valued triple entails a
+    literal-valued triple). Result = input ∪ entailments DISTINCT.
+
+    Scale shape: identical to rdfs9 — the subPropertyOf closure runs on
+    the ONTOLOGY graph (hundreds of properties) via the
+    frontier-iterating ``transitive_closure``, then broadcasts into one
+    hash join against the instance frame keyed on ``pred`` (no
+    instance-side shuffle before the final distinct). Cites the
+    reference's property-hierarchy handling (ontology_parser collects
+    ``rdfs:subPropertyOf`` into the dictionary; SURVEY §2 SET2) —
+    applied to instance data instead of dictionary lookups."""
+    from .graphquery import transitive_closure
+
+    closure = transitive_closure(
+        subprop_edges.select(
+            F.col(sub_col).alias("src"), F.col(sup_col).alias("dst")
+        ),
+        max_hops=max_hops,
+    ).select(F.col("src").alias("_sub"), F.col("dst").alias("_sup"))
+    cl = F.broadcast(closure) if broadcast else closure
+    inferred = triples.join(
+        cl, on=triples["pred"] == cl["_sub"]
+    ).select(
+        "subj",
+        F.col("_sup").alias("pred"),
+        "obj",
+        "obj_is_iri",
+        "obj_datatype",
+    )
+    core = triples.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    return core.unionByName(inferred).distinct()
+
+
+def infer_subproperties_sql(
+    table: str = "t",
+    subprop: str = "sp",
+    sub_col: str = "sub",
+    sup_col: str = "sup",
+) -> str:
+    """Recursive-CTE replay of ``infer_subproperties``."""
+    return f"""
+WITH RECURSIVE
+pclosure({sub_col}, {sup_col}) AS (
+  SELECT {sub_col}, {sup_col} FROM {subprop}
+  WHERE {sub_col} IS NOT NULL AND {sup_col} IS NOT NULL
+  UNION
+  SELECT c.{sub_col}, s.{sup_col}
+  FROM pclosure c JOIN {subprop} s ON c.{sup_col} = s.{sub_col}
+)
+SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
+  SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM {table}
+  UNION ALL
+  SELECT t.subj, c.{sup_col}, t.obj, t.obj_is_iri, t.obj_datatype
+  FROM {table} t JOIN pclosure c ON t.pred = c.{sub_col}
+) z
+"""
+
+
+def infer_inverse(
+    triples: DataFrame,
+    inverse_pairs: Sequence = (),
+    symmetric_preds: Sequence[str] = (),
+    broadcast: bool = True,
+) -> DataFrame:
+    """owl:inverseOf / owl:SymmetricProperty materialization: for each
+    axiom ``p owl:inverseOf q``, ``(s, p, o) ⇒ (o, q, s)`` AND
+    ``(s, q, o) ⇒ (o, p, s)`` (the axiom is bidirectional); for each
+    symmetric ``p``, ``(s, p, o) ⇒ (o, p, s)`` — i.e. symmetry is the
+    ``p inverseOf p`` special case, and both compile to ONE rule table.
+    Only IRI-object rows participate (a literal cannot become a
+    subject). Result = input ∪ entailments DISTINCT on the 5-column
+    core frame. This is the rule that makes a web KG queryable from
+    either end (``linkTo``/``linkFrom``, ``parentOf``/``childOf``)
+    without every query writing ``^p`` paths.
+
+    ``inverse_pairs``: ``[(p, q), ...]`` (each expanded to both
+    directions); ``symmetric_preds``: ``[p, ...]``. Either may be a
+    DataFrame with columns ``(p, q)`` already expanded — then it is
+    used verbatim as the rule table.
+
+    Scale shape: the rule table is axiom-sized (ontology, not
+    instance) and broadcasts into one hash join keyed on ``pred``; the
+    swap is a projection; one distinct at the end. No instance-side
+    shuffle before the distinct."""
+    if isinstance(inverse_pairs, DataFrame):
+        rules = inverse_pairs.select(
+            F.col("p").cast("string"), F.col("q").cast("string")
+        )
+    else:
+        rows = [(str(p), str(q)) for p, q in inverse_pairs]
+        rows += [(str(q), str(p)) for p, q in inverse_pairs]
+        rows += [(str(p), str(p)) for p in symmetric_preds]
+        if not rows:
+            raise ValueError(
+                "infer_inverse needs at least one inverse pair or "
+                "symmetric predicate"
+            )
+        rules = triples.sparkSession.createDataFrame(
+            sorted(set(rows)), "p string, q string"
+        )
+    r = F.broadcast(rules) if broadcast else rules
+    swapped = (
+        triples.filter(F.col("obj_is_iri"))
+        .join(r, on=triples["pred"] == r["p"])
+        .select(
+            F.col("obj").alias("subj"),
+            F.col("q").alias("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+    )
+    core = triples.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    return core.unionByName(swapped).distinct()
+
+
+def infer_inverse_sql(
+    inverse_pairs: Sequence = (),
+    symmetric_preds: Sequence[str] = (),
+    table: str = "t",
+) -> str:
+    """ANSI replay of ``infer_inverse`` — the expanded rule table as an
+    inline VALUES join (same both-directions expansion)."""
+    rows = [(str(p), str(q)) for p, q in inverse_pairs]
+    rows += [(str(q), str(p)) for p, q in inverse_pairs]
+    rows += [(str(p), str(p)) for p in symmetric_preds]
+    if not rows:
+        raise ValueError("infer_inverse_sql needs at least one rule")
+    values = ", ".join(f"('{p}', '{q}')" for p, q in sorted(set(rows)))
+    return f"""
+SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
+  SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM {table}
+  UNION ALL
+  SELECT t.obj, r.q, t.subj, TRUE, NULL::VARCHAR
+  FROM {table} t JOIN (VALUES {values}) AS r(p, q) ON t.pred = r.p
+  WHERE t.obj_is_iri
+) z
+"""
+
+
+def void_summary(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """VoID-style dataset description (the W3C *Vocabulary of
+    Interlinked Datasets* statistics a published web KG ships next to
+    its dump): one tall frame
+    ``(scope, key, n_triples, n_subjects, n_objects, n_preds)`` with
+    three scopes — ``dataset`` (key ``''``: void:triples /
+    void:distinctSubjects / void:distinctObjects / void:properties),
+    ``property`` (one row per predicate — void:propertyPartition), and
+    ``class`` (one row per class — void:classPartition: the stats of
+    the sub-dataset whose SUBJECTS are instances of the class; a
+    multi-typed subject's triples count in every class it bears, per
+    the VoID definition). ``n_objects`` counts distinct IRI objects
+    (void:distinctObjects over resources — literals profile via
+    ``literal_stats``).
+
+    Scale shape: dataset + property scopes are two grouped passes over
+    the core frame (map-side partials; property keys are
+    vocabulary-bounded). The class scope joins the instance frame to
+    the distinct (subj, class) map on ``subj`` — the one instance-sized
+    shuffle, unavoidable by definition (class membership is a property
+    of the subject, not the row). Output is statistics-sized:
+    |preds| + |classes| + 1 rows."""
+    core = triples.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    iri_obj = F.when(F.col("obj_is_iri"), F.col("obj"))
+    dataset = core.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct(iri_obj).alias("n_objects"),
+        F.countDistinct("pred").alias("n_preds"),
+    ).select(
+        F.lit("dataset").alias("scope"), F.lit("").alias("key"),
+        "n_triples", "n_subjects", "n_objects", "n_preds",
+    )
+    by_prop = core.groupBy(F.col("pred").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct(iri_obj).alias("n_objects"),
+    ).select(
+        F.lit("property").alias("scope"), "key",
+        "n_triples", "n_subjects", "n_objects",
+        F.lit(1).cast("long").alias("n_preds"),
+    )
+    classes = (
+        core.filter(F.col("pred") == type_pred)
+        .select("subj", F.col("obj").alias("_cls"))
+        .distinct()
+    )
+    by_class = (
+        core.join(classes, on="subj")
+        .groupBy(F.col("_cls").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct(iri_obj).alias("n_objects"),
+            F.countDistinct("pred").alias("n_preds"),
+        )
+        .select(
+            F.lit("class").alias("scope"), "key",
+            "n_triples", "n_subjects", "n_objects", "n_preds",
+        )
+    )
+    return dataset.unionByName(by_prop).unionByName(by_class)
+
+
+def void_summary_sql(
+    table: str = "t",
+    type_pred: str = "rdf:type",
+) -> str:
+    """ANSI replay of ``void_summary`` (DuckDB writes its own grouped
+    passes; the class partition re-joins the distinct type map)."""
+    return f"""
+SELECT 'dataset' AS scope, '' AS key,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT CASE WHEN obj_is_iri THEN obj END)
+            AS BIGINT) AS n_objects,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+FROM {table}
+UNION ALL
+SELECT 'property', pred,
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT subj) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN obj_is_iri THEN obj END)
+            AS BIGINT),
+       1
+FROM {table} GROUP BY pred
+UNION ALL
+SELECT 'class', c.cls,
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT t.subj) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN t.obj_is_iri THEN t.obj END)
+            AS BIGINT),
+       CAST(count(DISTINCT t.pred) AS BIGINT)
+FROM {table} t
+JOIN (SELECT DISTINCT subj, obj AS cls FROM {table}
+      WHERE pred = '{type_pred}') c ON t.subj = c.subj
+GROUP BY c.cls
+"""
+
+
 def apply_diff(
     base: DataFrame,
     diff: DataFrame,

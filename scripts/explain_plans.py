@@ -1087,6 +1087,55 @@ def main():
         "type-triple join"
     )
 
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_inverse,
+        infer_subproperties,
+        void_summary,
+    )
+
+    sp_edges = spark.createDataFrame(
+        [("ex:ref", "ex:link"), ("ex:link", "ex:rel")],
+        "sub string, sup string",
+    )
+    i7 = infer_subproperties(trip5.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    ), sp_edges)
+    i7_plan = plan_of(i7)
+    assert not re.findall(_no_python, i7_plan), (
+        "infer_subproperties must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in i7_plan, (
+        "infer_subproperties property closure must broadcast into the "
+        "pred-keyed instance join"
+    )
+
+    ii = infer_inverse(
+        trip5.select("subj", "pred", "obj", "obj_is_iri", "obj_datatype"),
+        inverse_pairs=[("ex:ref", "ex:refOf")],
+    )
+    ii_plan = plan_of(ii)
+    assert not re.findall(_no_python, ii_plan), (
+        "infer_inverse must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in ii_plan, (
+        "infer_inverse rule table must broadcast — it is axiom-sized"
+    )
+    assert "SortMergeJoin" not in ii_plan, (
+        "infer_inverse must never shuffle the instance frame for the "
+        "rule join"
+    )
+
+    vs = void_summary(trip5.select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    ))
+    vs_plan = plan_of(vs)
+    assert not re.findall(_no_python, vs_plan), (
+        "void_summary must stay JVM-side"
+    )
+    assert "Window" not in vs_plan, (
+        "void_summary is grouped passes + one subj join — no window"
+    )
+
     diff3 = spark.createDataFrame(
         [("kb:x", "ex:p", "1", "added"), ("kb:a", "rdf:type", "ex:D",
                                           "removed")],
@@ -1128,6 +1177,9 @@ def main():
             "unresolved_refs (grouped object scan + one anti-join)": ur,
             "latest_assertions (window-free argmax: max-join-min)": la,
             "rdfs_infer_types (broadcast subclass closure into type join)": ri,
+            "infer_subproperties (rdfs7: broadcast property closure)": i7,
+            "infer_inverse (broadcast axiom rules; swap is a projection)": ii,
+            "void_summary (grouped passes + one subj-keyed class join)": vs,
             "apply_diff (one anti-join + union over the patch)": ad,
             "kg_fingerprint (map-side XOR fold, one row out)": fp,
             "sparql_update modify ((G anti del) union ins, equi-joins only)": su,

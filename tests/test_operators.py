@@ -1660,6 +1660,161 @@ def test_infer_transitive_chain_cycle_and_oracle(spark):
     assert got == want
 
 
+def test_infer_subproperties_chain_datatype_and_oracle(spark):
+    """rdfs7 over a 2-hop property chain (name ⊑ label ⊑ prop): a
+    name-triple entails BOTH ancestors and the entailed rows keep the
+    source row's obj_is_iri/obj_datatype (literal stays literal, IRI
+    stays IRI); predicates off the chain pass through untouched; an
+    explicit re-assertion dedups."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_subproperties,
+        infer_subproperties_sql,
+    )
+
+    triples = [
+        ("kb:x", "ex:name", "Ada", False, "xsd:string"),
+        ("kb:x", "ex:label", "Ada", False, "xsd:string"),  # explicit
+        ("kb:y", "ex:ref", "kb:z", True, None),
+        ("kb:y", "ex:other", "5", False, "xsd:integer"),
+    ]
+    sub = [("ex:name", "ex:label"), ("ex:label", "ex:prop"),
+           ("ex:ref", "ex:link")]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    t = spark.createDataFrame(triples, cols)
+    sp = spark.createDataFrame(sub, "sub string, sup string")
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_iri, r.obj_datatype)
+        for r in infer_subproperties(t, sp).collect()
+    }
+    assert got == {
+        ("kb:x", "ex:name", "Ada", False, "xsd:string"),
+        ("kb:x", "ex:label", "Ada", False, "xsd:string"),
+        ("kb:x", "ex:prop", "Ada", False, "xsd:string"),
+        ("kb:y", "ex:ref", "kb:z", True, None),
+        ("kb:y", "ex:link", "kb:z", True, None),
+        ("kb:y", "ex:other", "5", False, "xsd:integer"),
+    }
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(
+        triples,
+        columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+    ))
+    con.register("sp_src", pd.DataFrame(sub, columns=["sub", "sup"]))
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "WITH t AS (SELECT * FROM t_src), sp AS (SELECT * FROM sp_src) "
+            f"SELECT * FROM ({infer_subproperties_sql()}) z"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_infer_inverse_pairs_symmetric_literals_and_oracle(spark):
+    """owl:inverseOf fires in BOTH directions (p→q and q→p), symmetric
+    predicates swap onto themselves, literal objects never swap into
+    subject position, and an already-present reverse edge dedups."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_inverse,
+        infer_inverse_sql,
+    )
+
+    triples = [
+        ("kb:a", "ex:parentOf", "kb:b", True, None),
+        ("kb:c", "ex:childOf", "kb:a", True, None),   # reverse direction
+        ("kb:b", "ex:knows", "kb:c", True, None),
+        ("kb:c", "ex:knows", "kb:b", True, None),     # already symmetric
+        ("kb:a", "ex:label", "A", False, "xsd:string"),
+    ]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    t = spark.createDataFrame(triples, cols)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in infer_inverse(
+            t, inverse_pairs=[("ex:parentOf", "ex:childOf")],
+            symmetric_preds=["ex:knows"],
+        ).collect()
+    }
+    assert got == {
+        ("kb:a", "ex:parentOf", "kb:b"),
+        ("kb:b", "ex:childOf", "kb:a"),
+        ("kb:c", "ex:childOf", "kb:a"),
+        ("kb:a", "ex:parentOf", "kb:c"),
+        ("kb:b", "ex:knows", "kb:c"),
+        ("kb:c", "ex:knows", "kb:b"),
+        ("kb:a", "ex:label", "A"),
+    }
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(
+        triples,
+        columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+    ))
+    sql = infer_inverse_sql(
+        inverse_pairs=[("ex:parentOf", "ex:childOf")],
+        symmetric_preds=["ex:knows"],
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            f"WITH t AS (SELECT * FROM t_src) SELECT * FROM ({sql}) z"
+        ).fetchall()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        infer_inverse(t)
+
+
+def test_void_summary_scopes_and_multityped_subject(spark):
+    """VoID stats: the dataset row counts distinct IRI objects only; a
+    multi-typed subject's triples appear in BOTH class partitions (per
+    the VoID classPartition definition); an untyped subject appears in
+    property partitions but no class partition."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        void_summary,
+    )
+
+    triples = [
+        ("kb:a", "rdf:type", "ex:P", True, None),
+        ("kb:a", "rdf:type", "ex:Q", True, None),
+        ("kb:a", "ex:name", "Ada", False, "xsd:string"),
+        ("kb:b", "ex:name", "Bob", False, "xsd:string"),
+        ("kb:b", "ex:ref", "kb:a", True, None),
+    ]
+    cols = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    got = {
+        (r.scope, r.key): (r.n_triples, r.n_subjects, r.n_objects,
+                           r.n_preds)
+        for r in void_summary(
+            spark.createDataFrame(triples, cols)
+        ).collect()
+    }
+    assert got[("dataset", "")] == (5, 2, 3, 3)
+    assert got[("property", "ex:name")] == (2, 2, 0, 1)
+    assert got[("property", "rdf:type")] == (2, 1, 2, 1)
+    assert got[("property", "ex:ref")] == (1, 1, 1, 1)
+    # kb:a is typed P AND Q → its 3 triples count under both classes
+    assert got[("class", "ex:P")] == (3, 1, 2, 2)
+    assert got[("class", "ex:Q")] == (3, 1, 2, 2)
+    assert ("class", "ex:name") not in got  # untyped kb:b: no partition
+    assert len(got) == 6
+
+
 def test_apply_diff_roundtrip_identity(spark):
     """new ≡ apply_diff(old, diff_graphs(old, new)) — the snapshot-diff
     lifecycle closes; duplicate assertions in either snapshot never

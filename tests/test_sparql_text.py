@@ -651,3 +651,100 @@ class TestAggregateTail:
                 "SELECT ?r (GROUP_CONCAT(?f; SEPARATOR= bare) AS ?x) "
                 "WHERE { ?r uco-core:hasFacet ?f . } GROUP BY ?r"
             )
+
+
+class TestStringBuiltins:
+    """SPARQL 1.1 string builtins in FILTER — the portable subset:
+    renames (STRLEN/UCASE/LCASE/SUBSTR/CONTAINS) and the structural
+    STRSTARTS/STRENDS → left/right comparison."""
+
+    def test_strstarts_contains_cross_engine(self, triples):
+        q = """
+        SELECT ?f ?t WHERE {
+          ?f a ?t .
+          FILTER(STRSTARTS(?t, "uco-observable:") && CONTAINS(?t, "Facet"))
+        } ORDER BY ?f
+        """
+        got = _both(triples, q)
+        assert got == [
+            ("kb:f1", "uco-observable:ContentDataFacet"),
+            ("kb:f2", "uco-observable:URLFacet"),
+            ("kb:f3", "uco-observable:ContentDataFacet"),
+        ]
+
+    def test_negated_strends_glued_token(self, triples):
+        # "!STRENDS" lexes as one word — the rewriter must split the
+        # prefix negation, not treat it as an unknown function
+        q = """
+        SELECT ?f ?t WHERE {
+          ?f a ?t .
+          FILTER(!STRENDS(?t, "Facet"))
+        } ORDER BY ?f
+        """
+        got = _both(triples, q)
+        assert got == [
+            ("kb:rec1", "uco-observable:URL"),
+            ("kb:rec2", "uco-observable:URL"),
+        ]
+
+    def test_nested_renames_substr_ucase_strlen(self, triples):
+        q = """
+        SELECT ?t WHERE {
+          ?f a ?t .
+          FILTER(UCASE(SUBSTR(?t, 16, 3)) = "URL" && STRLEN(?t) < 30
+                 && LCASE(?t) != ?t)
+        } ORDER BY ?t
+        """
+        got = _both(triples, q)
+        # rec1 and rec2 are both typed URL → two URL rows (no DISTINCT)
+        assert got == [
+            ("uco-observable:URL",),
+            ("uco-observable:URL",),
+            ("uco-observable:URLFacet",),
+        ]
+
+    def test_direct_call_filter_form(self, triples):
+        # FILTER STRSTARTS(...) without wrapping parens — the direct
+        # constraint-call form re-enters the structural rewriter
+        q = """
+        SELECT ?f WHERE {
+          ?f uco-observable:hash ?h .
+          FILTER STRSTARTS(?h, "a")
+        }
+        """
+        got = _both(triples, q)
+        assert got == [("kb:f1",)]
+
+    def test_empty_needle_is_true(self, triples):
+        # SPARQL: STRSTARTS(x, "") is true for every bound x
+        q = """
+        SELECT ?f WHERE {
+          ?f uco-observable:hash ?h .
+          FILTER(STRSTARTS(?h, ""))
+        } ORDER BY ?f
+        """
+        got = _both(triples, q)
+        assert got == [("kb:f1",), ("kb:f3",)]
+
+    def test_string_builtin_refusals(self, triples):
+        with pytest.raises(SparqlSyntaxError, match="plain string literal"):
+            parse_sparql(
+                "SELECT ?f WHERE { ?f a ?t . FILTER(STRSTARTS(?t, ?f)) }"
+            )
+        with pytest.raises(SparqlSyntaxError, match="backslash"):
+            parse_sparql(
+                'SELECT ?f WHERE { ?f a ?t . FILTER(STRENDS(?t, "a\\\\b")) }'
+            )
+        with pytest.raises(SparqlSyntaxError, match="datatype/lang"):
+            parse_sparql(
+                "SELECT ?f WHERE { ?f a ?t . "
+                'FILTER(STRSTARTS(?t, "x"@en)) }'
+            )
+        with pytest.raises(SparqlSyntaxError, match="REGEX"):
+            parse_sparql(
+                'SELECT ?f WHERE { ?f a ?t . FILTER(REGEX(?t, "x")) }'
+            )
+        with pytest.raises(SparqlSyntaxError, match="2 arguments"):
+            parse_sparql(
+                'SELECT ?f WHERE { ?f a ?t . FILTER(STRSTARTS(?t)) }'
+            )
