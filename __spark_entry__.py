@@ -6713,6 +6713,61 @@ def _oracle_sparql_string_filters() -> str:
     )
 
 
+def q_entailment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite forward-chaining pass (triples.rdfs_infer_types →
+    infer_subproperties → infer_inverse): the structural emission
+    closes over the CASE/UCO class hierarchy (rdfs9), the entailed
+    frame generalises through the property chain (rdfs7 — INCLUDING
+    predicates the first rule just created), then every hasFacet edge
+    gains its ex:facetOf reverse — the three-rule materialization
+    order a web-KG publisher runs before shipping a dump. The DuckDB
+    oracle nests the three recursive twins as chained CTEs, so the
+    COMPOSITION (each rule reading the previous rule's output) is
+    cross-engine-verified, not just each rule alone."""
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_inverse,
+        infer_subproperties,
+        rdfs_infer_types,
+    )
+
+    t = q_triples_structural(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
+    )
+    sc = spark.createDataFrame(_SUBCLASS_ROWS, "sub string, sup string")
+    sp = spark.createDataFrame(_SUBPROP_ROWS, "sub string, sup string")
+    e1 = rdfs_infer_types(t, sc)
+    e2 = infer_subproperties(e1, sp)
+    e3 = infer_inverse(
+        e2, inverse_pairs=[("uco-core:hasFacet", "ex:facetOf")]
+    )
+    return e3.orderBy("subj", "pred", "obj")
+
+
+def _oracle_entailment_pipeline() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_inverse_sql,
+        infer_subproperties_sql,
+        rdfs_infer_types_sql,
+    )
+
+    sc_vals = ",\n  ".join(f"('{a}', '{b}')" for a, b in _SUBCLASS_ROWS)
+    sp_vals = ",\n  ".join(f"('{a}', '{b}')" for a, b in _SUBPROP_ROWS)
+    inv = infer_inverse_sql(
+        inverse_pairs=[("uco-core:hasFacet", "ex:facetOf")], table="e2"
+    )
+    return f"""
+WITH t0 AS ({_oracle_triples_structural()}),
+t AS (SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM t0),
+sc(sub, sup) AS (VALUES
+  {sc_vals}),
+sp(sub, sup) AS (VALUES
+  {sp_vals}),
+e1 AS ({rdfs_infer_types_sql()}),
+e2 AS ({infer_subproperties_sql(table="e1")})
+SELECT * FROM ({inv}) z ORDER BY subj, pred, obj
+"""
+
+
 def q_snapshot_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff lifecycle (operators/triples.diff_graphs +
     apply_diff): old = the structural emission; new = old minus every
@@ -9163,6 +9218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverse_closure": q_inverse_closure,
         "void_summary": q_void_summary,
         "sparql_string_filters": q_sparql_string_filters,
+        "entailment_pipeline": q_entailment_pipeline,
         "transitive_materialize": q_transitive_materialize,
         "snapshot_patch": q_snapshot_patch,
         "kg_digest": q_kg_digest,
@@ -9344,6 +9400,7 @@ def oracle_sql() -> dict[str, str]:
         "inverse_closure": _oracle_inverse_closure(),
         "void_summary": _oracle_void_summary(),
         "sparql_string_filters": _oracle_sparql_string_filters(),
+        "entailment_pipeline": _oracle_entailment_pipeline(),
         "transitive_materialize": _oracle_transitive_materialize(),
         "snapshot_patch": _oracle_snapshot_patch(),
         "kg_digest": _oracle_kg_digest(),
