@@ -7080,6 +7080,73 @@ def q_kg_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_embedding_eval(ranks, max_rank=4)
 
 
+def q_distmult_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistMult link-prediction eval (operators/negatives.transe_ranks
+    with model='distmult' — Yang 2015's trilinear dot, LARGER score
+    wins): same entity/relation/corruption fixture as kg_embedding_eval
+    but the score fold is Σ hᵢ·rᵢ·tᵢ over floor-quantized integers
+    (triple products stay far inside BIGINT) and the rank comparison
+    flips direction. DuckDB replays the product fold + flipped
+    comparison + LCM metrics bit-exactly — the two models sharing one
+    harness pins that the comparison direction, not luck, decides the
+    ranks."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.negatives import (
+        kg_embedding_eval,
+        transe_ranks,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ents = emb.select(
+        F.concat(F.lit("e"), F.col("vec_id").cast("string")).alias("id"),
+        F.col("embedding").alias("vec"),
+    )
+    rels = emb.where(F.col("vec_id") < 2).select(
+        F.concat(F.lit("p"), F.col("vec_id").cast("string")).alias("pred"),
+        F.col("embedding").alias("vec"),
+    )
+    v = F.col("vec_id")
+    negs = (
+        emb.select(v)
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("j")))
+        .select(
+            F.concat(F.lit("e"), v.cast("string")).alias("subj"),
+            F.concat(F.lit("p"), (v % 2).cast("string")).alias("pred"),
+            F.concat(F.lit("e"), ((v * 7 + 1) % 500).cast("string"))
+            .alias("obj"),
+            F.col("j").cast("int").alias("i"),
+            F.concat(
+                F.lit("e"), ((v * 11 + F.col("j") * F.col("j")) % 500)
+                .cast("string")
+            ).alias("neg_obj"),
+        )
+    )
+    ranks = transe_ranks(negs, ents, rels, model="distmult")
+    return kg_embedding_eval(ranks, max_rank=4)
+
+
+def _oracle_distmult_eval() -> str:
+    from case_uco_ontology_map_spark.operators.negatives import (
+        kg_embedding_eval_sql,
+        transe_ranks_sql,
+    )
+
+    return f"""
+WITH e AS (SELECT 'e' || vec_id AS id, embedding AS vec FROM embeddings),
+r AS (SELECT 'p' || vec_id AS pred, embedding AS vec FROM embeddings
+      WHERE vec_id < 2),
+n AS (
+  SELECT 'e' || vec_id AS subj, 'p' || (vec_id % 2) AS pred,
+         'e' || ((vec_id * 7 + 1) % 500) AS obj, j.i AS i,
+         'e' || ((vec_id * 11 + j.i * j.i) % 500) AS neg_obj
+  FROM embeddings CROSS JOIN range(1, 4) j(i)
+),
+rk AS ({transe_ranks_sql(model="distmult")})
+{kg_embedding_eval_sql(max_rank=4)}
+"""
+
+
 def _oracle_kg_embedding_eval() -> str:
     from case_uco_ontology_map_spark.operators.negatives import (
         kg_embedding_eval_sql,
@@ -8939,6 +9006,85 @@ def _oracle_characteristic_sets() -> str:
     )
 
 
+#: two stars probing different shape families of the emission: the
+#: record star (every record node) and the ContentDataFacet star (only
+#: hash-bearing facet nodes). For distinct-pred stars the cset-superset
+#: sum is EXACT, so each row carries the statistic-derived count AND the
+#: ground truth scanned from the triples — equal by theorem, and the
+#: oracle recomputes both sides independently.
+_STAR_QUERIES = [
+    ["rdf:type", "uco-core:hasFacet"],
+    ["rdf:type", "uco-observable:hash"],
+]
+
+
+def q_star_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic-set cardinality estimation (triples.
+    star_cardinality — the Neumann & Moerkotte statistic doing its
+    actual job): each star's subject count is answered from the
+    statistics table (|shapes| rows, broadcast-sized at 100 TB), and
+    the row carries the scanned ground truth beside it — exact match
+    by the partition theorem, cross-engine-verified both ways."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        characteristic_sets,
+        star_cardinality,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    cs = characteristic_sets(t)
+    outs = []
+    for star in _STAR_QUERIES:
+        est = star_cardinality(cs, star).withColumn(
+            "star", F.lit("|".join(sorted(star)))
+        )
+        truth = (
+            t.filter(F.col("pred").isin(star))
+            .groupBy("subj")
+            .agg(F.countDistinct("pred").alias("_k"))
+            .filter(F.col("_k") == len(set(star)))
+            .agg(F.count(F.lit(1)).alias("true_subjects"))
+        )
+        outs.append(est.crossJoin(truth).select(
+            "star", "n_star_preds", "n_matching_csets", "n_subjects",
+            "true_subjects",
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("star")
+
+
+def _oracle_star_cardinality() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        characteristic_sets_sql,
+        star_cardinality_sql,
+    )
+
+    parts = []
+    for star in _STAR_QUERIES:
+        label = "|".join(sorted(star))
+        preds = ", ".join(f"'{p}'" for p in sorted(set(star)))
+        est = star_cardinality_sql(star, csets="cs")
+        parts.append(f"""
+SELECT '{label}' AS star, e.n_star_preds, e.n_matching_csets,
+       e.n_subjects, tr.true_subjects
+FROM ({est}) e CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS true_subjects FROM (
+    SELECT subj FROM t WHERE pred IN ({preds})
+    GROUP BY subj HAVING count(DISTINCT pred) = {len(set(star))}
+  )
+) tr""")
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        f"WITH t AS ({_oracle_triples_structural()}),\n"
+        f"cs AS ({characteristic_sets_sql(table='t')})\n"
+        + body
+        + "\nORDER BY star"
+    )
+
+
 def q_literal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric-literal value profile (triples.literal_stats) of the
     structural emission: the n_chars literals parse as integers
@@ -9226,6 +9372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_maintenance_pipeline": q_kg_maintenance_pipeline,
         "pagerank_weighted": q_pagerank_weighted,
         "kg_embedding_eval": q_kg_embedding_eval,
+        "distmult_eval": q_distmult_eval,
         "property_graph": q_property_graph,
         "pool_embeddings": q_pool_embeddings,
         "salted_aggregate": q_salted_aggregate,
@@ -9274,6 +9421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_diff": q_time_travel_diff,
         "schema_graph": q_schema_graph,
         "characteristic_sets": q_characteristic_sets,
+        "star_cardinality": q_star_cardinality,
         "literal_stats": q_literal_stats,
         "log_compaction": q_log_compaction,
     }
@@ -9408,6 +9556,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_maintenance_pipeline": _oracle_kg_maintenance_pipeline(),
         "pagerank_weighted": _oracle_pagerank_weighted(),
         "kg_embedding_eval": _oracle_kg_embedding_eval(),
+        "distmult_eval": _oracle_distmult_eval(),
         "property_graph": _oracle_property_graph(),
         "pool_embeddings": _oracle_pool_embeddings(),
         "salted_aggregate": _oracle_salted_aggregate(),
@@ -9456,6 +9605,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_diff": _oracle_time_travel_diff(),
         "schema_graph": _oracle_schema_graph(),
         "characteristic_sets": _oracle_characteristic_sets(),
+        "star_cardinality": _oracle_star_cardinality(),
         "literal_stats": _oracle_literal_stats(),
         "log_compaction": _oracle_log_compaction(),
     }

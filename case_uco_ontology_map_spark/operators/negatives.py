@@ -147,6 +147,7 @@ def transe_ranks(
     id_col: str = "id",
     vec_col: str = "vec",
     rel_col: str = "pred",
+    model: str = "transe",
 ) -> DataFrame:
     """TransE link-prediction ranking → ``(subj, pred, obj, n_neg,
     rank)``: for each positive triple with its ``negative_samples``
@@ -169,7 +170,14 @@ def transe_ranks(
     shuffles — at 10^9 entities they co-partition on the id) plus one
     BROADCAST relation join (relations are thousands, not billions);
     distances fold in-row over the arrays; one groupBy on the triple
-    key emits the rank."""
+    key emits the rank.
+
+    ``model``: ``'transe'`` (L1 distance, smaller is better — Bordes
+    2013) or ``'distmult'`` (trilinear dot ``Σ hᵢ·rᵢ·tᵢ``, LARGER is
+    better — Yang 2015); the comparison direction flips with the
+    model, everything else (joins, quantization, tie convention) is
+    shared. Quantized products stay exact: |q| ≤ scale·|x| per factor,
+    so a 1024-dim product sum is far inside BIGINT."""
     q = entity_emb.select(
         F.col(id_col).alias("_id"), _quantized(F.col(vec_col), scale).alias("_v")
     )
@@ -186,24 +194,37 @@ def transe_ranks(
         .join(t, on=negatives["obj"] == t["_to"])
         .join(tn, on=negatives["neg_obj"] == tn["_tn"])
     )
-    hr = F.zip_with("_hv", "_rv", lambda a, b: a + b)
+    if model == "transe":
+        hr = F.zip_with("_hv", "_rv", lambda a, b: a + b)
 
-    def l1(target):
-        diff = F.zip_with(hr, target, lambda a, b: F.abs(a - b))
-        return F.aggregate(
-            diff, F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
+        def score(target):
+            diff = F.zip_with(hr, target, lambda a, b: F.abs(a - b))
+            return F.aggregate(
+                diff, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+
+        neg_beats = F.col("_dn") < F.col("_dp")  # smaller distance wins
+    elif model == "distmult":
+        hr = F.zip_with("_hv", "_rv", lambda a, b: a * b)
+
+        def score(target):
+            prod = F.zip_with(hr, target, lambda a, b: a * b)
+            return F.aggregate(
+                prod, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+
+        neg_beats = F.col("_dn") > F.col("_dp")  # larger score wins
+    else:
+        raise ValueError(f"unknown model {model!r} (transe|distmult)")
 
     scored = j.select(
         "subj", "pred", "obj",
-        l1(F.col("_tv")).alias("_dp"),
-        l1(F.col("_nv")).alias("_dn"),
+        score(F.col("_tv")).alias("_dp"),
+        score(F.col("_nv")).alias("_dn"),
     )
     return scored.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).alias("n_neg"),
-        (
-            1 + F.sum((F.col("_dn") < F.col("_dp")).cast("long"))
-        ).alias("rank"),
+        (1 + F.sum(neg_beats.cast("long"))).alias("rank"),
     )
 
 
@@ -215,18 +236,30 @@ def transe_ranks_sql(
     id_col: str = "id",
     vec_col: str = "vec",
     rel_col: str = "pred",
+    model: str = "transe",
 ) -> str:
     """DuckDB replay of ``transe_ranks`` — identical floor quantization
-    and exact-integer L1 folds (3-ary ``list_zip`` + numeric struct
-    indexing)."""
+    and exact-integer score folds (3-ary ``list_zip`` + numeric struct
+    indexing); ``model`` flips the fold (L1 vs trilinear product) and
+    the comparison direction exactly as the engine does."""
     qv = (
         f"list_transform({vec_col}, x -> CAST(floor(x * {float(scale)}) "
         "AS BIGINT))"
     )
-    dist = (
-        "list_sum(list_transform(list_zip(h.qv, rr.qv, {t}.qv), "
-        "s -> abs(s[1] + s[2] - s[3])))"
-    )
+    if model == "transe":
+        dist = (
+            "list_sum(list_transform(list_zip(h.qv, rr.qv, {t}.qv), "
+            "s -> abs(s[1] + s[2] - s[3])))"
+        )
+        beats = "dn < dp"
+    elif model == "distmult":
+        dist = (
+            "list_sum(list_transform(list_zip(h.qv, rr.qv, {t}.qv), "
+            "s -> s[1] * s[2] * s[3]))"
+        )
+        beats = "dn > dp"
+    else:
+        raise ValueError(f"unknown model {model!r} (transe|distmult)")
     return f"""
 WITH q AS (SELECT {id_col} AS id, {qv} AS qv FROM {entities}),
 qr AS (SELECT {rel_col} AS pred, {qv} AS qv FROM {relations}),
@@ -241,7 +274,7 @@ scored AS (
   JOIN q tn ON n.neg_obj = tn.id
 )
 SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_neg,
-       CAST(1 + SUM(CASE WHEN dn < dp THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(1 + SUM(CASE WHEN {beats} THEN 1 ELSE 0 END) AS BIGINT)
          AS rank
 FROM scored GROUP BY subj, pred, obj
 """

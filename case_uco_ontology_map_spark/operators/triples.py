@@ -19,6 +19,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import pandas as pd
@@ -1523,6 +1524,63 @@ FROM (
   GROUP BY {subj_col}
 ) per_subj
 GROUP BY cset, n_preds
+"""
+
+
+def star_cardinality(
+    csets: DataFrame,
+    star_preds: Sequence[str],
+    sep: str = " ",
+) -> DataFrame:
+    """Star-query cardinality from the characteristic-set statistic
+    (Neumann & Moerkotte, ICDE 2011 — the statistic's actual use): the
+    number of subjects that bind a star of DISTINCT predicates
+    ``{p1..pk}`` equals the sum of ``n_subjects`` over the
+    characteristic sets that are SUPERSETS of the star. For
+    distinct-predicate stars this is EXACT, not an estimate — the sets
+    partition the subjects — which is why an RDF optimizer keeps this
+    table instead of sampling. Returns one row
+    ``(n_star_preds, n_matching_csets, n_subjects)``.
+
+    Scale shape: runs on the STATISTIC (|distinct shapes| rows — KB
+    not TB), never the corpus; the superset probe is an in-row
+    array_contains fold over the split set key; one global sum. This
+    is the whole point: a 100 TB graph answers the cardinality question
+    from a broadcast-sized summary."""
+    preds = sorted(set(star_preds))
+    if not preds:
+        raise ValueError("star_cardinality needs at least one predicate")
+    arr = F.split(F.col("cset"), re.escape(sep))
+    cond = F.lit(True)
+    for p in preds:
+        cond = cond & F.array_contains(arr, p)
+    return csets.filter(cond).agg(
+        F.lit(len(preds)).cast("int").alias("n_star_preds"),
+        F.count(F.lit(1)).alias("n_matching_csets"),
+        F.coalesce(F.sum("n_subjects"), F.lit(0)).alias("n_subjects"),
+    )
+
+
+def star_cardinality_sql(
+    star_preds: Sequence[str],
+    csets: str = "cs",
+    sep: str = " ",
+) -> str:
+    """ANSI replay of ``star_cardinality`` (DuckDB list_contains over
+    the split set key)."""
+    preds = sorted(set(star_preds))
+    if not preds:
+        raise ValueError("star_cardinality_sql needs ≥1 predicate")
+    conds = " AND ".join(
+        "list_contains(str_split(cset, '{}'), '{}')".format(sep, p)
+        for p in preds
+    )
+    return f"""
+SELECT CAST({len(preds)} AS INT) AS n_star_preds,
+       CAST(count(*) AS BIGINT) AS n_matching_csets,
+       COALESCE(SUM(n_subjects), 0) AS n_subjects
+FROM {csets}
+WHERE {conds}
 """
 
 

@@ -1214,9 +1214,20 @@ def main():
         "transe_ranks relation join must broadcast"
     )
 
+    dm = transe_ranks(te_negs, te_ents, te_rels, model="distmult")
+    dm_plan = plan_of(dm)
+    assert not re.findall(_no_python, dm_plan), (
+        "distmult ranks must stay JVM-side (higher-order product folds)"
+    )
+    assert dm_plan.count("Join") == tr_plan.count("Join"), (
+        "distmult must reuse transe's exact join tree — only the "
+        "in-row fold and comparison direction differ"
+    )
+
     sections.update(
         {
             "transe_ranks (3 entity equi-joins + broadcast relations; in-row integer L1 folds)": tr,
+            "distmult ranks (same join tree; in-row trilinear product fold)": dm,
         }
     )
 
@@ -1647,6 +1658,20 @@ def main():
         "characteristic_sets is two grouped passes — no join, no window"
     )
 
+    from case_uco_ontology_map_spark.operators.triples import (
+        star_cardinality,
+    )
+
+    sc_est = star_cardinality(cs, ["rdf:type", "ex:name"])
+    sc_plan = plan_of(sc_est)
+    assert not re.findall(_no_python, sc_plan), (
+        "star_cardinality must stay JVM-side"
+    )
+    assert "Join" not in sc_plan and "Window" not in sc_plan, (
+        "star_cardinality is a filter + one global agg over the "
+        "statistic — no join, no window"
+    )
+
     cl_log = typed.select(
         "subj", "pred", "obj",
         F.lit("add").alias("op"),
@@ -1728,6 +1753,7 @@ def main():
             "bm25_topk (broadcast terms/df/stats; bounded top-k window)": bm,
             "hard_negatives (anti-join positives; arithmetic rank gap, no 2nd window)": hn,
             "characteristic_sets (two grouped passes; no join, no window)": cs,
+            "star_cardinality (filter + one agg over the statistic)": sc_est,
             "quad_query GRAPH ?g (graph var as join key on every pattern)": qq,
         }
     )

@@ -164,6 +164,66 @@ def test_transe_ranks_hand_computed(spark):
     assert got == {("a", "p", "b"): (2, 1), ("a", "p", "c"): (1, 2)}
 
 
+def test_distmult_ranks_hand_computed_and_oracle(spark):
+    """DistMult (model='distmult'): score = Σ hᵢ·rᵢ·tᵢ, LARGER wins.
+    h=(1,2), r=(2,1) → h∘r=(2,2) (quantized ×1000 → (2e6, 2e6)):
+    true tail b=(1,1) scores 2+2; corruption c=(3,0) scores 6 > 4 →
+    demotes (rank 2); corruption d=(0,1) scores 2 < 4 → doesn't; an
+    exactly-tied corruption e=(2,0) (score 4) must NOT demote. The
+    DuckDB twin replays the product fold with the flipped comparison.
+    Unknown model raises on both sides."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from case_uco_ontology_map_spark.operators.negatives import (
+        transe_ranks,
+        transe_ranks_sql,
+    )
+
+    ents_rows = [
+        ("a", [1.0, 2.0]), ("b", [1.0, 1.0]), ("c", [3.0, 0.0]),
+        ("d", [0.0, 1.0]), ("e", [2.0, 0.0]),
+    ]
+    rels_rows = [("p", [2.0, 1.0])]
+    negs_rows = [
+        ("a", "p", "b", 1, "c"),   # 6 > 4 → beats
+        ("a", "p", "b", 2, "d"),   # 2 < 4 → doesn't
+        ("a", "p", "b", 3, "e"),   # 4 = 4 → tie keeps positive
+    ]
+    ents = spark.createDataFrame(ents_rows, "id string, vec array<double>")
+    rels = spark.createDataFrame(rels_rows, "pred string, vec array<double>")
+    negs = spark.createDataFrame(
+        negs_rows,
+        "subj string, pred string, obj string, i int, neg_obj string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_neg, r.rank)
+        for r in transe_ranks(negs, ents, rels, model="distmult").collect()
+    }
+    assert got == {("a", "p", "b"): (3, 2)}
+    con = duckdb.connect()
+    con.register("e_src", pd.DataFrame(ents_rows, columns=["id", "vec"]))
+    con.register("r_src", pd.DataFrame(rels_rows, columns=["pred", "vec"]))
+    con.register("n_src", pd.DataFrame(
+        negs_rows, columns=["subj", "pred", "obj", "i", "neg_obj"]
+    ))
+    want = {
+        (r[0], r[1], r[2]): (r[3], r[4])
+        for r in con.execute(
+            "WITH n AS (SELECT * FROM n_src), e AS (SELECT * FROM e_src), "
+            f"r AS (SELECT * FROM r_src), "
+            f"rk AS ({transe_ranks_sql(model='distmult')}) "
+            "SELECT * FROM rk"
+        ).fetchall()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        transe_ranks(negs, ents, rels, model="complex")
+    with pytest.raises(ValueError):
+        transe_ranks_sql(model="complex")
+
+
 def test_transe_eval_exact_rational_and_oracle(spark):
     import duckdb
     import pandas as pd

@@ -2128,3 +2128,41 @@ class TestCharacteristicSets:
             t, subj_col="subject", pred_col="predicate", sep="|"
         ).collect()
         assert [tuple(r) for r in got] == [("p1|p2", 2, 1, 2)]
+
+    def test_star_cardinality_exact_and_empty(self, spark):
+        """star_cardinality: the cset-superset sum equals the true
+        subject count for every distinct-pred star (partition theorem);
+        an unmatched star sums to 0 over 0 sets; the empty star
+        raises."""
+        import pytest
+
+        from case_uco_ontology_map_spark.operators.triples import (
+            characteristic_sets,
+            star_cardinality,
+        )
+
+        rows = [
+            ("s1", "a", "1"), ("s1", "b", "2"), ("s1", "b", "3"),
+            ("s2", "a", "4"), ("s2", "b", "5"),
+            ("s3", "a", "6"),
+            ("s4", "c", "7"), ("s4", "b", "8"),
+        ]
+        t = spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+        cs = characteristic_sets(t)
+        # star {a}: supersets "a b" (2 subjects) + "a" (1) = 3 = truth
+        r = star_cardinality(cs, ["a"]).collect()[0]
+        assert (r.n_star_preds, r.n_matching_csets, r.n_subjects) == (
+            1, 2, 3
+        )
+        # star {a, b}: only "a b" → 2; duplicate pred dedups
+        r = star_cardinality(cs, ["b", "a", "a"]).collect()[0]
+        assert (r.n_star_preds, r.n_matching_csets, r.n_subjects) == (
+            2, 1, 2
+        )
+        # star {a, c}: no subject binds both → 0 over 0 sets
+        r = star_cardinality(cs, ["a", "c"]).collect()[0]
+        assert (r.n_matching_csets, r.n_subjects) == (0, 0)
+        with pytest.raises(ValueError):
+            star_cardinality(cs, [])
