@@ -6290,6 +6290,34 @@ def q_nquads_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nquads_lines(t).orderBy("line")
 
 
+def q_turtle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical Turtle export (operators/render.turtle_lines): the
+    structural emission grouped into one deterministic block per
+    subject — predicates sorted (rdf:type rendered as `a`), objects
+    sorted within each predicate, `;`/`,` abbreviations, declared
+    prefixes kept as CURIEs — the human-facing format the reference
+    ecosystem serializes (case_utils emits Turtle). DuckDB rebuilds
+    the blocks with its own ordered string_agg nesting — independently
+    written aggregation, byte-compared."""
+    from case_uco_ontology_map_spark.operators.render import turtle_lines
+
+    t = q_triples_structural(spark, sf_dir)
+    return turtle_lines(t).orderBy("subj")
+
+
+def _oracle_turtle_export() -> str:
+    from case_uco_ontology_map_spark.operators.render import (
+        turtle_lines_sql,
+    )
+
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT * FROM ("
+        + turtle_lines_sql()
+        + ") z ORDER BY subj"
+    )
+
+
 def _oracle_nquads_export() -> str:
     def expand(x: str) -> str:
         return (
@@ -9357,6 +9385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "kg_census": q_kg_census,
         "nquads_export": q_nquads_export,
+        "turtle_export": q_turtle_export,
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
@@ -9541,6 +9570,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_strip": _oracle_boilerplate_strip(),
         "kg_census": _oracle_kg_census(),
         "nquads_export": _oracle_nquads_export(),
+        "turtle_export": _oracle_turtle_export(),
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),

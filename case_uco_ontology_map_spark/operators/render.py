@@ -255,6 +255,161 @@ def write_ntriples(
     return path
 
 
+def turtle_header(prefixes: Optional[Dict[str, str]] = None) -> str:
+    """The ``@prefix`` preamble matching ``turtle_lines`` — sorted, one
+    declaration per line, trailing newline. Driver-side (it is
+    axiom-sized); prepend to the concatenated blocks for a complete
+    Turtle document."""
+    pfx = dict(prefixes or NT_PREFIXES)
+    return "".join(
+        f"@prefix {k}: <{v}> .\n" for k, v in sorted(pfx.items())
+    )
+
+
+def turtle_lines(
+    triples: DataFrame,
+    prefixes: Optional[Dict[str, str]] = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    obj_is_iri_col: str = "obj_is_iri",
+    obj_datatype_col: str = "obj_datatype",
+) -> DataFrame:
+    """Triples table → one canonical Turtle block per SUBJECT
+    (``(subj, block)``) — the human-facing export format the reference
+    ecosystem reads (case_utils serializes Turtle;
+    /root/reference/tools.py emits .ttl shapes), completing the
+    interchange set next to N-Triples/N-Quads/JSON-LD. Blocks are
+    deterministic: predicates sort within a subject (rendered as ``a``
+    for rdf:type but SORTED by the CURIE so the key is
+    rendering-independent), objects sort within a predicate, and
+    ``;``/``,`` abbreviations follow the grouped shape, so the same
+    graph always serializes byte-identically regardless of partitioning
+    — the canonical-output discipline (F8/F14) applied to Turtle.
+
+    Term rendering: CURIEs whose prefix is declared stay prefixed
+    (that's the point of Turtle); anything else wraps in ``<...>`` —
+    mirroring ``ntriples_lines``' passthrough convention. Literals get
+    the ECHAR escapes and ``^^dt`` tags (prefixed when declared).
+
+    Scale shape: one groupBy (subj, pred) with sorted in-row list
+    aggregation, one groupBy subj — bounded fan-in (a subject's
+    out-degree), statistics-free, nothing leaves the JVM. Unlike
+    N-Triples the block depends on ALL of a subject's rows, so the one
+    subject-keyed shuffle is the format's own price; shards remain
+    cat-able (each block is self-contained under the shared
+    ``turtle_header``)."""
+    pfx = dict(prefixes or NT_PREFIXES)
+    pairs = []
+    for k, v in sorted(pfx.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    pfx_map = F.create_map(*pairs)
+
+    def iri_term(c: F.Column) -> F.Column:
+        prefix = F.substring_index(c, ":", 1)
+        return F.when(
+            F.element_at(pfx_map, prefix).isNotNull()
+            & (F.length(prefix) < F.length(c)),
+            c,
+        ).otherwise(F.concat(F.lit("<"), c, F.lit(">")))
+
+    o = F.col(obj_col)
+    dt = F.col(obj_datatype_col)
+    lit_term = F.concat(
+        F.lit('"'),
+        _nt_escape(o),
+        F.lit('"'),
+        F.when(
+            dt.isNotNull(), F.concat(F.lit("^^"), iri_term(dt))
+        ).otherwise(F.lit("")),
+    )
+    obj_term = F.when(F.col(obj_is_iri_col), iri_term(o)).otherwise(
+        lit_term
+    )
+    pred_term = F.when(
+        F.col(pred_col) == "rdf:type", F.lit("a")
+    ).otherwise(iri_term(F.col(pred_col)))
+    per_pred = (
+        triples.select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("_p"),
+            pred_term.alias("_pt"),
+            obj_term.alias("_ot"),
+        )
+        .groupBy("subj", "_p", "_pt")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("_ot")), ", "
+            ).alias("_objs")
+        )
+        .select(
+            "subj",
+            F.struct(
+                F.col("_p").alias("p"),
+                F.concat(F.col("_pt"), F.lit(" "), F.col("_objs")).alias(
+                    "line"
+                ),
+            ).alias("_pl"),
+        )
+    )
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("_pl")), lambda s: s["line"]
+        ),
+        " ;\n    ",
+    )
+    return per_pred.groupBy("subj").agg(
+        F.concat(
+            iri_term(F.col("subj")), F.lit(" "), body, F.lit(" .")
+        ).alias("block")
+    )
+
+
+def turtle_lines_sql(
+    table: str = "t",
+    prefixes: Optional[Dict[str, str]] = None,
+) -> str:
+    """ANSI replay of ``turtle_lines`` — DuckDB renders the same blocks
+    with its own ordered ``string_agg`` (independently-written
+    aggregation; the prefix table inlines as an IN list)."""
+    pfx = dict(prefixes or NT_PREFIXES)
+    known = ", ".join(f"'{k}'" for k in sorted(pfx))
+
+    def iri_term(x: str) -> str:
+        return (
+            f"CASE WHEN split_part({x}, ':', 1) IN ({known}) "
+            f"AND split_part({x}, ':', 1) <> {x} "
+            f"THEN {x} ELSE '<' || {x} || '>' END"
+        )
+
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    obj_term = f"""CASE WHEN obj_is_iri THEN {iri_term('obj')}
+    ELSE '"' || {esc} || '"' || CASE WHEN obj_datatype IS NOT NULL
+      THEN '^^' || {iri_term('obj_datatype')} ELSE '' END END"""
+    pred_term = (
+        f"CASE WHEN pred = 'rdf:type' THEN 'a' ELSE {iri_term('pred')} END"
+    )
+    return f"""
+SELECT subj,
+       {iri_term('subj')} || ' ' ||
+       string_agg(pline, ' ;' || chr(10) || '    ' ORDER BY p) || ' .'
+         AS block
+FROM (
+  SELECT subj, pred AS p,
+         {pred_term} || ' ' || string_agg(ot, ', ' ORDER BY ot) AS pline
+  FROM (SELECT subj, pred, {obj_term} AS ot, obj_is_iri,
+               obj_datatype FROM {table}) z
+  GROUP BY subj, pred
+) pl
+GROUP BY subj
+"""
+
+
 #: One regex parses the full line shape ``ntriples_lines`` emits (and
 #: standard single-line N-Triples generally): IRI subject/predicate, IRI
 #: or literal object, optional ``^^<datatype>`` tag.

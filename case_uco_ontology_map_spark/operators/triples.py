@@ -978,6 +978,14 @@ def void_summary(
     (void:distinctObjects over resources — literals profile via
     ``literal_stats``).
 
+    Relation to :func:`kg_census`: the census is the CHEAP first report
+    (its class row counts only the rdf:type triples themselves — no
+    join), for when instance counts suffice. This operator is the
+    spec-faithful VoID partition — its class scope covers ALL triples
+    of each class's subjects (hence the subj join), plus IRI-only
+    object counts and per-scope predicate counts. Publish this one;
+    monitor with the census.
+
     Scale shape: dataset + property scopes are two grouped passes over
     the core frame (map-side partials; property keys are
     vocabulary-bounded). The class scope joins the instance frame to

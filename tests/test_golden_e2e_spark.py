@@ -301,6 +301,60 @@ def test_ntriples_lines(spark):
     assert lines[4] == "<mystery:z> <{}type> <mystery:T> .".format(RDF)
 
 
+def test_turtle_lines_blocks(spark):
+    """Canonical Turtle: one block per subject, predicates sorted by
+    CURIE (rdf:type rendered as `a`), objects sorted + comma-grouped,
+    declared prefixes stay CURIEs, unknown prefixes wrap in <>, ECHAR
+    escapes + datatype tags; header is sorted @prefix lines. DuckDB
+    twin rebuilds the identical blocks."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.render import (
+        turtle_header,
+        turtle_lines,
+        turtle_lines_sql,
+    )
+
+    rows = [
+        ("kb:a", "rdf:type", "uco-observable:URL", True, None),
+        ("kb:a", "uco-observable:hash", 'x"y\n', False, "xsd:string"),
+        ("kb:a", "uco-observable:hash", "abc", False, "xsd:string"),
+        ("kb:a", "rdfs:seeAlso", "https://example.com/x", True, None),
+        ("mystery:b", "mystery:p", "5", False, "mystery:int"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string",
+    )
+    got = {r.subj: r.block for r in turtle_lines(df).collect()}
+    # preds sort by CURIE: rdf:type < rdfs:seeAlso < uco-observable:hash
+    assert got["kb:a"] == (
+        "kb:a a uco-observable:URL ;\n"
+        "    rdfs:seeAlso <https://example.com/x> ;\n"
+        '    uco-observable:hash "abc"^^xsd:string, '
+        '"x\\"y\\n"^^xsd:string .'
+    )
+    assert got["mystery:b"] == (
+        '<mystery:b> <mystery:p> "5"^^<mystery:int> .'
+    )
+    con = duckdb.connect()
+    con.register("t_src", pd.DataFrame(
+        rows,
+        columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+    ))
+    want = dict(con.execute(
+        "WITH t AS (SELECT * FROM t_src) " + turtle_lines_sql()
+    ).fetchall())
+    assert got == want
+    hdr = turtle_header({"kb": "http://example.org/kb/", "a": "http://a/"})
+    assert hdr == (
+        "@prefix a: <http://a/> .\n"
+        "@prefix kb: <http://example.org/kb/> .\n"
+    )
+
+
 def test_write_ntriples_roundtrip(spark, tmp_path):
     """Sharded N-Triples sink: gzip text shards concatenate into the same
     line set ntriples_lines produces."""
