@@ -6305,6 +6305,33 @@ def q_turtle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turtle_lines(t).orderBy("subj")
 
 
+def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle import (operators/render.read_turtle): the full structural
+    emission serialized to canonical Turtle blocks and parsed BACK —
+    in-row line/term splitting with a full-coverage strictness gate
+    (term tokens must reassemble each object segment byte-for-byte,
+    riding explode_outer so empty parses can't silently vanish). The
+    oracle is the round-trip identity: the parsed frame must hash-equal
+    the original triple SELECT, so any defect in block splitting,
+    comma-in-literal handling, `a` expansion, ECHAR unescape, or
+    datatype unwrapping breaks the hash."""
+    from case_uco_ontology_map_spark.operators.render import (
+        read_turtle,
+        turtle_lines,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return read_turtle(turtle_lines(t)).orderBy("subj", "pred", "obj")
+
+
+def _oracle_turtle_roundtrip() -> str:
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT subj, pred, obj, obj_is_iri, obj_datatype FROM t "
+        "ORDER BY subj, pred, obj"
+    )
+
+
 def _oracle_turtle_export() -> str:
     from case_uco_ontology_map_spark.operators.render import (
         turtle_lines_sql,
@@ -9386,6 +9413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_census": q_kg_census,
         "nquads_export": q_nquads_export,
         "turtle_export": q_turtle_export,
+        "turtle_roundtrip": q_turtle_roundtrip,
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
@@ -9571,6 +9599,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_census": _oracle_kg_census(),
         "nquads_export": _oracle_nquads_export(),
         "turtle_export": _oracle_turtle_export(),
+        "turtle_roundtrip": _oracle_turtle_roundtrip(),
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),

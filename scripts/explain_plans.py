@@ -1776,6 +1776,43 @@ def main():
         }
     )
 
+    # ---- round-5 session-8: Turtle interchange ------------------------
+    from case_uco_ontology_map_spark.operators.render import (
+        read_turtle,
+        turtle_lines,
+    )
+
+    ttl = turtle_lines(trip5.drop("graph"))
+    ttl_plan = plan_of(ttl)
+    assert not re.findall(_no_python, ttl_plan), (
+        "turtle_lines must stay JVM-side"
+    )
+    # formatted mode prints each operator twice (tree + detail) — count
+    # the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Exchange\b", ttl_plan)) <= 2, (
+        "turtle_lines is two grouped passes on subject-prefixed keys — "
+        "at most two Exchanges"
+    )
+
+    raw_blocks = spark.createDataFrame(
+        [("kb:a a ex:D ;\n    ex:p kb:b .",)], "block string"
+    )
+    rt = read_turtle(raw_blocks)
+    rt_plan = plan_of(rt)
+    assert not re.findall(_no_python, rt_plan), (
+        "read_turtle must stay JVM-side"
+    )
+    assert "Exchange" not in rt_plan, (
+        "read_turtle is a narrow in-row parse — zero Exchange"
+    )
+
+    sections.update(
+        {
+            "turtle_lines (two subject-keyed grouped passes, JVM-only)": ttl,
+            "read_turtle (in-row line/term parse, zero added Exchange)": rt,
+        }
+    )
+
     lines = [
         "# PLANS — physical-plan review",
         "",

@@ -355,6 +355,49 @@ def test_turtle_lines_blocks(spark):
     )
 
 
+def test_read_turtle_roundtrip_and_strictness(spark):
+    """Turtle import: read_turtle(turtle_lines(t)) ≡ t including the
+    comma-inside-literal and prefixed/wrapped-term cases; malformed
+    blocks (no terminal dot, unterminated literal, empty object list,
+    trailing junk after a literal) raise loudly instead of losing rows."""
+    import pytest
+
+    from case_uco_ontology_map_spark.operators.render import (
+        read_turtle,
+        turtle_lines,
+    )
+
+    rows = [
+        ("kb:a", "rdf:type", "uco-observable:URL", True, None),
+        ("kb:a", "uco-observable:hash", 'x"y\n', False, "xsd:string"),
+        ("kb:a", "uco-observable:hash", "a, b", False, "xsd:string"),
+        ("kb:a", "rdfs:seeAlso", "https://example.com/x", True, None),
+        ("mystery:b", "mystery:p", "5", False, "mystery:int"),
+        ("mystery:b", "mystery:p", "plain", False, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string",
+    )
+    back = read_turtle(turtle_lines(df)).collect()
+    got = sorted(
+        (r.subj, r.pred, r.obj, r.obj_is_iri, r.obj_datatype)
+        for r in back
+    )
+    assert got == sorted(rows)
+
+    for bad in [
+        "kb:a kb:p kb:x",          # missing terminal ' .'
+        'kb:a kb:p "unterminated .',  # literal never closes
+        "kb:a  .",                 # empty object list
+        'kb:a kb:p "x" junk" .',   # junk after a literal term
+    ]:
+        bdf = spark.createDataFrame([(bad,)], "block string")
+        with pytest.raises(Exception, match="malformed Turtle"):
+            read_turtle(bdf).collect()
+
+
 def test_write_ntriples_roundtrip(spark, tmp_path):
     """Sharded N-Triples sink: gzip text shards concatenate into the same
     line set ntriples_lines produces."""
