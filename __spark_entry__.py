@@ -6305,6 +6305,38 @@ def q_turtle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turtle_lines(t).orderBy("subj")
 
 
+def q_store_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertically-partitioned triple-store layout census
+    (operators/triplestore.store_layout): the (pred, subject-bucket)
+    partition assignment for the full structural emission, with
+    triple/subject counts per leaf — the SW-Store-style serving layout
+    where a constant-predicate BGP pattern scans ONE predicate's files
+    and a constant subject prunes to ONE bucket (partition pruning
+    plan-asserted in tests/test_triplestore.py). Hash-matching this row
+    proves the md5_60 routing function is ENGINE-PORTABLE — any reader
+    that can compute md5 can locate a triple's file, so the layout is a
+    storage contract, not a Spark internal."""
+    from case_uco_ontology_map_spark.operators.triplestore import (
+        store_layout,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return store_layout(t, subj_buckets=8).orderBy("pred", "sbkt")
+
+
+def _oracle_store_layout() -> str:
+    from case_uco_ontology_map_spark.operators.triplestore import (
+        store_layout_sql,
+    )
+
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT * FROM ("
+        + store_layout_sql("t", 8)
+        + ") z ORDER BY pred, sbkt"
+    )
+
+
 def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turtle import (operators/render.read_turtle): the full structural
     emission serialized to canonical Turtle blocks and parsed BACK —
@@ -9414,6 +9446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_export": q_nquads_export,
         "turtle_export": q_turtle_export,
         "turtle_roundtrip": q_turtle_roundtrip,
+        "store_layout": q_store_layout,
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
@@ -9600,6 +9633,7 @@ def oracle_sql() -> dict[str, str]:
         "nquads_export": _oracle_nquads_export(),
         "turtle_export": _oracle_turtle_export(),
         "turtle_roundtrip": _oracle_turtle_roundtrip(),
+        "store_layout": _oracle_store_layout(),
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),

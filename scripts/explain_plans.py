@@ -1806,10 +1806,37 @@ def main():
         "read_turtle is a narrow in-row parse — zero Exchange"
     )
 
+    import tempfile
+
+    from case_uco_ontology_map_spark.operators.triplestore import (
+        read_triple_store,
+        scan_pattern,
+        write_triple_store,
+    )
+
+    store_dir = tempfile.mkdtemp(prefix="plans-store-") + "/store"
+    write_triple_store(trip5.drop("graph"), store_dir, subj_buckets=4)
+    st = scan_pattern(
+        read_triple_store(spark, store_dir),
+        pred="ex:ref",
+        subj="kb:a",
+        subj_buckets=4,
+    )
+    st_plan = plan_of(st)
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*pred[^\]]*ex:ref", st_plan
+    ), "constant predicate must reach the scan as a PartitionFilter"
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*sbkt[^\]]*= \d", st_plan
+    ), (
+        "constant subject must fold to a literal bucket PartitionFilter"
+    )
+
     sections.update(
         {
             "turtle_lines (two subject-keyed grouped passes, JVM-only)": ttl,
             "read_turtle (in-row line/term parse, zero added Exchange)": rt,
+            "triple-store scan_pattern (pred + subject-bucket partition pruning)": st,
         }
     )
 
@@ -1831,6 +1858,9 @@ def main():
     print("wrote PLANS.md")
     for name, df in sections.items():
         print(f"{name}: {summarize(plan_of(df))}")
+    import shutil
+
+    shutil.rmtree(os.path.dirname(store_dir), ignore_errors=True)
     spark.stop()
 
 
