@@ -6305,6 +6305,83 @@ def q_turtle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turtle_lines(t).orderBy("subj")
 
 
+def q_shape_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL shape induction (operators/fusion.induce_shapes): per-class
+    property shapes mined from the structural emission — minCount 1
+    candidates (every class subject asserts the predicate), maxCount
+    (max distinct objects per subject), nodeKind, single-datatype tag.
+    The inverse of validation.py's enforcement: the induced rows are
+    exactly the constraint kinds the authored dictionary compiles, so
+    induce-then-validate closes the loop on an unmapped corpus. Exact
+    integers; the one instance-sized shuffle is the subject-keyed type
+    join forced by the class-scope definition (same as void_summary)."""
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    return induce_shapes(t).orderBy("cls", "pred")
+
+
+def _oracle_shape_induction() -> str:
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes_sql,
+    )
+
+    return (
+        f"WITH t AS ({_oracle_triples_structural()})\n"
+        "SELECT * FROM ("
+        + induce_shapes_sql("t")
+        + ") z ORDER BY cls, pred"
+    )
+
+
+def q_induced_shacl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: induce_shapes → shape_triples → turtle_lines — the
+    full publish path from an unmapped instance graph to standard SHACL
+    Turtle any validator can load (deterministic kb:shp-* IRIs instead
+    of blank nodes; constraint rows gated: no minCount 0, no unbounded
+    maxCount, no nodeKind on Mixed). ONE DuckDB oracle replays the whole
+    chain — induction stats, constraint gating, and the byte-exact
+    Turtle block assembly — so the composition is cross-engine-verified,
+    not just the stages."""
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes,
+        shape_triples,
+    )
+    from case_uco_ontology_map_spark.operators.render import (
+        NT_PREFIXES,
+        turtle_lines,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    pfx = {**NT_PREFIXES, "sh": "http://www.w3.org/ns/shacl#"}
+    return turtle_lines(
+        shape_triples(induce_shapes(t)), prefixes=pfx
+    ).orderBy("subj")
+
+
+def _oracle_induced_shacl_ttl() -> str:
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes_sql,
+        shape_triples_sql,
+    )
+    from case_uco_ontology_map_spark.operators.render import (
+        NT_PREFIXES,
+        turtle_lines_sql,
+    )
+
+    pfx = {**NT_PREFIXES, "sh": "http://www.w3.org/ns/shacl#"}
+    return (
+        f"WITH t AS ({_oracle_triples_structural()}),\n"
+        f"shp AS ({induce_shapes_sql('t')}),\n"
+        f"st AS ({shape_triples_sql('shp')})\n"
+        "SELECT * FROM ("
+        + turtle_lines_sql("st", prefixes=pfx)
+        + ") z ORDER BY subj"
+    )
+
+
 def q_store_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertically-partitioned triple-store layout census
     (operators/triplestore.store_layout): the (pred, subject-bucket)
@@ -9447,6 +9524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_export": q_turtle_export,
         "turtle_roundtrip": q_turtle_roundtrip,
         "store_layout": q_store_layout,
+        "shape_induction": q_shape_induction,
+        "induced_shacl_ttl": q_induced_shacl_ttl,
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
@@ -9634,6 +9713,8 @@ def oracle_sql() -> dict[str, str]:
         "turtle_export": _oracle_turtle_export(),
         "turtle_roundtrip": _oracle_turtle_roundtrip(),
         "store_layout": _oracle_store_layout(),
+        "shape_induction": _oracle_shape_induction(),
+        "induced_shacl_ttl": _oracle_induced_shacl_ttl(),
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),

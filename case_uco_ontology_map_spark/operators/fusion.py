@@ -416,3 +416,296 @@ WITH pairs AS (
 SELECT p.pred, p.key, p.subj, g.canonical, g.group_size
 FROM pairs p JOIN groups g ON p.pred = g.pred AND p.key = g.key
 """
+
+
+def induce_shapes(
+    triples: DataFrame, type_pred: str = "rdf:type"
+) -> DataFrame:
+    """SHACL shape induction — the INVERSE of the engine's validation
+    layer: mine per-class property shapes from instance data instead of
+    enforcing authored ones. For every (class, predicate) observed on
+    that class's subjects:
+
+    ``(cls, pred, n_class_subjects, n_subjects, n_values, min_count,
+    max_count, nodekind, datatype)``
+
+    - ``min_count`` is 1 iff EVERY subject of the class asserts the
+      predicate (the sh:minCount 1 candidate), else 0.
+    - ``max_count`` is the max distinct objects any subject asserts
+      (``== 1`` → the sh:maxCount 1 / functional candidate — the
+      class-scoped refinement of ``property_profile``'s global flag).
+    - ``nodekind`` is ``IRI`` / ``Literal`` / ``Mixed`` (sh:nodeKind).
+    - ``datatype`` is the single datatype iff the predicate is
+      all-literal and every value carries that one tag (sh:datatype),
+      else null — plain literals mixed with typed ones yield null
+      rather than a shape that would immediately violate.
+
+    Exact integers end to end; set semantics (duplicate assertions
+    collapse before counting). Scale shape: the subject-keyed
+    instance-to-type join is forced by the definition of a class scope
+    (same as ``void_summary``); everything after groups on
+    (class, pred)-prefixed keys with map-side partials, and outputs are
+    schema-sized. Reference surface: the induced rows are exactly the
+    constraint kinds ``validation.py`` enforces from the authored
+    CASE/UCO dictionary (maxCount/datatype/nodeKind), so
+    induce-then-validate closes the loop on an unmapped corpus."""
+    types = (
+        triples.filter(
+            (F.col("pred") == type_pred) & F.col("obj_is_iri")
+        )
+        .select("subj", F.col("obj").alias("cls"))
+        .distinct()
+    )
+    class_totals = types.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_class_subjects")
+    )
+    inst = (
+        triples.filter(F.col("pred") != type_pred)
+        .select("subj", "pred", "obj", "obj_is_iri", "obj_datatype")
+        .distinct()
+        .join(types, "subj")
+    )
+    # ONE aggregation chain, not two scans of the joined frame: the
+    # value-level stats fold through the per-subject level (sums
+    # compose; datatype distincts ride a vocabulary-bounded collect_set
+    # flattened at rollup — never more elements than there are XSD
+    # types), so the instance-sized type join is shuffled exactly once.
+    stats = (
+        inst.groupBy("cls", "pred", "subj")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col("obj_is_iri"), 1).otherwise(0)).alias(
+                "_s_iri"
+            ),
+            F.sum(F.when(~F.col("obj_is_iri"), 1).otherwise(0)).alias(
+                "_s_lit"
+            ),
+            F.sum(
+                F.when(
+                    ~F.col("obj_is_iri")
+                    & F.col("obj_datatype").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("_s_typed"),
+            F.collect_set("obj_datatype").alias("_dts"),
+        )
+        .groupBy("cls", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.sum("_n").alias("n_values"),
+            F.max("_n").alias("max_count"),
+            F.sum("_s_iri").alias("_n_iri"),
+            F.sum("_s_lit").alias("_n_lit"),
+            F.sum("_s_typed").alias("_n_typed"),
+            F.array_distinct(F.flatten(F.collect_set("_dts"))).alias(
+                "_dtall"
+            ),
+        )
+        .withColumn("_n_dt", F.size("_dtall"))
+        .withColumn("_dt_one", F.array_min("_dtall"))
+    )
+    return (
+        stats
+        # class totals are schema-sized (one row per class) — broadcast
+        .join(F.broadcast(class_totals), "cls")
+        .select(
+            "cls",
+            "pred",
+            "n_class_subjects",
+            "n_subjects",
+            F.col("n_values").cast("long").alias("n_values"),
+            F.when(
+                F.col("n_subjects") == F.col("n_class_subjects"), 1
+            )
+            .otherwise(0)
+            .alias("min_count"),
+            F.col("max_count").cast("long").alias("max_count"),
+            F.when(F.col("_n_lit") == 0, "IRI")
+            .when(F.col("_n_iri") == 0, "Literal")
+            .otherwise("Mixed")
+            .alias("nodekind"),
+            F.when(
+                (F.col("_n_iri") == 0)
+                & (F.col("_n_dt") == 1)
+                & (F.col("_n_typed") == F.col("_n_lit")),
+                F.col("_dt_one"),
+            ).alias("datatype"),
+        )
+    )
+
+
+def induce_shapes_sql(
+    table: str = "t", type_pred: str = "rdf:type"
+) -> str:
+    """ANSI replay of ``induce_shapes`` for the contract oracle."""
+    return f"""
+WITH types AS (
+  SELECT DISTINCT subj, obj AS cls FROM {table}
+  WHERE pred = '{type_pred}' AND obj_is_iri
+),
+class_totals AS (
+  SELECT cls, count(*) AS n_class_subjects FROM types GROUP BY cls
+),
+inst AS (
+  SELECT DISTINCT i.subj, i.pred, i.obj, i.obj_is_iri,
+         i.obj_datatype, ty.cls
+  FROM (SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype
+        FROM {table} WHERE pred <> '{type_pred}') i
+  JOIN types ty ON i.subj = ty.subj
+),
+per_subj AS (
+  SELECT cls, pred, count(*) AS n_subjects, sum(n) AS n_values,
+         max(n) AS max_count
+  FROM (SELECT cls, pred, subj, count(*) AS n FROM inst
+        GROUP BY cls, pred, subj) z
+  GROUP BY cls, pred
+),
+per_value AS (
+  SELECT cls, pred,
+         sum(CASE WHEN obj_is_iri THEN 1 ELSE 0 END) AS n_iri,
+         sum(CASE WHEN NOT obj_is_iri THEN 1 ELSE 0 END) AS n_lit,
+         sum(CASE WHEN NOT obj_is_iri AND obj_datatype IS NOT NULL
+             THEN 1 ELSE 0 END) AS n_typed,
+         count(DISTINCT obj_datatype) AS n_dt,
+         min(obj_datatype) AS dt_one
+  FROM inst GROUP BY cls, pred
+)
+SELECT s.cls, s.pred, c.n_class_subjects, s.n_subjects,
+       s.n_values::BIGINT AS n_values,
+       CASE WHEN s.n_subjects = c.n_class_subjects THEN 1 ELSE 0 END
+         AS min_count,
+       s.max_count::BIGINT AS max_count,
+       CASE WHEN v.n_lit = 0 THEN 'IRI'
+            WHEN v.n_iri = 0 THEN 'Literal'
+            ELSE 'Mixed' END AS nodekind,
+       CASE WHEN v.n_iri = 0 AND v.n_dt = 1 AND v.n_typed = v.n_lit
+            THEN v.dt_one END AS datatype
+FROM per_subj s
+JOIN per_value v ON s.cls = v.cls AND s.pred = v.pred
+JOIN class_totals c ON s.cls = c.cls
+"""
+
+
+def shape_triples(shapes: DataFrame) -> DataFrame:
+    """Induced shape rows → SHACL triples ``(subj, pred, obj,
+    obj_is_iri, obj_datatype)`` — the emission making
+    ``induce_shapes`` output a publishable graph (render with
+    ``render.turtle_lines`` under a ``sh:`` prefix for standard SHACL
+    Turtle any validator can load).
+
+    Deterministic IRIs instead of blank nodes (house rule — blank
+    nodes don't survive distributed set comparison): node shape
+    ``kb:shp-<cls>``, property shape ``kb:shp-<cls>-<pred>`` with
+    ``:``→``_`` so the local names stay CURIE-safe. Constraints
+    emitted: sh:targetClass, sh:path, sh:minCount (only when 1),
+    sh:maxCount (only when 1 — an unbounded max is no constraint),
+    sh:nodeKind (sh:IRI/sh:Literal unless Mixed), sh:datatype (when
+    single). In-row array build + one explode — zero shuffle beyond
+    what built the shapes frame."""
+    node = F.concat(
+        F.lit("kb:shp-"), F.replace(F.col("cls"), F.lit(":"), F.lit("_"))
+    )
+    prop = F.concat(
+        node, F.lit("-"), F.replace(F.col("pred"), F.lit(":"), F.lit("_"))
+    )
+
+    def t(s, p, o, iri, dt):
+        return F.struct(
+            s.alias("subj"),
+            F.lit(p).alias("pred"),
+            o.alias("obj"),
+            F.lit(iri).alias("obj_is_iri"),
+            (F.lit(dt) if dt else F.lit(None).cast("string")).alias(
+                "obj_datatype"
+            ),
+        )
+
+    rows = F.array(
+        t(node, "rdf:type", F.lit("sh:NodeShape"), True, None),
+        t(node, "sh:targetClass", F.col("cls"), True, None),
+        t(node, "sh:property", prop, True, None),
+        t(prop, "sh:path", F.col("pred"), True, None),
+        t(
+            prop,
+            "sh:minCount",
+            F.col("min_count").cast("string"),
+            False,
+            "xsd:integer",
+        ),
+        t(
+            prop,
+            "sh:maxCount",
+            F.col("max_count").cast("string"),
+            False,
+            "xsd:integer",
+        ),
+        t(
+            prop,
+            "sh:nodeKind",
+            F.when(F.col("nodekind") == "IRI", "sh:IRI").otherwise(
+                "sh:Literal"
+            ),
+            True,
+            None,
+        ),
+        t(prop, "sh:datatype", F.col("datatype"), True, None),
+    )
+    keep = (
+        (F.col("_t.pred") != "sh:minCount")
+        | (F.col("min_count") == 1)
+    ) & (
+        (F.col("_t.pred") != "sh:maxCount")
+        | (F.col("max_count") == 1)
+    ) & (
+        (F.col("_t.pred") != "sh:nodeKind")
+        | (F.col("nodekind") != "Mixed")
+    ) & (
+        (F.col("_t.pred") != "sh:datatype")
+        | F.col("datatype").isNotNull()
+    )
+    return (
+        shapes.select(
+            "min_count", "max_count", "nodekind", "datatype",
+            F.explode(rows).alias("_t"),
+        )
+        .filter(keep)
+        .select("_t.*")
+        .distinct()
+    )
+
+
+def shape_triples_sql(shapes_cte: str = "shp") -> str:
+    """ANSI replay of ``shape_triples`` over an induced-shapes CTE —
+    one SELECT per constraint kind, UNION ALL, DISTINCT (node-level
+    rows repeat per predicate row by construction)."""
+    node = "('kb:shp-' || replace(cls, ':', '_'))"
+    prop = f"({node} || '-' || replace(pred, ':', '_'))"
+    return f"""
+SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
+  SELECT {node} AS subj, 'rdf:type' AS pred, 'sh:NodeShape' AS obj,
+         TRUE AS obj_is_iri, NULL::VARCHAR AS obj_datatype
+  FROM {shapes_cte}
+  UNION ALL
+  SELECT {node}, 'sh:targetClass', cls, TRUE, NULL FROM {shapes_cte}
+  UNION ALL
+  SELECT {node}, 'sh:property', {prop}, TRUE, NULL FROM {shapes_cte}
+  UNION ALL
+  SELECT {prop}, 'sh:path', pred, TRUE, NULL FROM {shapes_cte}
+  UNION ALL
+  SELECT {prop}, 'sh:minCount', min_count::VARCHAR, FALSE,
+         'xsd:integer'
+  FROM {shapes_cte} WHERE min_count = 1
+  UNION ALL
+  SELECT {prop}, 'sh:maxCount', max_count::VARCHAR, FALSE,
+         'xsd:integer'
+  FROM {shapes_cte} WHERE max_count = 1
+  UNION ALL
+  SELECT {prop}, 'sh:nodeKind',
+         CASE WHEN nodekind = 'IRI' THEN 'sh:IRI'
+              ELSE 'sh:Literal' END, TRUE, NULL
+  FROM {shapes_cte} WHERE nodekind <> 'Mixed'
+  UNION ALL
+  SELECT {prop}, 'sh:datatype', datatype, TRUE, NULL
+  FROM {shapes_cte} WHERE datatype IS NOT NULL
+) u
+"""

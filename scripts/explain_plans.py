@@ -1832,11 +1832,41 @@ def main():
         "constant subject must fold to a literal bucket PartitionFilter"
     )
 
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes,
+        shape_triples,
+    )
+
+    shp = induce_shapes(trip5.drop("graph"))
+    shp_plan = plan_of(shp)
+    assert not re.findall(_no_python, shp_plan), (
+        "induce_shapes must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in shp_plan, (
+        "schema-sized class totals must broadcast"
+    )
+    # ONE subject-keyed join of the instance frame: the value-level
+    # stats fold through the per-subject rollup, so the expensive join
+    # appears once, not per aggregate branch
+    n_smj = len(re.findall(r"\(\d+\) SortMergeJoin\b", shp_plan))
+    assert n_smj <= 1, (
+        f"induce_shapes must join instance-to-type exactly once, "
+        f"found {n_smj} sort-merge joins"
+    )
+    stp = shape_triples(shp)
+    stp_plan = plan_of(stp)
+    n_gen = len(re.findall(r"\(\d+\) Generate\b", stp_plan))
+    assert n_gen == 1, (
+        f"shape_triples adds exactly ONE in-row explode, found {n_gen}"
+    )
+
     sections.update(
         {
             "turtle_lines (two subject-keyed grouped passes, JVM-only)": ttl,
             "read_turtle (in-row line/term parse, zero added Exchange)": rt,
             "triple-store scan_pattern (pred + subject-bucket partition pruning)": st,
+            "induce_shapes (ONE type join + two-level rollup; class totals broadcast)": shp,
+            "shape_triples (one in-row explode over the shapes frame)": stp,
         }
     )
 

@@ -326,3 +326,98 @@ def test_ifp_sameas_candidates_star_and_cap(spark):
         ("id:isbn", "K1", "b", "a", 3),
         ("id:isbn", "K1", "c", "a", 3),
     }
+
+
+def test_induce_shapes_hand_computed(spark):
+    """Shape induction on a hand-built graph: min_count only when every
+    class subject asserts the predicate; max_count = max distinct objs
+    per subject; nodekind IRI/Literal/Mixed; datatype only when every
+    literal carries the single tag. Spark and the SQL twin agree."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes,
+        induce_shapes_sql,
+    )
+
+    rows = [
+        ("kb:u1", "rdf:type", "ex:URL", True, None),
+        ("kb:u2", "rdf:type", "ex:URL", True, None),
+        ("kb:u1", "ex:href", "http://a", False, "xsd:anyURI"),
+        ("kb:u2", "ex:href", "http://b", False, "xsd:anyURI"),
+        ("kb:u1", "ex:tag", "kb:t1", True, None),
+        ("kb:u1", "ex:tag", "kb:t2", True, None),
+        ("kb:u1", "ex:mix", "kb:t1", True, None),
+        ("kb:u1", "ex:mix", "plain", False, None),
+        ("kb:f1", "rdf:type", "ex:Facet", True, None),
+        ("kb:f1", "ex:val", "5", False, "xsd:integer"),
+        ("kb:f1", "ex:plain", "x", False, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string",
+    )
+    got = sorted(map(tuple, induce_shapes(df).collect()))
+    assert got == [
+        ("ex:Facet", "ex:plain", 1, 1, 1, 1, 1, "Literal", None),
+        ("ex:Facet", "ex:val", 1, 1, 1, 1, 1, "Literal", "xsd:integer"),
+        ("ex:URL", "ex:href", 2, 2, 2, 1, 1, "Literal", "xsd:anyURI"),
+        ("ex:URL", "ex:mix", 2, 1, 2, 0, 2, "Mixed", None),
+        ("ex:URL", "ex:tag", 2, 1, 2, 0, 2, "IRI", None),
+    ]
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(
+            rows,
+            columns=["subj", "pred", "obj", "obj_is_iri", "obj_datatype"],
+        ),
+    )
+    want = sorted(map(tuple, con.execute(induce_shapes_sql("t")).fetchall()))
+    assert got == want
+
+
+def test_shape_triples_render_shacl_turtle(spark):
+    """induce → shape_triples → turtle_lines produces loadable SHACL
+    Turtle: constraints gated correctly (no minCount 0, no unbounded
+    maxCount, no nodeKind on Mixed, no datatype when absent), and the
+    rendered block matches a hand-written expectation."""
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes,
+        shape_triples,
+    )
+    from case_uco_ontology_map_spark.operators.render import (
+        NT_PREFIXES,
+        turtle_lines,
+    )
+
+    rows = [
+        ("kb:u1", "rdf:type", "ex:URL", True, None),
+        ("kb:u1", "ex:href", "http://a", False, "xsd:anyURI"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string",
+    )
+    st = shape_triples(induce_shapes(df))
+    preds = {r.pred for r in st.collect()}
+    assert "sh:minCount" in preds and "sh:maxCount" in preds
+    pfx = {**NT_PREFIXES, "sh": "http://www.w3.org/ns/shacl#"}
+    blocks = {
+        r.subj: r.block for r in turtle_lines(st, prefixes=pfx).collect()
+    }
+    assert blocks["kb:shp-ex_URL-ex_href"] == (
+        "kb:shp-ex_URL-ex_href sh:datatype xsd:anyURI ;\n"
+        '    sh:maxCount "1"^^xsd:integer ;\n'
+        '    sh:minCount "1"^^xsd:integer ;\n'
+        "    sh:nodeKind sh:Literal ;\n"
+        "    sh:path <ex:href> ."
+    )
+    assert blocks["kb:shp-ex_URL"] == (
+        "kb:shp-ex_URL a sh:NodeShape ;\n"
+        "    sh:property kb:shp-ex_URL-ex_href ;\n"
+        "    sh:targetClass <ex:URL> ."
+    )
