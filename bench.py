@@ -1143,6 +1143,9 @@ def bench_queries(spark, sf_dir: str):
         drops = getattr(q_canonicalize_hot, "last_drops", None)
         if drops is not None:
             extras["canonicalize_hot_drops"] = drops
+        store_pruning = getattr(q_triple_store, "pruning", None)
+        if store_pruning is not None:
+            extras.update(store_pruning)
         fold_secs = getattr(q_canonicalize_incr3, "fold_secs", None)
         if fold_secs is not None:
             # PARTITION exactness per fold (untimed audit): fold k's
@@ -1406,6 +1409,80 @@ def bench_queries(spark, sf_dir: str):
             )
         return n
 
+    def q_triple_store():
+        """Vertically-partitioned triple store (SW-Store layout): write
+        the fused triple stream as pred=<v>/sbkt=<b> parquet (the
+        nightly serving materialization), then the two serving reads
+        the layout exists for — a constant-predicate pattern scan and a
+        subject point lookup. Guards: the predicate scan must return
+        exactly that predicate's triple count, and the point lookup is
+        measured for ACTUAL pruning via input_file_name(): it may touch
+        only the files of ONE (pred, sbkt) leaf, recorded in extras as
+        the files-opened ratio (the number that transfers to 100 TB,
+        same philosophy as the IVF 8/64 story)."""
+        from case_uco_ontology_map_spark.operators.triplestore import (
+            read_triple_store,
+            scan_pattern,
+            write_triple_store,
+        )
+
+        out = stage_dir.rstrip("/") + "-tstore"
+        trip = fused_page_triples(corpus, per_record_meta="first")
+        # xxhash64 mode: the JVM production router (md5_60 is the
+        # oracle-portable mode the contract row pins)
+        write_triple_store(
+            trip, out, subj_buckets=16, hash_mode="xxhash64"
+        )
+        store = read_triple_store(spark, out)
+        n_facet = scan_pattern(store, pred="uco-core:hasFacet").count()
+        expected = trip.filter(
+            F.col("pred") == "uco-core:hasFacet"
+        ).count()
+        if n_facet != expected:
+            raise RuntimeError(
+                f"triple_store pred scan {n_facet} != {expected}"
+            )
+        probe_subj = store.filter(
+            F.col("pred") == "rdf:type"
+        ).agg(F.min("subj")).collect()[0][0]
+        n_hits = scan_pattern(
+            store, subj=probe_subj, subj_buckets=16,
+            hash_mode="xxhash64",
+        ).count()
+        if n_hits < 1:
+            raise RuntimeError("triple_store point lookup found no rows")
+        # pruning evidence counted ON DISK (input_file_name would only
+        # show files with SURVIVING rows): the lookup's partition filter
+        # is sbkt = hash(subj), so the scan lists exactly the files under
+        # */sbkt=<b>/ — one leaf (= one file) per predicate dir vs the
+        # full store
+        from case_uco_ontology_map_spark.operators.triplestore import (
+            subject_bucket,
+        )
+
+        b = spark.range(1).select(
+            subject_bucket(F.lit(probe_subj), 16, "xxhash64")
+        ).collect()[0][0]
+        files_total = 0
+        files_opened = 0
+        for root, _dirs, files in os.walk(out):
+            n_parq = sum(1 for f in files if f.endswith(".parquet"))
+            files_total += n_parq
+            if f"sbkt={b}" in os.path.basename(root):
+                files_opened += n_parq
+        n_preds = store.select("pred").distinct().count()
+        if files_opened > n_preds:
+            raise RuntimeError(
+                f"triple_store lookup opens {files_opened} files > "
+                f"{n_preds} predicate dirs — bucket pruning failed"
+            )
+        q_triple_store.pruning = dict(
+            store_files_total=files_total,
+            store_files_lookup=files_opened,
+            store_preds=n_preds,
+        )
+        return n_facet
+
     def q_warc_ingest():
         """Crawl-archive ingestion: parse WARC files (one task per file,
         gzip members, Content-Length-delimited records) and strip the
@@ -1560,6 +1637,7 @@ def bench_queries(spark, sf_dir: str):
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_sq8_topk": q_ann_sq8_topk,
         "warc_ingest": q_warc_ingest,
+        "triple_store": q_triple_store,
         "link_extract": q_link_extract,
         "structured_extract": q_structured_extract,
         "text_index": q_text_index,
@@ -1620,14 +1698,14 @@ def run_once(cores: int, sf_dir: str, repeats: int = None):
                 "", "-triples-out", "-emb", "-ivf", "-sq8",
                 "-canon-prior", "-canon-delta",
                 "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
-                "-warc",
+                "-warc", "-tstore",
             )
             if os.environ.get("SPARK_GRAFT_SHARED_STAGE"):
                 suffixes = (  # keep the corpus
                     "-triples-out", "-emb", "-ivf", "-sq8",
                     "-canon-prior", "-canon-delta",
                     "-canon-incr3-0", "-canon-incr3-1", "-canon-incr3-2",
-                    "-warc",
+                    "-warc", "-tstore",
                 )
             for suffix in suffixes:
                 shutil.rmtree(
@@ -1728,7 +1806,7 @@ TIER2_STAGES = (
     "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
     "host_rollup", "wat_export", "graph_spam_mass", "graph_bfs",
     "domain_rollup", "boilerplate", "kg_entailment",
-    "structured_extract", "text_index",
+    "structured_extract", "text_index", "triple_store",
 )
 
 
