@@ -6382,6 +6382,99 @@ def _oracle_induced_shacl_ttl() -> str:
     )
 
 
+def q_shape_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enforcement half of the induce→validate loop
+    (operators/fusion.shape_conformance): shapes induced from the CLEAN
+    structural emission, then validated against a deterministically
+    corrupted copy — md5-residue subjects (mod 5) lose their URLFacet
+    host (min_count), double their hash (max_count), turn mimeType into
+    an IRI (node_kind), or retag sizeInBytes as xsd:string (datatype).
+    DuckDB replays the corruption, the induction, and all four
+    constraint checks end to end — exactly the schema-drift report a
+    nightly crawl-refresh runs against yesterday's induced shapes."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.dedup import content_hash64
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes,
+        shape_conformance,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    res = F.pmod(content_hash64(F.col("subj"), "md5_60"), F.lit(5))
+    base = t.filter(
+        ~((F.col("pred") == "uco-observable:host") & (res == 0))
+    ).select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(
+            (F.col("pred") == "uco-observable:mimeType") & (res == 2),
+            F.lit(True),
+        )
+        .otherwise(F.col("obj_is_iri"))
+        .alias("obj_is_iri"),
+        F.when(
+            (F.col("pred") == "uco-observable:mimeType") & (res == 2),
+            F.lit(None).cast("string"),
+        )
+        .when(
+            (F.col("pred") == "uco-observable:sizeInBytes") & (res == 3),
+            F.lit("xsd:string"),
+        )
+        .otherwise(F.col("obj_datatype"))
+        .alias("obj_datatype"),
+    )
+    extra = t.filter(
+        (F.col("pred") == "uco-observable:hash") & (res == 1)
+    ).select(
+        "subj",
+        "pred",
+        F.concat(F.col("obj"), F.lit("-dup")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        "obj_datatype",
+    )
+    dirty = base.unionByName(extra)
+    return shape_conformance(dirty, induce_shapes(t)).orderBy(
+        "subj", "pred", "constraint"
+    )
+
+
+def _oracle_shape_conformance() -> str:
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes_sql,
+        shape_conformance_sql,
+    )
+
+    res = f"(({_MD5_60.format(x='subj')} % 5 + 5) % 5)"
+    ctes = f"""t AS ({_oracle_triples_structural()}),
+base AS (
+  SELECT subj, pred, obj,
+         CASE WHEN pred = 'uco-observable:mimeType' AND {res} = 2
+              THEN TRUE ELSE obj_is_iri END AS obj_is_iri,
+         CASE WHEN pred = 'uco-observable:mimeType' AND {res} = 2
+              THEN NULL
+              WHEN pred = 'uco-observable:sizeInBytes' AND {res} = 3
+              THEN 'xsd:string'
+              ELSE obj_datatype END AS obj_datatype
+  FROM t
+  WHERE NOT (pred = 'uco-observable:host' AND {res} = 0)
+),
+d AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT subj, pred, obj || '-dup', FALSE, obj_datatype FROM t
+  WHERE pred = 'uco-observable:hash' AND {res} = 1
+), """
+    return (
+        "SELECT * FROM ("
+        + shape_conformance_sql(
+            "d", induce_shapes_sql("t"), extra_ctes=ctes
+        )
+        + ') z ORDER BY subj, pred, "constraint"'
+    )
+
+
 def q_store_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertically-partitioned triple-store layout census
     (operators/triplestore.store_layout): the (pred, subject-bucket)
@@ -9526,6 +9619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_layout": q_store_layout,
         "shape_induction": q_shape_induction,
         "induced_shacl_ttl": q_induced_shacl_ttl,
+        "shape_conformance": q_shape_conformance,
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
@@ -9715,6 +9809,7 @@ def oracle_sql() -> dict[str, str]:
         "store_layout": _oracle_store_layout(),
         "shape_induction": _oracle_shape_induction(),
         "induced_shacl_ttl": _oracle_induced_shacl_ttl(),
+        "shape_conformance": _oracle_shape_conformance(),
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),

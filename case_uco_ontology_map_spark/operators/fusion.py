@@ -709,3 +709,185 @@ SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype FROM (
   FROM {shapes_cte} WHERE datatype IS NOT NULL
 ) u
 """
+
+
+def shape_conformance(
+    triples: DataFrame,
+    shapes: DataFrame,
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """Validate an instance graph against (induced or authored) shape
+    rows — the enforcement half of the induce→validate loop:
+    ``induce_shapes`` on a trusted snapshot, ``shape_conformance`` on
+    the next crawl's graph, and schema drift surfaces as violations.
+
+    One row per (subj, cls, pred, constraint) with the observed
+    evidence (SHACL-style open-world: predicates/classes without a
+    shape row pass silently):
+
+    - ``min_count`` — class subject asserts NOTHING for a
+      min_count=1 predicate (observed '0').
+    - ``max_count`` — more distinct objects than a max_count=1 shape
+      allows (observed = the count).
+    - ``node_kind`` — a literal under an IRI shape or vice versa
+      (observed = the min offending value — deterministic witness).
+    - ``datatype`` — a literal whose tag differs from (or lacks) the
+      shape's single datatype (observed = min offending value).
+
+    Scale shape: shapes are schema-sized → broadcast into the value
+    stream; the one instance-sized shuffle is the subject-keyed type
+    join every class-scoped rule pays; min_count's candidate grid is
+    types × that class's shape rows (in-row via the broadcast join,
+    never a cross join) anti-joined against assertions."""
+    types = (
+        triples.filter(
+            (F.col("pred") == type_pred) & F.col("obj_is_iri")
+        )
+        .select("subj", F.col("obj").alias("cls"))
+        .distinct()
+    )
+    inst = (
+        triples.filter(F.col("pred") != type_pred)
+        .select("subj", "pred", "obj", "obj_is_iri", "obj_datatype")
+        .distinct()
+        .join(types, "subj")
+    )
+    shp = shapes.select(
+        "cls", "pred", "min_count", "max_count", "nodekind", "datatype"
+    )
+    val = inst.join(
+        F.broadcast(shp.withColumnRenamed("datatype", "_want_dt")),
+        ["cls", "pred"],
+    )
+    # ONE grouped pass computes every value-level family (the three
+    # checks share the (cls, pred, subj) grouping, so splitting them
+    # into union branches would re-run the instance join per branch);
+    # violations then fan out via an in-row array + explode.
+    kind_bad = (
+        (F.col("nodekind") == "IRI") & ~F.col("obj_is_iri")
+    ) | ((F.col("nodekind") == "Literal") & F.col("obj_is_iri"))
+    dt_bad = (
+        F.col("_want_dt").isNotNull()
+        & ~F.col("obj_is_iri")
+        & (
+            F.col("obj_datatype").isNull()
+            | (F.col("obj_datatype") != F.col("_want_dt"))
+        )
+    )
+    stats = val.groupBy(
+        "cls", "pred", "subj", "max_count"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.when(kind_bad, F.col("obj"))).alias("_kv"),
+        F.min(F.when(dt_bad, F.col("obj"))).alias("_dv"),
+    )
+
+    def mk(cond, constraint, observed):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(constraint).alias("constraint"),
+                observed.alias("observed"),
+            ),
+        )
+
+    viol = (
+        stats.select(
+            "subj",
+            "cls",
+            "pred",
+            F.explode(
+                F.array(
+                    mk(
+                        (F.col("max_count") == 1) & (F.col("_n") > 1),
+                        "max_count",
+                        F.col("_n").cast("string"),
+                    ),
+                    mk(F.col("_kv").isNotNull(), "node_kind", F.col("_kv")),
+                    mk(F.col("_dv").isNotNull(), "datatype", F.col("_dv")),
+                )
+            ).alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .select("subj", "cls", "pred", "_v.constraint", "_v.observed")
+    )
+    # min_count anti-joins the AGGREGATED stats (already one row per
+    # (cls, pred, subj)) — the instance frame is never scanned twice
+    v_min = (
+        types.join(
+            F.broadcast(
+                shp.filter(F.col("min_count") == 1).select("cls", "pred")
+            ),
+            "cls",
+        )
+        .join(
+            stats.select("subj", "cls", "pred"),
+            ["subj", "cls", "pred"],
+            "left_anti",
+        )
+        .select(
+            "subj",
+            "cls",
+            "pred",
+            F.lit("min_count").alias("constraint"),
+            F.lit("0").alias("observed"),
+        )
+    )
+    return viol.unionByName(v_min)
+
+
+def shape_conformance_sql(
+    table: str = "t",
+    shapes_sql: str = "SELECT * FROM shp",
+    type_pred: str = "rdf:type",
+    extra_ctes: str = "",
+) -> str:
+    """ANSI replay of ``shape_conformance`` for the contract oracle.
+    ``shapes_sql`` is a full SELECT producing the shape rows (e.g.
+    ``induce_shapes_sql(...)``) — inlined as a CTE so this emits one
+    self-contained WITH block. ``extra_ctes`` (e.g.
+    ``"t AS (...), d AS (...), "``) is spliced at the head of the WITH
+    list so callers can stage the input tables without nesting WITH."""
+    return f"""
+WITH {extra_ctes}shpx AS ({shapes_sql}),
+ty AS (
+  SELECT DISTINCT subj, obj AS cls FROM {table}
+  WHERE pred = '{type_pred}' AND obj_is_iri
+),
+ins AS (
+  SELECT DISTINCT i.subj, i.pred, i.obj, i.obj_is_iri,
+         i.obj_datatype, ty.cls
+  FROM (SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype
+        FROM {table} WHERE pred <> '{type_pred}') i
+  JOIN ty ON i.subj = ty.subj
+),
+vv AS (
+  SELECT ins.*, s.min_count, s.max_count, s.nodekind,
+         s.datatype AS want_dt
+  FROM ins JOIN shpx s
+    ON ins.cls = s.cls AND ins.pred = s.pred
+)
+SELECT subj, cls, pred, 'max_count' AS "constraint", n::VARCHAR AS observed
+FROM (SELECT cls, pred, subj, max_count, count(*) AS n FROM vv
+      GROUP BY cls, pred, subj, max_count) z
+WHERE max_count = 1 AND n > 1
+UNION ALL
+SELECT subj, cls, pred, 'node_kind', min(obj)
+FROM vv
+WHERE (nodekind = 'IRI' AND NOT obj_is_iri)
+   OR (nodekind = 'Literal' AND obj_is_iri)
+GROUP BY cls, pred, subj
+UNION ALL
+SELECT subj, cls, pred, 'datatype', min(obj)
+FROM vv
+WHERE want_dt IS NOT NULL AND NOT obj_is_iri
+  AND (obj_datatype IS NULL OR obj_datatype <> want_dt)
+GROUP BY cls, pred, subj
+UNION ALL
+SELECT g.subj, g.cls, g.pred, 'min_count', '0'
+FROM (SELECT ty.subj, ty.cls, s.pred FROM ty
+      JOIN shpx s ON ty.cls = s.cls WHERE s.min_count = 1) g
+LEFT JOIN (SELECT DISTINCT subj, cls, pred FROM ins) a
+  ON g.subj = a.subj AND g.cls = a.cls AND g.pred = a.pred
+WHERE a.subj IS NULL
+"""

@@ -1860,6 +1860,23 @@ def main():
         f"shape_triples adds exactly ONE in-row explode, found {n_gen}"
     )
 
+    from case_uco_ontology_map_spark.operators.fusion import (
+        shape_conformance,
+    )
+
+    conf = shape_conformance(trip5.drop("graph"), shp)
+    conf_plan = plan_of(conf)
+    assert not re.findall(_no_python, conf_plan), (
+        "shape_conformance must stay JVM-side"
+    )
+    assert "BroadcastHashJoin" in conf_plan, (
+        "schema-sized shapes must broadcast into the value stream"
+    )
+    assert "CartesianProduct" not in conf_plan, (
+        "min_count candidate grid must ride the broadcast join, never "
+        "a cross join"
+    )
+
     sections.update(
         {
             "turtle_lines (two subject-keyed grouped passes, JVM-only)": ttl,
@@ -1867,6 +1884,7 @@ def main():
             "triple-store scan_pattern (pred + subject-bucket partition pruning)": st,
             "induce_shapes (ONE type join + two-level rollup; class totals broadcast)": shp,
             "shape_triples (one in-row explode over the shapes frame)": stp,
+            "shape_conformance (broadcast shapes; subject-keyed type join)": conf,
         }
     )
 

@@ -421,3 +421,71 @@ def test_shape_triples_render_shacl_turtle(spark):
         "    sh:property kb:shp-ex_URL-ex_href ;\n"
         "    sh:targetClass <ex:URL> ."
     )
+
+
+def test_shape_conformance_hand_computed(spark):
+    """All four constraint families on a hand-corrupted graph: u2 loses
+    href (min_count), gains a second size (max_count); u1's size is
+    retagged xsd:string (datatype) and gains an IRI href (node_kind —
+    which also doubles href's value count, so max_count fires too).
+    Spark and the SQL twin agree row for row."""
+    import duckdb
+    import pandas as pd
+
+    from case_uco_ontology_map_spark.operators.fusion import (
+        induce_shapes,
+        induce_shapes_sql,
+        shape_conformance,
+        shape_conformance_sql,
+    )
+
+    clean = [
+        ("kb:u1", "rdf:type", "ex:URL", True, None),
+        ("kb:u2", "rdf:type", "ex:URL", True, None),
+        ("kb:u1", "ex:href", "http://a", False, "xsd:anyURI"),
+        ("kb:u2", "ex:href", "http://b", False, "xsd:anyURI"),
+        ("kb:u1", "ex:size", "5", False, "xsd:integer"),
+        ("kb:u2", "ex:size", "6", False, "xsd:integer"),
+    ]
+    dirty = [
+        r for r in clean if not (r[0] == "kb:u2" and r[1] == "ex:href")
+    ]
+    dirty += [
+        ("kb:u2", "ex:size", "7", False, "xsd:integer"),
+        ("kb:u1", "ex:href", "kb:link", True, None),
+    ]
+    dirty = [
+        ("kb:u1", "ex:size", "5", False, "xsd:string")
+        if r == ("kb:u1", "ex:size", "5", False, "xsd:integer")
+        else r
+        for r in dirty
+    ]
+    sch = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+    out = shape_conformance(
+        spark.createDataFrame(dirty, sch),
+        induce_shapes(spark.createDataFrame(clean, sch)),
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        ("kb:u1", "ex:URL", "ex:href", "max_count", "2"),
+        ("kb:u1", "ex:URL", "ex:href", "node_kind", "kb:link"),
+        ("kb:u1", "ex:URL", "ex:size", "datatype", "5"),
+        ("kb:u2", "ex:URL", "ex:href", "min_count", "0"),
+        ("kb:u2", "ex:URL", "ex:size", "max_count", "2"),
+    ]
+    con = duckdb.connect()
+    cols = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype"]
+    con.register("c", pd.DataFrame(clean, columns=cols))
+    con.register("d", pd.DataFrame(dirty, columns=cols))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                shape_conformance_sql("d", induce_shapes_sql("c"))
+            ).fetchall(),
+        )
+    )
+    assert got == want
