@@ -870,6 +870,37 @@ def _oracle_graph_communities() -> str:
     )
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components
+    (operators/graphstats.strongly_connected_components): distributed
+    forward-backward coloring over the doc graph — the spam-ring /
+    redirect-cycle naming primitive and the condensation step before
+    any DAG-only algorithm. scc_id = min member id. The oracle is
+    FULLY INDEPENDENT of the coloring algorithm: DuckDB materializes
+    pairwise reachability with a recursive CTE and takes the min
+    mutually-reachable id per node — any defect in the color fixpoint,
+    root selection, or backward mark breaks the hash."""
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        strongly_connected_components,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    return strongly_connected_components(edges).orderBy("node")
+
+
+def _oracle_graph_scc() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        strongly_connected_components_sql,
+    )
+
+    return (
+        f"WITH e AS ({_DOC_GRAPH_SQL})\n"
+        "SELECT * FROM ("
+        + strongly_connected_components_sql("e")
+        + ") z ORDER BY node"
+    )
+
+
 def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style random-walk corpus for KG-embedding training
     (operators/graphstats.random_walks): 2 hash-driven walks of length 4
@@ -9529,6 +9560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": q_kg_walks,
         "gnn_sample": q_gnn_sample,
         "graph_kcore": q_graph_kcore,
+        "graph_scc": q_graph_scc,
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -9723,6 +9755,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": _oracle_kg_walks(),
         "gnn_sample": _oracle_gnn_sample(),
         "graph_kcore": _oracle_graph_kcore(),
+        "graph_scc": _oracle_graph_scc(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),

@@ -1626,3 +1626,187 @@ def harmonic_centrality(
             )
         )
     return agg
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 32,
+    max_iterations: int = 400,
+) -> DataFrame:
+    """Strongly connected components of a directed graph →
+    ``(node, scc_id)`` with ``scc_id`` = the MIN member id — the
+    link-analysis primitive for spam-ring and redirect-cycle detection
+    (a reciprocal-link farm IS a non-trivial SCC; ``resolve_redirects``
+    reports cycles pairwise, this names them globally), and the
+    condensation step before any DAG-only algorithm.
+
+    Algorithm: distributed forward-backward coloring (Orzan-style —
+    the standard shared-nothing SCC scheme; Tarjan's stack is
+    inherently sequential). Each outer round, over the still-active
+    subgraph: (1) FORWARD min-label fixpoint — ``f(v)`` = min active
+    id that can reach ``v``; (2) roots are ``f(v) == v``, and every
+    member of a root's SCC provably carries the root's color (any
+    smaller in-SCC id would contradict rootness, any reacher of a
+    member also reaches the root); (3) BACKWARD mark — nodes reaching
+    their root through same-color paths, which is exactly the SCC
+    (in-SCC paths never leave the color class); (4) assign + remove.
+    Many colors complete per round (one SCC per color class), so
+    rounds track the SCC-DAG's depth, not the SCC count. Raises after
+    ``max_rounds`` outer rounds or ``max_iterations`` total inner
+    fixpoint steps instead of returning a partial decomposition.
+
+    Scale shape: every step is an equi-join on node keys over the
+    shrinking active subgraph (no pair materialization, no window);
+    per-iteration actions are the convergence counts inherent to
+    fixed-point iteration; lineage truncates via ``localCheckpoint``.
+    Self-loops drop up front (a self-loop never changes an SCC).
+    """
+    spark = edges.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .distinct()
+        .repartition(shuffle, "src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    iters = 0
+    for _ in range(int(max_rounds)):
+        if nodes.isEmpty():
+            break
+        # (1) forward min-label fixpoint on the active subgraph
+        f = nodes.select("node", F.col("node").alias("f"))
+        while True:
+            iters += 1
+            if iters > max_iterations:
+                raise RuntimeError(
+                    f"strongly_connected_components exceeded "
+                    f"{max_iterations} inner fixpoint iterations"
+                )
+            incoming = (
+                e.join(f, e["src"] == f["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("f").alias("_fin"))
+            )
+            nxt = (
+                f.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("f"), F.coalesce("_fin", F.col("f"))
+                    ).alias("f"),
+                    (F.coalesce("_fin", F.col("f")) < F.col("f")).alias(
+                        "_chg"
+                    ),
+                )
+            ).localCheckpoint(eager=True)
+            changed = nxt.filter(F.col("_chg")).isEmpty()
+            f = nxt.drop("_chg")
+            if changed:
+                break
+        # (2)+(3) backward mark from roots within color classes
+        marked = f.filter(F.col("node") == F.col("f")).localCheckpoint(
+            eager=True
+        )
+        while True:
+            iters += 1
+            if iters > max_iterations:
+                raise RuntimeError(
+                    f"strongly_connected_components exceeded "
+                    f"{max_iterations} inner fixpoint iterations"
+                )
+            hop = (
+                e.join(
+                    marked.select(
+                        F.col("node").alias("dst"), F.col("f")
+                    ),
+                    "dst",
+                )
+                .join(
+                    f.select(
+                        F.col("node").alias("src"),
+                        F.col("f").alias("_fs"),
+                    ),
+                    "src",
+                )
+                .where(F.col("_fs") == F.col("f"))
+                .select(F.col("src").alias("node"), "f")
+                .distinct()
+            )
+            grown = marked.unionByName(hop).distinct().localCheckpoint(
+                eager=True
+            )
+            if grown.count() == marked.count():
+                break
+            marked = grown
+        part = marked.select("node", F.col("f").alias("scc_id"))
+        assigned = (
+            part
+            if assigned is None
+            else assigned.unionByName(part).localCheckpoint(eager=True)
+        )
+        # (4) shrink the active subgraph
+        nodes = nodes.join(marked, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(nodes, e["src"] == nodes["node"], "left_semi")
+            .join(
+                nodes.select(F.col("node").alias("_n2")),
+                F.col("dst") == F.col("_n2"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    if not nodes.isEmpty():
+        raise RuntimeError(
+            f"strongly_connected_components did not converge in "
+            f"{max_rounds} rounds"
+        )
+    if assigned is None:  # edgeless input
+        return nodes.select("node", F.col("node").alias("scc_id"))
+    return assigned
+
+
+def strongly_connected_components_sql(
+    table: str = "e", src: str = "src", dst: str = "dst"
+) -> str:
+    """ANSI replay via pairwise reachability (recursive CTE) — fully
+    independent of the coloring algorithm: ``scc_id(u)`` = min ``w``
+    with ``u→w`` and ``w→u`` (identity pairs included)."""
+    return f"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM {table}
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst}
+),
+nd AS (
+  SELECT s AS node FROM ed UNION SELECT d FROM ed
+),
+reach AS (
+  SELECT s, d FROM ed
+  UNION
+  SELECT r.s, ed.d FROM reach r JOIN ed ON r.d = ed.s
+),
+pairs AS (
+  SELECT s, d FROM reach
+  UNION
+  SELECT node, node FROM nd
+)
+SELECT p.s AS node, min(p.d) AS scc_id
+FROM pairs p JOIN pairs q ON p.s = q.d AND p.d = q.s
+GROUP BY p.s
+"""

@@ -1055,3 +1055,75 @@ def test_pagerank_uniform_weights_equal_unweighted(edges):
     }
     for n in a:
         assert b[n] == pytest.approx(a[n], abs=1e-12)
+
+
+class TestStronglyConnectedComponents:
+    SCHEMA = "src long, dst long"
+
+    def _run(self, spark, edges, **kw):
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            strongly_connected_components,
+        )
+
+        df = spark.createDataFrame(edges, self.SCHEMA)
+        return sorted(
+            (r.node, r.scc_id)
+            for r in strongly_connected_components(df, **kw).collect()
+        )
+
+    def test_rings_chain_selfloop_hand_computed(self, spark):
+        """Ring {1,2,3}, ring {5,6}, chain through 4, upstream 7,
+        self-loop on 8 (never a non-trivial SCC): scc_id is the min
+        member id, hand-enumerated."""
+        edges = [
+            (1, 2), (2, 3), (3, 1), (5, 6), (6, 5),
+            (3, 4), (4, 5), (7, 1), (8, 8), (8, 7),
+        ]
+        assert self._run(spark, edges) == [
+            (1, 1), (2, 1), (3, 1), (4, 4),
+            (5, 5), (6, 5), (7, 7), (8, 8),
+        ]
+
+    def test_increasing_id_chain_multiround(self, spark):
+        """An id-increasing path is the coloring scheme's worst case —
+        one root resolved per round — exercising the outer loop deeply;
+        every node is its own SCC."""
+        edges = [(i, i + 1) for i in range(1, 7)]
+        assert self._run(spark, edges, max_rounds=10) == [
+            (i, i) for i in range(1, 8)
+        ]
+
+    def test_matches_reachability_oracle(self, spark):
+        """Deterministic pseudo-random graph cross-checked against the
+        independent pairwise-reachability SQL (recursive CTE + min
+        mutual id) — no shared code with the coloring algorithm."""
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            strongly_connected_components_sql,
+        )
+
+        n = 40
+        edges = [(i, (i * 7 + 3) % n) for i in range(n)] + [
+            (i, (i - 1) // 2) for i in range(1, n)
+        ]
+        got = self._run(spark, edges)
+        con = duckdb.connect()
+        con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    strongly_connected_components_sql("e")
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_nonconvergence_raises(self, spark):
+        import pytest
+
+        edges = [(i, i + 1) for i in range(1, 7)]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            self._run(spark, edges, max_rounds=2)
