@@ -901,6 +901,78 @@ def _oracle_graph_scc() -> str:
     )
 
 
+def q_graph_condense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: SCC → condensation → DAG layering
+    (operators/graphstats.condense_graph / dag_layers) — collapse each
+    strongly connected component of the doc graph to one node, then
+    layer the resulting DAG by longest path from the sources (the
+    dependency-ordered processing schedule; the cycle-raise in
+    dag_layers doubles as proof the condensation really is acyclic).
+    Output: (scc, layer, n_out). ONE DuckDB oracle replays the whole
+    chain — reachability-based SCC, the condensation group, and
+    recursive longest-path layers — so the composition is
+    cross-engine-verified, not just the stages."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        condense_graph,
+        dag_layers,
+        strongly_connected_components,
+    )
+
+    edges, _ = _doc_graph(spark, sf_dir)
+    scc = strongly_connected_components(edges)
+    cond = condense_graph(scc, edges)
+    lay = dag_layers(
+        cond.select(
+            F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+        )
+    )
+    out_deg = cond.groupBy(
+        F.col("src_scc").alias("node")
+    ).agg(F.sum("n_edges").alias("_n"))
+    return (
+        lay.join(out_deg, "node", "left")
+        .select(
+            F.col("node").alias("scc"),
+            "layer",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_out"),
+        )
+        .orderBy("scc")
+    )
+
+
+def _oracle_graph_condense() -> str:
+    from case_uco_ontology_map_spark.operators.graphstats import (
+        dag_layers_sql,
+        strongly_connected_components_sql,
+    )
+
+    return f"""
+WITH e AS ({_DOC_GRAPH_SQL}),
+scc AS (SELECT * FROM ({strongly_connected_components_sql('e')}) zz),
+cond AS (
+  SELECT s.scc_id AS src_scc, t.scc_id AS dst_scc,
+         count(*) AS n_edges
+  FROM e JOIN scc s ON e.src = s.node JOIN scc t ON e.dst = t.node
+  WHERE s.scc_id <> t.scc_id
+  GROUP BY s.scc_id, t.scc_id
+),
+lay AS (
+  SELECT * FROM (
+    {dag_layers_sql('cond', 'src_scc', 'dst_scc')}
+  ) ll
+)
+SELECT l.node AS scc, l.layer,
+       coalesce(o.n, 0)::BIGINT AS n_out
+FROM lay l
+LEFT JOIN (SELECT src_scc, sum(n_edges) AS n FROM cond
+           GROUP BY src_scc) o
+  ON l.node = o.src_scc
+ORDER BY scc
+"""
+
+
 def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style random-walk corpus for KG-embedding training
     (operators/graphstats.random_walks): 2 hash-driven walks of length 4
@@ -9561,6 +9633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_sample": q_gnn_sample,
         "graph_kcore": q_graph_kcore,
         "graph_scc": q_graph_scc,
+        "graph_condense": q_graph_condense,
         "canonical_rewrite": q_canonical_rewrite,
         "cooccurrence": q_cooccurrence,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -9756,6 +9829,7 @@ def oracle_sql() -> dict[str, str]:
         "gnn_sample": _oracle_gnn_sample(),
         "graph_kcore": _oracle_graph_kcore(),
         "graph_scc": _oracle_graph_scc(),
+        "graph_condense": _oracle_graph_condense(),
         "canonical_rewrite": _oracle_canonical_rewrite(),
         "cooccurrence": _oracle_cooccurrence(),
         "neighbor_jaccard": _oracle_neighbor_jaccard(),

@@ -1810,3 +1810,120 @@ SELECT p.s AS node, min(p.d) AS scc_id
 FROM pairs p JOIN pairs q ON p.s = q.d AND p.d = q.s
 GROUP BY p.s
 """
+
+
+def condense_graph(
+    assignment: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Condensation: collapse each SCC (from
+    ``strongly_connected_components``) to one node →
+    ``(src_scc, dst_scc, n_edges)`` with intra-SCC edges dropped. The
+    result is a DAG by construction — the precondition for every
+    level/topological algorithm — and the graph link analysis actually
+    wants after naming spam rings (a 10k-page link farm becomes ONE
+    node with its aggregate in/out edges).
+
+    Two node-keyed equi-joins + one grouped count; n_edges counts the
+    underlying edge rows (dedupe upstream for set semantics)."""
+    a_src = assignment.select(
+        F.col("node").alias(src), F.col("scc_id").alias("_cs")
+    )
+    a_dst = assignment.select(
+        F.col("node").alias(dst), F.col("scc_id").alias("_cd")
+    )
+    return (
+        edges.join(a_src, src)
+        .join(a_dst, dst)
+        .where(F.col("_cs") != F.col("_cd"))
+        .groupBy(
+            F.col("_cs").alias("src_scc"), F.col("_cd").alias("dst_scc")
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def dag_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Longest-path layering of a DAG → ``(node, layer)``: sources at
+    layer 0, every other node at 1 + max(layer of predecessors) — the
+    schedule a dependency-ordered batch processor runs level by level
+    (after ``condense_graph``, the crawl-refresh order of SCCs).
+
+    Fixpoint: layer(v) = max over incoming of layer(u)+1, synchronous
+    rounds; converges in DAG-depth rounds. Raises after ``max_rounds``
+    — which a CYCLE always triggers (its layers grow forever), so the
+    raise doubles as a not-a-DAG detector rather than looping silently.
+
+    Scale shape: one node-keyed join + grouped max per round over the
+    edge frame; lineage truncates via localCheckpoint; one convergence
+    count per round (inherent to fixed-point iteration)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    lvl = nodes.select("node", F.lit(0).alias("layer")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(int(max_rounds)):
+        incoming = (
+            e.join(lvl, e["s"] == lvl["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg((F.max("layer") + 1).alias("_cand"))
+        )
+        nxt = (
+            lvl.join(incoming, "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.col("layer"), F.coalesce("_cand", F.col("layer"))
+                ).alias("layer"),
+                (
+                    F.coalesce("_cand", F.col("layer"))
+                    > F.col("layer")
+                ).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = nxt.filter(F.col("_chg")).isEmpty()
+        lvl = nxt.drop("_chg")
+        if done:
+            return lvl
+    raise RuntimeError(
+        f"dag_layers did not converge in {max_rounds} rounds — "
+        "cyclic input or depth beyond the cap (condense first)"
+    )
+
+
+def dag_layers_sql(
+    table: str = "e", src: str = "src", dst: str = "dst"
+) -> str:
+    """ANSI replay of ``dag_layers``: recursive path lengths from the
+    sources, max per node — independent of the fixpoint scheme."""
+    return f"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT {src} AS s, {dst} AS d FROM {table}
+  WHERE {src} IS NOT NULL AND {dst} IS NOT NULL
+),
+nd AS (SELECT s AS node FROM ed UNION SELECT d FROM ed),
+lv AS (
+  SELECT node, 0 AS l FROM nd
+  WHERE node NOT IN (SELECT d FROM ed)
+  UNION ALL
+  SELECT ed.d, lv.l + 1 FROM lv JOIN ed ON lv.node = ed.s
+)
+SELECT node, max(l) AS layer FROM lv GROUP BY node
+"""

@@ -1127,3 +1127,68 @@ class TestStronglyConnectedComponents:
         edges = [(i, i + 1) for i in range(1, 7)]
         with pytest.raises(RuntimeError, match="did not converge"):
             self._run(spark, edges, max_rounds=2)
+
+
+class TestCondenseAndLayers:
+    def test_condense_then_layer_hand_computed(self, spark):
+        """Rings {1,2,3} and {5,6} collapse; condensation edges
+        8→7→1→4→5 each carry n_edges=1 (the 8→8 self-loop is
+        intra-SCC and drops); longest-path layers follow."""
+        from pyspark.sql import functions as F
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            condense_graph,
+            dag_layers,
+            strongly_connected_components,
+        )
+
+        edges = [
+            (1, 2), (2, 3), (3, 1), (5, 6), (6, 5),
+            (3, 4), (4, 5), (7, 1), (8, 8), (8, 7),
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        scc = strongly_connected_components(df)
+        cond = condense_graph(scc, df)
+        assert sorted(map(tuple, cond.collect())) == [
+            (1, 4, 1), (4, 5, 1), (7, 1, 1), (8, 7, 1),
+        ]
+        lay = dag_layers(
+            cond.select(
+                F.col("src_scc").alias("src"),
+                F.col("dst_scc").alias("dst"),
+            )
+        )
+        assert sorted(map(tuple, lay.collect())) == [
+            (1, 2), (4, 3), (5, 4), (7, 1), (8, 0),
+        ]
+
+    def test_dag_layers_cycle_raises(self, spark):
+        import pytest
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            dag_layers,
+        )
+
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="cyclic input"):
+            dag_layers(df, max_rounds=6)
+
+    def test_dag_layers_matches_sql(self, spark):
+        """Diamond + long tail vs the recursive-CTE twin."""
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            dag_layers,
+            dag_layers_sql,
+        )
+
+        edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (9, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(map(tuple, dag_layers(df).collect()))
+        con = duckdb.connect()
+        con.register("e", pd.DataFrame(edges, columns=["src", "dst"]))
+        want = sorted(
+            map(tuple, con.execute(dag_layers_sql("e")).fetchall())
+        )
+        assert got == want
