@@ -6578,6 +6578,43 @@ d AS (
     )
 
 
+def q_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft type inference (operators/triples.infer_types_by_neighbors,
+    the deterministic SDType variant): md5-residue subjects (mod 4 = 0)
+    LOSE their rdf:type rows, then every incident edge votes its
+    predicate's induced domain/range type — the completion pass between
+    extraction and the class-scoped QA operators (shape_conformance /
+    kg_completeness skip untyped nodes silently). DuckDB replays the
+    de-typing corruption, the domain/range induction, and the majority
+    vote end to end."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.dedup import content_hash64
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_types_by_neighbors,
+    )
+
+    t = q_triples_structural(spark, sf_dir)
+    res = F.pmod(content_hash64(F.col("subj"), "md5_60"), F.lit(4))
+    dirty = t.filter(~((F.col("pred") == "rdf:type") & (res == 0)))
+    return infer_types_by_neighbors(dirty, min_votes=2).orderBy("node")
+
+
+def _oracle_type_inference() -> str:
+    from case_uco_ontology_map_spark.operators.triples import (
+        infer_types_by_neighbors_sql,
+    )
+
+    res = f"(({_MD5_60.format(x='subj')} % 4 + 4) % 4)"
+    return f"""
+WITH t AS ({_oracle_triples_structural()}),
+d AS (SELECT * FROM t WHERE NOT (pred = 'rdf:type' AND {res} = 0))
+SELECT * FROM (
+  {infer_types_by_neighbors_sql('d', min_votes=2)}
+) z ORDER BY node
+"""
+
+
 def q_store_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertically-partitioned triple-store layout census
     (operators/triplestore.store_layout): the (pred, subject-bucket)
@@ -9725,6 +9762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_induction": q_shape_induction,
         "induced_shacl_ttl": q_induced_shacl_ttl,
         "shape_conformance": q_shape_conformance,
+        "type_inference": q_type_inference,
         "unresolved_refs": q_unresolved_refs,
         "latest_assertions": q_latest_assertions,
         "rdfs_infer": q_rdfs_infer,
@@ -9917,6 +9955,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_induction": _oracle_shape_induction(),
         "induced_shacl_ttl": _oracle_induced_shacl_ttl(),
         "shape_conformance": _oracle_shape_conformance(),
+        "type_inference": _oracle_type_inference(),
         "unresolved_refs": _oracle_unresolved_refs(),
         "latest_assertions": _oracle_latest_assertions(),
         "rdfs_infer": _oracle_rdfs_infer(),

@@ -1705,3 +1705,155 @@ FROM (
 )
 GROUP BY pred
 """
+
+
+def infer_types_by_neighbors(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    min_votes: int = 2,
+) -> DataFrame:
+    """Soft type inference for UNTYPED nodes — the deterministic
+    variant of SDType (Paulheim & Bizer, ISWC'13): learn each
+    predicate's dominant subject type (domain) and object type (range)
+    from the TYPED part of the graph, then let every incident edge of
+    an untyped node cast one vote (its predicate's domain if the node
+    is the subject, its range if the object); majority wins, min-type
+    tie-break, and a node needs ``min_votes`` agreeing votes to be
+    typed at all. Returns ``(node, inferred_type, votes, n_signals)``
+    — votes = winner's count, n_signals = total votes cast.
+
+    Extraction leaves most web-KG nodes untyped (markup rarely states
+    classes); this is the standard completion pass between extraction
+    and validation, and its output feeds ``shape_conformance`` /
+    ``kg_completeness`` which are class-scoped and silently skip
+    untyped nodes. Exact integers; no float ever decides a type.
+
+    Scale shape: domain/range induction joins the instance frame to
+    the type map on co-keyed node columns, output is schema-sized
+    (pred × type) and BROADCASTS back into the edge stream; the vote
+    count groups on (node, type) with map-side partials. No window,
+    no Python, no pair materialization."""
+    typed = (
+        triples.filter(
+            (F.col("pred") == type_pred) & F.col("obj_is_iri")
+        )
+        .select("subj", F.col("obj").alias("_ty"))
+        .distinct()
+    )
+    inst = triples.filter(F.col("pred") != type_pred)
+
+    def dominant(votes: DataFrame, key: str) -> DataFrame:
+        """argmax type per pred: groupBy-max + join + min tie-break."""
+        best = votes.groupBy("pred").agg(F.max("_n").alias("_n"))
+        return (
+            votes.join(best, ["pred", "_n"])
+            .groupBy("pred")
+            .agg(F.min("_ty").alias(key))
+        )
+
+    dom = dominant(
+        inst.join(typed, "subj")
+        .groupBy("pred", "_ty")
+        .agg(F.count(F.lit(1)).alias("_n")),
+        "_dom",
+    )
+    rng = dominant(
+        inst.filter(F.col("obj_is_iri"))
+        .join(typed.withColumnRenamed("subj", "obj"), "obj")
+        .groupBy("pred", "_ty")
+        .agg(F.count(F.lit(1)).alias("_n")),
+        "_rng",
+    )
+    typed_nodes = typed.select(F.col("subj").alias("node")).distinct()
+    sub_votes = (
+        inst.join(F.broadcast(dom), "pred")
+        .select(F.col("subj").alias("node"), F.col("_dom").alias("_v"))
+        .join(typed_nodes, "node", "left_anti")
+    )
+    obj_votes = (
+        inst.filter(F.col("obj_is_iri"))
+        .join(F.broadcast(rng), "pred")
+        .select(F.col("obj").alias("node"), F.col("_rng").alias("_v"))
+        .join(typed_nodes, "node", "left_anti")
+    )
+    counts = (
+        sub_votes.unionByName(obj_votes)
+        .groupBy("node", "_v")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    totals = counts.groupBy("node").agg(
+        F.sum("votes").alias("n_signals")
+    )
+    best = counts.groupBy("node").agg(F.max("votes").alias("votes"))
+    return (
+        counts.join(best, ["node", "votes"])
+        .groupBy("node", "votes")
+        .agg(F.min("_v").alias("inferred_type"))
+        .filter(F.col("votes") >= min_votes)
+        .join(totals, "node")
+        .select(
+            "node",
+            "inferred_type",
+            "votes",
+            F.col("n_signals").cast("long").alias("n_signals"),
+        )
+    )
+
+
+def infer_types_by_neighbors_sql(
+    table: str = "t",
+    type_pred: str = "rdf:type",
+    min_votes: int = 2,
+) -> str:
+    """ANSI replay of ``infer_types_by_neighbors``."""
+    return f"""
+WITH typed AS (
+  SELECT DISTINCT subj, obj AS ty FROM {table}
+  WHERE pred = '{type_pred}' AND obj_is_iri
+),
+ins AS (SELECT * FROM {table} WHERE pred <> '{type_pred}'),
+domv AS (
+  SELECT i.pred, ty.ty, count(*) AS n
+  FROM ins i JOIN typed ty ON i.subj = ty.subj
+  GROUP BY i.pred, ty.ty
+),
+dom AS (
+  SELECT d.pred, min(d.ty) AS dom FROM domv d
+  JOIN (SELECT pred, max(n) AS n FROM domv GROUP BY pred) m
+    ON d.pred = m.pred AND d.n = m.n
+  GROUP BY d.pred
+),
+rngv AS (
+  SELECT i.pred, ty.ty, count(*) AS n
+  FROM ins i JOIN typed ty ON i.obj = ty.subj
+  WHERE i.obj_is_iri
+  GROUP BY i.pred, ty.ty
+),
+rng AS (
+  SELECT r.pred, min(r.ty) AS rng FROM rngv r
+  JOIN (SELECT pred, max(n) AS n FROM rngv GROUP BY pred) m
+    ON r.pred = m.pred AND r.n = m.n
+  GROUP BY r.pred
+),
+tn AS (SELECT DISTINCT subj AS node FROM typed),
+vote AS (
+  SELECT i.subj AS node, d.dom AS v FROM ins i
+  JOIN dom d ON i.pred = d.pred
+  WHERE i.subj NOT IN (SELECT node FROM tn)
+  UNION ALL
+  SELECT i.obj, r.rng FROM ins i
+  JOIN rng r ON i.pred = r.pred
+  WHERE i.obj_is_iri AND i.obj NOT IN (SELECT node FROM tn)
+),
+cnt AS (SELECT node, v, count(*) AS votes FROM vote GROUP BY node, v),
+tot AS (SELECT node, sum(votes) AS n_signals FROM cnt GROUP BY node),
+win AS (
+  SELECT c.node, c.votes, min(c.v) AS inferred_type FROM cnt c
+  JOIN (SELECT node, max(votes) AS votes FROM cnt GROUP BY node) b
+    ON c.node = b.node AND c.votes = b.votes
+  GROUP BY c.node, c.votes
+)
+SELECT w.node, w.inferred_type, w.votes, t.n_signals::BIGINT AS n_signals
+FROM win w JOIN tot t ON w.node = t.node
+WHERE w.votes >= {min_votes}
+"""

@@ -2166,3 +2166,85 @@ class TestCharacteristicSets:
         assert (r.n_matching_csets, r.n_subjects) == (0, 0)
         with pytest.raises(ValueError):
             star_cardinality(cs, [])
+
+
+class TestInferTypesByNeighbors:
+    SCHEMA = (
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_datatype string"
+    )
+
+    def test_domain_range_votes_hand_computed(self, spark):
+        """hasFacet teaches domain URL / range Facet from the typed
+        part; untyped u3 (2 domain votes) gets URL, untyped f3 (1 range
+        vote) falls below min_votes=2 and stays untyped — but is typed
+        at min_votes=1. Spark and the SQL twin agree."""
+        import duckdb
+        import pandas as pd
+
+        from case_uco_ontology_map_spark.operators.triples import (
+            infer_types_by_neighbors,
+            infer_types_by_neighbors_sql,
+        )
+
+        rows = [
+            ("kb:u1", "rdf:type", "ex:URL", True, None),
+            ("kb:u2", "rdf:type", "ex:URL", True, None),
+            ("kb:f1", "rdf:type", "ex:Facet", True, None),
+            ("kb:f2", "rdf:type", "ex:Facet", True, None),
+            ("kb:u1", "ex:hasFacet", "kb:f1", True, None),
+            ("kb:u2", "ex:hasFacet", "kb:f2", True, None),
+            ("kb:u3", "ex:hasFacet", "kb:f1", True, None),
+            ("kb:u3", "ex:hasFacet", "kb:f2", True, None),
+            ("kb:u1", "ex:hasFacet", "kb:f3", True, None),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = sorted(
+            map(tuple, infer_types_by_neighbors(df).collect())
+        )
+        assert got == [("kb:u3", "ex:URL", 2, 2)]
+        con = duckdb.connect()
+        con.register(
+            "t",
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "subj", "pred", "obj", "obj_is_iri", "obj_datatype",
+                ],
+            ),
+        )
+        got1 = sorted(
+            map(
+                tuple,
+                infer_types_by_neighbors(df, min_votes=1).collect(),
+            )
+        )
+        assert got1 == [
+            ("kb:f3", "ex:Facet", 1, 1),
+            ("kb:u3", "ex:URL", 2, 2),
+        ]
+        want1 = sorted(
+            map(
+                tuple,
+                con.execute(
+                    infer_types_by_neighbors_sql("t", min_votes=1)
+                ).fetchall(),
+            )
+        )
+        assert got1 == want1
+
+    def test_typed_nodes_never_retyped_and_literals_ignored(self, spark):
+        """A typed node casts votes but receives none; literal objects
+        never vote (no range signal from strings)."""
+        from case_uco_ontology_map_spark.operators.triples import (
+            infer_types_by_neighbors,
+        )
+
+        rows = [
+            ("kb:a", "rdf:type", "ex:T", True, None),
+            ("kb:a", "ex:p", "kb:b", True, None),
+            ("kb:a", "ex:p", "lit", False, None),
+            ("kb:b", "rdf:type", "ex:U", True, None),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        assert infer_types_by_neighbors(df, min_votes=1).count() == 0
