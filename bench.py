@@ -493,6 +493,45 @@ def bench_queries(spark, sf_dir: str):
         q_graph_closure.last_pairs = stats["pairs"]
         return stats["pairs"]
 
+    def q_graph_scc():
+        """Strongly connected components (forward-backward coloring)
+        over the heap-parent + modular-link graph on all n_docs nodes —
+        the spam-ring naming stress. The (7d+3) mod N link edges fuse
+        the whole graph into ONE giant SCC, so the stage exercises the
+        worst case: a forward min-label fixpoint that must touch every
+        node (~graph diameter rounds) plus a full backward mark. Guard:
+        the decomposition must assign every node, and node 0's SCC
+        (id 0 — the global min) must hold ≥90% of the graph (measured:
+        100% at 80k nodes, 98% at 500 — a truncated fixpoint leaves
+        far more stragglers)."""
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            strongly_connected_components,
+        )
+
+        tree = spark.range(1, n_docs).select(
+            F.col("id").alias("src"),
+            F.expr("(id - 1) DIV 2").alias("dst"),
+        )
+        link = spark.range(n_docs).select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") * 7 + 3, F.lit(n_docs)).alias("dst"),
+        )
+        out = strongly_connected_components(
+            tree.unionByName(link), max_rounds=48, max_iterations=2000
+        )
+        stats = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("scc_id") == 0, 1).otherwise(0)).alias(
+                "in_giant"
+            ),
+        ).collect()[0]
+        if stats["n"] != n_docs or stats["in_giant"] < 0.9 * n_docs:
+            raise RuntimeError(
+                f"graph_scc assigned {stats['n']}/{n_docs} nodes, "
+                f"giant SCC {stats['in_giant']} — truncated fixpoint"
+            )
+        return stats["n"]
+
     def q_graph_pagerank():
         """PageRank (5 BSP rounds, d=0.85) over the doc graph (heap-parent
         + functional link edge, 2N-1 edges, cycles, varied in-degree) —
@@ -1620,6 +1659,7 @@ def bench_queries(spark, sf_dir: str):
         "canonicalize_incr": q_canonicalize_incr,
         "canonicalize_incr3": q_canonicalize_incr3,
         "graph_closure": q_graph_closure,
+        "graph_scc": q_graph_scc,
         "graph_pagerank": q_graph_pagerank,
         "graph_walks": q_graph_walks,
         "graph_hits": q_graph_hits,
