@@ -457,9 +457,7 @@ def read_turtle(
     ok_block = b.endswith(" .")
     body = F.substring(b, 1, F.length(b) - 2)
     subj_term = F.regexp_extract(body, r"^(<[^>]*>|\S+) ", 1)
-    rest = F.expr(
-        f"substring({'_body'}, length({'_subj'}) + 2, 2147483647)"
-    )
+    rest = F.expr("substring(_body, length(_subj) + 2, 2147483647)")
     staged = blocks.select(
         b.alias("_blk"),
         F.when(ok_block & (subj_term != ""), subj_term)

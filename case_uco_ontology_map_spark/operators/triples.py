@@ -1720,7 +1720,9 @@ def infer_types_by_neighbors(
     is the subject, its range if the object); majority wins, min-type
     tie-break, and a node needs ``min_votes`` agreeing votes to be
     typed at all. Returns ``(node, inferred_type, votes, n_signals)``
-    — votes = winner's count, n_signals = total votes cast.
+    — votes = winner's count, n_signals = total votes cast. Votes are
+    per assertion ROW: dedupe the frame upstream if it may carry exact
+    duplicate rows (the SQL twin mirrors the same convention).
 
     Extraction leaves most web-KG nodes untyped (markup rarely states
     classes); this is the standard completion pass between extraction
