@@ -1846,7 +1846,9 @@ TIER2_STAGES = (
     "ann_sq8_topk", "warc_ingest", "graph_hits", "graph_trustrank",
     "host_rollup", "wat_export", "graph_spam_mass", "graph_bfs",
     "domain_rollup", "boilerplate", "kg_entailment",
-    "structured_extract", "text_index", "triple_store",
+    "structured_extract", "text_index", "triple_store", "graph_scc",
+    "link_extract", "entity_linking", "frontier_sched", "sparql_query",
+    "graph_walks",
 )
 
 
