@@ -1865,7 +1865,15 @@ def report_slopes():
     SPARK_GRAFT_EMB_AMPLIFY. Iterative stages (closure, CC) are expected
     mildly super-linear in ROWS on this corpus because rounds = diameter
     = log2(N) grows with N — slope ≈ (8·log(8N)/log N)/8; the named-cause
-    rule distinguishes that from an accidental quadratic."""
+    rule distinguishes that from an accidental quadratic.
+
+    Measurement hygiene (learned in r5 session 9): stages in one tier leg
+    share a JVM, and a LONG batch accumulates heap/GC pressure that can
+    inflate later stages several-fold (a 14-stage leg read kg_entailment
+    at 92 s tier-2; standalone it is 10.7 s). Measure in batches of ≤5
+    stages via SPARK_GRAFT_TIER2_STAGES (results merge into the artifact);
+    treat any surprising slope as unconfirmed until re-measured in a small
+    batch."""
     import subprocess
 
     stages = os.environ.get(
