@@ -393,6 +393,17 @@ def connected_components(
     exact-fingerprint dedup, uuid_planner.py:229-241, never under-merges;
     neither may we).
     """
+    spark = edges.sparkSession
+    if checkpoint:
+        # materialize the RAW edge frame ONCE before deriving nodes and
+        # pairs from it: both derivations need a full pass, and without
+        # this the (possibly expensive) upstream chain — in
+        # canonicalize_entities that is the whole signature → LSH →
+        # verify pipeline — executed TWICE, once under the nodes
+        # checkpoint and again under the pairs checkpoint (measured ~5 s
+        # per extra pass at bench scale; guide §1.2: don't recompute what
+        # you already have).
+        edges = edges.localCheckpoint(eager=True)
     # canonical undirected pair set, self-loops dropped (they only add
     # nodes, handled below); node universe preserved from the raw input
     nodes = (
@@ -407,11 +418,17 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    spark = edges.sparkSession
     prev_round_ids: set = set()
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
         pairs, fp = _checkpoint_with_fingerprint(pairs, 0)
+        # nodes and pairs are materialized — the raw-edge checkpoint's
+        # blocks are dead weight from here on (same reclamation rule as
+        # the per-round checkpoints below)
+        _unpersist_ids(
+            spark,
+            {i for i in (_checkpointed_rdd_id(edges),) if i is not None},
+        )
         prev_round_ids = {
             i for i in (_checkpointed_rdd_id(pairs),) if i is not None
         }

@@ -196,6 +196,11 @@ def transitive_closure(
         .withColumn("hops", F.lit(1))
         .localCheckpoint(eager=True)
     )
+    # ``known`` accumulates as a lazy UNION of per-round checkpointed
+    # frontier frames — re-checkpointing the whole accumulated reach set
+    # every round (the old shape) re-materialized O(closure) rows per
+    # round, an O(rounds × pairs) total rewrite for data that was already
+    # materialized once. The anti-join scans the same rows either way.
     frontier = known.select(src, dst)
     h = 1
     while max_hops is None or h < max_hops:
@@ -207,12 +212,28 @@ def transitive_closure(
         new = nxt.join(known.select(src, dst), on=[src, dst], how="left_anti")
         h += 1
         if checkpoint_every and (h % checkpoint_every) == 0:
-            new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
+            # the frontier-exhausted test rides the checkpoint's own
+            # materialization as an observed count — no separate
+            # isEmpty() job per round (same pattern as canonicalize's
+            # fingerprint-on-checkpoint)
+            from pyspark.sql import Observation
+
+            obs = Observation(f"tc_n_{h}")
+            new = new.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+                eager=True
+            )
+            try:
+                empty = obs.get["n"] == 0
+            except Exception:
+                # AQE empty-relation propagation can prune the metrics
+                # node when the frontier is empty — fall back to asking
+                # the materialized frame (trivially cheap)
+                empty = new.isEmpty()
+            if empty:
+                break
+        elif new.isEmpty():
             break
         known = known.unionByName(new.withColumn("hops", F.lit(h)))
-        if checkpoint_every and (h % checkpoint_every) == 0:
-            known = known.localCheckpoint(eager=True)
         frontier = new
     e.unpersist()
     return known

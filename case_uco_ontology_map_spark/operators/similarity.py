@@ -32,6 +32,31 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _norm_col(c: Column) -> Column:
+    """L2 norm — the EXACT subexpression _cosine uses for each side, so a
+    staged norm column is bit-identical to the inline computation."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _staged_cosine(vec: Column, qvec: Column, vn: Column, qn: Column) -> Column:
+    """``_cosine`` with the two norms taken from precomputed columns:
+    identical guard, identical ``dot / (vn * qn)`` operand order, so the
+    value is bit-identical — but the interpreted higher-order norm folds
+    run once per VECTOR (and once per QUERY) instead of once per
+    (vector, query) PAIR. At Q queries that deletes ~2/3 of the
+    interpreted per-pair work (guide §1.2: per-task work; the HOF lambdas
+    never enter whole-stage codegen)."""
+    return F.when((vn > 0) & (qn > 0), _dot(vec, qvec) / (vn * qn)).otherwise(
+        F.lit(0.0)
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -43,12 +68,30 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: crossJoin(broadcast(queries)) → cosine → window
     top-k. Exact baseline; cost O(N·Q) — used when Q is small or as the
-    verification oracle for ivf_topk."""
-    joined = vectors.crossJoin(F.broadcast(queries))
+    verification oracle for ivf_topk. Norms are staged per side BELOW the
+    join (see _staged_cosine) — bit-identical values, ~3× less
+    interpreted HOF work per pair."""
+    vn = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_col(F.col(vec_col)).alias("_vn"),
+    )
+    qn = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        _norm_col(F.col(query_vec_col)).alias("_qn"),
+    )
+    joined = vn.crossJoin(F.broadcast(qn))
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(
+            _staged_cosine(
+                F.col(vec_col), F.col(query_vec_col),
+                F.col("_vn"), F.col("_qn"),
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -195,10 +238,17 @@ def ivf_topk(
     query probes its nprobe nearest cells. Join is hash-equi on cell —
     at scale, write vectors partitioned by cell so the probe is partition
     pruning, not a shuffle."""
-    assigned = assign_cells(vectors, centroids, vec_col)
-    q_cells = _probe_cells(queries, centroids, nprobe, query_vec_col)
+    assigned = assign_cells(vectors, centroids, vec_col).withColumn(
+        "_vn", _norm_col(F.col(vec_col))
+    )
+    q_cells = _probe_cells(queries, centroids, nprobe, query_vec_col).withColumn(
+        "_qn", _norm_col(F.col(query_vec_col))
+    )
     cands = assigned.join(F.broadcast(q_cells), "cell")
-    return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)
+    return _rank_topk(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col,
+        vn_col="_vn", qn_col="_qn",
+    )
 
 
 def _probe_cells(
@@ -250,11 +300,24 @@ def _probe_cells(
     )
 
 
-def _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col):
+def _rank_topk(
+    cands, k, id_col, vec_col, query_id_col, query_vec_col,
+    vn_col=None, qn_col=None,
+):
+    """``vn_col``/``qn_col``: precomputed per-side L2 norm columns (see
+    _staged_cosine — staged below the join by callers so the norm folds
+    run per vector/query, not per candidate pair; values bit-identical)."""
+    if vn_col and qn_col:
+        cos = _staged_cosine(
+            F.col(vec_col), F.col(query_vec_col),
+            F.col(vn_col), F.col(qn_col),
+        )
+    else:
+        cos = _cosine(F.col(vec_col), F.col(query_vec_col))
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(_cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine"),
+        F.round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -347,8 +410,12 @@ def ivf_topk_from_index(
         .collect()
     ]
     probed_cells = sorted({c for _, c in probe_rows})
-    index = spark.read.parquet(index_path).filter(
-        F.col("cell").isin(probed_cells)  # literal IN → partition pruning
+    index = (
+        spark.read.parquet(index_path)
+        .filter(
+            F.col("cell").isin(probed_cells)  # literal IN → partition pruning
+        )
+        .withColumn("_vn", _norm_col(F.col(vec_col)))
     )
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -362,11 +429,16 @@ def ivf_topk_from_index(
             StructField("cell", IntegerType(), False),
         ]
     )
-    probes = spark.createDataFrame(probe_rows, probe_schema).join(
-        F.broadcast(queries), query_id_col
+    probes = (
+        spark.createDataFrame(probe_rows, probe_schema)
+        .join(F.broadcast(queries), query_id_col)
+        .withColumn("_qn", _norm_col(F.col(query_vec_col)))
     )
     cands = index.join(F.broadcast(probes), "cell")
-    return _rank_topk(cands, k, id_col, vec_col, query_id_col, query_vec_col)
+    return _rank_topk(
+        cands, k, id_col, vec_col, query_id_col, query_vec_col,
+        vn_col="_vn", qn_col="_qn",
+    )
 
 
 def quantize_embeddings(
