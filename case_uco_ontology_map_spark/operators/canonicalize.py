@@ -103,6 +103,7 @@ def entity_minhash(
     num_hashes: int = 32,
     hash_mode: str = "xxhash64",
     exclude=None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Minhash signatures over char-3-gram shingles of the entity key.
 
@@ -132,6 +133,17 @@ def entity_minhash(
     )
     if len(ex_list) > _EXCLUDE_INLINE_MAX:
         staged = _excluded_shingles(staged, ex_list)
+    if impl == "arrow":
+        # numpy multiply-mod fold, bit-identical to the expr fold below —
+        # see dedup.minhash_fold_arrow (the k·|sh| interpreted lambda ops
+        # were the dominant per-row cost of signing)
+        from .dedup import minhash_fold_arrow
+
+        return minhash_fold_arrow(staged, params).select(
+            F.col(id_col), F.col(key_col), F.col("minhash")
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown minhash impl {impl!r}")
 
     def _min_hash(a: int, b: int):
         # closure factory — see dedup.minhash_signatures for why not

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
@@ -198,6 +199,49 @@ def high_df_hashes(
     return [r["s"] for r in rows]
 
 
+def minhash_fold_arrow(staged: DataFrame, params, sh_col: str = "_sh"):
+    """Arrow-batched minhash fold over a staged shingle-hash array column →
+    an ``array<bigint>`` signature Column-producing transform, BIT-IDENTICAL
+    to the expr fold (pure int64 arithmetic: ``abs(s) % p`` stays < 2^31,
+    ``a < p``, so every intermediate fits int64 exactly in numpy as in the
+    JVM; pinned equal by test). The k per-hash higher-order transforms are
+    interpreted expressions in Catalyst (no whole-stage codegen inside
+    lambdas) costing ~k·|sh| interpreted ops per row; one numpy
+    (|sh| × k) broadcasted multiply-mod per row replaces them (guide §4.2:
+    hand batches to vectorized native code). Shingle HASHING stays in the
+    JVM (xxhash64/md5 exactness is the engine's), only the integer fold
+    crosses — and only the ``_sh`` column ships (guide §4.1).
+
+    Returns ``staged`` with a ``minhash`` column appended."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    A = np.asarray([a for a, _ in params], dtype=np.int64)
+    B = np.asarray([b for _, b in params], dtype=np.int64)
+    k = len(params)
+    P = _MERSENNE_P
+    sentinel = np.full(k, P, dtype=np.int64)
+    i64min = np.iinfo(np.int64).min
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _fold(col: pd.Series) -> pd.Series:
+        def one(arr):
+            if arr is None:
+                return sentinel
+            s = np.asarray(arr, dtype=np.int64)
+            if s.size == 0:
+                return sentinel
+            if (s == i64min).any():
+                # mirror the expr path: ANSI abs(int64 min) errors
+                raise ArithmeticError("abs overflow in minhash fold")
+            sm = np.abs(s) % P
+            return ((sm[:, None] * A[None, :] + B[None, :]) % P).min(axis=0)
+
+        return col.map(one)
+
+    return staged.withColumn("minhash", _fold(sh_col))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -206,6 +250,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     hash_mode: str = "xxhash64",
     exclude: Optional[Sequence[int]] = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """k minhashes per doc: sig_i = min over shingles of ((a_i*s + b_i) mod p).
     All JVM (transform + array_min) — no Python, no shuffle. Empty shingle
@@ -222,7 +267,12 @@ def minhash_signatures(
     every one of the k lambdas and subexpression elimination does not reach
     inside higher-order functions, so the shingles were recomputed k times
     per row — measured 36× slower (44s → 1.2s for 5k docs × 64 hashes).
-    Same fix as simhash's `_votes` staging below."""
+    Same fix as simhash's `_votes` staging below.
+
+    ``impl``: ``'arrow'`` (default — the k·|sh| interpreted fold replaced
+    by one numpy multiply-mod per row, bit-identical, see
+    minhash_fold_arrow) or ``'expr'`` (the pure-Catalyst reference fold,
+    replayable in ANSI SQL; pinned equal by test)."""
     params = _hash_params(num_hashes)
     sh = shingles_from_tokens(F.col("_toks"), shingle_n, hash_mode)
     if exclude:
@@ -235,6 +285,12 @@ def minhash_signatures(
         F.col(id_col),
         sh.alias("_sh"),
     )
+    if impl == "arrow":
+        return minhash_fold_arrow(staged, params).select(
+            F.col(id_col), F.col("minhash")
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown minhash impl {impl!r}")
 
     def _min_hash(a: int, b: int) -> Column:
         # closure factory: pyspark introspects lambda arity, so default-arg

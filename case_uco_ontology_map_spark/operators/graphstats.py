@@ -564,6 +564,11 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count("*").alias("_c"))
         )
+        if checkpoint_every:
+            # votes (the expensive edge-join + groupBy) feeds BOTH the
+            # per-node max and the pick join — materialize once instead
+            # of evaluating the subtree twice (same fix as hits())
+            votes = votes.localCheckpoint(eager=True)
         top = votes.groupBy("node").agg(F.max("_c").alias("_mc"))
         picked = (
             votes.join(top, on="node")
@@ -963,6 +968,11 @@ def k_core(
             F.count("*").alias("core_deg")
         )
         alive = deg.filter(F.col("core_deg") >= k)
+        if checkpoint_every:
+            # alive feeds the survivor count AND both semi-join sides —
+            # materialize the (small) node list once instead of
+            # re-running the degree aggregation per use
+            alive = alive.localCheckpoint(eager=True)
         n_alive = alive.count()
         if n_alive == n_prev:
             e.unpersist()
@@ -1392,6 +1402,11 @@ def bfs_distances(
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
+    # ``known`` accumulates as a lazy union of per-round checkpointed
+    # frontiers (no per-round re-checkpoint of the whole reach set), and
+    # the frontier-exhausted test rides the frontier checkpoint as an
+    # observed count — the same per-round job-structure fix as
+    # transitive_closure.
     frontier = known.select("node")
     h = 0
     while max_hops is None or h < max_hops:
@@ -1403,12 +1418,21 @@ def bfs_distances(
         new = nxt.join(known.select("node"), on="node", how="left_anti")
         h += 1
         if checkpoint_every and (h % checkpoint_every) == 0:
-            new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
+            from pyspark.sql import Observation
+
+            obs = Observation(f"bfs_n_{h}")
+            new = new.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+                eager=True
+            )
+            try:
+                empty = obs.get["n"] == 0
+            except Exception:
+                empty = new.isEmpty()  # AQE pruned the metrics node
+            if empty:
+                break
+        elif new.isEmpty():
             break
         known = known.unionByName(new.withColumn("dist", F.lit(h)))
-        if checkpoint_every and (h % checkpoint_every) == 0:
-            known = known.localCheckpoint(eager=True)
         frontier = new
     e.unpersist()
     return known
@@ -1470,18 +1494,35 @@ def spam_mass(
     values and a clamp would hide how trusted the core is.
 
     ``rank`` has the ``(1-d)/N`` floor, so the division is total.
-    Scale shape: two back-to-back power iterations over the SAME
-    persisted edge frame (each round shuffles N-row score frames only)
-    plus one N-row join — nothing new beyond the two constituents."""
-    pr = pagerank(
-        edges, iterations=iterations, damping=damping,
-        src=src, dst=dst, checkpoint_every=checkpoint_every,
-    )
-    tr = trustrank(
-        edges, seeds, iterations=iterations, damping=damping,
-        src=src, dst=dst, seed_col=seed_col,
-        checkpoint_every=checkpoint_every,
-    )
+    Scale shape: two INDEPENDENT power iterations (each round shuffles
+    N-row score frames only) plus one N-row join. The two constituents
+    share no state and are latency-bound round chains, so they run
+    CONCURRENTLY from two driver threads (guide §2.6: overlap
+    independent jobs — each iteration's tail backfills the other's
+    idle slots); results are identical to the sequential order because
+    each computation is untouched."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _pr():
+        return pagerank(
+            edges, iterations=iterations, damping=damping,
+            src=src, dst=dst, checkpoint_every=checkpoint_every,
+        )
+
+    def _tr():
+        return trustrank(
+            edges, seeds, iterations=iterations, damping=damping,
+            src=src, dst=dst, seed_col=seed_col,
+            checkpoint_every=checkpoint_every,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fr = pool.submit(inheritable_thread_target(_pr))
+        ft = pool.submit(inheritable_thread_target(_tr))
+        pr = fr.result()
+        tr = ft.result()
     return pr.join(tr, on="node").select(
         "node",
         "rank",
@@ -1568,6 +1609,9 @@ def landmark_distances(
         )
         .localCheckpoint(eager=True)
     )
+    # known accumulates as a lazy union of checkpointed frontiers; the
+    # frontier-exhausted test rides the checkpoint as an observed count
+    # (same per-round job-structure fix as transitive_closure/bfs)
     frontier = known.select("node", "landmark")
     h = 0
     while max_hops is None or h < max_hops:
@@ -1583,12 +1627,21 @@ def landmark_distances(
         )
         h += 1
         if checkpoint_every and (h % checkpoint_every) == 0:
-            new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
+            from pyspark.sql import Observation
+
+            obs = Observation(f"lm_n_{h}")
+            new = new.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+                eager=True
+            )
+            try:
+                empty = obs.get["n"] == 0
+            except Exception:
+                empty = new.isEmpty()  # AQE pruned the metrics node
+            if empty:
+                break
+        elif new.isEmpty():
             break
         known = known.unionByName(new.withColumn("dist", F.lit(h)))
-        if checkpoint_every and (h % checkpoint_every) == 0:
-            known = known.localCheckpoint(eager=True)
         frontier = new
     e.unpersist()
     return known

@@ -126,7 +126,16 @@ def centroids_kmeans(
     the sample selection a per-partition top-N + driver merge — no sort
     shuffle. ``impl`` selects the assignment kernel (see assign_cells)."""
     if sample is not None:
-        vectors = vectors.orderBy(F.xxhash64(F.col(id_col))).limit(sample)
+        # materialize the sample ONCE: the TakeOrdered over the full
+        # corpus otherwise re-executes for the seed collect AND every
+        # Lloyd iteration's assignment pass (3-4 full-corpus selections
+        # for one 16k frame) — and a single materialization also pins
+        # ONE sample across iterations instead of re-drawing it
+        vectors = (
+            vectors.orderBy(F.xxhash64(F.col(id_col)))
+            .limit(sample)
+            .localCheckpoint(eager=True)
+        )
     seeds = [
         [float(x) for x in r[vec_col]]
         for r in vectors.orderBy(id_col).limit(k).collect()
@@ -144,6 +153,11 @@ def centroids_kmeans(
         )
         new = {r["cell"]: [float(p["m"]) for p in r["dm"]] for r in rows}
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    if sample is not None:
+        try:  # reclaim the sample checkpoint's blocks (best-effort)
+            vectors._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
     return centroids
 
 
