@@ -560,6 +560,7 @@ def canonicalize_entities(
         entities, key_col, id_col, num_hashes, hash_mode, exclude=exclude
     )
     cached_sigs = None
+    cached_keys = None
     if verify == "estimate" or estimate_prefilter is not None:
         # the estimate paths reference sigs from THREE joins (band
         # candidates + both aliased sides of the agree-count) — without a
@@ -614,11 +615,16 @@ def canonicalize_entities(
     else:
         if estimate_prefilter is not None:
             cands = _estimate_filtered(cands, estimate_prefilter)
-        # verify candidates with exact char-shingle Jaccard before clustering
+        # verify candidates with exact char-shingle Jaccard before clustering.
+        # The shingle frame is CACHED: it feeds both aliased join sides, and
+        # uncached each side re-runs the interpreted shingle hashing over
+        # every entity key (the hot shape's ~100-shingle keys make that the
+        # verify's dominant cost) — same reasoning as the estimate path's
+        # signature cache.
         keys = entities.select(
             F.col(id_col),
             char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh"),
-        )
+        ).cache()
         a, b = keys.alias("a"), keys.alias("b")
         inter = F.size(F.array_intersect("a.sh", "b.sh"))
         union = F.size(F.array_union("a.sh", "b.sh"))
@@ -629,6 +635,7 @@ def canonicalize_entities(
             .filter(jac >= jaccard_threshold)
             .select("src", "dst")
         )
+        cached_keys = keys
 
     comps = connected_components(edges)
     if cached_sigs is not None:
@@ -636,6 +643,8 @@ def canonicalize_entities(
         # plan that referenced the signatures has already run — drop the
         # cache instead of leaking it for the session's lifetime
         cached_sigs.unpersist(blocking=False)
+    if cached_keys is not None:
+        cached_keys.unpersist(blocking=False)  # same lifecycle as the sigs
     # same reclamation for the auto-prefilter candidate checkpoint: CC has
     # its own checkpoints of everything downstream, so the (possibly huge)
     # flood-shape candidate blocks are dead weight from here on
@@ -783,11 +792,12 @@ def canonicalize_incremental(
         flagged, id_col, "_is_new", bands, max_bucket, hash_mode, observation
     )
     # exact-Jaccard verify on FULL shingle sets — identical edge semantics
-    # to canonicalize_entities' exact path
+    # to canonicalize_entities' exact path; cached for the two aliased
+    # join sides (see the exact-path cache note there)
     keys = all_entities.select(
         F.col(id_col),
         char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh"),
-    )
+    ).cache()
     a, b = keys.alias("a"), keys.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))
@@ -820,6 +830,8 @@ def canonicalize_incremental(
     ).where(F.col("src") != F.col("dst"))
 
     comps = connected_components(edges.unionByName(star_edges))
+    # CC materialized everything referencing the shingle cache — reclaim
+    keys.unpersist(blocking=False)
     changed = (
         touched_members.select(id_col, key_col)
         .unionByName(new_entities.select(id_col, key_col))

@@ -201,40 +201,82 @@ def transitive_closure(
     # every round (the old shape) re-materialized O(closure) rows per
     # round, an O(rounds × pairs) total rewrite for data that was already
     # materialized once. The anti-join scans the same rows either way.
+    #
+    # Each round advances TWO hops (a stride): candidates at h+1 come from
+    # frontier⋈e, candidates at h+2 from extending those once more; an
+    # in-round groupBy-min over the hop column keeps each pair's MINIMAL
+    # hop (c1 is complete for h+1, so a pair in both strides correctly
+    # lands at h+1), and ONE anti-join + ONE checkpoint then cover two
+    # hops. Completeness is the semi-naive argument per stride: distance
+    # h+1 pairs extend distance-h pairs (the frontier), distance h+2 pairs
+    # extend distance h+1 pairs (c1). At bench scale the measured
+    # per-round cost is FIXED operation overhead (anti-join 0.84 s +
+    # join+distinct 1.19 s on materialized frames regardless of size), so
+    # halving the round count halves the wall; on a cluster it halves the
+    # number of global synchronization barriers for the same total work.
     frontier = known.select(src, dst)
     h = 1
     while max_hops is None or h < max_hops:
-        nxt = (
+        stride = 2 if (max_hops is None or max_hops - h >= 2) else 1
+        c1 = (
             frontier.join(e, on=frontier[dst] == e["_es"])
             .select(frontier[src].alias(src), F.col("_ed").alias(dst))
             .distinct()
         )
-        new = nxt.join(known.select(src, dst), on=[src, dst], how="left_anti")
-        h += 1
-        if checkpoint_every and (h % checkpoint_every) == 0:
+        if stride == 2:
+            c2 = (
+                c1.join(e, on=c1[dst] == e["_es"])
+                .select(c1[src].alias(src), F.col("_ed").alias(dst))
+                .withColumn("hops", F.lit(h + 2))
+            )
+            cand = (
+                c1.withColumn("hops", F.lit(h + 1))
+                .unionByName(c2)
+                .groupBy(src, dst)
+                .agg(F.min("hops").alias("hops"))
+            )
+        else:
+            cand = c1.withColumn("hops", F.lit(h + 1))
+        new = cand.join(known.select(src, dst), on=[src, dst], how="left_anti")
+        h += stride
+        if checkpoint_every:
             # the frontier-exhausted test rides the checkpoint's own
-            # materialization as an observed count — no separate
+            # materialization as observed per-hop counts — no separate
             # isEmpty() job per round (same pattern as canonicalize's
             # fingerprint-on-checkpoint)
             from pyspark.sql import Observation
 
             obs = Observation(f"tc_n_{h}")
-            new = new.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
-                eager=True
-            )
+            new = new.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum((F.col("hops") == h).cast("long")), F.lit(0)
+                ).alias("n_last"),
+            ).localCheckpoint(eager=True)
             try:
-                empty = obs.get["n"] == 0
+                m = obs.get
+                n_new, n_last = m["n"], m["n_last"]
             except Exception:
                 # AQE empty-relation propagation can prune the metrics
                 # node when the frontier is empty — fall back to asking
                 # the materialized frame (trivially cheap)
-                empty = new.isEmpty()
-            if empty:
-                break
-        elif new.isEmpty():
+                n_new = new.count()
+                n_last = new.filter(F.col("hops") == h).count()
+        else:
+            n_new = new.count()
+            n_last = new.filter(F.col("hops") == h).count()
+        if n_new == 0:
             break
-        known = known.unionByName(new.withColumn("hops", F.lit(h)))
-        frontier = new
+        known = known.unionByName(new)
+        if n_last == 0:
+            # nothing first-reached at the stride's LAST hop — no longer
+            # path can exist (h+stride+1 pairs would extend them)
+            break
+        # next round extends only the pairs first reached at this
+        # stride's last hop: earlier-hop pairs were already extended by
+        # c2 within this round
+        frontier = new.filter(F.col("hops") == h).select(src, dst)
     e.unpersist()
     return known
 

@@ -1403,37 +1403,64 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     # ``known`` accumulates as a lazy union of per-round checkpointed
-    # frontiers (no per-round re-checkpoint of the whole reach set), and
-    # the frontier-exhausted test rides the frontier checkpoint as an
-    # observed count — the same per-round job-structure fix as
-    # transitive_closure.
+    # frontiers (no per-round re-checkpoint of the whole reach set); each
+    # round advances TWO hops with an in-round min-dist dedup and ONE
+    # anti-join + checkpoint, and the frontier-exhausted test rides the
+    # checkpoint as observed counts — the same stride + job-structure fix
+    # as transitive_closure (per-round cost at bench scale is fixed
+    # operation overhead, so halving rounds halves the wall; on a cluster
+    # it halves the synchronization barriers for the same total work).
     frontier = known.select("node")
     h = 0
     while max_hops is None or h < max_hops:
-        nxt = (
+        stride = 2 if (max_hops is None or max_hops - h >= 2) else 1
+        c1 = (
             frontier.join(e, on=frontier["node"] == e["_es"])
             .select(F.col("_ed").alias("node"))
             .distinct()
         )
-        new = nxt.join(known.select("node"), on="node", how="left_anti")
-        h += 1
-        if checkpoint_every and (h % checkpoint_every) == 0:
+        if stride == 2:
+            c2 = (
+                c1.join(e, on=c1["node"] == e["_es"])
+                .select(F.col("_ed").alias("node"))
+                .withColumn("dist", F.lit(h + 2))
+            )
+            cand = (
+                c1.withColumn("dist", F.lit(h + 1))
+                .unionByName(c2)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        else:
+            cand = c1.withColumn("dist", F.lit(h + 1))
+        new = cand.join(known.select("node"), on="node", how="left_anti")
+        h += stride
+        if checkpoint_every:
             from pyspark.sql import Observation
 
             obs = Observation(f"bfs_n_{h}")
-            new = new.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
-                eager=True
-            )
+            new = new.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum((F.col("dist") == h).cast("long")), F.lit(0)
+                ).alias("n_last"),
+            ).localCheckpoint(eager=True)
             try:
-                empty = obs.get["n"] == 0
-            except Exception:
-                empty = new.isEmpty()  # AQE pruned the metrics node
-            if empty:
-                break
-        elif new.isEmpty():
+                m = obs.get
+                n_new, n_last = m["n"], m["n_last"]
+            except Exception:  # AQE pruned the metrics node
+                n_new = new.count()
+                n_last = new.filter(F.col("dist") == h).count()
+        else:
+            n_new = new.count()
+            n_last = new.filter(F.col("dist") == h).count()
+        if n_new == 0:
             break
-        known = known.unionByName(new.withColumn("dist", F.lit(h)))
-        frontier = new
+        known = known.unionByName(new)
+        if n_last == 0:
+            break  # nothing first-reached at the stride's last hop
+        frontier = new.filter(F.col("dist") == h).select("node")
     e.unpersist()
     return known
 
