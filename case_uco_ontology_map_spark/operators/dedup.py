@@ -387,6 +387,56 @@ def _bucket_member_pairs(
                 ).alias("dropped_members"),
             )
         grouped = grouped.filter(F.size("ms") <= max_bucket)
+    from pyspark.sql.types import IntegerType, LongType
+
+    elem_t = grouped.schema["ms"].dataType.elementType
+    if isinstance(elem_t, (LongType, IntegerType)):
+        # Arrow fast path for integral scalar members (the production id
+        # shape): the nested slice/transform/struct pair explode below is
+        # interpreted per element (no codegen inside HOF lambdas) and at
+        # bench scale materializes ~4.8M structs through the interpreter;
+        # numpy's triu gather emits the identical normalized (min, max)
+        # pair set per bucket. Integral only — numpy min/max on strings
+        # is code-point order, not Spark's UTF8 binary order.
+        import numpy as np
+        import pyarrow as pa
+
+        out_field = pa.int64() if isinstance(elem_t, LongType) else pa.int32()
+        out_schema = (
+            "a long, b long"
+            if isinstance(elem_t, LongType)
+            else "a int, b int"
+        )
+
+        def _pairs(batches):
+            for rb in batches:
+                col = rb.column(0)
+                if isinstance(col, pa.ChunkedArray):  # defensive
+                    col = col.combine_chunks()
+                values = col.values.to_numpy(zero_copy_only=False)
+                offs = col.offsets.to_numpy()
+                a_parts, b_parts = [], []
+                for r in range(len(col)):
+                    arr = values[offs[r]:offs[r + 1]]
+                    n_m = arr.size
+                    if n_m < 2:
+                        continue
+                    i, j = np.triu_indices(n_m, 1)
+                    x, y = arr[i], arr[j]
+                    a_parts.append(np.minimum(x, y))
+                    b_parts.append(np.maximum(x, y))
+                if not a_parts:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(a_parts), out_field),
+                        pa.array(np.concatenate(b_parts), out_field),
+                    ],
+                    names=["a", "b"],
+                )
+
+        return grouped.select("ms").mapInArrow(_pairs, out_schema)
+
     n = F.size("ms")
     # all index pairs i<j (1-based element_at); least/greatest normalizes
     # since collect_list order is nondeterministic
