@@ -315,6 +315,102 @@ def cc_breakdown():
         shutil.rmtree(stage_dir, ignore_errors=True)
 
 
+def entailment_breakdown():
+    """q_kg_entailment twin: the rdfs9 closure + broadcast join + distinct
+    over 4·n_docs type triples (same synthetic hierarchy as bench.py)."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.triples import (
+        rdfs_infer_types,
+    )
+
+    spark = make_spark()
+    stage_dir, corpus = staged_corpus(spark)
+    n_docs = corpus.count()
+    try:
+        hierarchy = spark.createDataFrame(
+            [
+                ("uco-observable:URL", "uco-observable:ObservableObject"),
+                ("uco-observable:ObservableObject", "uco-core:UcoObject"),
+                ("uco-core:UcoObject", "uco-core:UcoThing"),
+                ("uco-observable:URLFacet", "uco-core:Facet"),
+                ("uco-observable:ContentDataFacet", "uco-core:Facet"),
+                ("uco-observable:WebPageExtensionFacet", "uco-core:Facet"),
+                ("uco-core:Facet",
+                 "uco-core:UcoInherentCharacterizationThing"),
+                ("uco-core:UcoInherentCharacterizationThing",
+                 "uco-core:UcoThing"),
+            ],
+            "sub string, sup string",
+        )
+        base = corpus.select(F.md5("url").alias("h"))
+        parts = []
+        for slug, cls in (
+            ("url", "uco-observable:URL"),
+            ("urlfacet", "uco-observable:URLFacet"),
+            ("contentdatafacet", "uco-observable:ContentDataFacet"),
+            ("webpageextensionfacet",
+             "uco-observable:WebPageExtensionFacet"),
+        ):
+            parts.append(
+                base.select(
+                    F.concat(F.lit(f"kb:{slug}-"), F.col("h")).alias("subj"),
+                    F.lit("rdf:type").alias("pred"),
+                    F.lit(cls).alias("obj"),
+                    F.lit(True).alias("obj_is_iri"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                )
+            )
+        t = parts[0]
+        for p in parts[1:]:
+            t = t.unionByName(p)
+        out = {
+            "entailment": timed(
+                spark, "kg_entailment",
+                lambda: rdfs_infer_types(t, hierarchy).count(), repeats=2,
+            ),
+            "n_docs": n_docs,
+        }
+        print(json.dumps({"entailment": out}))
+    finally:
+        spark.stop()
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def text_index_breakdown():
+    """q_text_index twin: postings build + stats + 8-query bm25."""
+    from pyspark.sql import functions as F
+
+    from case_uco_ontology_map_spark.operators.serving import (
+        bm25_topk,
+        build_postings,
+        posting_stats,
+    )
+
+    spark = make_spark()
+    stage_dir, corpus = staged_corpus(spark)
+    try:
+        qterms = [
+            ("q1", "spark"), ("q1", "window"), ("q2", "hash"),
+            ("q2", "merge"), ("q3", "vector"), ("q3", "customer"),
+            ("q4", "table"), ("q4", "scan"), ("q5", "join"),
+            ("q5", "filter"), ("q6", "batch"), ("q6", "row"),
+            ("q7", "sort"), ("q7", "group"), ("q8", "key"), ("q8", "value"),
+        ]
+        queries = spark.createDataFrame(qterms, "query_id string, term string")
+
+        def run():
+            postings = build_postings(corpus, id_col="url", text_col="text")
+            stats = posting_stats(postings)
+            return bm25_topk(postings, stats, queries, k=10).count()
+
+        out = {"text_index": timed(spark, "text_index", run, repeats=2)}
+        print(json.dumps({"text_index": out}))
+    finally:
+        spark.stop()
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "canonicalize"
     if mode == "canonicalize":
@@ -323,5 +419,9 @@ if __name__ == "__main__":
         graphs_breakdown(only=set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None)
     elif mode == "cc":
         cc_breakdown()
+    elif mode == "entailment":
+        entailment_breakdown()
+    elif mode == "text_index":
+        text_index_breakdown()
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -59,6 +59,17 @@ FULL OUTER JOIN
       FROM {table} GROUP BY 1) i
 ON o.node = i.node
 """
+
+
+def _observed_scalar(obs):
+    """Value of a single-metric Observation, or None when the metrics
+    node was pruned (AQE empty-relation propagation) — callers fall back
+    to the lazy in-plan aggregate."""
+    try:
+        vals = obs.get
+        return next(iter(vals.values()))
+    except Exception:
+        return None
 
 
 def pagerank(
@@ -133,61 +144,86 @@ def pagerank(
         (F.sum("_w") if weighted else F.count("*")).alias("_deg")
     )
     with_deg = nodes.join(out_deg, on="node", how="left").persist()
+    # The iterated state CARRIES the (static) out-degree: the old shape
+    # re-joined ranks ⋈ with_deg every round to attach ``_deg``, and that
+    # joined subtree fed BOTH the contribution aggregate and the dangling
+    # sum — evaluated twice per round (guide §7.2 duplicated subtrees;
+    # §2.4 remove shuffles outright). With ``_deg`` riding the checkpointed
+    # state, the dangling term is a plain aggregate over the state and each
+    # round pays exactly two joins (state ⋈ edges, with_deg ⋈ contrib)
+    # instead of four evaluated ones. Per-row arithmetic is untouched.
     if init_ranks is not None:
         prior = init_ranks.select(
             F.col("node").alias("node"), F.col("rank").alias("_ir")
         )
-        w = nodes.join(prior, on="node", how="left").select(
-            "node", F.coalesce("_ir", F.lit(1.0 / n_nodes)).alias("_w")
+        w = with_deg.join(prior, on="node", how="left").select(
+            "node", "_deg", F.coalesce("_ir", F.lit(1.0 / n_nodes)).alias("_w")
         )
         total = w.agg(F.sum("_w").alias("_tw"))
         ranks = w.crossJoin(F.broadcast(total)).select(
-            "node", (F.col("_w") / F.col("_tw")).alias("rank")
+            "node", "_deg", (F.col("_w") / F.col("_tw")).alias("rank")
         )
     else:
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        ranks = with_deg.select(
+            "node", "_deg", F.lit(1.0 / n_nodes).alias("rank")
+        )
+    # The dangling mass rides each checkpoint materialization as an
+    # observed metric (same value as the in-plan aggregate — a sum over
+    # exactly the materialized rank frame), so checkpointed rounds feed
+    # the NEXT round a driver-side literal instead of paying a separate
+    # broadcast-aggregate subtree per round (one fewer job per round at
+    # any scale). Un-checkpointed rounds keep the lazy broadcast
+    # aggregate — values identical either way.
+    _dm_metric = F.coalesce(
+        F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))), F.lit(0.0)
+    ).alias("_dm")
+    dangling_lit = None
     if checkpoint_every:
-        ranks = ranks.localCheckpoint(eager=True)
+        obs = Observation()
+        ranks = ranks.observe(obs, _dm_metric).localCheckpoint(eager=True)
+        dangling_lit = _observed_scalar(obs)
     for it in range(iterations):
-        rd = ranks.join(with_deg.select("node", "_deg"), on="node", how="left")
         share = (
             (F.col("rank") * F.col("_w") / F.col("_deg"))
             if weighted
             else (F.col("rank") / F.col("_deg"))
         )
         contrib = (
-            rd.join(e, on=rd["node"] == e["_s"])
+            ranks.join(e, on=ranks["node"] == e["_s"])
             .select(F.col("_d").alias("node"), share.alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_recv"))
         )
-        dangling = rd.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))),
-                F.lit(0.0),
-            ).alias("_dm")
+        updated = with_deg.join(contrib, on="node", how="left")
+        if dangling_lit is None:
+            dangling = ranks.agg(_dm_metric)
+            updated = updated.crossJoin(F.broadcast(dangling))
+            dm_col = F.col("_dm")
+        else:
+            dm_col = F.lit(float(dangling_lit))
+        ranks = updated.select(
+            "node",
+            "_deg",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("_recv"), F.lit(0.0))
+                    + dm_col / F.lit(float(n_nodes))
+                )
+            ).alias("rank"),
         )
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_recv"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
-            )
-        )
+        dangling_lit = None
         if checkpoint_every and ((it + 1) % checkpoint_every) == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            obs = Observation()
+            ranks = ranks.observe(obs, _dm_metric).localCheckpoint(
+                eager=True
+            )
+            dangling_lit = _observed_scalar(obs)
     e.unpersist()
     nodes.unpersist()
     with_deg.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_sql(
@@ -1088,30 +1124,39 @@ def hits(
             .groupBy(F.col(group_to).alias("node"))
             .agg(F.sum(col).alias("_v"))
         )
+        tot_lit = None
         if materialize:
             # ``raw`` (the expensive e⋈scores + groupBy) feeds BOTH the
-            # normalization total (a broadcast scalar subquery) and the
-            # outer join below; unmaterialized, the plan evaluates the
-            # whole join+aggregate subtree twice per half-step (guide
-            # §7.2: duplicated subtrees). One eager localCheckpoint makes
-            # it compute once; the values are untouched (same physical
-            # aggregation over the same partitioning).
-            raw = raw.localCheckpoint(eager=True)
-        total = raw.agg(
-            F.coalesce(F.sum("_v"), F.lit(0.0)).alias("_tot")
-        )
-        return (
-            nodes.join(raw, on="node", how="left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "node",
-                F.when(
-                    F.col("_tot") != 0.0,
-                    F.coalesce(F.col("_v"), F.lit(0.0)) / F.col("_tot"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias(out),
+            # normalization total and the outer join below; unmaterialized,
+            # the plan evaluates the whole join+aggregate subtree twice per
+            # half-step (guide §7.2: duplicated subtrees). One eager
+            # localCheckpoint makes it compute once — and the L1 total
+            # rides that same materialization as an observed metric, so the
+            # normalization becomes a literal instead of a separate
+            # broadcast-aggregate job per half-step. Values untouched
+            # (same aggregation over the same data either way).
+            obs = Observation()
+            raw = raw.observe(
+                obs, F.coalesce(F.sum("_v"), F.lit(0.0)).alias("_tot")
+            ).localCheckpoint(eager=True)
+            tot_lit = _observed_scalar(obs)
+        normalized = nodes.join(raw, on="node", how="left")
+        if tot_lit is None:
+            total = raw.agg(
+                F.coalesce(F.sum("_v"), F.lit(0.0)).alias("_tot")
             )
+            normalized = normalized.crossJoin(F.broadcast(total))
+            tot_col = F.col("_tot")
+        else:
+            tot_col = F.lit(float(tot_lit))
+        return normalized.select(
+            "node",
+            F.when(
+                tot_col != 0.0,
+                F.coalesce(F.col("_v"), F.lit(0.0)) / tot_col,
+            )
+            .otherwise(F.lit(0.0))
+            .alias(out),
         )
 
     mat = bool(checkpoint_every)
@@ -1252,15 +1297,26 @@ def trustrank(
         F.count("*").alias("_deg")
     )
     with_deg = nodes.join(out_deg, on="node", how="left").persist()
-    trust = nodes.select("node", "_seed", teleport.alias("trust"))
+    # State carries the static out-degree (and seed flag), exactly as in
+    # ``pagerank``: the old per-round trust ⋈ with_deg join fed both the
+    # contribution aggregate and the dangling sum (evaluated twice); now
+    # the dangling term is a plain aggregate over the checkpointed state
+    # and each round pays two joins instead of four evaluated ones.
+    # Per-row arithmetic is untouched.
+    trust = with_deg.select("node", "_seed", "_deg", teleport.alias("trust"))
+    # dangling mass rides the checkpoint as an observed metric — same
+    # pattern (and same value guarantee) as pagerank above
+    _dm_metric = F.coalesce(
+        F.sum(F.when(F.col("_deg").isNull(), F.col("trust"))), F.lit(0.0)
+    ).alias("_dm")
+    dangling_lit = None
     if checkpoint_every:
-        trust = trust.localCheckpoint(eager=True)
+        obs = Observation()
+        trust = trust.observe(obs, _dm_metric).localCheckpoint(eager=True)
+        dangling_lit = _observed_scalar(obs)
     for it in range(iterations):
-        td = trust.select("node", "trust").join(
-            with_deg.select("node", "_deg"), on="node", how="left"
-        )
         contrib = (
-            td.join(e, on=td["node"] == e["_s"])
+            trust.join(e, on=trust["node"] == e["_s"])
             .select(
                 F.col("_d").alias("node"),
                 (F.col("trust") / F.col("_deg")).alias("_c"),
@@ -1268,30 +1324,33 @@ def trustrank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_recv"))
         )
-        dangling = td.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("_deg").isNull(), F.col("trust"))),
-                F.lit(0.0),
-            ).alias("_dm")
+        updated = with_deg.join(contrib, on="node", how="left")
+        if dangling_lit is None:
+            dangling = trust.agg(_dm_metric)
+            updated = updated.crossJoin(F.broadcast(dangling))
+            dm_col = F.col("_dm")
+        else:
+            dm_col = F.lit(float(dangling_lit))
+        trust = updated.select(
+            "node",
+            "_seed",
+            "_deg",
+            (
+                F.lit(1.0 - damping) * teleport
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("_recv"), F.lit(0.0))
+                    + dm_col * teleport
+                )
+            ).alias("trust"),
         )
-        trust = (
-            nodes.join(contrib, on="node", how="left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "_seed",
-                (
-                    F.lit(1.0 - damping) * teleport
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_recv"), F.lit(0.0))
-                        + F.col("_dm") * teleport
-                    )
-                ).alias("trust"),
-            )
-        )
+        dangling_lit = None
         if checkpoint_every and ((it + 1) % checkpoint_every) == 0:
-            trust = trust.localCheckpoint(eager=True)
+            obs = Observation()
+            trust = trust.observe(obs, _dm_metric).localCheckpoint(
+                eager=True
+            )
+            dangling_lit = _observed_scalar(obs)
     e.unpersist()
     nodes.unpersist()
     with_deg.unpersist()

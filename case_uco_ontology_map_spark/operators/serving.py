@@ -104,7 +104,18 @@ def build_postings(
     Scale shape: tokenize/explode is in-row JVM work; the one shuffle
     groups (term, doc_id) with map-side partials. Write the result
     partitioned/bucketed BY TERM and query-time scans prune to the
-    query's terms — the parquet twin of a posting-list seek."""
+    query's terms — the parquet twin of a posting-list seek.
+
+    The returned frame is ``persist()``-ed (lazy, MEMORY_AND_DISK): an
+    index build's output is consumed several times in one serving job —
+    ``posting_stats`` (full pass), the df aggregate and the matched-slice
+    scan inside ``bm25_topk`` — and without a shared materialization the
+    tokenize+explode+groupBy build re-executes once PER consumer inside a
+    single action (guide §7.2 duplicated subtrees; measured 3 evaluations
+    in the bench's text_index stage). At 100 TB the build is written to
+    term-bucketed parquet instead (the layout above) and reuse is a
+    storage read — persist is the in-session equivalent. Blocks are
+    released when the frame is garbage-collected (ContextCleaner)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda x: x != F.lit(""),
@@ -118,6 +129,7 @@ def build_postings(
         base.select("doc_id", "dl", F.explode("_t").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .persist()
     )
 
 

@@ -653,6 +653,85 @@ GROUP BY c.{subj_col}, c.{pred_col}, c.{ts_col}
 """
 
 
+_ONTOLOGY_CLOSURE_MAX = 20000
+
+
+def _coalesce_overparallelized(
+    df: DataFrame,
+    size_hint: Optional[int] = None,
+    per_task_bytes: int = 32 << 20,
+):
+    """Cap a wide aggregation's map-side task count when its input is
+    grossly over-parallelized for its VOLUME (many near-empty partitions
+    — e.g. a K-branch union over a small-split scan inherits K× the scan
+    task count; measured in the bench's entailment stage: a 1024-task
+    partial-aggregate map side over 1.28M rows spent ~8 s on per-task
+    setup where 64 tasks need 1.6 s).
+
+    Scale-adaptive (guide §2.2 "fewer, larger map tasks"), never a
+    constant: the target count derives from the optimizer's size estimate
+    (ceil(size / 32 MB)), floored at 2× the session's default parallelism
+    so local runs stay busy. At 100 TB the derived target exceeds the
+    input's partitioning and this is a no-op; unknown stats (sentinel
+    estimates) disable the cap. ``coalesce`` (not ``repartition``):
+    merging narrow partitions must not buy an extra exchange.
+
+    ``size_hint``: caller-supplied byte estimate for plans whose own
+    Catalyst estimate is unusable (a broadcast join's cardinality
+    estimate MULTIPLIES the sides — ~10^26 for the entailment union —
+    so the caller passes input-side stats × the driver-known closure
+    fan-out instead)."""
+    import math
+
+    try:
+        size = (
+            int(size_hint)
+            if size_hint is not None
+            else int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        )
+        n_cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if size <= 0 or size > (1 << 50):
+        return df
+    floor_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    n_target = max(floor_parts, math.ceil(size / per_task_bytes))
+    if n_cur > n_target * 2:
+        return df.coalesce(n_target)
+    return df
+
+
+def _py_transitive_closure(edge_list, max_hops=None):
+    """Driver-side BFS closure over a SMALL (ontology-scale) edge list —
+    the exact pair set ``graphquery.transitive_closure`` computes
+    (reachability via 1..max_hops directed hops; BFS levels are minimal
+    hop counts, so bounding the level bounds the minimal hop exactly like
+    the semi-naive loop). Cycles terminate via the per-source visited set.
+    Returns sorted (src, dst) tuples. Pinned equal to the distributed
+    closure by test_rdfs_small_closure_matches_distributed."""
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+    out = []
+    for start, nbrs in adj.items():
+        frontier = set(nbrs)
+        seen = set(frontier)
+        h = 1
+        while frontier and (max_hops is None or h < max_hops):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.add(v)
+            frontier = nxt
+            h += 1
+        out.extend((start, v) for v in seen)
+    return sorted(out)
+
+
 def rdfs_infer_types(
     triples: DataFrame,
     subclass_edges: DataFrame,
@@ -683,12 +762,40 @@ def rdfs_infer_types(
     INSTANCE data instead of dictionary lookups."""
     from .graphquery import transitive_closure
 
-    closure = transitive_closure(
-        subclass_edges.select(
-            F.col(sub_col).alias("src"), F.col(sup_col).alias("dst")
-        ),
-        max_hops=max_hops,
-    ).select(F.col("src").alias("_sub"), F.col("dst").alias("_sup"))
+    closure = None
+    cl_pairs = None
+    if broadcast:
+        # The subclass graph is ONTOLOGY-scale (classes, not instances) —
+        # the broadcast path already assumes it fits on the driver, so
+        # compute the closure driver-side (guide §1.2: the distributed
+        # fixpoint pays repartition+persist plus one checkpointed action
+        # per stride round, ~seconds of pure scheduling for a graph of a
+        # few thousand edges). Bounded collect: at most
+        # _ONTOLOGY_CLOSURE_MAX+1 rows ever reach the driver (the same
+        # class of bounded probe as the broadcast ontology dictionary);
+        # larger graphs fall back to the distributed frontier loop.
+        base = (
+            subclass_edges.select(
+                F.col(sub_col).alias("_sub"), F.col(sup_col).alias("_sup")
+            )
+            .where(F.col(sub_col).isNotNull() & F.col(sup_col).isNotNull())
+            .distinct()
+        )
+        sample = base.limit(_ONTOLOGY_CLOSURE_MAX + 1).collect()
+        if len(sample) <= _ONTOLOGY_CLOSURE_MAX:
+            cl_pairs = _py_transitive_closure(
+                [(r["_sub"], r["_sup"]) for r in sample], max_hops
+            )
+            closure = triples.sparkSession.createDataFrame(
+                cl_pairs, schema=base.schema
+            )
+    if closure is None:
+        closure = transitive_closure(
+            subclass_edges.select(
+                F.col(sub_col).alias("src"), F.col(sup_col).alias("dst")
+            ),
+            max_hops=max_hops,
+        ).select(F.col("src").alias("_sub"), F.col("dst").alias("_sup"))
     cl = F.broadcast(closure) if broadcast else closure
     types = triples.filter(F.col("pred") == type_pred)
     inferred = (
@@ -704,7 +811,32 @@ def rdfs_infer_types(
     core = triples.select(
         "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
     )
-    return core.unionByName(inferred).distinct()
+    # union ∪ inferred references the input scan twice — over a
+    # small-split source that doubles an already-multiplied map-side task
+    # count; right-size it from input-side stats × the closure fan-out
+    # before the distinct (the union's own estimate rides the join's
+    # multiplied cardinality and is unusable)
+    return _coalesce_overparallelized(
+        core.unionByName(inferred), size_hint=_entail_size_hint(core, cl_pairs)
+    ).distinct()
+
+
+def _entail_size_hint(core: DataFrame, cl_pairs) -> Optional[int]:
+    """Byte estimate for core ∪ inferred: input-side Catalyst stats scaled
+    by (1 + max closure pairs per sub) — an upper bound (only type/pred
+    rows expand). None (no hint) when the closure ran distributed."""
+    if cl_pairs is None:
+        return None
+    try:
+        core_size = int(
+            core._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    fan = {}
+    for s, _ in cl_pairs:
+        fan[s] = fan.get(s, 0) + 1
+    return core_size * (1 + max(fan.values(), default=0))
 
 
 def rdfs_infer_types_sql(
@@ -829,12 +961,34 @@ def infer_subproperties(
     applied to instance data instead of dictionary lookups."""
     from .graphquery import transitive_closure
 
-    closure = transitive_closure(
-        subprop_edges.select(
-            F.col(sub_col).alias("src"), F.col(sup_col).alias("dst")
-        ),
-        max_hops=max_hops,
-    ).select(F.col("src").alias("_sub"), F.col("dst").alias("_sup"))
+    closure = None
+    cl_pairs = None
+    if broadcast:
+        # same driver-side fast path as rdfs_infer_types: the
+        # subPropertyOf graph is ontology-scale; bounded collect with a
+        # distributed fallback past _ONTOLOGY_CLOSURE_MAX edges
+        base = (
+            subprop_edges.select(
+                F.col(sub_col).alias("_sub"), F.col(sup_col).alias("_sup")
+            )
+            .where(F.col(sub_col).isNotNull() & F.col(sup_col).isNotNull())
+            .distinct()
+        )
+        sample = base.limit(_ONTOLOGY_CLOSURE_MAX + 1).collect()
+        if len(sample) <= _ONTOLOGY_CLOSURE_MAX:
+            cl_pairs = _py_transitive_closure(
+                [(r["_sub"], r["_sup"]) for r in sample], max_hops
+            )
+            closure = triples.sparkSession.createDataFrame(
+                cl_pairs, schema=base.schema
+            )
+    if closure is None:
+        closure = transitive_closure(
+            subprop_edges.select(
+                F.col(sub_col).alias("src"), F.col(sup_col).alias("dst")
+            ),
+            max_hops=max_hops,
+        ).select(F.col("src").alias("_sub"), F.col("dst").alias("_sup"))
     cl = F.broadcast(closure) if broadcast else closure
     inferred = triples.join(
         cl, on=triples["pred"] == cl["_sub"]
@@ -848,7 +1002,10 @@ def infer_subproperties(
     core = triples.select(
         "subj", "pred", "obj", "obj_is_iri", "obj_datatype"
     )
-    return core.unionByName(inferred).distinct()
+    # same right-sizing as rdfs_infer_types (input stats × closure fan)
+    return _coalesce_overparallelized(
+        core.unionByName(inferred), size_hint=_entail_size_hint(core, cl_pairs)
+    ).distinct()
 
 
 def infer_subproperties_sql(

@@ -1,7 +1,9 @@
 """Capture .explain("formatted") plans for the bench stages touched in
 optimization round 6 → plans/r06/<stage>_<label>.txt.
 
-Usage: python scripts/capture_plans_r06.py <label>   # label = before|after
+Usage: python scripts/capture_plans_r06.py <label> [only,names]
+  label = before|after; the optional comma list restricts which stages
+  are captured (so a later 'before' run cannot overwrite earlier ones).
 
 Inputs are small (plan SHAPE is what's captured, not runtime); iterative
 operators are captured as ONE representative round's lazy plan (the loop
@@ -18,6 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LABEL = sys.argv[1] if len(sys.argv) > 1 else "after"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06"
 )
@@ -32,6 +35,8 @@ def explain_str(df) -> str:
 
 
 def save(name: str, df, note: str = "") -> None:
+    if ONLY is not None and name not in ONLY:
+        return
     path = os.path.join(OUT, f"{name}_{LABEL}.txt")
     with open(path, "w") as fh:
         if note:
@@ -191,6 +196,84 @@ def main():
             minhash_estimate_pairs(mh, threshold=0.5, cache=False),
             "exact-dedup collapse → signatures → banded estimate pairs "
             "(q_minhash_dedup shape; cache=False for a fully lazy plan).",
+        )
+
+        from case_uco_ontology_map_spark.operators.graphstats import (
+            pagerank,
+            trustrank,
+        )
+
+        save(
+            "graph_pagerank",
+            pagerank(edges, iterations=1, checkpoint_every=0),
+            "ONE lazy iteration (checkpoint_every=0): before, each round "
+            "joined ranks ⋈ with_deg and that subtree fed BOTH the "
+            "contribution aggregate and the dangling sum (two "
+            "evaluations) plus a third nodes ⋈ contrib join; after, the "
+            "state carries _deg so the dangling sum is a plain aggregate "
+            "and the round is exactly two joins.",
+        )
+        seeds = spark.range(0, 64, 8).select(F.col("id").alias("node"))
+        save(
+            "graph_trustrank",
+            trustrank(edges, seeds, iterations=1, checkpoint_every=0),
+            "ONE lazy iteration (checkpoint_every=0): same state-carries-"
+            "degree restructure as pagerank.",
+        )
+
+        from case_uco_ontology_map_spark.operators.triples import (
+            rdfs_infer_types,
+        )
+
+        hierarchy = spark.createDataFrame(
+            [("B", "A"), ("C", "B"), ("D", "C")], "sub string, sup string"
+        )
+        t = spark.range(16).select(
+            F.concat(F.lit("kb:x-"), F.col("id").cast("string")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("D").alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+        save(
+            "kg_entailment",
+            rdfs_infer_types(t, hierarchy),
+            "before: the ontology subclass closure ran the DISTRIBUTED "
+            "semi-naive loop (repartition+persist of an 8-edge frame, one "
+            "checkpointed action per stride round) and the plan shows the "
+            "union of checkpointed LogicalRDD frontier frames under the "
+            "broadcast; after: the closure is computed driver-side "
+            "(bounded collect, ontology-scale) and the plan is ONE "
+            "broadcast hash join over a local relation — zero closure "
+            "jobs.",
+        )
+
+        from case_uco_ontology_map_spark.operators.serving import (
+            bm25_topk,
+            build_postings,
+            posting_stats,
+        )
+
+        pdocs = spark.range(32).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+            F.concat(
+                F.lit("spark window hash merge t"),
+                (F.col("id") % 7).cast("string"),
+            ).alias("text"),
+        )
+        postings = build_postings(pdocs, id_col="url", text_col="text")
+        stats = posting_stats(postings)
+        queries = spark.createDataFrame(
+            [("q1", "spark"), ("q1", "window")], "query_id string, term string"
+        )
+        save(
+            "text_index",
+            bm25_topk(postings, stats, queries, k=10),
+            "before: the tokenize+explode+groupBy postings build appears "
+            "as THREE independent subtrees (stats broadcast, df "
+            "broadcast, matched scan) — three full builds per action; "
+            "after: build_postings persists (InMemoryTableScan at all "
+            "three consumers, one build).",
         )
     finally:
         spark.stop()
