@@ -159,6 +159,7 @@ def transitive_closure(
     dst: str = "dst",
     max_hops: Optional[int] = None,
     checkpoint_every: int = 1,
+    stride: int = 4,
 ) -> DataFrame:
     """Reachability with minimal hop count: ``(src, dst, hops)`` for every
     pair connected by a directed path, ``hops`` = shortest path length.
@@ -202,43 +203,48 @@ def transitive_closure(
     # round, an O(rounds × pairs) total rewrite for data that was already
     # materialized once. The anti-join scans the same rows either way.
     #
-    # Each round advances TWO hops (a stride): candidates at h+1 come from
-    # frontier⋈e, candidates at h+2 from extending those once more; an
+    # Each round advances ``stride`` hops: candidates at h+s come from
+    # extending the previous level once more (each intermediate level is
+    # distinct'd before extending so fan-out never multiplies); an
     # in-round groupBy-min over the hop column keeps each pair's MINIMAL
-    # hop (c1 is complete for h+1, so a pair in both strides correctly
-    # lands at h+1), and ONE anti-join + ONE checkpoint then cover two
-    # hops. Completeness is the semi-naive argument per stride: distance
-    # h+1 pairs extend distance-h pairs (the frontier), distance h+2 pairs
-    # extend distance h+1 pairs (c1). At bench scale the measured
-    # per-round cost is FIXED operation overhead (anti-join 0.84 s +
-    # join+distinct 1.19 s on materialized frames regardless of size), so
-    # halving the round count halves the wall; on a cluster it halves the
-    # number of global synchronization barriers for the same total work.
+    # hop (level s is complete for minimal-hop h+s pairs by semi-naive
+    # induction, so a pair derived at several levels lands at its true
+    # hop), and ONE anti-join + ONE checkpoint then cover ``stride``
+    # hops. At bench scale the measured per-round cost is FIXED operation
+    # overhead (anti-join 0.84 s + join+distinct 1.19 s on materialized
+    # frames regardless of size), so the round count — diameter/stride —
+    # is the lever; on a cluster the same change divides the number of
+    # global synchronization barriers for the same total join work.
+    # stride=4 measured best at bench scale (2→4 cut the wall a further
+    # ~20% on the 80k-node heap-forest closure); past that the in-round
+    # plan depth buys nothing because the joins dominate.
     frontier = known.select(src, dst)
     h = 1
     while max_hops is None or h < max_hops:
-        stride = 2 if (max_hops is None or max_hops - h >= 2) else 1
-        c1 = (
-            frontier.join(e, on=frontier[dst] == e["_es"])
-            .select(frontier[src].alias(src), F.col("_ed").alias(dst))
-            .distinct()
+        k = (
+            max(1, stride)
+            if max_hops is None
+            else min(max(1, stride), max_hops - h)
         )
-        if stride == 2:
-            c2 = (
-                c1.join(e, on=c1[dst] == e["_es"])
-                .select(c1[src].alias(src), F.col("_ed").alias(dst))
-                .withColumn("hops", F.lit(h + 2))
+        cur = frontier
+        levels = []
+        for s in range(1, k + 1):
+            cur = (
+                cur.join(e, on=cur[dst] == e["_es"])
+                .select(cur[src].alias(src), F.col("_ed").alias(dst))
             )
-            cand = (
-                c1.withColumn("hops", F.lit(h + 1))
-                .unionByName(c2)
-                .groupBy(src, dst)
-                .agg(F.min("hops").alias("hops"))
-            )
+            if s < k:
+                cur = cur.distinct()
+            levels.append(cur.withColumn("hops", F.lit(h + s)))
+        if k > 1:
+            cand = levels[0]
+            for lv in levels[1:]:
+                cand = cand.unionByName(lv)
+            cand = cand.groupBy(src, dst).agg(F.min("hops").alias("hops"))
         else:
-            cand = c1.withColumn("hops", F.lit(h + 1))
+            cand = levels[0]
         new = cand.join(known.select(src, dst), on=[src, dst], how="left_anti")
-        h += stride
+        h += k
         if checkpoint_every:
             # the frontier-exhausted test rides the checkpoint's own
             # materialization as observed per-hop counts — no separate

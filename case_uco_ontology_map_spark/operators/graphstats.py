@@ -1422,6 +1422,7 @@ def bfs_distances(
     dst: str = "dst",
     source_col: str = "node",
     checkpoint_every: int = 1,
+    stride: int = 4,
 ) -> DataFrame:
     """Multi-source BFS → ``(node, dist)``: minimal hop count from ANY
     source node (sources themselves at 0). The landmark-distance
@@ -1463,37 +1464,43 @@ def bfs_distances(
     )
     # ``known`` accumulates as a lazy union of per-round checkpointed
     # frontiers (no per-round re-checkpoint of the whole reach set); each
-    # round advances TWO hops with an in-round min-dist dedup and ONE
-    # anti-join + checkpoint, and the frontier-exhausted test rides the
-    # checkpoint as observed counts — the same stride + job-structure fix
-    # as transitive_closure (per-round cost at bench scale is fixed
-    # operation overhead, so halving rounds halves the wall; on a cluster
-    # it halves the synchronization barriers for the same total work).
+    # round advances ``stride`` hops with an in-round min-dist dedup and
+    # ONE anti-join + checkpoint, and the frontier-exhausted test rides
+    # the checkpoint as observed counts — the same stride + job-structure
+    # shape as transitive_closure (per-round cost at bench scale is fixed
+    # operation overhead, so rounds = depth/stride is the lever; on a
+    # cluster the same change divides the synchronization barriers for
+    # the same total join work). Intermediate levels are distinct'd
+    # before extending so fan-out never multiplies; level s is complete
+    # for minimal-dist h+s nodes (shortest-path prefixes are shortest
+    # paths), so the groupBy-min lands every node at its true distance.
     frontier = known.select("node")
     h = 0
     while max_hops is None or h < max_hops:
-        stride = 2 if (max_hops is None or max_hops - h >= 2) else 1
-        c1 = (
-            frontier.join(e, on=frontier["node"] == e["_es"])
-            .select(F.col("_ed").alias("node"))
-            .distinct()
+        k = (
+            max(1, stride)
+            if max_hops is None
+            else min(max(1, stride), max_hops - h)
         )
-        if stride == 2:
-            c2 = (
-                c1.join(e, on=c1["node"] == e["_es"])
+        cur = frontier
+        levels = []
+        for s in range(1, k + 1):
+            cur = (
+                cur.join(e, on=cur["node"] == e["_es"])
                 .select(F.col("_ed").alias("node"))
-                .withColumn("dist", F.lit(h + 2))
             )
-            cand = (
-                c1.withColumn("dist", F.lit(h + 1))
-                .unionByName(c2)
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
-            )
+            if s < k:
+                cur = cur.distinct()
+            levels.append(cur.withColumn("dist", F.lit(h + s)))
+        if k > 1:
+            cand = levels[0]
+            for lv in levels[1:]:
+                cand = cand.unionByName(lv)
+            cand = cand.groupBy("node").agg(F.min("dist").alias("dist"))
         else:
-            cand = c1.withColumn("dist", F.lit(h + 1))
+            cand = levels[0]
         new = cand.join(known.select("node"), on="node", how="left_anti")
-        h += stride
+        h += k
         if checkpoint_every:
             from pyspark.sql import Observation
 
