@@ -57,6 +57,31 @@ def _staged_cosine(vec: Column, qvec: Column, vn: Column, qn: Column) -> Column:
     )
 
 
+#: brute_force_topk collects the query batch driver-side for the Arrow
+#: kernel; a "batch" past this is not a serving call — fall back to expr.
+_BRUTE_ARROW_MAX_QUERIES = 4096
+
+
+def _seq_dots_norms(mat, q64, nq):
+    """Per-dimension SEQUENTIAL accumulation of dot products and squared
+    norms over a (rows × d) float64 matrix — the exact left-fold order
+    (((0+x₀y₀)+x₁y₁)+…) of the Catalyst ``aggregate`` in ``_dot`` /
+    ``_norm_col``, one IEEE multiply and one IEEE add per element, so
+    every intermediate double is bit-identical to the JVM fold."""
+    import numpy as np
+
+    rows = mat.shape[0]
+    d = mat.shape[1]
+    dots = np.zeros((nq, rows), dtype=np.float64)
+    sq = np.zeros(rows, dtype=np.float64)
+    for j in range(d):
+        col = mat[:, j]
+        sq += col * col
+        for qi in range(nq):
+            dots[qi] += col * q64[qi][j]
+    return dots, np.sqrt(sq)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -65,34 +90,192 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Exact cosine top-k: crossJoin(broadcast(queries)) → cosine → window
-    top-k. Exact baseline; cost O(N·Q) — used when Q is small or as the
-    verification oracle for ivf_topk. Norms are staged per side BELOW the
-    join (see _staged_cosine) — bit-identical values, ~3× less
-    interpreted HOF work per pair."""
-    vn = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _norm_col(F.col(vec_col)).alias("_vn"),
-    )
-    qn = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        _norm_col(F.col(query_vec_col)).alias("_qn"),
-    )
-    joined = vn.crossJoin(F.broadcast(qn))
-    scored = joined.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            _staged_cosine(
-                F.col(vec_col), F.col(query_vec_col),
-                F.col("_vn"), F.col("_qn"),
-            ),
-            6,
-        ).alias("cosine"),
-    )
+    """Exact cosine top-k → ``(query_id, vec_id, cosine, rank)``.
+
+    ``impl="expr"`` (the oracle-replayable reference): crossJoin
+    (broadcast(queries)) → staged-norm cosine → window top-k. The cosine
+    HOF folds are interpreted per (vector, query) pair — never codegen'd.
+
+    ``impl="arrow"`` (default, guide §4.2): ONE mapInArrow pass over the
+    vector table computes every query's dot product with a per-dimension
+    numpy loop whose accumulation order is the exact left fold the
+    Catalyst ``aggregate`` uses (see _seq_dots_norms) — cosines are
+    bit-identical to the expr path (pinned by test_brute_impl_parity),
+    the window/round/tie rules are shared verbatim, and the kernel
+    pre-filters each batch to the rows that can still reach the global
+    top k: keeping every row with raw cosine ≥ (batch k-th best − 1.1e-6)
+    is provably lossless under 6-decimal rounding, because a row below
+    that cutoff rounds strictly below the k-th row's rounded score and
+    loses regardless of id ties. Queries are a driver-small serving
+    batch by construction; past _BRUTE_ARROW_MAX_QUERIES the call falls
+    back to the expr plan rather than collecting unbounded data."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown brute_force_topk impl {impl!r}")
+    q_rows = None
+    if impl == "arrow":
+        q_rows = (
+            queries.select(F.col(query_id_col), F.col(query_vec_col))
+            .limit(_BRUTE_ARROW_MAX_QUERIES + 1)
+            .collect()
+        )
+        if len(q_rows) > _BRUTE_ARROW_MAX_QUERIES:
+            q_rows = None  # not a serving batch — keep the expr plan
+    if q_rows is not None and len(q_rows) == 0:
+        q_rows = None  # no queries: the expr crossJoin is already empty
+    if q_rows is not None:
+        import numpy as np
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        spark = vectors.sparkSession
+        qid_at = to_arrow_type(queries.schema[query_id_col].dataType)
+        id_at = to_arrow_type(vectors.schema[id_col].dataType)
+        q64 = []
+        q_ids = []
+        q_norms = []
+        for r in q_rows:
+            vec = [float(x) for x in (r[query_vec_col] or [])]
+            q_ids.append(r[query_id_col])
+            q64.append(np.asarray(vec, dtype=np.float64))
+            # query norm: same sequential fold as _norm_col
+            acc = 0.0
+            for x in vec:
+                acc += x * x
+            q_norms.append(acc ** 0.5)
+        bc = spark.sparkContext.broadcast(
+            (q_ids, q64, q_norms, k, qid_at, id_at)
+        )
+
+        id_field = vectors.schema[id_col].dataType.simpleString()
+        qid_field = queries.schema[query_id_col].dataType.simpleString()
+        out_schema = (
+            f"{query_id_col} {qid_field}, {id_col} {id_field}, "
+            "_rawcos double"
+        )
+
+        def kernel(batches):
+            import numpy as _np
+            import pyarrow as _pa
+
+            q_ids_l, q64_l, q_norms_l, kk, qid_t, id_t = bc.value
+            nq = len(q_ids_l)
+            d = q64_l[0].shape[0] if nq else 0
+            for rb in batches:
+                ids = rb.column(0)
+                emb = rb.column(1)
+                if isinstance(emb, _pa.ChunkedArray):  # defensive
+                    emb = emb.combine_chunks()
+                n = len(emb)
+                if n == 0:
+                    continue
+                offs = emb.offsets.to_numpy()
+                lens = offs[1:] - offs[:-1]
+                out_q, out_i, out_c = [], [], []
+                uniform = (
+                    d > 0
+                    and bool((lens == d).all())
+                    and emb.null_count == 0
+                    and emb.values.null_count == 0
+                )
+                if uniform:
+                    vals = emb.values.to_numpy(zero_copy_only=False)
+                    # offsets of a sliced array need not start at 0
+                    mat = (
+                        vals[offs[0]:offs[-1]]
+                        .astype(_np.float64)
+                        .reshape(n, d)
+                    )
+                    dots, vn = _seq_dots_norms(mat, q64_l, nq)
+                    ids_np = ids.to_numpy(zero_copy_only=False)
+                    for qi in range(nq):
+                        qn = q_norms_l[qi]
+                        if qn > 0:
+                            cos = _np.where(
+                                vn > 0, dots[qi] / (vn * qn), 0.0
+                            )
+                        else:
+                            cos = _np.zeros(n, dtype=_np.float64)
+                        if n > kk:
+                            kth = _np.partition(cos, n - kk)[n - kk]
+                            keep = cos >= kth - 1.1e-6
+                        else:
+                            keep = _np.ones(n, dtype=bool)
+                        sel = _np.nonzero(keep)[0]
+                        out_q.extend([q_ids_l[qi]] * sel.size)
+                        out_i.extend(ids_np[sel].tolist())
+                        out_c.extend(cos[sel].tolist())
+                else:
+                    # ragged/malformed rows: mirror the expr path's zip
+                    # semantics per row (length mismatch ⇒ NULL cosine
+                    # unless a zero norm short-circuits the guard to 0.0)
+                    py_ids = ids.to_pylist()
+                    py_emb = emb.to_pylist()
+                    for r_i in range(n):
+                        vec = [
+                            float(x) for x in (py_emb[r_i] or [])
+                        ]
+                        acc = 0.0
+                        for x in vec:
+                            acc += x * x
+                        vnr = acc ** 0.5
+                        for qi in range(nq):
+                            qn = q_norms_l[qi]
+                            if not (vnr > 0 and qn > 0):
+                                cos = 0.0
+                            elif len(vec) != q64_l[qi].shape[0]:
+                                cos = None
+                            else:
+                                dot = 0.0
+                                for xj, yj in zip(vec, q64_l[qi]):
+                                    dot += xj * yj
+                                cos = dot / (vnr * qn)
+                            out_q.append(q_ids_l[qi])
+                            out_i.append(py_ids[r_i])
+                            out_c.append(cos)
+                if not out_q:
+                    continue
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        _pa.array(out_q, qid_t),
+                        _pa.array(out_i, id_t),
+                        _pa.array(out_c, _pa.float64()),
+                    ],
+                    names=[query_id_col, id_col, "_rawcos"],
+                )
+
+        scored = (
+            vectors.select(F.col(id_col), F.col(vec_col))
+            .mapInArrow(kernel, out_schema)
+            .select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.round(F.col("_rawcos"), 6).alias("cosine"),
+            )
+        )
+    else:
+        vn = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm_col(F.col(vec_col)).alias("_vn"),
+        )
+        qn = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            _norm_col(F.col(query_vec_col)).alias("_qn"),
+        )
+        joined = vn.crossJoin(F.broadcast(qn))
+        scored = joined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                _staged_cosine(
+                    F.col(vec_col), F.col(query_vec_col),
+                    F.col("_vn"), F.col("_qn"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
