@@ -578,6 +578,162 @@ def append_to_ivf_index(
     return path
 
 
+def _arrow_cell_scores(
+    index_scan: DataFrame,
+    queries: DataFrame,
+    q_rows,
+    cell_q,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Score a cell-partitioned pruned scan against the (driver-small)
+    query batch in ONE mapInArrow pass → rounded ``cosine`` candidates.
+    Each batch's rows are grouped by cell and scored only against the
+    queries probing that cell, with the same bit-identical sequential
+    fold and lossless per-(query, group) top-k pre-filter as
+    ``brute_force_topk``'s kernel (see _seq_dots_norms and the epsilon
+    band proof there). Ragged/null embedding rows mirror the expr path's
+    zip/guard semantics row by row."""
+    import numpy as np
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    spark = index_scan.sparkSession
+    qid_at = to_arrow_type(queries.schema[query_id_col].dataType)
+    id_at = to_arrow_type(index_scan.schema[id_col].dataType)
+    q_ids, q64, q_norms = [], [], []
+    qidx = {}
+    for r in q_rows:
+        vec = [float(x) for x in (r[query_vec_col] or [])]
+        qidx[r[query_id_col]] = len(q_ids)
+        q_ids.append(r[query_id_col])
+        q64.append(np.asarray(vec, dtype=np.float64))
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        q_norms.append(acc ** 0.5)
+    cell_qi = {
+        int(c): sorted(qidx[q] for q in qs if q in qidx)
+        for c, qs in cell_q.items()
+    }
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q64, q_norms, cell_qi, k, qid_at, id_at)
+    )
+    id_field = index_scan.schema[id_col].dataType.simpleString()
+    qid_field = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = (
+        f"{query_id_col} {qid_field}, {id_col} {id_field}, _rawcos double"
+    )
+
+    def kernel(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        q_ids_l, q64_l, q_norms_l, cell_qi_l, kk, qid_t, id_t = bc.value
+        d = q64_l[0].shape[0] if q64_l else 0
+        for rb in batches:
+            cells = rb.column(0).to_numpy(zero_copy_only=False)
+            ids = rb.column(1)
+            emb = rb.column(2)
+            if isinstance(emb, _pa.ChunkedArray):  # defensive
+                emb = emb.combine_chunks()
+            n = len(emb)
+            if n == 0:
+                continue
+            offs = emb.offsets.to_numpy()
+            lens = offs[1:] - offs[:-1]
+            out_q, out_i, out_c = [], [], []
+            uniform = (
+                d > 0
+                and bool((lens == d).all())
+                and emb.null_count == 0
+                and emb.values.null_count == 0
+            )
+            if uniform:
+                vals = emb.values.to_numpy(zero_copy_only=False)
+                mat = (
+                    vals[offs[0]:offs[-1]]
+                    .astype(_np.float64)
+                    .reshape(n, d)
+                )
+                ids_np = ids.to_numpy(zero_copy_only=False)
+                for cell in _np.unique(cells):
+                    qlist = cell_qi_l.get(int(cell), ())
+                    if not qlist:
+                        continue
+                    ridx = _np.nonzero(cells == cell)[0]
+                    sub = mat[ridx]
+                    m = sub.shape[0]
+                    dots, vn = _seq_dots_norms(
+                        sub, [q64_l[qi] for qi in qlist], len(qlist)
+                    )
+                    for pos, qi in enumerate(qlist):
+                        qn = q_norms_l[qi]
+                        if qn > 0:
+                            cos = _np.where(
+                                vn > 0, dots[pos] / (vn * qn), 0.0
+                            )
+                        else:
+                            cos = _np.zeros(m, dtype=_np.float64)
+                        if m > kk:
+                            kth = _np.partition(cos, m - kk)[m - kk]
+                            keep = cos >= kth - 1.1e-6
+                        else:
+                            keep = _np.ones(m, dtype=bool)
+                        sel = ridx[_np.nonzero(keep)[0]]
+                        out_q.extend([q_ids_l[qi]] * sel.size)
+                        out_i.extend(ids_np[sel].tolist())
+                        out_c.extend(cos[_np.nonzero(keep)[0]].tolist())
+            else:
+                py_ids = ids.to_pylist()
+                py_emb = emb.to_pylist()
+                for r_i in range(n):
+                    qlist = cell_qi_l.get(int(cells[r_i]), ())
+                    if not qlist:
+                        continue
+                    vec = [float(x) for x in (py_emb[r_i] or [])]
+                    acc = 0.0
+                    for x in vec:
+                        acc += x * x
+                    vnr = acc ** 0.5
+                    for qi in qlist:
+                        qn = q_norms_l[qi]
+                        if not (vnr > 0 and qn > 0):
+                            cos = 0.0
+                        elif len(vec) != q64_l[qi].shape[0]:
+                            cos = None
+                        else:
+                            dot = 0.0
+                            for xj, yj in zip(vec, q64_l[qi]):
+                                dot += xj * yj
+                            cos = dot / (vnr * qn)
+                        out_q.append(q_ids_l[qi])
+                        out_i.append(py_ids[r_i])
+                        out_c.append(cos)
+            if not out_q:
+                continue
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(out_q, qid_t),
+                    _pa.array(out_i, id_t),
+                    _pa.array(out_c, _pa.float64()),
+                ],
+                names=[query_id_col, id_col, "_rawcos"],
+            )
+
+    return (
+        index_scan.select("cell", F.col(id_col), F.col(vec_col))
+        .mapInArrow(kernel, out_schema)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.col("_rawcos"), 6).alias("cosine"),
+        )
+    )
+
+
 def ivf_topk_from_index(
     spark,
     index_path: str,
@@ -589,6 +745,7 @@ def ivf_topk_from_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k against a cell-partitioned index written by
     ``write_ivf_index``. The probed cell set is computed from the QUERY
@@ -600,6 +757,8 @@ def ivf_topk_from_index(
     from collecting the SAME Spark expression ivf_topk joins
     (_probe_cells), so no numpy-vs-Spark rounding or tie divergence can
     creep in."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown ivf_topk_from_index impl {impl!r}")
     probe_rows = [
         (r[query_id_col], int(r["cell"]))
         for r in _probe_cells(queries, centroids, nprobe, query_vec_col)
@@ -607,6 +766,35 @@ def ivf_topk_from_index(
         .collect()
     ]
     probed_cells = sorted({c for _, c in probe_rows})
+    if impl == "arrow":
+        # same Arrow scoring kernel as brute_force_topk, applied to the
+        # PRUNED scan: each probed cell's rows are scored only against
+        # the queries that probe that cell (bit-identical sequential
+        # fold, same lossless per-batch top-k pre-filter; the probe cell
+        # set itself comes from the shared Spark expression above, so no
+        # numpy probe divergence is possible). The query batch was
+        # already collected for the probe — bounded by construction.
+        q_rows = queries.select(
+            F.col(query_id_col), F.col(query_vec_col)
+        ).collect()
+        cell_q = {}
+        for qid, cell in probe_rows:
+            cell_q.setdefault(cell, []).append(qid)
+        index_scan = spark.read.parquet(index_path).filter(
+            F.col("cell").isin(probed_cells)
+        )
+        scored = _arrow_cell_scores(
+            index_scan, queries, q_rows, cell_q, k,
+            id_col, vec_col, query_id_col, query_vec_col,
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("cosine"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank")
+        )
     index = (
         spark.read.parquet(index_path)
         .filter(

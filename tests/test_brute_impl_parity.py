@@ -93,3 +93,36 @@ def test_no_queries(spark):
     )
     qs = spark.createDataFrame([], "query_id long, query_vec array<double>")
     assert brute_force_topk(emb, qs, k=3).count() == 0
+
+
+def test_ivf_from_index_impl_parity(spark, tmp_path):
+    import random
+
+    from case_uco_ontology_map_spark.operators.similarity import (
+        centroids_kmeans,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    rng = random.Random(991)
+    d = 8
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    cents = centroids_kmeans(emb, k=4, iterations=2)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    fast = _rows(
+        ivf_topk_from_index(spark, path, qs, cents, k=5, nprobe=2,
+                            impl="arrow")
+    )
+    ref = _rows(
+        ivf_topk_from_index(spark, path, qs, cents, k=5, nprobe=2,
+                            impl="expr")
+    )
+    assert fast == ref and len(fast) == 3 * 5
