@@ -432,8 +432,28 @@ def connected_components(
     )
     prev_round_ids: set = set()
     if checkpoint:
-        nodes = nodes.localCheckpoint(eager=True)
-        pairs, fp = _checkpoint_with_fingerprint(pairs, 0)
+        # nodes and pairs are INDEPENDENT derivations of the materialized
+        # edge frame — overlap their checkpoint jobs from two driver
+        # threads (guide §2.6; the spam_mass pattern) instead of paying
+        # two sequential barriers. Results identical: each job is
+        # untouched, only the scheduling overlaps.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(
+                inheritable_thread_target(
+                    lambda: nodes.localCheckpoint(eager=True)
+                )
+            )
+            f_pairs = pool.submit(
+                inheritable_thread_target(
+                    lambda: _checkpoint_with_fingerprint(pairs, 0)
+                )
+            )
+            nodes = f_nodes.result()
+            pairs, fp = f_pairs.result()
         # nodes and pairs are materialized — the raw-edge checkpoint's
         # blocks are dead weight from here on (same reclamation rule as
         # the per-round checkpoints below)
