@@ -1826,7 +1826,7 @@ def strongly_connected_components(
     """
     spark = edges.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = (
+    e_lazy = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(
             F.col(src).isNotNull()
@@ -1835,15 +1835,32 @@ def strongly_connected_components(
         )
         .distinct()
         .repartition(shuffle, "src")
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    nodes_lazy = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .where(F.col("node").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # independent derivations of the same input — overlap their
+    # checkpoint jobs (guide §2.6, the connected_components init pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fe = _pool.submit(
+            inheritable_thread_target(
+                lambda: e_lazy.localCheckpoint(eager=True)
+            )
+        )
+        _fn = _pool.submit(
+            inheritable_thread_target(
+                lambda: nodes_lazy.localCheckpoint(eager=True)
+            )
+        )
+        e = _fe.result()
+        nodes = _fn.result()
     assigned = None
     iters = 0
 
