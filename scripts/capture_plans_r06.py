@@ -266,6 +266,28 @@ def main():
         queries = spark.createDataFrame(
             [("q1", "spark"), ("q1", "window")], "query_id string, term string"
         )
+        import tempfile as _tf
+
+        from case_uco_ontology_map_spark.operators.similarity import (
+            ivf_topk_from_index,
+            write_ivf_index,
+        )
+
+        _ivf_dir = _tf.mkdtemp(prefix="plans-ivf-")
+        cents2 = centroids_kmeans(emb, k=4, iterations=1)
+        write_ivf_index(emb, cents2, _ivf_dir)
+        save(
+            "ann_ivf_from_index",
+            ivf_topk_from_index(
+                spark, _ivf_dir, qs, cents2, k=3, nprobe=2
+            ),
+            "the bench serving read (ann_ivf_topk): after, candidate "
+            "scoring is ONE MapInArrow above the literal cell-IN pruned "
+            "scan (PartitionFilters carry the probe set); before, the "
+            "same pruned scan fed a broadcast probe join and interpreted "
+            "per-pair cosine folds.",
+        )
+
         save(
             "text_index",
             bm25_topk(postings, stats, queries, k=10),
