@@ -811,13 +811,30 @@ def canonicalize_incremental(
     cands = incremental_candidate_edges(
         flagged, id_col, "_is_new", bands, max_bucket, hash_mode, observation
     )
+    # the candidate set is DELTA-sized — checkpoint it once so it can
+    # seed the endpoint-id semi-join below without re-running the LSH
+    # banding chain
+    cands = cands.localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("src").alias(id_col))
+        .union(cands.select(F.col("dst").alias(id_col)))
+        .distinct()
+    )
     # exact-Jaccard verify on FULL shingle sets — identical edge semantics
     # to canonicalize_entities' exact path; cached for the two aliased
-    # join sides (see the exact-path cache note there)
-    keys = all_entities.select(
-        F.col(id_col),
-        char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh"),
-    ).cache()
+    # join sides. Restricted to CANDIDATE ENDPOINTS first: the verify's
+    # inner joins only ever read those ids, but an unrestricted cache
+    # materialized the interpreted shingle pass over the ENTIRE prior
+    # corpus every fold — the one remaining full-corpus super-linear-ish
+    # cost of the daily increment (a delta-sized pass now).
+    keys = (
+        all_entities.join(cand_ids, id_col, "leftsemi")
+        .select(
+            F.col(id_col),
+            char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh"),
+        )
+        .cache()
+    )
     a, b = keys.alias("a"), keys.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))
