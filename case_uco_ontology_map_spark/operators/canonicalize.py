@@ -104,6 +104,7 @@ def entity_minhash(
     hash_mode: str = "xxhash64",
     exclude=None,
     impl: str = "arrow",
+    shingled: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Minhash signatures over char-3-gram shingles of the entity key.
 
@@ -115,22 +116,37 @@ def entity_minhash(
     as a broadcast variable consulted by an Arrow-batched set-difference,
     so plan size and analysis time stay flat no matter how aggressive
     drop_common_df gets (long keys + df_fraction→0 can push the list to
-    10^4+ hashes)."""
+    10^4+ hashes).
+
+    ``shingled``: optional precomputed ``(id_col, key_col, _sh)`` frame
+    (raw char-shingle hashes, PRE-exclusion) — callers that also need the
+    shingles for a DF census or an exact verify pass it (usually cached)
+    so the interpreted shingle hashing runs once per job instead of once
+    per consumer. Exclusion is applied here either way; values identical
+    (``array_except`` after staging ≡ composed before staging)."""
     from .dedup import _MERSENNE_P, _hash_params
 
     params = _hash_params(num_hashes, seed=17)
-    # shingles staged in their own projection — inlined, they'd be folded
-    # into (and re-evaluated by) every one of the k lambdas below
-    # (dedup.minhash_signatures' 36× lesson)
-    sh = char_shingles(F.col(key_col), hash_mode=hash_mode)
     ex_list = sorted({int(x) for x in exclude}) if exclude else []
-    if ex_list and len(ex_list) <= _EXCLUDE_INLINE_MAX:
-        sh = F.array_except(sh, F.lit(ex_list).cast("array<long>"))
-    staged = entities.select(
-        F.col(id_col),
-        F.col(key_col),
-        sh.alias("_sh"),
-    )
+    if shingled is not None:
+        staged = shingled.select(F.col(id_col), F.col(key_col), F.col("_sh"))
+        if ex_list and len(ex_list) <= _EXCLUDE_INLINE_MAX:
+            staged = staged.withColumn(
+                "_sh",
+                F.array_except("_sh", F.lit(ex_list).cast("array<long>")),
+            )
+    else:
+        # shingles staged in their own projection — inlined, they'd be
+        # folded into (and re-evaluated by) every one of the k lambdas
+        # below (dedup.minhash_signatures' 36× lesson)
+        sh = char_shingles(F.col(key_col), hash_mode=hash_mode)
+        if ex_list and len(ex_list) <= _EXCLUDE_INLINE_MAX:
+            sh = F.array_except(sh, F.lit(ex_list).cast("array<long>"))
+        staged = entities.select(
+            F.col(id_col),
+            F.col(key_col),
+            sh.alias("_sh"),
+        )
     if len(ex_list) > _EXCLUDE_INLINE_MAX:
         staged = _excluded_shingles(staged, ex_list)
     if impl == "arrow":
@@ -571,16 +587,30 @@ def canonicalize_entities(
     verify measures agreement of the FILTERED signatures — on a hot shape
     that is the safer estimator (shared-prefix agreement no longer inflates
     cross-doc similarity toward the threshold)."""
+    # ONE interpreted char-shingle pass serves every consumer that needs
+    # the raw shingle sets — the DF census (drop_common_df), the minhash
+    # staging, and the exact verify. Without sharing, the hot path hashed
+    # every key THREE times (census explode, signature staging, verify
+    # cache — ~1 s each at bench scale on ~100-shingle hot keys).
+    shingled = None
+    if drop_common_df is not None or verify != "estimate":
+        shingled = entities.select(
+            F.col(id_col),
+            F.col(key_col),
+            char_shingles(F.col(key_col), hash_mode=hash_mode).alias("_sh"),
+        ).cache()
     exclude = None
     if drop_common_df is not None:
-        exclude = common_shingles(
-            entities, key_col, df_fraction=drop_common_df, hash_mode=hash_mode
+        from .dedup import high_df_hashes
+
+        exclude = high_df_hashes(
+            shingled, lambda b: b.select(F.col("_sh")), drop_common_df
         )
     sigs = entity_minhash(
-        entities, key_col, id_col, num_hashes, hash_mode, exclude=exclude
+        entities, key_col, id_col, num_hashes, hash_mode, exclude=exclude,
+        shingled=shingled,
     )
     cached_sigs = None
-    cached_keys = None
     if verify == "estimate" or estimate_prefilter is not None:
         # the estimate paths reference sigs from THREE joins (band
         # candidates + both aliased sides of the agree-count) — without a
@@ -635,16 +665,11 @@ def canonicalize_entities(
     else:
         if estimate_prefilter is not None:
             cands = _estimate_filtered(cands, estimate_prefilter)
-        # verify candidates with exact char-shingle Jaccard before clustering.
-        # The shingle frame is CACHED: it feeds both aliased join sides, and
-        # uncached each side re-runs the interpreted shingle hashing over
-        # every entity key (the hot shape's ~100-shingle keys make that the
-        # verify's dominant cost) — same reasoning as the estimate path's
-        # signature cache.
-        keys = entities.select(
-            F.col(id_col),
-            char_shingles(F.col(key_col), hash_mode=hash_mode).alias("sh"),
-        ).cache()
+        # verify candidates with exact char-shingle Jaccard before
+        # clustering — on the FULL (pre-exclusion) shingle sets, read from
+        # the SHARED cached shingle frame (it feeds both aliased join
+        # sides and was already filled by the census/signature jobs).
+        keys = shingled.select(F.col(id_col), F.col("_sh").alias("sh"))
         a, b = keys.alias("a"), keys.alias("b")
         inter = F.size(F.array_intersect("a.sh", "b.sh"))
         union = F.size(F.array_union("a.sh", "b.sh"))
@@ -655,7 +680,6 @@ def canonicalize_entities(
             .filter(jac >= jaccard_threshold)
             .select("src", "dst")
         )
-        cached_keys = keys
 
     comps = connected_components(edges)
     if cached_sigs is not None:
@@ -663,8 +687,8 @@ def canonicalize_entities(
         # plan that referenced the signatures has already run — drop the
         # cache instead of leaking it for the session's lifetime
         cached_sigs.unpersist(blocking=False)
-    if cached_keys is not None:
-        cached_keys.unpersist(blocking=False)  # same lifecycle as the sigs
+    if shingled is not None:
+        shingled.unpersist(blocking=False)  # same lifecycle as the sigs
     # same reclamation for the auto-prefilter candidate checkpoint: CC has
     # its own checkpoints of everything downstream, so the (possibly huge)
     # flood-shape candidate blocks are dead weight from here on
